@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §0.1/§7.
+  *
+  * `queries` is the declared operator inventory (SURVEY §2): every entry is
+  * a deterministic DataFrame program; `oracleSql` carries the DuckDB
+  * equivalent the driver hash-compares against at sf0.01. Column names and
+  * aliases must match pairwise between the two maps.
+  */
 object SparkEntry {
+
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Aggregates.queries, Aggregates.oracle),
+    (Joins.queries, Joins.oracle),
+    (Windows.queries, Windows.oracle),
+    (Events.queries, Events.oracle),
+    (TextOps.queries, TextOps.oracle),
+    (VectorOps.queries, VectorOps.oracle),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Joins.queries("q_join_bhj")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = modules.map(_._2).reduce(_ ++ _)
 }
