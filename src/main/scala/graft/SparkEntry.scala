@@ -13,8 +13,10 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Relational.queries, Relational.oracle),
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
+    (Sets.queries, Sets.oracle),
     (Windows.queries, Windows.oracle),
     (Events.queries, Events.oracle),
     (TextOps.queries, TextOps.oracle),

@@ -51,6 +51,117 @@ object Aggregates {
         .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
+
+    // Grand-total aggregate, no grouping keys.
+    "q_agg_global" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("total"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        round(min("l_quantity"), 2).as("min_q"),
+        round(max("l_quantity"), 2).as("max_q"))
+    }),
+
+    // Two distinct aggregates in one query (Catalyst expand rewrite).
+    "q_agg_multi_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("users"),
+          countDistinct(col("value")).as("vals"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // HAVING: post-aggregation filter.
+    "q_agg_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .where(col("n") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    // CUBE over two low-cardinality keys (functions.col per the rollup note).
+    "q_agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // GROUPING SETS ((r_name),(n_name),()) — per-region, per-nation, total.
+    "q_agg_gsets" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // max_by / min_by (DuckDB arg_max / arg_min).
+    "q_agg_minmax_by" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"))
+        .orderBy("o_custkey")
+    }),
+
+    // Deterministic per-group list: collect then sort inside the row.
+    "q_agg_collect_sorted" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // Statistical aggregates (rounded per G4; variance kept on the
+    // small-magnitude column so cross-engine FP noise stays below 1e-4).
+    "q_agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Interpolated median (percentile_cont semantics in both engines).
+    "q_agg_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_q"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // bool_and / bool_or per group.
+    "q_agg_bool" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_discount") < 0.05).as("all_low_disc"),
+          bool_or(col("l_quantity") > 45).as("any_big_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL sketch distinct — no oracle (sketch internals differ across
+    // engines); accuracy is property-tested against exact distinct.
+    "q_agg_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -80,5 +191,63 @@ object Aggregates {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_global" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice),2) AS total,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  round(min(l_quantity),2) AS min_q, round(max(l_quantity),2) AS max_q
+        |FROM lineitem""".stripMargin,
+
+    "q_agg_multi_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users,
+        |  count(DISTINCT value) AS vals, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_agg_gsets" ->
+      """SELECT r_name, n_name, count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name),(n_name),())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT o_custkey, arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_collect_sorted" ->
+      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity),4) AS sd_q,
+        |  round(var_samp(l_quantity),4) AS var_q,
+        |  round(stddev_samp(l_extendedprice),2) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice),6) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5),4) AS median_q,
+        |  round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_discount < 0.05) AS all_low_disc,
+        |  bool_or(l_quantity > 45) AS any_big_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

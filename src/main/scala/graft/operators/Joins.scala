@@ -1,14 +1,21 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Join operators (SURVEY §2.C). The filtered customer side is small after
-  * pushdown, so Catalyst broadcasts it (BroadcastHashJoin) — at 100 TB the
-  * dimension tables stay broadcastable while the fact tables never shuffle
-  * for these joins.
+/** Join operators (SURVEY §2.C).
+  *
+  * Physical-strategy posture for 100 TB: dimension sides (customer-after-
+  * filter, region, nation, the query vector) broadcast; fact-fact joins
+  * shuffle on their equi-keys (SortMergeJoin), which partitions cleanly
+  * across executors. The band join is expressed as a bucketed equi-join +
+  * refine — the idiomatic Spark range-join rewrite — so it never degrades
+  * to a broadcast nested loop over the big side.
   */
 object Joins {
+
+  private val HourUs = 3600L * 1000000
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: small×large×large 3-way join + agg + native top-k
@@ -24,6 +31,48 @@ object Joins {
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
+    }),
+
+    // Large×large equi-join forced to SortMergeJoin: the shape that scales
+    // past broadcast limits — both sides shuffle-partition on the key.
+    "q_join_smj" -> ((s, d) => {
+      Tables.orders(s, d)
+        .where(col("o_orderstatus") === "F")
+        .hint("merge")
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum("l_extendedprice"), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Left outer with a genuinely null-producing right side.
+    "q_join_outer" -> ((s, d) => {
+      val rare = Tables.lineitem(s, d)
+        .where(col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("cnt"))
+      Tables.orders(s, d)
+        .join(rare, col("o_orderkey") === col("l_orderkey"), "left")
+        .select("o_orderkey", "cnt")
+        .orderBy("o_orderkey")
+    }),
+
+    // Full outer over asymmetric aggregates (nulls on both sides).
+    "q_join_full" -> ((s, d) => {
+      val a = Tables.customer(s, d).where(col("c_acctbal") < -500)
+        .groupBy(col("c_nationkey").as("ka")).agg(count(lit(1)).as("nc"))
+      val b = Tables.supplier(s, d).where(col("s_acctbal") > 500)
+        .groupBy(col("s_nationkey").as("kb")).agg(count(lit(1)).as("ns"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("nc"), col("ns"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Small cross join (5 × 25).
+    "q_join_cross" -> ((s, d) => {
+      Tables.region(s, d).select("r_name")
+        .crossJoin(Tables.nation(s, d).select("n_name"))
+        .orderBy("r_name", "n_name")
     }),
 
     // Semi join (EXISTS): customers holding at least one >400k order.
@@ -45,6 +94,48 @@ object Joins {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     }),
+
+    // Band (theta-range) join: events within ±1h of sampled error events.
+    // Expressed as hour-bucket equi-join + range refine: the probe side
+    // explodes to 3 adjacent buckets, the join shuffles on bucket equality,
+    // and the band predicate filters inside the hash join — linear in the
+    // big side at any scale (vs. BroadcastNestedLoopJoin for the naive
+    // form). Each qualifying pair lands in exactly one bucket, so no dedup.
+    "q_join_theta_range" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_us")
+      val probes = Tables.events(s, d)
+        .where(col("event_type") === "error" && expr("event_id % 97 = 0"))
+        .select(col("event_id").as("err_id"), col("ts_us").as("err_us"))
+        .withColumn("bucket", explode(array(
+          expr("err_us div 3600000000 - 1"),
+          expr("err_us div 3600000000"),
+          expr("err_us div 3600000000 + 1"))))
+      val build = ev.withColumn("bucket", expr("ts_us div 3600000000"))
+      probes.join(build, Seq("bucket"))
+        .where(col("ts_us").between(col("err_us") - HourUs, col("err_us") + HourUs) &&
+          col("event_id") =!= col("err_id"))
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("nearby"))
+        .orderBy("err_id")
+    }),
+
+    // As-of join: each purchase matched to the same user's latest click at
+    // or before it. No native as-of in Spark SQL — union-tag + running
+    // `last(_, ignoreNulls)` window, the standard distributed rewrite
+    // (single shuffle on user_id; no per-row lookups).
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", "ts_us", "event_type")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_us", "last_click_us")
+        .orderBy(col("user_id").asc, col("ts_us").asc, col("event_id").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -57,6 +148,33 @@ object Joins {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q_join_smj" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice),2) AS total, count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT o_orderkey, l.cnt AS cnt
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |  WHERE l_quantity > 45 GROUP BY l_orderkey) l
+        |ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT coalesce(a.ka, b.kb) AS k, a.nc AS nc, b.ns AS ns
+        |FROM (SELECT c_nationkey AS ka, count(*) AS nc FROM customer
+        |      WHERE c_acctbal < -500 GROUP BY c_nationkey) a
+        |FULL JOIN (SELECT s_nationkey AS kb, count(*) AS ns FROM supplier
+        |      WHERE s_acctbal > 500 GROUP BY s_nationkey) b
+        |ON a.ka = b.kb
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
@@ -71,5 +189,28 @@ object Joins {
         |AND NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events),
+        |probes AS (SELECT event_id AS err_id, ts_us AS err_us FROM e
+        |           WHERE event_type = 'error' AND event_id % 97 = 0)
+        |SELECT err_id, count(*) AS nearby
+        |FROM probes JOIN e
+        |  ON e.ts_us BETWEEN probes.err_us - 3600000000 AND probes.err_us + 3600000000
+        | AND e.event_id <> probes.err_id
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('click','purchase'))
+        |SELECT user_id, event_id, ts_us, last_click_us FROM (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM e) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC, ts_us ASC, event_id ASC""".stripMargin,
   )
 }
