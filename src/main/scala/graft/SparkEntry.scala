@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.functions.Scalars
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1/§7.
   *
@@ -21,6 +22,7 @@ object SparkEntry {
     (Events.queries, Events.oracle),
     (TextOps.queries, TextOps.oracle),
     (VectorOps.queries, VectorOps.oracle),
+    (Scalars.queries, Scalars.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

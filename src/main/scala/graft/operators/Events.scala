@@ -28,6 +28,40 @@ object Events {
         .agg(count(lit(1)).as("ev"), min("ts_us").as("start_us"))
         .orderBy(col("user_id").asc, col("sid").asc)
     }),
+
+    // 6h tumbling windows per event type (epoch-µs bucket arithmetic —
+    // identical in both engines; streaming twin is window(ts, "6 hours")).
+    "q_evt_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("bucket", expr("ts_us div 21600000000"))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .orderBy(col("bucket").asc, col("event_type").asc)
+    }),
+
+    // 6h windows sliding by 1h: each event explodes into its 6 covering
+    // window starts — a generate+explode rewrite, no self-join. Streaming
+    // twin is window(ts, "6 hours", "1 hour").
+    "q_evt_sliding" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("h", expr("ts_us div 3600000000"))
+        .withColumn("wstart", explode(expr("sequence(h - 5, h)")))
+        .groupBy("wstart")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .orderBy(col("wstart").asc)
+    }),
+
+    // Dedup events to one per (user, type, minute) with a deterministic
+    // keeper (min event_id) — dropDuplicates picks an arbitrary row, so
+    // the declared form is the min_by groupBy; the streaming twin is
+    // dropDuplicatesWithinWatermark.
+    "q_evt_dedup" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("minute", expr("ts_us div 60000000"))
+        .groupBy("user_id", "event_type", "minute")
+        .agg(min("event_id").as("keep_id"), count(lit(1)).as("dups"))
+        .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -48,5 +82,25 @@ object Events {
         |SELECT user_id, sid, count(*) AS ev, min(ts_us) AS start_us
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id ASC, sid ASC""".stripMargin,
+
+    "q_evt_tumbling" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS bucket,
+        |  event_type, count(*) AS n, round(sum(value),2) AS sv
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket ASC, event_type ASC""".stripMargin,
+
+    "q_evt_sliding" ->
+      """WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value FROM events),
+        |x AS (SELECT unnest(generate_series(h - 5, h)) AS wstart, value FROM h)
+        |SELECT wstart, count(*) AS n, round(sum(value),2) AS sv
+        |FROM x GROUP BY wstart ORDER BY wstart ASC""".stripMargin,
+
+    "q_evt_dedup" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute, event_id FROM events)
+        |SELECT user_id, event_type, minute,
+        |  min(event_id) AS keep_id, count(*) AS dups
+        |FROM e GROUP BY user_id, event_type, minute
+        |ORDER BY user_id ASC, event_type ASC, minute ASC""".stripMargin,
   )
 }
