@@ -23,6 +23,7 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracle),
     (VectorOps.queries, VectorOps.oracle),
     (Scalars.queries, Scalars.oracle),
+    (DedupOps.queries, DedupOps.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

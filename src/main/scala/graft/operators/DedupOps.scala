@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (SURVEY §2.I + the
+  * training-data-pipeline additions): exact hash dedup, n-gram Jaccard,
+  * MinHash/LSH and SimHash near-dup detection, document fingerprinting.
+  *
+  * The sf corpus has no real duplicates (FIXTURES.md), so each dedup
+  * query derives a duplicate-bearing corpus deterministically: the
+  * original docs unioned with perturbed copies (id + 1_000_000, last
+  * tokens dropped). That keeps every query self-contained and its
+  * output stable for the oracle.
+  *
+  * Scale posture: everything is shuffle-by-key (hash, band bucket,
+  * shingle) — no all-pairs comparison ever materializes; LSH banding
+  * bounds candidate generation exactly the way it would at 100 TB.
+  */
+object DedupOps {
+
+  /** Distinct 3-gram shingles of the first `n-drop` tokens (1-based
+    * element_at; guarded so short docs yield an empty array rather than a
+    * descending sequence()). */
+  private def shingleExpr(drop: Int): String = {
+    val last = s"size(toks) - ${2 + drop}"
+    s"CASE WHEN $last >= 1 THEN array_distinct(transform(sequence(1, $last), " +
+      "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) " +
+      "ELSE array() END"
+  }
+
+  /** Original + perturbed-copy corpus: (doc_id, source, sh) with distinct
+    * 3-gram shingle sets; copies drop the last 3 tokens. */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+    val orig = base.select(col("doc_id"), col("source"), expr(shingleExpr(0)).as("sh"))
+    val variant = base.select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+      expr(shingleExpr(3)).as("sh"))
+    orig.unionByName(variant)
+  }
+
+  private def jaccard(a: String, b: String) =
+    round(size(array_intersect(col(a), col(b))).cast("double") /
+      size(array_union(col(a), col(b))), 4)
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: normalize → sha256 → group, deterministic min keeper.
+    // (xxhash64 is the at-scale choice but has no DuckDB twin — the
+    // declared query uses sha256; see MinHash below for xxhash64.)
+    "q_dedup_exact" -> ((s, d) => {
+      val h = sha2(lower(trim(col("text"))), 256)
+      val orig = Tables.documents(s, d).select(col("doc_id"), h.as("h"))
+      val dup = Tables.documents(s, d).select((col("doc_id") + 1000000).as("doc_id"), h.as("h"))
+      orig.unionByName(dup)
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .orderBy("keep_id")
+    }),
+
+    // Token-set Jaccard for same-source candidate pairs (blocked join).
+    "q_jaccard_pairs" -> ((s, d) => {
+      val t = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("doc_id").as("da"), col("source"), col("toks").as("ta"))
+      val b = t.select(col("doc_id").as("db"), col("source").as("source_b"), col("toks").as("tb"))
+      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+        .select(col("da"), col("db"), jaccard("ta", "tb").as("jac"))
+        .orderBy("da", "db")
+    }),
+
+    // n-gram (3-shingle) Jaccard near-dup detection over the derived
+    // corpus; only true near-dups survive the 0.5 threshold.
+    "q_dedup_ngram_jaccard" -> ((s, d) => {
+      val u = nearDupCorpus(s, d)
+      val a = u.select(col("doc_id").as("da"), col("source"), col("sh").as("sha"))
+      val b = u.select(col("doc_id").as("db"), col("source").as("source_b"), col("sh").as("shb"))
+      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+        .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // MinHash + LSH: 16 hashes (salted xxhash64 over shingles), 4 bands
+    // of 4 rows; candidates = pairs sharing a band bucket; verified with
+    // true shingle Jaccard. No DuckDB oracle (engine-specific hash) —
+    // rows-only check + scalatest (known near-dups must be found).
+    "q_dedup_minhash" -> ((s, d) => {
+      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0)
+      val sig = u.withColumn("sig",
+        expr("transform(sequence(0, 15), i -> " +
+          "array_min(transform(sh, t -> xxhash64(concat(cast(i AS STRING), t)))))"))
+      val bands = sig.select(col("doc_id"), col("source"), col("sh"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
+            "transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS STRING))))))")).as("bb"))
+        .select(col("doc_id"), col("source"), col("sh"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("bucket"),
+        col("sh").as("sha"), col("source"))
+      val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"),
+        col("bucket").as("bucket_b"), col("sh").as("shb"))
+      a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("da") < col("db"))
+        .select(col("da"), col("db"), col("sha"), col("shb")).distinct()
+        .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // SimHash: 32-bit signature from token-hash bit votes; near-dups =
+    // same-source pairs within Hamming distance 2 (16-bit/dist-3 passed
+    // ~27% of all blocked pairs on this shared-vocab corpus — too loose).
+    // Oracle-less.
+    "q_dedup_simhash" -> ((s, d) => {
+      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+      val orig = base.select(col("doc_id"), col("source"), col("toks"))
+      val variant = base.select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+        expr("slice(toks, 1, greatest(size(toks) - 3, 1))").as("toks"))
+      val votes = orig.unionByName(variant)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
+        .withColumn("h", xxhash64(col("token")))
+        .select(col("doc_id"), col("source"),
+          explode(expr("transform(sequence(0, 31), b -> " +
+            "named_struct('bit', b, 'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
+        .groupBy(col("doc_id"), col("source"), col("bv.bit").as("bit"))
+        .agg(sum("bv.v").as("s"))
+      val sigs = votes.groupBy("doc_id", "source")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
+      val a = sigs.select(col("doc_id").as("da"), col("source"), col("sig").as("siga"))
+      val b = sigs.select(col("doc_id").as("db"), col("source").as("source_b"), col("sig").as("sigb"))
+      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+        .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+        .where(col("hamming") <= 2)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
+    }),
+
+    // Document fingerprint: min rolling shingle hash (MinHash k=1 /
+    // winnowing-style). Oracle-less (xxhash64). Identical fingerprints ⇒
+    // likely near-dup; used as a cheap pre-cluster key at scale.
+    "q_doc_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sh", expr(shingleExpr(0)))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          expr("array_min(transform(sh, t -> xxhash64(t)))").as("fingerprint"),
+          size(col("sh")).as("n_shingles"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, sha256(lower(trim(text))) FROM documents)
+        |SELECT h, min(doc_id) AS keep_id, count(*) AS dups
+        |FROM u GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, source,
+        |        CASE WHEN len(toks) - 2 >= 1 THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 2),
+        |          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END AS sh
+        |      FROM t0),
+        |v AS (SELECT doc_id + 1000000 AS doc_id, source,
+        |        CASE WHEN len(toks) - 5 >= 1 THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 5),
+        |          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END AS sh
+        |      FROM t0),
+        |u AS (SELECT * FROM o UNION ALL SELECT * FROM v),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+        |      FROM u a JOIN u b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db""".stripMargin,
+  )
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2.I). Tokenization is
@@ -55,6 +56,78 @@ object TextOps {
             "t -> length(t)), 0, (acc, x) -> acc + x)").as("chars5"))
         .orderBy("doc_id")
     }),
+
+    // Language ID by marker-token votes (n-gram heuristic, deterministic
+    // tie-break by fixed priority). Markers drawn from the corpus vocab.
+    "q_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("s_en", expr("size(filter(toks, t -> array_contains(array('order','table','row'), t)))"))
+        .withColumn("s_de", expr("size(filter(toks, t -> array_contains(array('customer','merge'), t)))"))
+        .withColumn("s_es", expr("size(filter(toks, t -> array_contains(array('slow','agg'), t)))"))
+        .withColumn("s_fr", expr("size(filter(toks, t -> array_contains(array('scan','query'), t)))"))
+        .withColumn("s_zh", expr("size(filter(toks, t -> array_contains(array('small','big'), t)))"))
+        .withColumn("pred", expr(
+          "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' " +
+            "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' " +
+            "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' " +
+            "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"))
+        .select(col("doc_id"), col("lang"), col("pred"), (col("pred") === col("lang")).as("hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token count, avg word length, stopword ratio,
+    // composite score + bucket. Per-row fixed-order double arithmetic —
+    // emitted raw (bit-identical cross-engine; rounding would not be).
+    "q_text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("avg_wlen",
+          (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
+            col("n_tok"))
+        .withColumn("score",
+          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .withColumn("bucket",
+          when(col("score") >= 0.5, "high").when(col("score") >= 0.3, "mid").otherwise("low"))
+        .select("doc_id", "n_tok", "avg_wlen", "stop_ratio", "score", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    // chars/4 estimate.
+    "q_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0))").as("bpe_ish"),
+          ceil(col("n_chars") / 4.0).cast("bigint").as("est_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // tf-idf: top-3 terms per language by summed tf·idf. Two aggregations
+    // + one broadcast-able join on term; the corpus size N is joined in as
+    // a 1-row broadcast rather than a driver-side collect.
+    "q_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("term"))
+      val tf = tok.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n").cast("double") / col("df")))
+        .groupBy("lang", "term")
+        .agg(round(sum("tfidf"), 6).as("score"))
+      val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term").asc)
+      sc.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("lang", "term", "score", "rn")
+        .orderBy(col("lang").asc, col("rn").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -85,5 +158,61 @@ object TextOps {
         |    list_filter(string_split(text, ' '), t -> len(t) >= 5),
         |    t -> len(t))), 0) AS INTEGER) AS chars5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, t -> list_contains(['order','table','row'], t))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(toks, t -> list_contains(['customer','merge'], t))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(toks, t -> list_contains(['slow','agg'], t))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(toks, t -> list_contains(['scan','query'], t))) AS INTEGER) AS s_fr,
+        |  CAST(len(list_filter(toks, t -> list_contains(['small','big'], t))) AS INTEGER) AS s_zh
+        |FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred,
+        |  (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END = lang) AS hit
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tok,
+        |  CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_wlen,
+        |  CAST(len(list_filter(toks, t -> list_contains(['a','the','of'], t))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(len(toks) AS INTEGER) AS nt
+        |FROM t)
+        |SELECT doc_id, n_tok, avg_wlen, stop_ratio,
+        |  stop_ratio * 0.3 + CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.7 AS score,
+        |  CASE WHEN stop_ratio * 0.3 + CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.7 >= 0.5 THEN 'high'
+        |       WHEN stop_ratio * 0.3 + CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.7 >= 0.3 THEN 'mid'
+        |       ELSE 'low' END AS bucket
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpe_ish,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM tok GROUP BY doc_id, lang, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT lang, tf.term AS term, round(sum(tf * ln(CAST(n.n AS DOUBLE) / df.df)), 6) AS score
+        |       FROM tf CROSS JOIN n JOIN df ON tf.term = df.term
+        |       GROUP BY lang, tf.term)
+        |SELECT lang, term, score, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, term ASC) AS INTEGER) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 3 ORDER BY lang ASC, rn ASC""".stripMargin,
   )
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over `embeddings` (SURVEY §2.I). Embeddings
@@ -8,6 +10,11 @@ import org.apache.spark.sql.functions._
   * dot product is a Catalyst higher-order function (zip_with + aggregate)
   * — lambda expressions, no UDF serialization. Floats are widened to
   * DOUBLE inside the lambda (SURVEY §7.3 G4) for cross-engine parity.
+  *
+  * Scale posture: brute-force kNN is one broadcast + one scan +
+  * TakeOrderedAndProject; the similarity join is label-blocked (never
+  * all-pairs); the IVF variant prunes probes to one coarse cell — the
+  * standard billion-vector layout (coarse quantizer + per-cell lists).
   */
 object VectorOps {
 
@@ -15,6 +22,18 @@ object VectorOps {
   def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Per-label centroids: posexplode → avg per (label, pos) → reassemble
+    * in position order. One shuffle; centroid table is tiny (labels × dim)
+    * and broadcast into whatever joins it. */
+  private def centroids(e: DataFrame): DataFrame = {
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label").as("c_label"), expr("transform(pc, x -> x.c)").as("centroid"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-20 against one query vector. The query side is
@@ -30,6 +49,66 @@ object VectorOps {
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(20)
     }),
+
+    // Per-label centroid, then the 5 nearest members of each label — the
+    // "interactive similarity session" pattern.
+    "q_knn_per_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val sims = e.join(broadcast(centroids(e)), col("label") === col("c_label"))
+        .withColumn("sim", round(expr(dotExpr("embedding", "centroid")), 6))
+      val w = Window.partitionBy("label").orderBy(col("sim").desc, col("vec_id").asc)
+      sims.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("label", "vec_id", "sim", "rn")
+        .orderBy(col("label").asc, col("rn").asc)
+    }),
+
+    // Label-blocked all-pairs similarity join, top-3 neighbors per vector.
+    "q_sim_join_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      val pairs = a.join(b, col("label") === col("label_b") && col("va") =!= col("vb"))
+        .withColumn("sim", round(expr(dotExpr("ea", "eb")), 6))
+      val w = Window.partitionBy("va").orderBy(col("sim").desc, col("vb").asc)
+      pairs.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("label", "va", "vb", "sim", "rn")
+        .orderBy(col("va").asc, col("rn").asc)
+    }),
+
+    // Multimodal join: text metadata ⋈ vector rows (1:1 at sf0.001/0.01,
+    // inner semantics per FIXTURES.md).
+    "q_multimodal_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).as("dim"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF-style ANN: per-label centroids as the coarse codebook; each
+    // vector is assigned to its argmax-dot cell; the query probes only its
+    // own cell (nprobe=1) and brute-forces inside it. Oracle-less
+    // (approximation); scalatest checks recall against exact kNN.
+    "q_knn_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = broadcast(centroids(e))
+      val assign = e.crossJoin(cb)
+        .withColumn("sim_c", expr(dotExpr("embedding", "centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim_c").desc, col("c_label").asc)))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("c_label").as("cell"))
+      val qCell = assign.where(col("vec_id") === 0)
+        .select(col("cell").as("q_cell"), col("embedding").as("qv"))
+      assign.where(col("vec_id") =!= 0)
+        .join(broadcast(qCell), col("cell") === col("q_cell"))
+        .withColumn("sim", round(expr(dotExpr("embedding", "qv")), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -39,5 +118,34 @@ object VectorOps {
         |  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),6) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_knn_per_label" ->
+      """WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos),
+        |dots AS (SELECT ex.label, ex.vec_id, round(sum(ex.v * cent.c), 6) AS sim
+        |         FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        |         GROUP BY ex.label, ex.vec_id)
+        |SELECT label, vec_id, sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rn
+        |  FROM dots) t
+        |WHERE rn <= 5 ORDER BY label ASC, rn ASC""".stripMargin,
+
+    "q_sim_join_topk" ->
+      """WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, round(sum(a.v * b.v), 6) AS sim
+        |         FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos AND a.vec_id <> b.vec_id
+        |         GROUP BY a.label, a.vec_id, b.vec_id)
+        |SELECT label, va, vb, sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb ASC) AS INTEGER) AS rn
+        |  FROM dots) t
+        |WHERE rn <= 3 ORDER BY va ASC, rn ASC""".stripMargin,
+
+    "q_multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, e.label,
+        |  CAST(len(e.embedding) AS INTEGER) AS dim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }
