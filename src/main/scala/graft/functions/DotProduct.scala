@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst dot product over two numeric array columns, accumulated
+  * in double — the hot loop of every similarity operator here.
+  *
+  * Why an Expression and not the zip_with/aggregate HOF (SURVEY §4.3):
+  * the HOF builds an intermediate array and evaluates two lambdas per
+  * element through interpreted closures; this expression compiles (via
+  * doGenCode) to a primitive float loop inside whole-stage codegen — no
+  * allocation, no virtual calls. Same sequential accumulation order as
+  * the HOF, so results are bit-identical and the DuckDB goldens prove the
+  * swap is semantics-preserving.
+  *
+  * Embeddings are L2-normalized (FIXTURES.md), so this is also cosine
+  * similarity.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall { e =>
+      e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    (elemType(left), elemType(right)) match {
+      case (FloatType, FloatType) =>
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      case (FloatType, DoubleType) =>
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+      case (DoubleType, FloatType) =>
+        while (i < n) { acc += x.getDouble(i) * y.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(e: Expression, arr: String, i: String): String = elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-scoped registration of graft's native functions. Idempotent —
+  * call at the top of any query that uses them; SQL name `graft_dot`. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
+}

@@ -1,15 +1,17 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search operators over `embeddings` (SURVEY §2.I). Embeddings
   * are exactly L2-normalized (FIXTURES.md), so cosine ≡ dot product. The
-  * dot product is a Catalyst higher-order function (zip_with + aggregate)
-  * — lambda expressions, no UDF serialization. Floats are widened to
-  * DOUBLE inside the lambda (SURVEY §7.3 G4) for cross-engine parity.
+  * dot product is the native codegen'd DotProduct expression (`graft_dot`,
+  * see graft.functions.DotProduct); it accumulates in double in the same
+  * sequential order as the zip_with/aggregate HOF it replaced, so results
+  * are bit-identical (the DuckDB oracle proves the swap).
   *
   * Scale posture: brute-force kNN is one broadcast + one scan +
   * TakeOrderedAndProject; the similarity join is label-blocked (never
@@ -40,11 +42,12 @@ object VectorOps {
     // a 1-row broadcast; the scan side streams — at 100 TB this is a single
     // pass with a TakeOrderedAndProject, no shuffle of the big side.
     "q_knn_cosine" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.where(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("sim", round(expr(dotExpr("embedding", "qv")), 6))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
         .select("vec_id", "label", "sim")
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(20)
@@ -53,9 +56,10 @@ object VectorOps {
     // Per-label centroid, then the 5 nearest members of each label — the
     // "interactive similarity session" pattern.
     "q_knn_per_label" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val sims = e.join(broadcast(centroids(e)), col("label") === col("c_label"))
-        .withColumn("sim", round(expr(dotExpr("embedding", "centroid")), 6))
+        .withColumn("sim", round(expr("graft_dot(embedding, centroid)"), 6))
       val w = Window.partitionBy("label").orderBy(col("sim").desc, col("vec_id").asc)
       sims.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
@@ -65,11 +69,12 @@ object VectorOps {
 
     // Label-blocked all-pairs similarity join, top-3 neighbors per vector.
     "q_sim_join_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
       val b = e.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
       val pairs = a.join(b, col("label") === col("label_b") && col("va") =!= col("vb"))
-        .withColumn("sim", round(expr(dotExpr("ea", "eb")), 6))
+        .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
       val w = Window.partitionBy("va").orderBy(col("sim").desc, col("vb").asc)
       pairs.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
@@ -92,10 +97,11 @@ object VectorOps {
     // own cell (nprobe=1) and brute-forces inside it. Oracle-less
     // (approximation); scalatest checks recall against exact kNN.
     "q_knn_ivf" -> ((s, d) => {
+      GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val cb = broadcast(centroids(e))
       val assign = e.crossJoin(cb)
-        .withColumn("sim_c", expr(dotExpr("embedding", "centroid")))
+        .withColumn("sim_c", expr("graft_dot(embedding, centroid)"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("sim_c").desc, col("c_label").asc)))
         .where(col("rn") === 1)
@@ -104,7 +110,7 @@ object VectorOps {
         .select(col("cell").as("q_cell"), col("embedding").as("qv"))
       assign.where(col("vec_id") =!= 0)
         .join(broadcast(qCell), col("cell") === col("q_cell"))
-        .withColumn("sim", round(expr(dotExpr("embedding", "qv")), 6))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
         .select("vec_id", "label", "sim")
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(10)

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{GraftFunctions, MinHashAgg}
+import graft.operators.VectorOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom Catalyst pieces must be drop-in equivalent to the declarative
+  * forms they replace — bit-identical, not approximately equal.
+  */
+class CustomFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("graft_dot is bit-identical to the zip_with/aggregate HOF") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        expr("graft_dot(embedding, qv)").as("native"),
+        expr(VectorOps.dotExpr("embedding", "qv")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("graft_dot handles double arrays and mixed float/double") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(2.0, 0.5, 1.0))).toDF("f", "dd")
+    val r = df.select(
+      expr("graft_dot(f, dd)").as("fd"),
+      expr("graft_dot(dd, dd)").as("ddd"),
+      expr("graft_dot(f, f)").as("ff")).head()
+    assert(r.getDouble(0) === 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+    assert(r.getDouble(1) === 4.0 + 0.25 + 1.0)
+    assert(r.getDouble(2) === 1.0 + 4.0 + 9.0)
+  }
+
+  test("graft_dot returns null on null input") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("MinHashAgg matches the HOF signature recipe of q_dedup_minhash") {
+    import spark.implicits._
+    val shingles = Seq("a b c", "b c d", "c d e")
+    // HOF recipe: per salt i, min over xxhash64(concat(i, shingle)).
+    val hofSig = spark.sql(
+      s"SELECT transform(sequence(0, 15), i -> array_min(transform(" +
+        s"array(${shingles.map(x => s"'$x'").mkString(",")}), " +
+        "t -> xxhash64(concat(cast(i AS STRING), t))))) AS sig")
+      .head().getSeq[Long](0)
+    val aggSig = shingles.toDS()
+      .select(udaf(new MinHashAgg(16)).apply(col("value")).as("sig"))
+      .head().getSeq[Long](0)
+    assert(hofSig === aggSig)
+  }
+
+  test("MinHashAgg merges partial signatures associatively") {
+    val agg = new MinHashAgg(8)
+    val full = Seq("x", "y", "z").foldLeft(agg.zero)(agg.reduce)
+    val left = Seq("x").foldLeft(agg.zero)(agg.reduce)
+    val right = Seq("y", "z").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(left, right).toSeq === full.toSeq)
+  }
+}
