@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Completeness ledger — the reference's core build-pipeline pattern [PK,
+  * SURVEY §1.1/§3.1]: a table of already-computed keys, diffed against the
+  * target key space to find remaining work, updated as batches finish.
+  *
+  * Idiomatic-Spark shape: the ledger is just a keyed DataFrame (parquet-
+  * backed); "what's missing" is a left-anti join (never a collect), so the
+  * diff distributes over any key-space size; appends are atomic parquet
+  * writes. At 100 TB the anti join broadcasts the (small) ledger or
+  * shuffles on the key — Catalyst picks per stats.
+  */
+object Ledger {
+
+  /** Keys in `target` not yet present in `computed` (left-anti on all of
+    * `keys`). Null-safe equality so null key components behave like
+    * values, not match-nothing. */
+  def missing(target: DataFrame, computed: DataFrame, keys: Seq[String]): DataFrame = {
+    val cond = keys.map(k => target(k) <=> computed(k)).reduce(_ && _)
+    target.join(computed, cond, "left_anti")
+  }
+
+  /** Append newly-computed keys (with a batch tag) to the ledger path. */
+  def record(done: DataFrame, path: String, batchId: String): Unit =
+    done.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).parquet(path)
+
+  /** Load the ledger, empty-safe: a missing path is an empty ledger with
+    * the given key schema (projected from `like`). */
+  def load(spark: SparkSession, path: String, like: DataFrame, keys: Seq[String]): DataFrame = {
+    val fs = new java.io.File(path)
+    if (fs.exists()) spark.read.parquet(path).select(keys.map(col): _*)
+    else like.select(keys.map(col): _*).limit(0)
+  }
+
+  /** One driver-loop build step: find missing work, compute it with `f`,
+    * record it. Returns the number of keys completed this step. */
+  def step(spark: SparkSession, target: DataFrame, keys: Seq[String],
+      ledgerPath: String, batchId: String)(f: DataFrame => DataFrame): Long = {
+    val ledger = load(spark, ledgerPath, target, keys)
+    val todo = missing(target, ledger, keys)
+    val n = todo.count()
+    if (n > 0) record(f(todo).select(keys.map(col): _*), ledgerPath, batchId)
+    n
+  }
+}

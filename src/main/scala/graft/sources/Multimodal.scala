@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, plus a batched
+  * feature-extraction operator.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs) —
+  * `StubCodec` produces deterministic fake features from the bytes. The
+  * Spark-side plumbing is real: schema, per-partition batch shape,
+  * size-bounded repartitioning, and the mapPartitions feature extractor
+  * are exactly what a real codec would plug into (swap `Codec`).
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val schema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false),
+    )), nullable = false),
+  ))
+
+  /** Decoder contract a real implementation would satisfy. */
+  trait Codec extends Serializable {
+    /** payload bytes → fixed-width feature vector */
+    def features(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake decode: a real build swaps this for an actual
+    * image/audio decoder. Features are a seeded rolling hash of the
+    * bytes — stable across runs and partitionings. */
+  object StubCodec extends Codec {
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h % 1000).toFloat / 1000.0f
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Derive a multimodal asset table from `documents` (text bytes standing
+    * in for real payloads — deterministic, no external data needed). */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        col("n_chars").as("n_bytes")).as("meta"))
+  }
+
+  /** Batched feature extraction: size-aware repartition (so one task never
+    * holds more than ~`targetBytesPerTask` of payload), then a
+    * mapPartitions pass handing the codec whole batches — the Scala
+    * analogue of mapInPandas batch shape. Output schema: (asset_id,
+    * modality, features array<float>). */
+  def extractFeatures(assets: DataFrame, codec: Codec = StubCodec, dim: Int = 16,
+      targetBytesPerTask: Long = 64L * 1024 * 1024): DataFrame = {
+    val spark = assets.sparkSession
+    val totalBytes = assets.agg(sum(expr("meta.n_bytes"))).head().getLong(0)
+    val parts = math.max(1, math.min(10000, (totalBytes / targetBytesPerTask) + 1).toInt)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val slim = assets.select("asset_id", "modality", "payload")
+      .repartition(parts, col("asset_id"))
+    slim.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val feats = if (payload == null) null else codec.features(payload, dim)
+        Row(r.getLong(0), r.getString(1), feats)
+      }
+    }(ExpressionEncoder(enc))
+  }
+}

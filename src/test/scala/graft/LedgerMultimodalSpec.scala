@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{Ledger, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LedgerMultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ledger drives a build loop to completion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/ledger"
+    // target key space: (n, k) grid — the reference's (level, weight) shape
+    val target = (for { n <- 1 to 5; k <- 1 to 4 } yield (n, k)).toDF("n", "k")
+    // step 1: compute only n <= 2
+    val done1 = Ledger.step(spark, target.where($"n" <= 2), Seq("n", "k"), dir, "b1")(identity)
+    assert(done1 === 8)
+    // global missing check
+    val miss = Ledger.missing(target, Ledger.load(spark, dir, target, Seq("n", "k")), Seq("n", "k"))
+    assert(miss.count() === 12)
+    // step 2: everything else
+    val done2 = Ledger.step(spark, target, Seq("n", "k"), dir, "b2")(identity)
+    assert(done2 === 12)
+    // step 3: nothing left — idempotent
+    assert(Ledger.step(spark, target, Seq("n", "k"), dir, "b3")(identity) === 0)
+  }
+
+  test("ledger missing() is null-safe on key components") {
+    import spark.implicits._
+    val target = Seq((Some(1), "a"), (None, "b")).toDF("n", "tag")
+    val computed = Seq((Option.empty[Int], "b")).toDF("n", "tag")
+    val miss = Ledger.missing(target, computed, Seq("n", "tag")).collect()
+    assert(miss.length === 1 && miss.head.getString(1) === "a")
+  }
+
+  test("multimodal assets carry binary payload + typed metadata") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    assert(assets.schema("payload").dataType.typeName === "binary")
+    val r = assets.orderBy("asset_id").head()
+    assert(r.getAs[Array[Byte]]("payload").length === r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes"))
+  }
+
+  test("feature extraction is deterministic and partitioning-invariant") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id")
+      .select("asset_id", "features").collect()
+    val f2 = Multimodal.extractFeatures(assets.repartition(7))
+      .orderBy("asset_id").select("asset_id", "features").collect()
+    assert(f1.length === assets.count())
+    assert(f1.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq ===
+      f2.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    // features are fixed-width and bounded
+    assert(f1.forall(_.getSeq[Float](1).length === 16))
+  }
+
+  test("extracted features join back to embeddings (multimodal pipeline)") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(assets)
+    val joined = feats.join(Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      col("asset_id") === col("vec_id"))
+    assert(joined.count() > 0)
+  }
+}

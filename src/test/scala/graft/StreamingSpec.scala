@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, StreamingOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven checks of the streaming twins: watermark semantics,
+  * late-data drops, stateful processing, and batch/stream plan symmetry.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def ev(id: Long, t: String, uid: Long = 1, typ: String = "click", v: Double = 1.0) =
+    Ev(id, ts(t), uid, typ, v)
+
+  test("tumbling agg emits closed windows and drops late-beyond-watermark rows") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](1, spark, None)
+    val q = StreamingOps.tumblingCounts(in.toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tumble_out").start()
+    try {
+      // window [10:00,11:00) gets 2 rows; then advance event time past
+      // 11:10 so the watermark closes that window.
+      in.addData(ev(1, "10:05"), ev(2, "10:20"))
+      q.processAllAvailable()
+      in.addData(ev(3, "11:30"))
+      q.processAllAvailable()
+      val afterClose = spark.table("tumble_out")
+        .where(col("wstart") === ts("10:00")).select("n").collect()
+      assert(afterClose.map(_.getLong(0)).toSeq === Seq(2L))
+      // late row inside the closed window: watermark (11:30-10m=11:20)
+      // is past window end 11:00 → must be dropped, emitted count stays 2.
+      in.addData(ev(4, "10:40"))
+      q.processAllAvailable()
+      val afterLate = spark.table("tumble_out")
+        .where(col("wstart") === ts("10:00")).select("n").collect()
+      assert(afterLate.map(_.getLong(0)).toSeq === Seq(2L),
+        "late-beyond-watermark row leaked into a closed window")
+    } finally q.stop()
+  }
+
+  test("late-but-within-watermark rows are included") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](2, spark, None)
+    val q = StreamingOps.tumblingCounts(in.toDF(), "2 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tumble_wm").start()
+    try {
+      in.addData(ev(1, "10:05"), ev(2, "11:30"))
+      q.processAllAvailable()
+      // watermark = 11:30 - 2h = 09:30 < 11:00 → window [10:00,11:00) still
+      // open; a "late" 10:40 row must be included when it finally closes.
+      in.addData(ev(3, "10:40"))
+      q.processAllAvailable()
+      in.addData(ev(4, "13:30")) // watermark 11:30 → closes [10:00,11:00)
+      q.processAllAvailable()
+      val rows = spark.table("tumble_wm")
+        .where(col("wstart") === ts("10:00")).select("n").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](3, spark, None)
+    val q = StreamingOps.sessionCounts(in.toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    try {
+      // one session (gaps < 30m): 10:00,10:20,10:45; a second session at 12:00
+      in.addData(ev(1, "10:00"), ev(2, "10:20"), ev(3, "10:45"), ev(4, "12:00"))
+      q.processAllAvailable()
+      in.addData(ev(5, "14:00")) // advance watermark to close both sessions
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .where(col("user_id") === 1 && col("session_start") < ts("13:00"))
+        .select("session_start", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+      assert(sessions.toSeq === Seq((ts("10:00"), 3L), (ts("12:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per user/type") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](4, spark, None)
+    val q = StreamingOps.dedupEvents(in.toDF(), "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(ev(1, "10:00"), ev(2, "10:01"), ev(3, "10:02", typ = "view"))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n === 2, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user aggregates across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](5, spark, None)
+    val q = StreamingOps.runningUserAggs(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    try {
+      in.addData(ev(1, "10:00", uid = 7, v = 1.5), ev(2, "10:01", uid = 7, v = 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, "10:02", uid = 7, v = 6.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out").where(col("user_id") === 7)
+        .orderBy(col("n").desc).select("n", "total").head()
+      assert(last.getLong(0) === 3L)
+      assert(last.getDouble(1) === 10.0)
+    } finally q.stop()
+  }
+
+  test("batch/stream symmetry: tumblingCounts on batch events matches q_evt_tumbling totals") {
+    val batch = StreamingOps.tumblingCounts(
+      Tables.events(spark, "/root/testdata/sf0.001").select("ts", "event_type", "value"))
+    val viaBuckets = SparkEntry.queries("q_evt_tumbling")(spark, "/root/testdata/sf0.001")
+    // same total event count partitioned two ways (1h windows vs 6h buckets)
+    assert(batch.agg(sum("n")).head().getLong(0) === viaBuckets.agg(sum("n")).head().getLong(0))
+  }
+}
