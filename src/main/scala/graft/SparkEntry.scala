@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.functions.Scalars
+import graft.sources.Scans
 
 /** Driver contract — see /root/repo/SURVEY.md §0.1/§7.
   *
@@ -24,6 +25,7 @@ object SparkEntry {
     (VectorOps.queries, VectorOps.oracle),
     (Scalars.queries, Scalars.oracle),
     (DedupOps.queries, DedupOps.oracle),
+    (Scans.queries, Scans.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

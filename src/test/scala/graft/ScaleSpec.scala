@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.plans.Scale
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = Files.createTempDirectory("wh").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("salted join returns exactly the plain join's rows on a skewed key") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail; dimension of 3 keys
+    val big = (Seq.fill(10000)(1) ++ (2 to 50)).toDF("k")
+    val small = Seq((1, "hot"), (2, "warm"), (42, "cold")).toDF("sk", "name")
+    val plain = big.join(small, $"k" === $"sk").groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedEquiJoin(big, small, "k", "sk", salts = 8)
+      .groupBy("name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 10000L)
+  }
+
+  test("partitioned write enables partition pruning in the scan") {
+    val path = Files.createTempDirectory("part").toString + "/docs"
+    Scale.writePartitioned(Tables.documents(spark, "/root/testdata/sf0.001"), path, Seq("lang"))
+    val pruned = spark.read.parquet(path).where(col("lang") === "de")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition pruning in plan:\n$plan")
+    assert(pruned.count() > 0)
+    // pruning is real: only the lang=de directory is listed
+    val allLangs = spark.read.parquet(path).select("lang").distinct().count()
+    assert(allLangs === 5)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
+    Scale.writeBucketed(docs, "docs_b", "doc_id", buckets = 4)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").select("vec_id", "label")
+    Scale.writeBucketed(emb.withColumnRenamed("vec_id", "doc_id"), "emb_b", "doc_id", buckets = 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("docs_b").join(spark.table("emb_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
