@@ -87,10 +87,21 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** Session-scoped registration of graft's native functions. Idempotent —
-  * call at the top of any query that uses them; SQL name `graft_dot`. */
+  * call at the top of any query that uses them. SQL names: `graft_dot`,
+  * `shingles(tokens, n)`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => {
+        val n = exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingles(tokens, n): n must be an integer literal, got $other")
+        }
+        ShingleGenerator(exprs.head, n)
+      }, "scala_udf")
   }
 }

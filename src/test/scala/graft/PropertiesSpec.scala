@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws over random inputs (SURVEY §5.4) — the offline stand-in
+  * for a SQL-logic-test corpus. Each law is one that distribution must
+  * preserve: partial+final aggregation, repartition-invariance,
+  * sessionization monotonicity, ledger set algebra, dot symmetry.
+  * (Raw scalacheck runner — the scalatest bridge artifact is not in the
+  * offline cache.)
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(prop: Prop, tests: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(tests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sum/count survive any repartitioning (partial+final agg law)") {
+    import spark.implicits._
+    val rows = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(-100.0, 100.0)))
+    check(Prop.forAll(rows, Gen.chooseNum(1, 9)) { (data, parts) =>
+      val df = data.toDF("k", "v")
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("k").agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      agg(df) == agg(df.repartition(math.max(parts, 1)))
+    })
+  }
+
+  test("sessionize: session count is monotone non-increasing in the gap") {
+    import spark.implicits._
+    val times = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L))
+    check(Prop.forAll(times) { ts =>
+      val df = ts.distinct.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+        .toDF("user_id", "event_id", "ts_us")
+      def sessions(gapUs: Long): Long = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        df.withColumn("new_s",
+            when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1).otherwise(0))
+          .agg(sum("new_s")).head().getLong(0) + 1
+      }
+      sessions(10000L) <= sessions(100L)
+    }, tests = 5)
+  }
+
+  test("ledger set algebra: missing ∩ computed = ∅ and missing ∪ computed ⊇ target") {
+    import spark.implicits._
+    val keys = Gen.listOf(Gen.chooseNum(0, 50))
+    check(Prop.forAll(keys, keys) { (target, computed) =>
+      val t = target.distinct.toDF("k")
+      val c = computed.distinct.toDF("k")
+      val m = graft.sources.Ledger.missing(t, c, Seq("k"))
+        .collect().map(_.getInt(0)).toSet
+      val cs = computed.toSet
+      m.intersect(cs).isEmpty && (m ++ cs) == (target.toSet ++ cs)
+    })
+  }
+
+  test("dot product is symmetric on random float vectors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = Gen.nonEmptyListOf(Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)))
+    check(Prop.forAll(vecs) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+      df.as("a").crossJoin(df.as("b"))
+        .select(expr("graft_dot(a.v, b.v)").as("ab"), expr("graft_dot(b.v, a.v)").as("ba"))
+        .where(col("ab") =!= col("ba")).count() == 0
+    }, tests = 5)
+  }
+}

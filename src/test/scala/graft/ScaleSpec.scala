@@ -9,15 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("wh").toString
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  // NOTE: getOrCreate returns whichever suite's session came first in this
+  // forked JVM, so per-suite configs (e.g. warehouse.dir) cannot be relied
+  // on — the bucketing test cleans its tables/locations explicitly instead.
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def dropBucketTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(wh)
+    }
   }
 
   test("salted join returns exactly the plain join's rows on a skewed key") {
@@ -48,6 +60,8 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without an exchange on the bucket key") {
+    dropBucketTable("docs_b")
+    dropBucketTable("emb_b")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "lang")
     Scale.writeBucketed(docs, "docs_b", "doc_id", buckets = 4)
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").select("vec_id", "label")
