@@ -70,10 +70,12 @@ object Scalars {
     }),
 
     // Math builtins, irrational outputs rounded to 6dp (G4).
+    // (l_orderkey, l_linenumber) is not unique — l_extendedprice (as "ep")
+    // completes the total order (G6).
     "q_math_funcs" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice").as("ep"),
           abs(col("l_discount") - 0.05).as("ad"),
           floor(col("l_extendedprice")).as("fl"),
           ceil(col("l_extendedprice")).as("ce"),
@@ -83,7 +85,7 @@ object Scalars {
           round(exp(col("l_discount")), 6).as("ex"),
           expr("l_orderkey % 7").as("m7"),
           signum(col("l_discount") - 0.05).as("sg"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "ep")
     }),
 
     // JSON path extraction over the events props column.
@@ -137,7 +139,7 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_math_funcs" ->
-      """SELECT l_orderkey, l_linenumber,
+      """SELECT l_orderkey, l_linenumber, l_extendedprice AS ep,
         |  abs(l_discount - 0.05) AS ad,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
@@ -147,7 +149,7 @@ object Scalars {
         |  round(exp(l_discount),6) AS ex,
         |  l_orderkey % 7 AS m7,
         |  CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS sg
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ep""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -11,13 +11,15 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     // Compound predicate: AND/OR/NOT, BETWEEN, IN-list, LIKE.
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in this data (verified
+    // at every SF) — l_extendedprice completes the total order (G6).
     "q_filter_compound" -> ((s, d) => {
       Tables.lineitem(s, d)
         .where(expr(
           "l_shipdate BETWEEN TIMESTAMP_NTZ '1996-01-01 00:00:00' AND TIMESTAMP_NTZ '1996-12-31 23:59:59'" +
             " AND l_returnflag IN ('A','R') AND NOT (l_discount < 0.02) AND l_linestatus LIKE 'F%'"))
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_returnflag")
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("l_extendedprice").asc)
     }),
 
     // CASE WHEN bucketing of order totals.
@@ -50,9 +52,9 @@ object Relational {
     "q_project_expr" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           expr("l_extendedprice*(1-l_discount)*(1+l_tax)").as("charge"))
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("l_extendedprice").asc)
     }),
 
     // Global ORDER BY + LIMIT — Catalyst fuses to TakeOrderedAndProject,
@@ -85,11 +87,11 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q_filter_compound" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
         |  AND l_returnflag IN ('A','R') AND NOT (l_discount < 0.02) AND l_linestatus LIKE 'F%'
-        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC""".stripMargin,
 
     "q_case_when" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
@@ -106,9 +108,10 @@ object Relational {
         |ORDER BY l_returnflag ASC, ls ASC""".stripMargin,
 
     "q_project_expr" ->
-      """SELECT l_orderkey, l_linenumber,
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
         |  l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
-        |FROM lineitem ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -92,6 +92,25 @@ object VectorOps {
         .orderBy("doc_id")
     }),
 
+    // Embedding-cosine near-dup detection: the corpus is unioned with
+    // exact copies (vec_id + 1_000_000), and only pairs with cosine ≥ 0.99
+    // inside a label block survive — i.e. exactly the planted duplicates
+    // (random-pair cosine tops out far below). The block join + threshold
+    // is the standard embedding-dedup shape for training corpora.
+    "q_dedup_embed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val u = e.select(col("label"), col("vec_id"), col("embedding"))
+        .unionByName(e.select(col("label"), (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val a = u.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = u.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+        .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
+        .where(col("sim") >= 0.99)
+        .select("va", "vb", "sim")
+        .orderBy("va", "vb")
+    }),
+
     // IVF-style ANN: per-label centroids as the coarse codebook; each
     // vector is assigned to its argmax-dot cell; the query probes only its
     // own cell (nprobe=1) and brute-forces inside it. Oracle-less
@@ -147,6 +166,20 @@ object VectorOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb ASC) AS INTEGER) AS rn
         |  FROM dots) t
         |WHERE rn <= 3 ORDER BY va ASC, rn ASC""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH u AS (
+        |  SELECT label, vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT label, vec_id + 1000000, embedding FROM embeddings),
+        |ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v FROM u),
+        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+        |           round(sum(a.v * b.v), 6) AS sim
+        |         FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos
+        |           AND a.vec_id < b.vec_id
+        |         GROUP BY a.label, a.vec_id, b.vec_id)
+        |SELECT va, vb, sim FROM dots WHERE sim >= 0.99 ORDER BY va, vb""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars, e.label,

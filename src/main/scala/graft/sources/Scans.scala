@@ -11,11 +11,13 @@ object Scans {
 
   val queries: Map[String, Q] = Map(
     // Column pruning + predicate pushdown into the parquet scan.
+    // (l_orderkey, l_linenumber) is not unique — l_extendedprice completes
+    // the total order (G6).
     "scan_parquet_project" -> ((s, d) => {
       s.read.parquet(s"$d/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .where(col("l_extendedprice") > 90000)
-        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").asc, col("l_extendedprice").asc)
     }),
 
     // Multi-file scan: one read over several paths (same file twice here —
@@ -33,7 +35,7 @@ object Scans {
     "scan_parquet_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_extendedprice > 90000
-        |ORDER BY l_orderkey ASC, l_linenumber ASC""".stripMargin,
+        |ORDER BY l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC""".stripMargin,
 
     "scan_union_files" ->
       """SELECT r_regionkey, r_name, count(*) AS n FROM (
