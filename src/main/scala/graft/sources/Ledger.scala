@@ -17,10 +17,13 @@ object Ledger {
 
   /** Keys in `target` not yet present in `computed` (left-anti on all of
     * `keys`). Null-safe equality so null key components behave like
-    * values, not match-nothing. */
+    * values, not match-nothing. Sides are aliased so the join stays
+    * correct even when target and computed share a plan lineage (a
+    * same-lineage `target(k) <=> computed(k)` silently degenerates to a
+    * trivially-true predicate). */
   def missing(target: DataFrame, computed: DataFrame, keys: Seq[String]): DataFrame = {
-    val cond = keys.map(k => target(k) <=> computed(k)).reduce(_ && _)
-    target.join(computed, cond, "left_anti")
+    val cond = keys.map(k => col(s"__t.$k") <=> col(s"__c.$k")).reduce(_ && _)
+    target.alias("__t").join(computed.alias("__c"), cond, "left_anti")
   }
 
   /** Append newly-computed keys (with a batch tag) to the ledger path. */
@@ -28,12 +31,16 @@ object Ledger {
     done.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).parquet(path)
 
-  /** Load the ledger, empty-safe: a missing path is an empty ledger with
-    * the given key schema (projected from `like`). */
+  /** Load the ledger, empty-safe: a missing path is an empty, lineage-free
+    * ledger with the key schema projected from `like`. */
   def load(spark: SparkSession, path: String, like: DataFrame, keys: Seq[String]): DataFrame = {
     val fs = new java.io.File(path)
     if (fs.exists()) spark.read.parquet(path).select(keys.map(col): _*)
-    else like.select(keys.map(col): _*).limit(0)
+    else {
+      val schema = org.apache.spark.sql.types.StructType(
+        keys.map(k => like.schema(k)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** One driver-loop build step: find missing work, compute it with `f`,

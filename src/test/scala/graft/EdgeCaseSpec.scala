@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator edge cases over literal DataFrames (SURVEY §5.3): empty
+  * inputs, all-null keys, ties, empty join sides, boundary gaps.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import org.apache.spark.sql.DataFrame
+
+  private def emptyLike(df: DataFrame): DataFrame = df.limit(0)
+
+  test("aggregation over an empty input: global agg yields one row, grouped yields none") {
+    import spark.implicits._
+    val e = emptyLike(Seq((1L, 1.0)).toDF("k", "v"))
+    val global = e.agg(count(lit(1)).as("n"), sum("v").as("s")).collect()
+    assert(global.length === 1 && global.head.getLong(0) === 0L && global.head.isNullAt(1))
+    assert(e.groupBy("k").agg(sum("v")).count() === 0)
+  }
+
+  test("group-by treats NULL as a real key, joins do not match NULL keys") {
+    import spark.implicits._
+    val df = Seq((Some(1), 1.0), (None, 2.0), (None, 3.0)).toDF("k", "v")
+    val groups = df.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getDouble(1)).toMap
+    assert(groups(None) === 5.0 && groups(Some(1)) === 1.0)
+    val other = Seq((Option.empty[Int], "x")).toDF("k2", "tag")
+    assert(df.join(other, df("k") === other("k2")).count() === 0)
+    assert(df.join(other, df("k") <=> other("k2")).count() === 2) // null-safe
+  }
+
+  test("joins with an empty side: inner empty, left keeps all, anti keeps all") {
+    import spark.implicits._
+    val left = Seq((1, "a"), (2, "b")).toDF("k", "x")
+    val right = emptyLike(Seq((1, "r")).toDF("k2", "y"))
+    assert(left.join(right, left("k") === right("k2")).count() === 0)
+    assert(left.join(right, left("k") === right("k2"), "left").count() === 2)
+    assert(left.join(right, left("k") === right("k2"), "left_anti").count() === 2)
+  }
+
+  test("row_number with a full tie still yields distinct ranks via tiebreak") {
+    import spark.implicits._
+    val df = Seq((1, 10.0, 100L), (1, 10.0, 101L), (1, 10.0, 102L)).toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val rns = df.withColumn("rn", row_number().over(w))
+      .orderBy("id").select("rn").collect().map(_.getInt(0)).toSeq
+    assert(rns === Seq(1, 2, 3))
+    // rank() over the tied column alone collapses all three to rank 1
+    val wTied = Window.partitionBy("g").orderBy(col("v").desc)
+    val rks = df.withColumn("rk", rank().over(wTied)).select("rk").collect().map(_.getInt(0)).toSet
+    assert(rks === Set(1))
+  }
+
+  test("sessionize boundary: a gap of exactly the threshold does NOT split") {
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in µs
+    val df = Seq((1L, 1L, 0L), (1L, 2L, gap), (1L, 3L, gap + gap + 1))
+      .toDF("user_id", "event_id", "ts_us")
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = df
+      .withColumn("new_s", when(col("ts_us") - lag("ts_us", 1).over(w) > gap, 1).otherwise(0))
+      .agg(sum("new_s")).head().getLong(0) + 1
+    // event2 at exactly the gap stays in session 1; event3 (gap+1 later) splits
+    assert(sessions === 2)
+  }
+
+  test("set ops on empty and overlapping inputs") {
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("k")
+    val e = emptyLike(a)
+    assert(a.except(e).count() === 3)
+    assert(e.except(a).count() === 0)
+    assert(a.intersect(e).count() === 0)
+    assert(a.unionByName(e).count() === 3)
+    // exceptAll vs except on duplicates
+    val d = Seq(1, 1, 2).toDF("k")
+    assert(d.except(Seq(1).toDF("k")).count() === 1)     // {2}
+    assert(d.exceptAll(Seq(1).toDF("k")).count() === 2)  // {1, 2}
+  }
+
+  test("0-row parquet scan round-trips schema") {
+    val dir = java.nio.file.Files.createTempDirectory("empty").toString + "/t"
+    val src = Tables.region(spark, "/root/testdata/sf0.001").limit(0)
+    src.write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 0 && back.schema === src.schema)
+  }
+
+  test("graft_dot on empty and mismatched-length arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS e, " +
+        "graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS m").head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getDouble(1) === 3.0) // min-length semantics
+  }
+}

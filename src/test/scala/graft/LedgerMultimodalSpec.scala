@@ -34,6 +34,13 @@ class LedgerMultimodalSpec extends AnyFunSuite {
     assert(Ledger.step(spark, target, Seq("n", "k"), dir, "b3")(identity) === 0)
   }
 
+  test("ledger missing() stays correct when target and computed share lineage") {
+    import spark.implicits._
+    val t = (1 to 10).toDF("k")
+    val c = t.where(col("k") <= 4) // derived from t: same plan lineage
+    assert(Ledger.missing(t, c, Seq("k")).count() === 6)
+  }
+
   test("ledger missing() is null-safe on key components") {
     import spark.implicits._
     val target = Seq((Some(1), "a"), (None, "b")).toDF("n", "tag")
