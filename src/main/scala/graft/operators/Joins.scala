@@ -19,12 +19,17 @@ object Joins {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: small×large×large 3-way join + agg + native top-k
-    // (Catalyst fuses ORDER BY+LIMIT into TakeOrderedAndProject).
+    // (Catalyst fuses ORDER BY+LIMIT into TakeOrderedAndProject). The
+    // filtered customer⋈orders side is explicitly broadcast: left alone,
+    // AQE broadcasts the 600k-row lineitem side at sf0.1 (33 MiB — fine
+    // locally, upside-down at 100 TB where the fact table must stream).
     "q_join_bhj" -> ((s, d) => {
-      Tables.customer(s, d)
+      val co = Tables.customer(s, d)
         .where(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      broadcast(co)
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
