@@ -40,15 +40,20 @@ case class ShingleGenerator(child: Expression, n: Int)
     else {
       val m = arr.numElements()
       if (m < n) Nil
-      else (0 to m - n).iterator.map { i =>
+      else (0 to m - n).iterator.flatMap { i =>
         val parts = new Array[UTF8String](2 * n - 1)
         var j = 0
+        var hasNull = false
         while (j < n) {
           if (j > 0) parts(2 * j - 1) = ShingleGenerator.Space
-          parts(2 * j) = arr.getUTF8String(i + j)
+          val t = arr.getUTF8String(i + j)
+          if (t == null) hasNull = true
+          parts(2 * j) = t
           j += 1
         }
-        InternalRow(UTF8String.concat(parts: _*))
+        // windows containing a null token are skipped — emitting a null
+        // shingle would violate the non-nullable elementSchema
+        if (hasNull) Nil else Seq(InternalRow(UTF8String.concat(parts.toIndexedSeq: _*)))
       }
     }
   }

@@ -103,13 +103,16 @@ object Aggregates {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
-    // max_by / min_by (DuckDB arg_max / arg_min).
+    // max_by / min_by (DuckDB arg_max / arg_min). The ordering key is a
+    // (price, orderkey) struct: max_by alone breaks price ties arbitrarily
+    // — no ties exist at the verified SFs (audited), but the tiebreak
+    // keeps the query deterministic by construction (G6) at any scale.
     "q_agg_minmax_by" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(
-          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
-          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"))
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"))
         .orderBy("o_custkey")
     }),
 
@@ -222,9 +225,16 @@ object Aggregates {
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
     "q_agg_minmax_by" ->
-      """SELECT o_custkey, arg_max(o_orderkey, o_totalprice) AS best_order,
-        |  arg_min(o_orderkey, o_totalprice) AS worst_order
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      """SELECT o_custkey,
+        |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS best_order,
+        |  max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS worst_order
+        |FROM (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_agg_collect_sorted" ->
       """SELECT o_custkey, list_sort(list(o_orderkey)) AS orders

@@ -35,14 +35,19 @@ object BuildPipeline {
     val ledger = Ledger.load(spark, ledgerPath, target, keys)
     val missingAll = Ledger.missing(target, ledger, keys)
     val missing = if (batchSize > 0) missingAll.limit(batchSize.toInt) else missingAll
-    val n = missing.count()
+    // Materialize ONCE before both sinks: without this, the data write and
+    // the ledger record would each re-execute the plan — and an order-less
+    // limit() or a nondeterministic compute could hand the ledger a
+    // different key set than was written (silent holes on resume).
+    val computed = compute(missing).localCheckpoint()
+    val n = computed.count()
     if (n > 0) {
-      val computed = compute(missing)
       computed.write.mode(SaveMode.Append)
         .partitionBy(keys: _*)
         .parquet(dataPath)
       Ledger.record(computed.select(keys.map(col): _*).distinct(), ledgerPath, batchId)
     }
+    computed.unpersist()
     n
   }
 

@@ -32,10 +32,14 @@ object Ledger {
       .write.mode(SaveMode.Append).parquet(path)
 
   /** Load the ledger, empty-safe: a missing path is an empty, lineage-free
-    * ledger with the key schema projected from `like`. */
+    * ledger with the key schema projected from `like`. Existence goes
+    * through Hadoop's FileSystem so s3a://, hdfs:// etc. resolve — a
+    * java.io.File check would silently report any remote ledger as absent
+    * and destroy resume safety. */
   def load(spark: SparkSession, path: String, like: DataFrame, keys: Seq[String]): DataFrame = {
-    val fs = new java.io.File(path)
-    if (fs.exists()) spark.read.parquet(path).select(keys.map(col): _*)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path).select(keys.map(col): _*)
     else {
       val schema = org.apache.spark.sql.types.StructType(
         keys.map(k => like.schema(k)))

@@ -78,7 +78,8 @@ object Multimodal {
   def extractFeatures(assets: DataFrame, codec: Codec = StubCodec, dim: Int = 16,
       targetBytesPerTask: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = assets.sparkSession
-    val totalBytes = assets.agg(sum(expr("meta.n_bytes"))).head().getLong(0)
+    val sumRow = assets.agg(sum(expr("meta.n_bytes"))).head()
+    val totalBytes = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
     val parts = math.max(1, math.min(10000, (totalBytes / targetBytesPerTask) + 1).toInt)
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),

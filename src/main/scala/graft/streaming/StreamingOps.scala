@@ -65,9 +65,10 @@ object StreamingOps {
           var n = prev.n
           var total = prev.total
           evs.foreach { e => n += 1; total += e.value }
-          val next = UserAgg(uid, n, math.rint(total * 100) / 100)
-          state.update(next)
-          next
+          // state keeps the RAW total — rounding state would compound the
+          // rounding error across micro-batches; round only the emission
+          state.update(UserAgg(uid, n, total))
+          UserAgg(uid, n, math.rint(total * 100) / 100)
       }
   }
 }
