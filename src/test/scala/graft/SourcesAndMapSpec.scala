@@ -52,6 +52,16 @@ class SourcesAndMapSpec extends AnyFunSuite {
     assert(df.where(col("tags").isNull).count() === 1)
   }
 
+  test("orc sink/source round-trips schema and values") {
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    val src = Tables.nation(spark, "/root/testdata/sf0.001")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("map functions: from_json to map, keys, element access") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
