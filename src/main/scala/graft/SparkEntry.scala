@@ -26,6 +26,7 @@ object SparkEntry {
     (Scalars.queries, Scalars.oracle),
     (DedupOps.queries, DedupOps.oracle),
     (Scans.queries, Scans.oracle),
+    (Reshape.queries, Reshape.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pivot/unpivot and subquery operators — beyond SURVEY §2's rows but
+  * squarely in the "every query a reference user runs" surface.
+  * Subqueries go through spark.sql on per-query temp views so Catalyst's
+  * scalar-subquery and decorrelation machinery (not a hand-built join) is
+  * what executes.
+  */
+object Reshape {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val queries: Map[String, Q] = Map(
+    // Wide pivot: per-user event-type counts. Explicit pivot values keep
+    // the output schema static (no extra distinct-scan, deterministic
+    // columns at any scale).
+    "q_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .count()
+        .na.fill(0L, EventTypes)
+        .orderBy("user_id")
+    }),
+
+    // Unpivot (melt): wide per-flag aggregates back to long (measure, value)
+    // rows via Dataset.unpivot.
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("sum_price")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    // Uncorrelated scalar subquery: orders more than 1.5× the average
+    // price (prices are uniform on [0, 2·avg], so 2× would select nothing).
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_sq
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_sq)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Correlated scalar subquery: customers above their nation's average
+    // balance — Catalyst decorrelates to an aggregate + join.
+    "q_subquery_correlated" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      s.sql(
+        """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_sq c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, round(sum(l_quantity),2) AS value
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', round(sum(l_extendedprice),2)
+        |  FROM lineitem GROUP BY l_returnflag) u
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_subquery_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
