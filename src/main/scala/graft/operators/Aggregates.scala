@@ -83,10 +83,15 @@ object Aggregates {
     }),
 
     // CUBE over two low-cardinality keys (functions.col per the rollup note).
+    // grouping_id() disambiguates "NULL data key" from "subtotal row" —
+    // same bit encoding as DuckDB's GROUPING(a, b).
     "q_agg_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -99,7 +104,7 @@ object Aggregates {
         .groupingSets(
           Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()),
           col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
@@ -116,11 +121,19 @@ object Aggregates {
         .orderBy("o_custkey")
     }),
 
-    // Deterministic per-group list: collect then sort inside the row.
+    // Deterministic per-group list: collect, sort numerically inside the
+    // row, then serialize to a CSV string — the driver's pandas-based
+    // hasher cannot sort/hash array cells, so every declared query must
+    // emit scalar columns only (round-1 CORRECTNESS err; arrays stay
+    // array-typed in the non-declared library surface).
     "q_agg_collect_sorted" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orders"))
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(col("o_orderkey"))),
+              x => x.cast("string")),
+            ",").as("orders"))
         .orderBy("o_custkey")
     }),
 
@@ -212,12 +225,15 @@ object Aggregates {
         |ORDER BY o_custkey""".stripMargin,
 
     "q_agg_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_agg_gsets" ->
-      """SELECT r_name, n_name, count(*) AS n
+      """SELECT r_name, n_name,
+        |  CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid, count(*) AS n
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -237,7 +253,7 @@ object Aggregates {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_agg_collect_sorted" ->
-      """SELECT o_custkey, list_sort(list(o_orderkey)) AS orders
+      """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q_agg_stats" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.{GraftFunctions, MinHashAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,24 +87,42 @@ object DedupOps {
     // of 4 rows; candidates = pairs sharing a band bucket; verified with
     // true shingle Jaccard. No DuckDB oracle (engine-specific hash) —
     // rows-only check + scalatest (known near-dups must be found).
+    //
+    // Execution path is the native Catalyst surface (SURVEY §7.1 P3): the
+    // `shingles` Generator streams one row per 3-gram (no per-document
+    // intermediate array), and the typed MinHashAgg aggregator folds them
+    // into a k=16 signature with map-side partial merge — the shuffle
+    // carries 16 longs per document regardless of document size. The
+    // aggregator salts exactly like xxhash64(concat(cast(i AS STRING), t)),
+    // so signatures are interchangeable with the HOF recipe, which remains
+    // as the equivalence oracle in CustomFunctionsSpec.
     "q_dedup_minhash" -> ((s, d) => {
-      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0)
-      val sig = u.withColumn("sig",
-        expr("transform(sequence(0, 15), i -> " +
-          "array_min(transform(sh, t -> xxhash64(concat(cast(i AS STRING), t)))))"))
-      val bands = sig.select(col("doc_id"), col("source"), col("sh"),
+      GraftFunctions.register(s)
+      val minhash = udaf(new MinHashAgg(16))
+      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+      val toksU = base.select(col("doc_id"), col("toks"))
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
+      val sigs = toksU
+        .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+        .groupBy("doc_id")
+        .agg(minhash(col("shingle")).as("sig"))
+      val bands = sigs.select(col("doc_id"),
           explode(expr("transform(sequence(0, 3), b -> " +
             "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
             "transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS STRING))))))")).as("bb"))
-        .select(col("doc_id"), col("source"), col("sh"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val a = bands.select(col("doc_id").as("da"), col("band"), col("bucket"),
-        col("sh").as("sha"), col("source"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
       val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"),
-        col("bucket").as("bucket_b"), col("sh").as("shb"))
-      a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-          col("da") < col("db"))
-        .select(col("da"), col("db"), col("sha"), col("shb")).distinct()
+        col("bucket").as("bucket_b"))
+      val cands = a.join(b, col("band") === col("band_b") &&
+          col("bucket") === col("bucket_b") && col("da") < col("db"))
+        .select("da", "db").distinct()
+      // refine candidates with true shingle-set Jaccard
+      val shs = nearDupCorpus(s, d).where(size(col("sh")) > 0)
+      cands
+        .join(shs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(shs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
         .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy("da", "db")

@@ -19,17 +19,24 @@ object Joins {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: small×large×large 3-way join + agg + native top-k
-    // (Catalyst fuses ORDER BY+LIMIT into TakeOrderedAndProject). The
-    // filtered customer⋈orders side is explicitly broadcast: left alone,
-    // AQE broadcasts the 600k-row lineitem side at sf0.1 (33 MiB — fine
-    // locally, upside-down at 100 TB where the fact table must stream).
+    // (Catalyst fuses ORDER BY+LIMIT into TakeOrderedAndProject). Only the
+    // filtered customer DIMENSION carries an unconditional broadcast pin —
+    // it stays broadcastable at any scale. The fact-derived customer⋈orders
+    // side is broadcast ONLY when the orders table's on-disk size (an
+    // upper bound on the join output, no job to compute) says it is
+    // genuinely shippable; past the threshold the plan falls to AQE, which
+    // shuffles instead of OOMing the driver at 100 TB where that side is
+    // billions of rows. Never pin an unconditional broadcast on a
+    // fact-derived relation.
     "q_join_bhj" -> ((s, d) => {
-      val co = Tables.customer(s, d)
-        .where(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
+      val co = broadcast(
+        Tables.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey"))
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "o_orderdate")
-      broadcast(co)
+      graft.plans.Scale.broadcastIfSmall(co,
+          graft.plans.Scale.sourceBytes(s, s"$d/orders.parquet"))
         .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))

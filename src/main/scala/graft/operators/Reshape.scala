@@ -42,24 +42,32 @@ object Reshape {
     // Uncorrelated scalar subquery: orders more than 1.5× the average
     // price (prices are uniform on [0, 2·avg], so 2× would select nothing).
     "q_subquery_scalar" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      // per-invocation view name: a fixed name would mutate shared session
+      // state and collide if queries run concurrently in one session
+      val v = freshView("orders_sq")
+      Tables.orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, o_totalprice FROM orders_sq
-          |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_sq)
-          |ORDER BY o_orderkey""".stripMargin)
+        s"""SELECT o_orderkey, o_totalprice FROM $v
+           |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM $v)
+           |ORDER BY o_orderkey""".stripMargin)
     }),
 
     // Correlated scalar subquery: customers above their nation's average
     // balance — Catalyst decorrelates to an aggregate + join.
     "q_subquery_correlated" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      val v = freshView("customer_sq")
+      Tables.customer(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_sq c
-          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
-          |                   WHERE c2.c_nationkey = c.c_nationkey)
-          |ORDER BY c_custkey""".stripMargin)
+        s"""SELECT c_custkey, c_nationkey, c_acctbal FROM $v c
+           |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $v c2
+           |                   WHERE c2.c_nationkey = c.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin)
     }),
   )
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def freshView(prefix: String): String =
+    s"${prefix}_${viewSeq.incrementAndGet()}"
 
   val oracle: Map[String, String] = Map(
     "q_pivot" ->

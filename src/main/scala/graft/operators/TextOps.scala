@@ -41,7 +41,10 @@ object TextOps {
           size(col("tokens")).as("n_tok"),
           size(array_distinct(col("tokens"))).as("n_uniq"),
           array_contains(col("tokens"), "spark").as("has_spark"),
-          slice(sort_array(array_distinct(col("tokens"))), 1, 5).as("first5"),
+          // joined to a scalar string: the driver's pandas hasher cannot
+          // sort/hash array cells (round-1 CORRECTNESS err)
+          array_join(slice(sort_array(array_distinct(col("tokens"))), 1, 5), " ")
+            .as("first5"),
           size(flatten(array(col("tokens"), col("tokens")))).as("n2"))
         .orderBy("doc_id")
     }),
@@ -148,7 +151,7 @@ object TextOps {
         |  CAST(len(tokens) AS INTEGER) AS n_tok,
         |  CAST(len(list_distinct(tokens)) AS INTEGER) AS n_uniq,
         |  list_contains(tokens, 'spark') AS has_spark,
-        |  list_sort(list_distinct(tokens))[1:5] AS first5,
+        |  array_to_string(list_sort(list_distinct(tokens))[1:5], ' ') AS first5,
         |  CAST(len(flatten([tokens, tokens])) AS INTEGER) AS n2
         |FROM t ORDER BY doc_id""".stripMargin,
 

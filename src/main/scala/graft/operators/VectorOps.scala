@@ -103,18 +103,47 @@ object VectorOps {
     }),
 
     // Embedding-cosine near-dup detection: the corpus is unioned with
-    // exact copies (vec_id + 1_000_000), and only pairs with cosine ≥ 0.99
-    // inside a label block survive — i.e. exactly the planted duplicates
-    // (random-pair cosine tops out far below). The block join + threshold
-    // is the standard embedding-dedup shape for training corpora.
+    // exact copies (vec_id + 1_000_000); pairs with cosine ≥ 0.99 inside a
+    // label block are duplicates. Candidates come from random-hyperplane
+    // LSH — 32 fixed pseudo-random planes, 4 bands × 8 sign bits; two
+    // vectors are candidates iff some band's bits all agree — NEVER from
+    // an all-pairs join (quadratic in the label block, the 100 TB
+    // anti-pattern). Exact copies have identical signatures, so every
+    // planted duplicate is found in all 4 bands; for genuine near-dups
+    // (cos ≥ 0.99, per-bit disagree prob = acos(0.99)/π ≈ 0.045) a band of
+    // 8 bits matches with p ≈ 0.69, and 1-(1-p)^4 ≈ 0.99 recall overall.
+    // Candidates are then refined with the exact codegen'd dot product.
     "q_dedup_embed" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val u = e.select(col("label"), col("vec_id"), col("embedding"))
         .unionByName(e.select(col("label"), (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      val a = u.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = u.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
-      a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+      // Fixed-seed Gaussian hyperplanes, folded into the plan as a literal
+      // (computed once on the driver, constant across partitions/runs).
+      val planes: Seq[Seq[Double]] = {
+        val r = new scala.util.Random(42)
+        Seq.fill(32)(Seq.fill(64)(r.nextGaussian()))
+      }
+      val sig = u.withColumn("sig",
+        transform(typedlit(planes), pl =>
+          when(aggregate(
+            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
+      // band bucket = the band's 8 sign bits packed into an int
+      val bands = sig.select(col("label"), col("vec_id"),
+          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+            "'band', b, 'bucket', aggregate(slice(sig, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x)))")).as("bb"))
+        .select(col("label"), col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val a = bands.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
+      val b = bands.select(col("label").as("label_b"), col("vec_id").as("vb"),
+        col("band").as("band_b"), col("bucket").as("bucket_b"))
+      val cands = a.join(b,
+          col("label") === col("label_b") && col("band") === col("band_b") &&
+            col("bucket") === col("bucket_b") && col("va") < col("vb"))
+        .select("va", "vb").distinct()
+      cands
+        .join(u.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+        .join(u.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
         .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
         .where(col("sim") >= 0.99)
         .select("va", "vb", "sim")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-posture utilities (SURVEY §4.3 "100 TB posture"): skew salting
@@ -27,6 +27,24 @@ object Scale {
     bigS.join(smallS, bigS(bigKey) === smallS(smallKey) && bigS("__salt") === smallS("__salt"))
       .drop("__salt")
   }
+
+  /** On-disk byte size of a table path (Hadoop FS, so s3a://, hdfs://
+    * resolve) — a planning-time stat for broadcast decisions, no job. */
+  def sourceBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Pin a broadcast only when an upper bound on the relation's source
+    * bytes is genuinely shippable to every executor; above the threshold
+    * the plan is left to AQE (which will still broadcast at runtime if
+    * the built side turns out small). This is how a fact-DERIVED relation
+    * gets the small-scale broadcast win without the 100 TB OOM: the
+    * decision input is the fact table's on-disk size, not a guess. */
+  def broadcastIfSmall(df: DataFrame, upperBoundBytes: Long,
+      threshold: Long = 64L << 20): DataFrame =
+    if (upperBoundBytes <= threshold) broadcast(df) else df
 
   /** Hive-style partitioned parquet layout: readers prune whole
     * directories on the partition key (PartitionFilters in the scan). */

@@ -48,13 +48,21 @@ object Ledger {
   }
 
   /** One driver-loop build step: find missing work, compute it with `f`,
-    * record it. Returns the number of keys completed this step. */
+    * record it. Returns the number of keys completed this step.
+    *
+    * The computed result is materialized ONCE (localCheckpoint) before
+    * both the count and the ledger append — otherwise the two would
+    * re-execute the plan independently and a nondeterministic `f` could
+    * record keys the returned count never saw (same hazard
+    * BuildPipeline.run guards against). */
   def step(spark: SparkSession, target: DataFrame, keys: Seq[String],
       ledgerPath: String, batchId: String)(f: DataFrame => DataFrame): Long = {
     val ledger = load(spark, ledgerPath, target, keys)
     val todo = missing(target, ledger, keys)
-    val n = todo.count()
-    if (n > 0) record(f(todo).select(keys.map(col): _*), ledgerPath, batchId)
+    val done = f(todo).select(keys.map(col): _*).localCheckpoint()
+    val n = done.count()
+    if (n > 0) record(done, ledgerPath, batchId)
+    done.unpersist()
     n
   }
 }

@@ -78,9 +78,12 @@ object Multimodal {
   def extractFeatures(assets: DataFrame, codec: Codec = StubCodec, dim: Int = 16,
       targetBytesPerTask: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = assets.sparkSession
-    val sumRow = assets.agg(sum(expr("meta.n_bytes"))).head()
-    val totalBytes = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-    val parts = math.max(1, math.min(10000, (totalBytes / targetBytesPerTask) + 1).toInt)
+    // Partition count from Catalyst's logical-plan size estimate (file
+    // sizes for parquet-backed inputs) — a planning-time lookup, not the
+    // extra full-scan aggregate job this used to run just for sizing.
+    val totalBytes = assets.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((totalBytes / targetBytesPerTask + 1)
+      .min(BigInt(10000)).max(BigInt(1))).toInt
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event row for the typed streaming operators (events table shape,
   * timestamp materialized to TimestampType). */
@@ -11,6 +11,14 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 
 /** Per-user running state for the arbitrary-stateful operator. */
 case class UserAgg(user_id: Long, n: Long, total: Double)
+
+/** Open-session state for the event-time-timeout sessionizer: epoch-ms
+  * bounds plus the running event count. */
+case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session emitted by `sessionizeWithTimeout`. */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, ev: Long)
 
 /** Structured-Streaming twins of the batch event operators (SURVEY §2.J).
   *
@@ -53,6 +61,65 @@ object StreamingOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom sessionization with BOUNDED state — the §2.J arbitrary-state
+    * row proper: `flatMapGroupsWithState(Append, EventTimeTimeout)`.
+    *
+    * Per user, events within `gap` of each other extend the open session
+    * kept in GroupState; a larger in-batch gap closes a session and emits
+    * it immediately. The open session is closed and emitted by the
+    * EVENT-TIME TIMEOUT when the watermark passes lastEvent + gap, and
+    * `state.remove()` drops it — state never outlives the watermark
+    * horizon, so a 100 TB/day stream holds at most one open session per
+    * active user, not an ever-growing map (the NoTimeout runningUserAggs
+    * below is the unbounded contrast case, kept for the running-aggregate
+    * semantics).
+    *
+    * Input must already carry a watermark on `ts` (the caller's
+    * `withWatermark`) — EventTimeTimeout requires one. */
+  def sessionizeWithTimeout(ds: Dataset[Ev], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastEvent + gap: close, emit, DROP state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val sorted = evs.map(_.ts.getTime).toArray.sorted
+            // fold the batch into sessions; in-batch gaps close eagerly
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the session-close boundary;
+              // guard against a boundary already behind the watermark
+              // (then the very next trigger times the group out)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Arbitrary stateful processing: running per-user count/total kept in
     * GroupState, emitted on every update (mapGroupsWithState). */

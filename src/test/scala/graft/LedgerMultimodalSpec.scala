@@ -34,6 +34,22 @@ class LedgerMultimodalSpec extends AnyFunSuite {
     assert(Ledger.step(spark, target, Seq("n", "k"), dir, "b3")(identity) === 0)
   }
 
+  test("ledger step() records exactly the keys it counts under a nondeterministic transform") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger_nd").toString + "/ledger"
+    val target = (1 to 1000).toDF("k")
+    // nondeterministic transform: keeps a random ~half of the todo keys.
+    // Without the localCheckpoint in step(), the count and the recorded
+    // ledger rows would re-execute this plan and disagree.
+    val nd = (df: org.apache.spark.sql.DataFrame) => df.where(rand() < 0.5)
+    val n1 = Ledger.step(spark, target, Seq("k"), dir, "nd1")(nd)
+    val ledger1 = Ledger.load(spark, dir, target, Seq("k"))
+    assert(ledger1.count() === n1, "recorded keys must equal the returned count")
+    // and the next step sees exactly the complement
+    val n2 = Ledger.step(spark, target, Seq("k"), dir, "nd2")(identity)
+    assert(n1 + n2 === 1000)
+  }
+
   test("ledger missing() stays correct when target and computed share lineage") {
     import spark.implicits._
     val t = (1 to 10).toDF("k")

@@ -59,6 +59,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(allLangs === 5)
   }
 
+  test("broadcastIfSmall pins below the threshold and defers to AQE above it") {
+    import spark.implicits._
+    val dim = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val small = Scale.broadcastIfSmall(dim, upperBoundBytes = 1L << 20)
+    val big = Scale.broadcastIfSmall(dim, upperBoundBytes = 100L << 30)
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(small), "below-threshold relation must carry the broadcast hint")
+    assert(!hinted(big), "above-threshold relation must NOT carry a broadcast hint")
+    // sourceBytes is a real FS stat, usable as the upper bound
+    val bytes = Scale.sourceBytes(spark, "/root/testdata/sf0.001/orders.parquet")
+    assert(bytes > 0)
+    assert(Scale.sourceBytes(spark, "/root/testdata/sf0.001/definitely_absent.parquet") === 0L)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     dropBucketTable("docs_b")
     dropBucketTable("emb_b")

@@ -109,6 +109,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState(EventTimeTimeout) emits sessions on watermark timeout and drops state") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](6, spark, None)
+    val q = StreamingOps.sessionizeWithTimeout(in.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_state_out").start()
+    try {
+      // one open session for user 7: 10:00, 10:20
+      in.addData(ev(1, "10:00", uid = 7), ev(2, "10:20", uid = 7))
+      q.processAllAvailable()
+      assert(spark.table("sess_state_out").count() === 0,
+        "open session must not emit before timeout")
+      // other-user event advances the watermark to 12:50 — past
+      // 10:20 + 30m, so user 7's session times out, emits, state dropped
+      in.addData(ev(3, "13:00", uid = 9))
+      q.processAllAvailable()
+      in.addData(ev(4, "13:05", uid = 9)) // extra trigger to fire the timeout
+      q.processAllAvailable()
+      val sessions = spark.table("sess_state_out").where(col("user_id") === 7)
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      assert(sessions.toSeq === Seq((ts("10:00"), ts("10:20"), 2L)))
+      // a NEW user-7 event after the timeout starts a fresh session — if
+      // state had survived, this would have merged into the old one
+      in.addData(ev(5, "14:00", uid = 7))
+      q.processAllAvailable()
+      in.addData(ev(6, "16:00", uid = 9)) // advance watermark again
+      q.processAllAvailable()
+      in.addData(ev(7, "16:05", uid = 9))
+      q.processAllAvailable()
+      val all7 = spark.table("sess_state_out").where(col("user_id") === 7)
+        .select("session_start", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+      assert(all7.toSeq === Seq((ts("10:00"), 2L), (ts("14:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeWithTimeout closes in-batch sessions eagerly on gap") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](7, spark, None)
+    val q = StreamingOps.sessionizeWithTimeout(in.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_state_eager").start()
+    try {
+      // 10:00,10:10 then a >30m gap then 12:00 — first session closes
+      // within the batch, no watermark needed
+      in.addData(ev(1, "10:00", uid = 3), ev(2, "10:10", uid = 3), ev(3, "12:00", uid = 3))
+      q.processAllAvailable()
+      val closed = spark.table("sess_state_eager")
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      assert(closed.toSeq === Seq((ts("10:00"), ts("10:10"), 2L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](5, spark, None)

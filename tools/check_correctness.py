@@ -69,6 +69,16 @@ def main():
             failures.append((name, str(e)))
             print(f"FAIL {name}: {e}")
             continue
+        # The driver's pandas-based hasher cannot sort/hash array cells
+        # (round-1 CORRECTNESS err on q_agg_collect_sorted/q_array_funcs):
+        # every oracle-backed query must emit scalar columns only.
+        nested = [c for c, r in zip(scols, zip(*srows)) if srows
+                  and any(isinstance(v, tuple) for v in r)]
+        if nested:
+            failures.append((name, f"array-typed output columns {nested}"))
+            print(f"FAIL {name}: array-typed output columns {nested} "
+                  "(driver hasher cannot handle these; serialize to string)")
+            continue
         if scols != ocols:
             failures.append((name, f"cols {scols} != {ocols}"))
             print(f"FAIL {name}: columns {scols} != {ocols}")
