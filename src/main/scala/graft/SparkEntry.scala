@@ -27,6 +27,7 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracle),
     (Scans.queries, Scans.oracle),
     (Reshape.queries, Reshape.oracle),
+    (Extended.queries, Extended.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave declared operators: distribution windows (ntile /
+  * percent_rank / cume_dist), value-range window frames, correlation /
+  * covariance / median aggregates, width_bucket histograms, regexp
+  * extraction, bitwise aggregates, embedding int8 quantization,
+  * click→purchase funnel analysis, and normalized near-exact dedup.
+  *
+  * Determinism rules follow SURVEY §7.3: every query ends in a total
+  * ORDER BY (G6), floating aggregates are rounded (G4), event timestamps
+  * travel as epoch-µs BIGINTs (G3), and quantization uses an explicit
+  * floor(x + 0.5) instead of round() so both engines share one rounding
+  * definition.
+  */
+object Extended {
+
+  val queries: Map[String, Q] = Map(
+    // Distribution windows per market segment. The partition key keeps the
+    // sort per-segment (a GLOBAL ntile would single-partition the sort at
+    // scale); ties broken by c_custkey for a total order (G6).
+    "q_win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // Value-RANGE window frame: per-customer trailing-30-day revenue.
+    // The order key is epoch days (integer), so RANGE 30 PRECEDING is a
+    // true value range — same-day orders share one frame in both engines.
+    "q_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("d").asc)
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("d", datediff(col("o_orderdate"), to_date(lit("1995-01-01"))))
+        .select(col("o_orderkey"), col("o_custkey"), col("d"),
+          round(sum("o_totalprice").over(w), 2).as("r30"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Correlation / covariance per return flag (two-pass-free: Spark's
+    // single-pass co-moment aggregates, map-side combinable).
+    "q_agg_corr" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+          round(covar_pop("l_quantity", "l_extendedprice"), 2).as("cov_pop"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("cov_samp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact interpolated median per order status.
+    "q_agg_median" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(median(col("o_totalprice")), 2).as("med"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Histogram via width_bucket: 10 equal buckets over [0, 500k).
+    "q_math_width_bucket" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("bucket")
+    }),
+
+    // Regexp extraction over documents: all '…ing' tokens, serialized to
+    // a scalar string (driver hasher cannot hash arrays).
+    "q_str_regexp_extract_all" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(expr("regexp_extract_all(text, '[a-z]+ing', 0)"), " ").as("ings"),
+          size(expr("regexp_extract_all(text, '[a-z]+ing', 0)")).as("n_ing"))
+        .orderBy("doc_id")
+    }),
+
+    // Bitwise aggregates (and/or/xor are commutative+associative — safe
+    // under any partial-aggregation order).
+    "q_agg_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("CAST(bit_and(l_linenumber) AS BIGINT)").as("b_and"),
+          expr("CAST(bit_or(l_linenumber) AS BIGINT)").as("b_or"),
+          expr("CAST(bit_xor(l_linenumber) AS BIGINT)").as("b_xor"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Symmetric int8 quantization of embeddings: scale = max|x|/127,
+    // q_i = floor(x_i/scale + 0.5). floor(+0.5) — not round() — so both
+    // engines share one rounding definition; scale is computed via max
+    // (order-independent), so q is bit-deterministic. The quantized
+    // vector serializes to CSV for the driver hasher.
+    "q_embed_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("scale",
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .where(col("scale") > 0)
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("array_join(transform(embedding, " +
+            "x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)), ',')").as("q"),
+          size(col("embedding")).as("dims"))
+        .orderBy("vec_id")
+    }),
+
+    // Funnel: per user, clicks that convert to a purchase within 1h.
+    // Equi-key on user_id (hash join) + range predicate on epoch-µs —
+    // never a time-only band join, so the shuffle is keyed and bounded.
+    "q_evt_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_us").as("pts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("pts") >= col("cts") && col("pts") <= col("cts") + expr("3600000000"))
+        .groupBy("user_id")
+        .agg(countDistinct(col("cts")).as("conv_clicks"), count(lit(1)).as("pairs"))
+        .orderBy("user_id")
+    }),
+
+    // Near-exact dedup on NORMALIZED text (case/punctuation-insensitive):
+    // the canonical first pass of a training-data dedup pipeline. The
+    // corpus plants uppercase copies (doc_id + 1_000_000) that only
+    // normalization catches; md5 has an identical twin in DuckDB.
+    "q_dedup_normalized" -> ((s, d) => {
+      val norm = md5(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      val orig = Tables.documents(s, d).select(col("doc_id"), norm.as("h"))
+      val shout = Tables.documents(s, d)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          md5(lower(regexp_replace(upper(col("text")), "[^a-zA-Z0-9 ]", ""))).as("h"))
+      orig.unionByName(shout)
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .orderBy("keep_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_win_range_frame" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS d
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, d,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY d ASC
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS r30
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "q_agg_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_pop,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_samp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT o_orderstatus, round(median(o_totalprice), 2) AS med, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // DuckDB 1.0 has no width_bucket; the closed form below is identical
+    // for in-range inputs (orders prices live in (1001, 500000)).
+    "q_math_width_bucket" ->
+      """SELECT CAST(floor(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_str_regexp_extract_all" ->
+      """SELECT doc_id,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+ing'), ' '), '') AS ings,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER) AS n_ing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS b_or,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER)), ',') AS q,
+        |  CAST(len(embedding) AS INTEGER) AS dims
+        |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
+
+    "q_evt_funnel" ->
+      """WITH c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(DISTINCT c.cts) AS conv_clicks, count(*) AS pairs
+        |FROM c JOIN p ON p.user_id = c.user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + 3600000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """WITH u AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5(lower(regexp_replace(upper(text), '[^a-zA-Z0-9 ]', '', 'g')))
+        |  FROM documents)
+        |SELECT h, min(doc_id) AS keep_id, count(*) AS dups
+        |FROM u GROUP BY h ORDER BY keep_id""".stripMargin,
+  )
+}

@@ -62,6 +62,57 @@ object StreamingOps {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join: (click, purchase) pairs for the same
+    * user with the purchase at most `withinHours` after the click. BOTH
+    * sides are watermarked and the join condition bounds event time in
+    * both directions, so Spark can compute the state horizon and evict —
+    * the required shape for an unbounded 100 TB/day stream-stream join
+    * (an unconstrained stream-stream join would keep both sides forever).
+    */
+  def clickToPurchase(events: DataFrame, withinHours: Int = 1,
+      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinHours HOUR"))
+      .select(col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Stream-static enrichment join: the static dimension is planned per
+    * micro-batch (fresh broadcast each trigger — dimension updates are
+    * picked up), the stream side never shuffles. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left_outer")
+
+  /** Idempotent micro-batch append: each batch lands in its own
+    * `batch_id=N` partition via DYNAMIC partition overwrite, so the batch
+    * a failed query re-runs on recovery OVERWRITES its own partition
+    * instead of double-appending — at-least-once replay becomes
+    * exactly-once storage without a transaction log. Readers get the
+    * usual partition pruning on batch_id. */
+  def idempotentBatchAppend(batch: DataFrame, batchId: Long, dataPath: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dataPath)
+
+  /** Exactly-once parquet sink: foreachBatch + idempotentBatchAppend.
+    * The checkpoint dir carries stream progress; replays are absorbed by
+    * the per-batch partition overwrite. */
+  def exactlyOnceParquetSink(stream: DataFrame, dataPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        idempotentBatchAppend(b.toDF(), id, dataPath))
+
   /** Custom sessionization with BOUNDED state — the §2.J arbitrary-state
     * row proper: `flatMapGroupsWithState(Append, EventTimeTimeout)`.
     *

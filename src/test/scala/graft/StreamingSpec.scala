@@ -182,6 +182,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks within the hour") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](8, spark, None)
+    val q = StreamingOps.clickToPurchase(in.toDF(), withinHours = 1, watermark = "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    try {
+      in.addData(
+        ev(1, "10:00", uid = 1, typ = "click"),
+        ev(2, "10:30", uid = 1, typ = "purchase", v = 9.99),
+        ev(3, "12:00", uid = 1, typ = "purchase", v = 5.0), // >1h after the click
+        ev(4, "10:15", uid = 2, typ = "click"))             // no purchase
+      q.processAllAvailable()
+      in.addData(ev(5, "15:00", uid = 9)) // advance watermark to flush
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out")
+        .select("user_id", "click_ts", "purchase_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(pairs.toSeq === Seq((1L, ts("10:00"), ts("10:30"))))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches the stream without shuffling it") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev](9, spark, None)
+    val q = StreamingOps.enrichWithDim(in.toDF(), dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      in.addData(ev(1, "10:00", uid = 1), ev(2, "10:01", uid = 3))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").select("user_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      // matched row enriched; unmatched stream row survives (left outer)
+      assert(rows.toSeq === Seq((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("exactly-once sink: a replayed micro-batch does not double-append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString + "/data"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    StreamingOps.idempotentBatchAppend(b0, 0, dir)
+    StreamingOps.idempotentBatchAppend(Seq((3L, "c")).toDF("id", "v"), 1, dir)
+    // failure replay: batch 0 runs again (same data) — must overwrite, not append
+    StreamingOps.idempotentBatchAppend(b0, 0, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.where(col("batch_id") === 0).count() === 2)
+  }
+
+  test("exactly-once sink end-to-end: streaming writes land once per batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sink_e2e").toString
+    val in = MemoryStream[Ev](10, spark, None)
+    val q = StreamingOps.exactlyOnceParquetSink(
+      in.toDF(), s"$base/data", s"$base/ckpt").start()
+    try {
+      in.addData(ev(1, "10:00"), ev(2, "10:05"))
+      q.processAllAvailable()
+      in.addData(ev(3, "10:10"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$base/data")
+      assert(back.count() === 3)
+      assert(back.select("batch_id").distinct().count() >= 1)
+    } finally q.stop()
+  }
+
   test("batch/stream symmetry: tumblingCounts on batch events matches q_evt_tumbling totals") {
     val batch = StreamingOps.tumblingCounts(
       Tables.events(spark, "/root/testdata/sf0.001").select("ts", "event_type", "value"))
