@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.{GraftFunctions, MinHashAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (SURVEY §2.I + the
@@ -15,9 +16,12 @@ import org.apache.spark.sql.functions._
   * tokens dropped). That keeps every query self-contained and its
   * output stable for the oracle.
   *
-  * Scale posture: everything is shuffle-by-key (hash, band bucket,
-  * shingle) — no all-pairs comparison ever materializes; LSH banding
-  * bounds candidate generation exactly the way it would at 100 TB.
+  * Scale posture: every candidate join is keyed — exact hash, MinHash
+  * band bucket, prefix shingle (q_dedup_ngram_jaccard), or signature
+  * chunk (q_dedup_simhash) — so no all-pairs comparison ever
+  * materializes and each shuffle is linear in the corpus. The one
+  * deliberately quadratic query, q_jaccard_pairs, is declared-bounded
+  * (doc_id < 200 candidate cap per SURVEY §2).
   */
 object DedupOps {
 
@@ -46,6 +50,28 @@ object DedupOps {
     round(size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b))), 4)
 
+  /** (doc_id, source, sig): 32-bit SimHash per document of the derived
+    * original + truncated-copy corpus — per-token xxhash64 bit votes,
+    * sign of the vote sum per bit position. `private[graft]` so the
+    * lossless-banding spec can brute-force pairs from the same
+    * signatures and prove the pigeonhole candidates identical. */
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+    val orig = base.select(col("doc_id"), col("source"), col("toks"))
+    val variant = base.select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+      expr("slice(toks, 1, greatest(size(toks) - 3, 1))").as("toks"))
+    val votes = orig.unionByName(variant)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(sequence(0, 31), b -> " +
+          "named_struct('bit', b, 'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
+      .groupBy(col("doc_id"), col("source"), col("bv.bit").as("bit"))
+      .agg(sum("bv.v").as("s"))
+    votes.groupBy("doc_id", "source")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize → sha256 → group, deterministic min keeper.
     // (xxhash64 is the at-scale choice but has no DuckDB twin — the
@@ -73,11 +99,36 @@ object DedupOps {
 
     // n-gram (3-shingle) Jaccard near-dup detection over the derived
     // corpus; only true near-dups survive the 0.5 threshold.
+    //
+    // Candidates come from EXACT prefix filtering (the classic set-
+    // similarity-join bound [PK: Chaudhuri et al. ICDE'06, Bayardo et al.
+    // WWW'07]): under any global total order on shingles, two sets with
+    // Jaccard >= t MUST share one of their first |sh| - ceil(t*|sh|) + 1
+    // shingles (= floor(|sh|/2) + 1 at t = 0.5). Ordering by ascending
+    // document frequency puts the RAREST shingles in the prefix, so the
+    // candidate equi-join keys on shingles few documents share — linear
+    // shuffle, recall exactly 1.0 (the DuckDB all-pairs oracle stays a
+    // hash-match), no all-pairs join at any scale. Pairs where either
+    // side has an empty shingle set can never reach jac >= 0.5 (0/x = 0,
+    // 0/0 = NULL) and are skipped up front.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val u = nearDupCorpus(s, d)
-      val a = u.select(col("doc_id").as("da"), col("source"), col("sh").as("sha"))
-      val b = u.select(col("doc_id").as("db"), col("source").as("source_b"), col("sh").as("shb"))
-      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0)
+      val ex = u.select(col("doc_id"), col("source"), size(col("sh")).as("len"),
+        explode(col("sh")).as("g"))
+      val freq = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+      val prefix = ex.join(freq, "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df_g").asc, col("g").asc)))
+        .where(col("rk") <= floor(col("len") / 2) + 1)
+      val a = prefix.select(col("doc_id").as("da"), col("source"), col("g"))
+      val b = prefix.select(col("doc_id").as("db"), col("source").as("source_b"),
+        col("g").as("g_b"))
+      val cands = a.join(b, col("g") === col("g_b") &&
+          col("source") === col("source_b") && col("da") < col("db"))
+        .select("da", "db").distinct()
+      cands
+        .join(u.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(u.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
         .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
         .where(col("jac") >= 0.5)
         .orderBy("da", "db")
@@ -132,27 +183,32 @@ object DedupOps {
     // same-source pairs within Hamming distance 2 (16-bit/dist-3 passed
     // ~27% of all blocked pairs on this shared-vocab corpus — too loose).
     // Oracle-less.
+    //
+    // Candidates come from pigeonhole chunk banding, which is EXACT (not
+    // probabilistic LSH): the 32-bit signature splits into 3 disjoint
+    // chunks (11 + 11 + 10 bits); two differing bits cannot touch all
+    // three chunks, so Hamming <= 2 forces at least one chunk to be
+    // bit-identical. An equi-join on (source, chunk_index, chunk_value)
+    // therefore finds EVERY qualifying pair with zero recall loss and a
+    // shuffle that carries 3 small rows per document — the all-pairs
+    // blocked join this replaces is gone. A pair agreeing on several
+    // chunks appears once per agreeing chunk; the distinct() collapses it.
     "q_dedup_simhash" -> ((s, d) => {
-      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
-      val orig = base.select(col("doc_id"), col("source"), col("toks"))
-      val variant = base.select((col("doc_id") + 1000000).as("doc_id"), col("source"),
-        expr("slice(toks, 1, greatest(size(toks) - 3, 1))").as("toks"))
-      val votes = orig.unionByName(variant)
-        .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
-        .withColumn("h", xxhash64(col("token")))
-        .select(col("doc_id"), col("source"),
-          explode(expr("transform(sequence(0, 31), b -> " +
-            "named_struct('bit', b, 'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
-        .groupBy(col("doc_id"), col("source"), col("bv.bit").as("bit"))
-        .agg(sum("bv.v").as("s"))
-      val sigs = votes.groupBy("doc_id", "source")
-        .agg(sum(when(col("s") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
-      val a = sigs.select(col("doc_id").as("da"), col("source"), col("sig").as("siga"))
-      val b = sigs.select(col("doc_id").as("db"), col("source").as("source_b"), col("sig").as("sigb"))
-      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
-        .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      val sigs = simhashSigs(s, d)
+      val chunks = sigs.select(col("doc_id"), col("source"), col("sig"),
+        explode(expr("transform(sequence(0, 2), c -> named_struct('chunk', c, " +
+          "'cv', shiftright(sig, c * 11) & CASE WHEN c = 2 THEN 1023 ELSE 2047 END))")).as("cc"))
+        .select(col("doc_id"), col("source"), col("sig"),
+          col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+      val a = chunks.select(col("doc_id").as("da"), col("source"),
+        col("sig").as("siga"), col("chunk"), col("cv"))
+      val b = chunks.select(col("doc_id").as("db"), col("source").as("source_b"),
+        col("sig").as("sigb"), col("chunk").as("chunk_b"), col("cv").as("cv_b"))
+      a.join(b, col("source") === col("source_b") && col("chunk") === col("chunk_b") &&
+          col("cv") === col("cv_b") && col("da") < col("db"))
+        .select(col("da"), col("db"), expr("bit_count(siga ^ sigb)").as("hamming"))
+        .distinct()
         .where(col("hamming") <= 2)
-        .select("da", "db", "hamming")
         .orderBy("da", "db")
     }),
 
