@@ -43,13 +43,18 @@ object Reshape {
     // price (prices are uniform on [0, 2·avg], so 2× would select nothing).
     "q_subquery_scalar" -> ((s, d) => {
       // per-invocation view name: a fixed name would mutate shared session
-      // state and collide if queries run concurrently in one session
+      // state and collide if queries run concurrently in one session.
+      // spark.sql RESOLVES the view at analysis time (the returned frame's
+      // plan embeds the relation), so the view is dropped immediately —
+      // the catalog doesn't accrete one entry per invocation in a
+      // long-lived session — while execution stays lazy and correct.
       val v = freshView("orders_sq")
       Tables.orders(s, d).createOrReplaceTempView(v)
-      s.sql(
+      try s.sql(
         s"""SELECT o_orderkey, o_totalprice FROM $v
            |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM $v)
            |ORDER BY o_orderkey""".stripMargin)
+      finally s.catalog.dropTempView(v)
     }),
 
     // Correlated scalar subquery: customers above their nation's average
@@ -57,11 +62,12 @@ object Reshape {
     "q_subquery_correlated" -> ((s, d) => {
       val v = freshView("customer_sq")
       Tables.customer(s, d).createOrReplaceTempView(v)
-      s.sql(
+      try s.sql(
         s"""SELECT c_custkey, c_nationkey, c_acctbal FROM $v c
            |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $v c2
            |                   WHERE c2.c_nationkey = c.c_nationkey)
            |ORDER BY c_custkey""".stripMargin)
+      finally s.catalog.dropTempView(v)
     }),
   )
 

@@ -37,6 +37,46 @@ object VectorOps {
       .select(col("label").as("c_label"), expr("transform(pc, x -> x.c)").as("centroid"))
   }
 
+  /** IVF-style ANN with parameterized multi-probe over any (vec_id,
+    * label, embedding) frame: per-label centroids as the coarse codebook,
+    * every vector assigned to its argmax-dot cell, the query brute-forced
+    * against the vectors of its top-`nprobe` cells. nprobe is the
+    * recall/cost dial a real similarity-search user turns: nprobe=1 scans
+    * ~1/cells of the corpus and misses neighbors that fell just across a
+    * cell boundary; nprobe=p recovers them for a proportional extra scan,
+    * and nprobe=|cells| degenerates to exact brute force (LlmOpsSpec pins
+    * both ends: recall is monotone in nprobe and exactly 1.0 at
+    * nprobe=|cells| on the driver fixture, and >= 0.9 at nprobe=2 on a
+    * clustered corpus where cells track real structure — the driver's
+    * embeddings are isotropic-random, where NO partition scheme can
+    * exceed ~nprobe/cells recall, measured and documented in the spec).
+    * The probe set stays a tiny broadcast (nprobe rows), so the big side
+    * is still one pass, no shuffle. */
+  def knnIvfOn(e: DataFrame, nprobe: Int, k: Int = 10, queryId: Long = 0): DataFrame = {
+    val cb = broadcast(centroids(e))
+    val scored = e.crossJoin(cb)
+      .withColumn("sim_c", expr("graft_dot(embedding, centroid)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim_c").desc, col("c_label").asc)))
+    val assign = scored.where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("c_label").as("cell"))
+    val qCells = scored.where(col("vec_id") === queryId && col("rn") <= nprobe)
+      .select(col("c_label").as("q_cell"), col("embedding").as("qv"))
+    assign.where(col("vec_id") =!= queryId)
+      .join(broadcast(qCells), col("cell") === col("q_cell"))
+      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** `knnIvfOn` over the embeddings table — the declared q_knn_ivf is
+    * this at nprobe=1. */
+  def knnIvf(s: SparkSession, d: String, nprobe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(s)
+    knnIvfOn(Tables.embeddings(s, d), nprobe, k)
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-20 against one query vector. The query side is
     // a 1-row broadcast; the scan side streams — at 100 TB this is a single
@@ -113,6 +153,15 @@ object VectorOps {
     // (cos ≥ 0.99, per-bit disagree prob = acos(0.99)/π ≈ 0.045) a band of
     // 8 bits matches with p ≈ 0.69, and 1-(1-p)^4 ≈ 0.99 recall overall.
     // Candidates are then refined with the exact codegen'd dot product.
+    //
+    // ORACLE INVARIANT (why an exact DuckDB oracle can check an LSH
+    // query): in the driver fixtures the ONLY pairs with cos >= 0.99 are
+    // the planted exact copies (vec_id ±1_000_000), whose signatures are
+    // bit-identical — recall on them is exactly 1.0, not ~0.99, so the
+    // hash-match holds. If a future fixture plants a genuine
+    // non-identical near-dup pair, this oracle can miss with prob ~0.01
+    // per pair; in that world demote this query to the rows-only tier
+    // (like q_dedup_minhash) rather than weaken the LSH.
     "q_dedup_embed" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -153,26 +202,9 @@ object VectorOps {
     // IVF-style ANN: per-label centroids as the coarse codebook; each
     // vector is assigned to its argmax-dot cell; the query probes only its
     // own cell (nprobe=1) and brute-forces inside it. Oracle-less
-    // (approximation); scalatest checks recall against exact kNN.
-    "q_knn_ivf" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val cb = broadcast(centroids(e))
-      val assign = e.crossJoin(cb)
-        .withColumn("sim_c", expr("graft_dot(embedding, centroid)"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim_c").desc, col("c_label").asc)))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("c_label").as("cell"))
-      val qCell = assign.where(col("vec_id") === 0)
-        .select(col("cell").as("q_cell"), col("embedding").as("qv"))
-      assign.where(col("vec_id") =!= 0)
-        .join(broadcast(qCell), col("cell") === col("q_cell"))
-        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
-        .select("vec_id", "label", "sim")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(10)
-    }),
+    // (approximation); scalatest checks recall against exact kNN and
+    // multi-probe behavior (see knnIvfOn above).
+    "q_knn_ivf" -> ((s, d) => knnIvf(s, d, nprobe = 1, k = 10)),
   )
 
   val oracle: Map[String, String] = Map(

@@ -78,10 +78,29 @@ object Multimodal {
   def extractFeatures(assets: DataFrame, codec: Codec = StubCodec, dim: Int = 16,
       targetBytesPerTask: Long = 64L * 1024 * 1024): DataFrame = {
     val spark = assets.sparkSession
-    // Partition count from Catalyst's logical-plan size estimate (file
-    // sizes for parquet-backed inputs) — a planning-time lookup, not the
-    // extra full-scan aggregate job this used to run just for sizing.
-    val totalBytes = assets.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Partition count so one task holds at most ~targetBytesPerTask of
+    // PAYLOAD. Catalyst's planning-time size estimate is the free fast
+    // path, but it measures the whole relation (all columns) and is only
+    // trustworthy when the plan is a direct file scan with real stats —
+    // post-join / non-file inputs can report defaultSizeInBytes
+    // (Long.MaxValue) and would clamp this to 10000 near-empty tasks.
+    // Anywhere the estimate is unreliable we pay one cheap aggregate job
+    // over the pruned meta.n_bytes column (never the payload) instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
+    def directScan(p: LogicalPlan): Boolean = p match {
+      case Project(_, c) => directScan(c)
+      case Filter(_, c)  => directScan(c)
+      case _: LeafNode   => true
+      case _             => false
+    }
+    val plan = assets.queryExecution.optimizedPlan
+    val estimate = plan.stats.sizeInBytes
+    val statsReliable = directScan(plan) &&
+      estimate < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val totalBytes: BigInt =
+      if (statsReliable) estimate
+      else BigInt(assets.agg(coalesce(sum(col("meta.n_bytes")), lit(0L)))
+        .head.getLong(0))
     val parts = ((totalBytes / targetBytesPerTask + 1)
       .min(BigInt(10000)).max(BigInt(1))).toInt
     val outSchema = StructType(Seq(

@@ -143,14 +143,27 @@ object StreamingOps {
             Iterator.single(SessionOut(uid, new java.sql.Timestamp(s.startMs),
               new java.sql.Timestamp(s.lastMs), s.n))
           } else {
-            val sorted = evs.map(_.ts.getTime).toArray.sorted
+            // Spark does NOT pre-filter watermark-late rows for
+            // flatMapGroupsWithState — drop them here explicitly, or an
+            // ancient replayed event reaches the fold below.
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = evs.map(_.ts.getTime).filter(_ >= wm).toArray.sorted
             // fold the batch into sessions; in-batch gaps close eagerly
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                // merge only when t is genuinely within `gap` of the open
+                // session's SPAN: a cross-batch out-of-order event far
+                // OLDER than the session has t - lastMs hugely negative
+                // (trivially <= gapMs) and must not inflate it
+                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+                  cur = Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+                case Some(s) if t < s.startMs - gapMs =>
+                  // old orphan past the merge window (but not watermark-
+                  // late): its own 1-event session, open session untouched
+                  out += SessionOut(uid, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1)
                 case Some(s) =>
                   out += SessionOut(uid, new java.sql.Timestamp(s.startMs),
                     new java.sql.Timestamp(s.lastMs), s.n)

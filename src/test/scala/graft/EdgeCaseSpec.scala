@@ -105,4 +105,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 0.0)
     assert(r.getDouble(1) === 3.0) // min-length semantics
   }
+
+  test("subquery temp views do not accrete in the catalog across invocations") {
+    val sf = "/root/testdata/sf0.001"
+    // run the view-backed subquery operators repeatedly — each invocation
+    // creates a uniquely-named view and must drop it after analysis
+    (1 to 3).foreach { _ =>
+      assert(SparkEntry.queries("q_subquery_scalar")(spark, sf).count() > 0)
+      assert(SparkEntry.queries("q_subquery_correlated")(spark, sf).count() > 0)
+    }
+    val leaked = spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("orders_sq") || t.name.startsWith("customer_sq"))
+    assert(leaked.isEmpty, s"leaked temp views: ${leaked.map(_.name).mkString(", ")}")
+  }
 }

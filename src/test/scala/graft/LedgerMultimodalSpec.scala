@@ -92,4 +92,18 @@ class LedgerMultimodalSpec extends AnyFunSuite {
       col("asset_id") === col("vec_id"))
     assert(joined.count() > 0)
   }
+
+  test("partition sizing survives inputs whose plan stats are unreliable") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    // RDD-backed plan: Catalyst reports defaultSizeInBytes (Long.MaxValue)
+    // for LogicalRDD — the stats fast path must NOT trust it (it would
+    // clamp to 10000 near-empty tasks) and fall back to the meta.n_bytes
+    // aggregate, giving the same task count as the file-backed plan
+    val rddBacked = spark.createDataFrame(assets.rdd, assets.schema)
+    val filePartCount = Multimodal.extractFeatures(assets).rdd.getNumPartitions
+    val rddPartCount = Multimodal.extractFeatures(rddBacked).rdd.getNumPartitions
+    assert(rddPartCount === filePartCount,
+      s"unreliable stats inflated task count: $rddPartCount vs $filePartCount")
+    assert(rddPartCount < 100)
+  }
 }

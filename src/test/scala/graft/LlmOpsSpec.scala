@@ -40,6 +40,122 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash too loose: ${rows.length} pairs for $planted planted")
   }
 
+  test("simhash pigeonhole banding is lossless: banded pairs == brute-force all-pairs") {
+    import graft.operators.DedupOps
+    // brute force straight from the SAME signatures the query bands
+    val sigs = DedupOps.simhashSigs(spark, sf)
+    val a = sigs.select(col("doc_id").as("da"), col("source"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("db"), col("source").as("source_b"),
+      col("sig").as("sigb"))
+    val brute = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .where(col("hamming") <= 2)
+      .select("da", "db", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute,
+      s"pigeonhole banding lost/invented pairs: only-brute=${(brute -- banded).take(5)} " +
+        s"only-banded=${(banded -- brute).take(5)}")
+    assert(banded.nonEmpty)
+  }
+
+  test("ngram-jaccard prefix filtering is exact: prefix-candidate pairs == brute-force all-pairs") {
+    val brute = {
+      // the pre-rewrite blocked all-pairs shape, inlined as the oracle here
+      val base = Tables.documents(spark, sf).withColumn("toks", split(col("text"), " "))
+      def sh(drop: Int) = {
+        val last = s"size(toks) - ${2 + drop}"
+        expr(s"CASE WHEN $last >= 1 THEN array_distinct(transform(sequence(1, $last), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) " +
+          "ELSE array() END")
+      }
+      val u = base.select(col("doc_id"), col("source"), sh(0).as("sh"))
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"), col("source"), sh(3).as("sh")))
+      val a = u.select(col("doc_id").as("da"), col("source"), col("sh").as("sha"))
+      val b = u.select(col("doc_id").as("db"), col("source").as("source_b"), col("sh").as("shb"))
+      a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+        .select(col("da"), col("db"),
+          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 4).as("jac"))
+        .where(col("jac") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val filtered = SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(filtered === brute,
+      s"prefix filtering lost/invented pairs: only-brute=${(brute -- filtered).take(5)} " +
+        s"only-filtered=${(filtered -- brute).take(5)}")
+    assert(filtered.nonEmpty)
+  }
+
+  test("IVF multi-probe: recall monotone in nprobe, exact at nprobe=|cells|") {
+    import graft.operators.VectorOps
+    // The driver's embeddings are ISOTROPIC-RANDOM — labels carry no
+    // geometric signal (measured: mean same-label cos -0.012 vs
+    // cross-label -0.002; the exact top-10 sims are ~0.27-0.33 spread
+    // over all 10 labels), so NO partition scheme can beat ~nprobe/cells
+    // recall here. What IS provable on this fixture: growing the probe
+    // set can only improve recall (a true top-10 member in the candidate
+    // pool can only be displaced by higher-sim vectors, of which there
+    // are at most 9), and probing every cell degenerates to exact brute
+    // force. The >= 0.9 recall claim is pinned on clustered data below.
+    val exact = SparkEntry.queries("q_knn_cosine")(spark, sf)
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    def recallAt(np: Int): Double = {
+      val got = VectorOps.knnIvf(spark, sf, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2); val r10 = recallAt(10)
+    assert(r1 <= r2 && r2 <= r10, s"recall not monotone in nprobe: $r1, $r2, $r10")
+    assert(r10 === 1.0, s"nprobe=|cells| must equal exact brute force, got $r10")
+    // the declared query IS knnIvf at nprobe=1 — pin that equivalence so
+    // the multi-probe refactor can never drift the oracle-checked output
+    val declared = SparkEntry.queries("q_knn_ivf")(spark, sf)
+      .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p1 = VectorOps.knnIvf(spark, sf, nprobe = 1)
+      .select("vec_id", "sim").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(p1 === declared, "nprobe=1 drifted from the declared q_knn_ivf output")
+  }
+
+  test("IVF multi-probe: recall@10 >= 0.9 at nprobe=2 when cells track real cluster structure") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // Deterministic clustered corpus — the data shape IVF is FOR: 8
+    // near-orthogonal centers in 16 dims, members = normalize(center +
+    // 0.8 * unit-noise) (cos ~0.78 to own center), label = cluster id so
+    // the per-label codebook is the true structure.
+    val dim = 16; val nClusters = 8; val perCluster = 40
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = i % nClusters
+      val noise = unit(Array.fill(dim)(rnd.nextGaussian()))
+      val v = unit(centers(c).zip(noise).map { case (a, b) => a + 0.8 * b })
+      (i.toLong, c.toString, v.map(_.toFloat))
+    }
+    val e = rows.toDF("vec_id", "label", "embedding")
+    // exact top-10 for query 0, brute-forced on the driver (320 × 16)
+    val vecs = rows.map(r => r._1 -> r._3.map(_.toDouble)).toMap
+    val q = vecs(0L)
+    val exact = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (v.zip(q).map { case (a, b) => a * b }.sum, id) }
+      .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+    def recallAt(np: Int): Double = {
+      val got = VectorOps.knnIvfOn(e, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r2 >= 0.9, s"recall@10 at nprobe=2 was $r2 on clustered data")
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 recall $r1")
+  }
+
   test("IVF top-10 has positive recall against exact brute-force top-10") {
     val exact = SparkEntry.queries("q_knn_cosine")(spark, sf)
       .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet

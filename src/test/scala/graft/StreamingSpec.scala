@@ -164,6 +164,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](11, spark, None)
+    // watermark delay (3h) deliberately larger than the gap (30m): only
+    // then can an event be simultaneously NOT watermark-late and far
+    // older than the open session — the exact hole this guards.
+    val q = StreamingOps.sessionizeWithTimeout(in.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_state_ooo").start()
+    try {
+      in.addData(ev(1, "12:00", uid = 9))
+      q.processAllAvailable()
+      // slightly-older out-of-order: within gap of the span → merges and
+      // EXTENDS the start backwards (startMs = min), n = 2
+      in.addData(ev(2, "11:45", uid = 9))
+      q.processAllAvailable()
+      // far-older orphan (10:00 < 11:45 - 30m, watermark only 9:00): its
+      // own 1-event session, open session untouched — pre-guard this
+      // merged (t - lastMs <= gap trivially true) and corrupted the count
+      in.addData(ev(3, "10:00", uid = 9))
+      q.processAllAvailable()
+      val orphan = spark.table("sess_state_ooo")
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      assert(orphan.toSeq === Seq((ts("10:00"), ts("10:00"), 1L)))
+      // in-batch gap closes the open session: it must show the merged
+      // 11:45 start and exactly 2 events (not 3)
+      in.addData(ev(4, "16:00", uid = 9))
+      q.processAllAvailable()
+      val all = spark.table("sess_state_ooo")
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).sortBy(_._1.getTime)
+      assert(all.toSeq === Seq((ts("10:00"), ts("10:00"), 1L), (ts("11:45"), ts("12:00"), 2L)))
+      // watermark is 13:00 now — a 9:00 event is watermark-late and must
+      // be dropped entirely (Spark does NOT pre-filter it for us)
+      in.addData(ev(5, "09:00", uid = 9))
+      q.processAllAvailable()
+      assert(spark.table("sess_state_ooo").count() === 2,
+        "watermark-late row produced output")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](5, spark, None)
