@@ -58,4 +58,73 @@ object Scale {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Deterministic `factor`× blow-up of an sf directory's LLM-pipeline
+    * tables (documents, embeddings, events), other tables copied as-is —
+    * the load-test input for proving a plan survives a scale-up rather
+    * than arguing it would (ScaleSpec runs the scale-sensitive queries on
+    * the result and asserts shape + linear output).
+    *
+    * Replica construction keeps per-query semantics intact:
+    *  - documents: every token is prefixed with its replica id (replica 0
+    *    keeps the original text), so token/shingle spaces are DISJOINT
+    *    across replicas — near-dup relations never cross replicas and
+    *    every dedup query's output grows exactly linearly by
+    *    construction; ids are re-keyed `id * factor + rep` (stays far
+    *    below the 1e6 id offset the dedup queries derive variants with);
+    *  - embeddings: each replica's vector is the original rotated by
+    *    `rep` positions — norm preserved, cross-replica cosine back at
+    *    random-pair level, and `vec_id * factor` keeps replica 0 of the
+    *    query vector at vec_id 0;
+    *  - events: ids and user_ids re-key by `* factor + rep`, so each
+    *    replica contributes its own disjoint user population (10× users,
+    *    same per-user session structure); raw nanosecond timestamps pass
+    *    through unchanged.
+    */
+  def upsampleCorpus(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1 && factor <= 64, "embedding rotation needs rep < dim")
+    val f = factor
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("rep", explode(expr(s"sequence(0, ${f - 1})")))
+
+    reps(spark.read.parquet(s"$srcDir/documents.parquet"))
+      .select(
+        (col("doc_id") * f + col("rep")).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(expr(
+          "array_join(transform(split(text, ' '), t -> concat('r', CAST(rep AS STRING), t)), ' ')"))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    reps(spark.read.parquet(s"$srcDir/embeddings.parquet"))
+      .select(
+        (col("vec_id") * f + col("rep")).as("vec_id"),
+        expr("concat(slice(embedding, rep + 1, size(embedding) - rep), slice(embedding, 1, rep))")
+          .as("embedding"),
+        col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    // raw read: TIMESTAMP(NANOS) surfaces as LONG under nanosAsLong, and
+    // writes back as INT64 — Tables.events handles both identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reps(spark.read.parquet(s"$srcDir/events.parquet"))
+      .select(
+        (col("event_id") * f + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * f + col("rep")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val src = new org.apache.hadoop.fs.Path(s"$srcDir/$t.parquet")
+        val dst = new org.apache.hadoop.fs.Path(s"$outDir/$t.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+          false, true, conf)
+      }
+  }
 }

@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Tag for the minutes-long scale-up/skew demonstrations; exclude with
+  * `testOnly * -- -l graft.Slow` when iterating. */
+object Slow extends org.scalatest.Tag("graft.Slow")
+
 class ScaleSpec extends AnyFunSuite {
 
   // NOTE: getOrCreate returns whichever suite's session came first in this
@@ -72,6 +76,102 @@ class ScaleSpec extends AnyFunSuite {
     val bytes = Scale.sourceBytes(spark, "/root/testdata/sf0.001/orders.parquet")
     assert(bytes > 0)
     assert(Scale.sourceBytes(spark, "/root/testdata/sf0.001/definitely_absent.parquet") === 0L)
+  }
+
+  test("10x corpus blow-up: scale-sensitive queries keep plan shape and linear output", Slow) {
+    // The empirical version of the 100TB-posture claims: upsample the
+    // LLM-pipeline tables 10x (deterministic, replica-disjoint — see
+    // Scale.upsampleCorpus) and re-run the flagship plus the queries
+    // whose scale behavior the plan audit argues statically. Asserts,
+    // per query: it completes inside a wall-clock bound, its executed
+    // plan gains NO nested-loop/cartesian join it didn't already have at
+    // 1x, and (dedup family) output grows at most linearly — a quadratic
+    // candidate join would blow the row bound by ~10x and the time bound
+    // with it.
+    val base = "/root/testdata/sf0.01"
+    val factor = 10
+    val blown = Files.createTempDirectory("sf10x").toString
+    Scale.upsampleCorpus(spark, base, blown, factor)
+
+    def runOne(name: String, dir: String): (Long, Int, Double) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      // execute THIS plan instance so the AQE-final plan is inspectable
+      val rows = df.queryExecution.executedPlan.execute().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length +
+        "CartesianProduct".r.findAllIn(plan).length
+      (rows, bnlj, secs)
+    }
+
+    val flagship = Seq("q_join_bhj", "q_sessionize")
+    val dedup = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_ngram_jaccard", "q_dedup_embed")
+    val knn = Seq("q_knn_cosine", "q_knn_ivf")
+    for (name <- flagship ++ dedup ++ knn) {
+      val (baseRows, baseBnlj, _) = runOne(name, base)
+      val (blownRows, blownBnlj, blownSecs) = runOne(name, blown)
+      assert(blownRows > 0, s"$name returned no rows at ${factor}x")
+      assert(blownBnlj <= baseBnlj,
+        s"$name grew a nested-loop/cartesian join at ${factor}x: $baseBnlj -> $blownBnlj")
+      assert(blownSecs < 150.0, s"$name took ${blownSecs}s at ${factor}x")
+      // 2x slack on the linear bound: 32-bit simhash/minhash signatures
+      // are hash-value-sensitive, so replicas find slightly different
+      // borderline pairs (measured ~1.2x per-replica variance). A
+      // quadratic candidate join would land at ~factor^2 = 100x base —
+      // two orders past this bound — which is what the assert must catch.
+      if (dedup.contains(name))
+        assert(blownRows <= 2L * factor * baseRows + 100,
+          s"$name output superlinear at ${factor}x: $baseRows -> $blownRows")
+      if (knn.contains(name))
+        assert(blownRows === baseRows,
+          s"$name top-k row count changed at ${factor}x: $baseRows -> $blownRows")
+    }
+  }
+
+  test("skew: salting cuts the hot key's max reducer share on a 50%-hot join", Slow) {
+    import spark.implicits._
+    // One user owns HALF the fact rows — the q_sessionize/q_evt_funnel
+    // enrichment-join shape where a shuffle keyed on user_id piles the
+    // hot key onto a single reducer. Demonstrates when to reach for
+    // Scale.saltedEquiJoin: the salted plan's max partition share must
+    // drop by at least 2x while returning identical rows. (Window/groupBy
+    // skew is different: partial aggregation absorbs groupBy hot keys
+    // map-side, and AQE's skew-join split handles SMJ at runtime — this
+    // covers the case where neither applies, e.g. a broadcast-disabled
+    // build side. See README "Skew".)
+    val n = 100000L
+    val hot = spark.range(n / 2).select(lit(1L).as("user_id"), col("id").as("event_id"))
+    val tail = spark.range(n / 2)
+      .select((col("id") % 999 + 2).as("user_id"), (col("id") + n).as("event_id"))
+    val events = hot.unionByName(tail)
+    val dim = spark.range(1001).select(col("id").as("u"), concat(lit("name"), col("id")).as("uname"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep reducer layout observable
+    try {
+      def maxShare(df: org.apache.spark.sql.DataFrame): Double = {
+        val sizes = df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect()
+        sizes.max.toDouble / sizes.sum.max(1L)
+      }
+      // 32 salts over 4 shuffle partitions: enough sub-keys that the
+      // hot key's shards spread evenly (8 sub-keys had too much
+      // balls-in-bins variance to demonstrate the drop reliably)
+      val plain = events.join(dim, $"user_id" === $"u")
+      val salted = Scale.saltedEquiJoin(events, dim, "user_id", "u", salts = 32)
+      assert(salted.count() === plain.count())
+      val plainShare = maxShare(plain)
+      val saltedShare = maxShare(salted)
+      assert(plainShare >= 0.45,
+        s"fixture not skewed enough to demonstrate: max share $plainShare")
+      assert(saltedShare <= plainShare / 2 + 0.01,
+        s"salting did not spread the hot key: $plainShare -> $saltedShare")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("bucketed tables join without an exchange on the bucket key") {
