@@ -26,6 +26,17 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   */
 object Plans {
 
+  /** Queries where a join emitting far more rows than its larger input is
+    * the DECLARED semantics (bounded pair enumeration, deliberate
+    * replication), audited by hand once and exempted from the
+    * row-explosion flag. */
+  private val intentionalExplosion = Map(
+    "q_join_cross"      -> "declared cross product of two bounded dimensions",
+    "q_sim_join_topk"   -> "build side deliberately replicated x16 sub-blocks for parallelism",
+    "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
+    "q_jaccard_pairs"   -> "declared bounded pair enumeration (doc_id<200 cap)",
+  )
+
   /** Queries whose nested-loop / cartesian join is the RIGHT plan, with
     * the reason — a nested loop is only an anti-pattern when both sides
     * scale with the data. These are audited by hand once and exempted. */
@@ -74,6 +85,40 @@ object Plans {
     }.count(identity)
   }
 
+  /** Max join-output amplification measured from EXECUTED metrics: for
+    * every join in the AQE-final plan, output numOutputRows / max(input
+    * rows). >4x (past a 1000-row floor so tiny fixtures don't trip it)
+    * flags a row-explosion join — the runtime complement of the static
+    * BNLJ check, and the detector that would have caught the blocked
+    * all-pairs candidate joins this audit once missed. */
+  private def joinAmplification(executed: org.apache.spark.sql.execution.SparkPlan): Double = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // AQE hides subtrees behind leaf wrappers (AdaptiveSparkPlanExec,
+    // QueryStageExec, ReusedExchangeExec) — walk through all of them
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: QueryStageExec        => allNodes(q.plan)
+      case r: ReusedExchangeExec    => Nil // counted at the original exchange
+      case other                    => other +: other.children.flatMap(allNodes)
+    }
+    def outRows(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => outRows(a.executedPlan)
+      case q: QueryStageExec        => outRows(q.plan)
+      case r: ReusedExchangeExec    => outRows(r.child)
+      case _ => p.metrics.get("numOutputRows").map(_.value).getOrElse(
+        p.children.map(outRows).reduceOption(_ max _).getOrElse(0L))
+    }
+    val joins = allNodes(executed).collect { case j: BaseJoinExec => j }
+    joins.map { j =>
+      val out = outRows(j)
+      val in = j.children.map(outRows).reduceOption(_ max _).getOrElse(0L)
+      if (out <= 1000L || in == 0L) 1.0 else out.toDouble / in
+    }.reduceOption(_ max _).getOrElse(1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("PLANS.md")
@@ -88,10 +133,11 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit of the full declared inventory\n\n")
     sb.append(s"Generated by `graft.Plans` on $sfDir. Regenerate after any plan-affecting change.\n")
-    sb.append("FLAG ⇒ BroadcastNestedLoopJoin/CartesianProduct (outside declared cross joins) ")
-    sb.append("or a scan-adjacent filter that lost pushdown.\n\n")
-    sb.append("| query | flag | scans | pushed scans | bhj | smj | bnlj/cart | top-k fused | codegen | exchanges |\n")
-    sb.append("|---|---|---|---|---|---|---|---|---|---|\n")
+    sb.append("FLAG ⇒ BroadcastNestedLoopJoin/CartesianProduct (outside declared cross joins), ")
+    sb.append("a scan-adjacent filter that lost pushdown, or a join whose measured output ")
+    sb.append("exceeds 4x its larger input (row explosion, outside declared pair enumerations).\n\n")
+    sb.append("| query | flag | scans | pushed scans | bhj | smj | bnlj/cart | top-k fused | codegen | exchanges | max join amp |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
 
     val details = new StringBuilder
     var flagged = List.empty[String]
@@ -115,7 +161,9 @@ object Plans {
       val pushedPre = "PushedFilters: \\[[^\\]]".r.findAllIn(prePlan).length
       val pushdownLost =
         pushableFilterScans(df.queryExecution.optimizedPlan) > math.max(pushed, pushedPre)
-      val flag = crossBad || pushdownLost
+      val amp = joinAmplification(df.queryExecution.executedPlan)
+      val explosion = amp > 4.0 && !intentionalExplosion.contains(name)
+      val flag = crossBad || pushdownLost || explosion
       if (flag) flagged ::= name
       sb.append(s"| $name " +
         s"| ${if (flag) "**FLAG**" else "ok"} " +
@@ -126,7 +174,8 @@ object Plans {
         s"| $bnlj${if (bnlj > 0 && intentionalNestedLoop.contains(name)) " (intentional)" else ""} " +
         s"| ${n("TakeOrderedAndProject")} " +
         s"| ${math.max(n("WholeStageCodegen"), codegenStages)} " +
-        s"| ${n("Exchange")} |\n")
+        s"| ${n("Exchange")} " +
+        s"| ${"%.1f".format(amp)}${if (amp > 4.0 && intentionalExplosion.contains(name)) " (intentional)" else ""} |\n")
       // full dumps: headline queries + the dedup candidate joins whose
       // linear (band/chunk/prefix-keyed, never all-pairs) shape is the
       // scale-critical property a reader must be able to audit
@@ -141,6 +190,10 @@ object Plans {
     sb.append(s"\nFlagged: ${if (flagged.isEmpty) "none" else flagged.sorted.mkString(", ")}\n\n")
     sb.append("Intentional nested-loop exemptions (hand-audited):\n")
     intentionalNestedLoop.toSeq.sorted.foreach { case (q, why) =>
+      sb.append(s"- `$q` — $why\n")
+    }
+    sb.append("\nIntentional row-amplification exemptions (hand-audited):\n")
+    intentionalExplosion.toSeq.sorted.foreach { case (q, why) =>
       sb.append(s"- `$q` — $why\n")
     }
     sb.append(details)

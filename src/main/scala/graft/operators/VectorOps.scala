@@ -53,15 +53,25 @@ object VectorOps {
     * The probe set stays a tiny broadcast (nprobe rows), so the big side
     * is still one pass, no shuffle. */
   def knnIvfOn(e: DataFrame, nprobe: Int, k: Int = 10, queryId: Long = 0): DataFrame = {
-    val cb = broadcast(centroids(e))
-    val scored = e.crossJoin(cb)
-      .withColumn("sim_c", expr("graft_dot(embedding, centroid)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("sim_c").desc, col("c_label").asc)))
-    val assign = scored.where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("c_label").as("cell"))
-    val qCells = scored.where(col("vec_id") === queryId && col("rn") <= nprobe)
-      .select(col("c_label").as("q_cell"), col("embedding").as("qv"))
+    // The whole codebook rides along as ONE broadcast row of
+    // (label, centroid) structs and cell assignment is an array_sort
+    // inside a per-row projection — scoring n vectors against C cells
+    // costs n*C dot products but materializes n rows, not n*C (the
+    // crossJoin-per-centroid + window shape this replaces shuffled n*C
+    // rows just to argmax them: a 4096-cell codebook at 100 TB would
+    // amplify the shuffle 4096x; the plan audit's row-explosion detector
+    // catches exactly that shape).
+    val cbArr = centroids(e).agg(collect_list(struct(col("c_label"), col("centroid"))).as("cells"))
+    val scored = e.crossJoin(broadcast(cbArr))
+      // ascending sort on (-dot, label) == best cell first, label tiebreak
+      .withColumn("ranked", expr(
+        "array_sort(transform(cells, c -> struct(-graft_dot(embedding, c.centroid) AS negs, c.c_label AS cl)))"))
+    val assign = scored
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("ranked[0].cl").as("cell"))
+    val qCells = scored.where(col("vec_id") === queryId)
+      .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"), col("embedding").as("qv"))
+      .select(col("pc.cl").as("q_cell"), col("qv"))
     assign.where(col("vec_id") =!= queryId)
       .join(broadcast(qCells), col("cell") === col("q_cell"))
       .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
