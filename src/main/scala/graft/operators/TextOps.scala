@@ -111,6 +111,53 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // PII-style redaction: numeric runs (the stand-in for phone/account
+    // numbers in this corpus) are replaced with a placeholder and counted.
+    // Pure per-row regex projection — codegen'd, no shuffle, the shape a
+    // 100 TB scrub pass needs. Patterns stay in the RE2 ∩ Java-regex
+    // common subset so the DuckDB oracle runs them verbatim.
+    "q_text_redact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+          expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("n_hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary build: top-50 tokens by collection frequency with doc
+    // frequency and a running cumulative count — the vocab/coverage-curve
+    // artifact of a tokenizer-training pipeline. One explode + one agg +
+    // a 50-row window.
+    "q_vocab_topk" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = tok.groupBy("token")
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      val w = Window.orderBy(col("cf").desc, col("token").asc)
+      vocab.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 50)
+        .withColumn("cum_cf", sum("cf").over(
+          Window.orderBy(col("rank").asc).rowsBetween(Window.unboundedPreceding, 0)))
+        .select("rank", "token", "cf", "df", "cum_cf")
+        .orderBy("rank")
+    }),
+
+    // Deterministic train/val/test split on a PORTABLE content hash: the
+    // first hex digit of md5(doc_id) buckets 12/16 train, 2/16 val,
+    // 2/16 test — reproducible across engines and runs (md5 agrees
+    // between Spark and DuckDB; xxhash64 would not), per-row map with no
+    // shuffle, so the assignment scales to any corpus and any engine
+    // re-run lands every doc in the same split.
+    "q_sample_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .withColumn("split",
+          when(col("h") < "c", "train").when(col("h") < "e", "val").otherwise("test"))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // tf-idf: top-3 terms per language by summed tf·idf. Two aggregations
     // + one broadcast-able join on term; the corpus size N is joined in as
     // a 1-row broadcast rather than a driver-side collect.
@@ -203,6 +250,29 @@ object TextOps {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS bpe_ish,
         |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+        |          FROM tok GROUP BY token),
+        |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY cf DESC, token ASC) AS INTEGER) AS rank
+        |           FROM vocab)
+        |SELECT rank, token, cf, df,
+        |  CAST(sum(cf) OVER (ORDER BY rank ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cf
+        |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_tfidf" ->
