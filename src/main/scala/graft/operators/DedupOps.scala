@@ -51,25 +51,22 @@ object DedupOps {
       size(array_union(col(a), col(b))), 4)
 
   /** (doc_id, source, sig): 32-bit SimHash per document of the derived
-    * original + truncated-copy corpus — per-token xxhash64 bit votes,
-    * sign of the vote sum per bit position. `private[graft]` so the
-    * lossless-banding spec can brute-force pairs from the same
-    * signatures and prove the pigeonhole candidates identical. */
+    * original + truncated-copy corpus, computed by the native codegen'd
+    * `graft_simhash` expression — one long per row straight off the scan
+    * (the declarative recipe it replaces exploded every token into 32
+    * (bit, vote) rows and ran two aggregations; CustomFunctionsSpec
+    * proves the expression bit-identical to that recipe).
+    * `private[graft]` so the lossless-banding spec can brute-force pairs
+    * from the same signatures and prove the pigeonhole candidates
+    * identical. */
   private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
     val orig = base.select(col("doc_id"), col("source"), col("toks"))
     val variant = base.select((col("doc_id") + 1000000).as("doc_id"), col("source"),
       expr("slice(toks, 1, greatest(size(toks) - 3, 1))").as("toks"))
-    val votes = orig.unionByName(variant)
-      .select(col("doc_id"), col("source"), explode(col("toks")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-      .select(col("doc_id"), col("source"),
-        explode(expr("transform(sequence(0, 31), b -> " +
-          "named_struct('bit', b, 'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
-      .groupBy(col("doc_id"), col("source"), col("bv.bit").as("bit"))
-      .agg(sum("bv.v").as("s"))
-    votes.groupBy("doc_id", "source")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
+    orig.unionByName(variant)
+      .select(col("doc_id"), col("source"), expr("graft_simhash(toks)").as("sig"))
   }
 
   val queries: Map[String, Q] = Map(

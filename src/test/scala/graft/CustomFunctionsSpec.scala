@@ -51,6 +51,35 @@ class CustomFunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("graft_simhash is bit-identical to the explode/bit-vote recipe it replaced") {
+    GraftFunctions.register(spark)
+    // the pre-expression declarative shape, inlined as the oracle: per
+    // token, 32 (bit, ±1-vote) rows; sig = sum(shiftleft(1, bit)) over
+    // strictly-positive vote sums — INT shiftleft, so bit 31 contributes
+    // -2^31, which the expression must reproduce exactly
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val recipe = toks
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, 31), b -> " +
+          "named_struct('bit', b, 'v', CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
+      .groupBy(col("doc_id"), col("bv.bit").as("bit"))
+      .agg(sum("bv.v").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1, bit)")).otherwise(0)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = toks.select(col("doc_id"), expr("graft_simhash(toks)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native === recipe)
+    // null array -> null; empty array -> all votes 0 (not > 0) -> sig 0
+    val edge = spark.sql(
+      "SELECT graft_simhash(CAST(NULL AS ARRAY<STRING>)) AS a, " +
+        "graft_simhash(CAST(array() AS ARRAY<STRING>)) AS b").head()
+    assert(edge.isNullAt(0) && edge.getLong(1) === 0L)
+  }
+
   test("MinHashAgg matches the HOF signature recipe of q_dedup_minhash") {
     import spark.implicits._
     val shingles = Seq("a b c", "b c d", "c d e")
