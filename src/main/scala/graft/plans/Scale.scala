@@ -59,6 +59,23 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Compact a parquet dataset into files of ~`targetBytesPerFile`: the
+    * small-files fix for streaming/incremental sinks (thousands of tiny
+    * files per day destroy scan planning and NameNode/listing behavior at
+    * scale). File count comes from the source's real on-disk bytes — a
+    * planning-time FS stat, no extra job — and rows are hash-scattered
+    * round-robin so output files are even-sized. Readers of the result
+    * get the same data in max(1, ceil(bytes/target)) files. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+      targetBytesPerFile: Long = 128L << 20): Int = {
+    val bytes = sourceBytes(spark, srcPath)
+    val files = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    spark.read.parquet(srcPath)
+      .repartition(files)
+      .write.mode(SaveMode.Overwrite).parquet(dstPath)
+    files
+  }
+
   /** Deterministic `factor`× blow-up of an sf directory's LLM-pipeline
     * tables (documents, embeddings, events), other tables copied as-is —
     * the load-test input for proving a plan survives a scale-up rather

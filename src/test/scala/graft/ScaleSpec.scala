@@ -130,6 +130,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("compact squeezes a many-small-files dataset into the computed file count") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("frag").toString + "/t"
+    val dst = Files.createTempDirectory("compact").toString + "/t"
+    // simulate a streaming sink's fragmentation: 64 tiny files
+    (1 to 64000).map(i => (i.toLong, s"payload_$i")).toDF("id", "v")
+      .repartition(64).write.parquet(src)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) === 64)
+    val planned = Scale.compact(spark, src, dst, targetBytesPerFile = 256L * 1024)
+    assert(parquetFiles(dst) === planned && planned < 16,
+      s"expected < 16 compacted files, got $planned")
+    // same data, nothing lost or duplicated
+    val a = spark.read.parquet(src).orderBy("id").collect()
+    val b = spark.read.parquet(dst).orderBy("id").collect()
+    assert(a.length === 64000 && a.toSeq === b.toSeq)
+  }
+
   test("skew: salting cuts the hot key's max reducer share on a 50%-hot join", Slow) {
     import spark.implicits._
     // One user owns HALF the fact rows — the q_sessionize/q_evt_funnel
