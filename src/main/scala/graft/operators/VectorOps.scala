@@ -142,6 +142,31 @@ object VectorOps {
         .orderBy(col("va").asc, col("rn").asc)
     }),
 
+    // Batch kNN: top-5 neighbors for a BATCH of query vectors (vec_id <
+    // 10) in one corpus pass — the serving shape when queries arrive in
+    // micro-batches. The whole batch rides along as one broadcast row of
+    // (qid, vector) structs; each corpus row scores all queries inside a
+    // single transform (no corpus×queries join output — the row-explosion
+    // audit stays clean), then explodes to (qid, sim) candidates for the
+    // per-query top-k window. Shuffle is corpus × |batch| candidate rows
+    // with |batch| bounded by the declared batch size.
+    "q_knn_batch" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val qb = e.where(col("vec_id") < 10)
+        .agg(collect_list(struct(col("vec_id").as("qid"), col("embedding").as("qv"))).as("qs"))
+      val scored = e.where(col("vec_id") >= 10)
+        .crossJoin(broadcast(qb))
+        .select(col("vec_id"), explode(expr(
+          "transform(qs, q -> named_struct('qid', q.qid, 'sim', round(graft_dot(embedding, q.qv), 6)))")).as("c"))
+        .select(col("c.qid").as("qid"), col("vec_id"), col("c.sim").as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("qid", "vec_id", "sim", "rn")
+        .orderBy(col("qid").asc, col("rn").asc)
+    }),
+
     // Multimodal join: text metadata ⋈ vector rows (1:1 at sf0.001/0.01,
     // inner semantics per FIXTURES.md).
     "q_multimodal_join" -> ((s, d) => {
@@ -261,6 +286,18 @@ object VectorOps {
         |           AND a.vec_id < b.vec_id
         |         GROUP BY a.label, a.vec_id, b.vec_id)
         |SELECT va, vb, sim FROM dots WHERE sim >= 0.99 ORDER BY va, vb""".stripMargin,
+
+    "q_knn_batch" ->
+      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, pos, v FROM ex WHERE vec_id < 10),
+        |c AS (SELECT vec_id, pos, v FROM ex WHERE vec_id >= 10),
+        |dots AS (SELECT q.qid, c.vec_id, round(sum(q.v * c.v), 6) AS sim
+        |         FROM q JOIN c ON q.pos = c.pos GROUP BY q.qid, c.vec_id)
+        |SELECT qid, vec_id, sim, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rn
+        |  FROM dots) t
+        |WHERE rn <= 5 ORDER BY qid ASC, rn ASC""".stripMargin,
 
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars, e.label,

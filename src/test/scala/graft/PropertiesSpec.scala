@@ -68,6 +68,43 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("simhash is invariant under token permutation (multiset law)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the signature is a function of the token MULTISET: any ordering of
+    // the same tokens (with duplicates) must produce the same bits
+    val toks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "cc", "ddd", "e1", "the", "of", "q"))
+    check(Prop.forAll(toks, Gen.chooseNum(0L, 1000L)) { (ts, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(ts)
+      val r = Seq((ts.toArray, shuffled.toArray)).toDF("a", "b")
+        .select(expr("graft_simhash(a)").as("sa"), expr("graft_simhash(b)").as("sb")).head()
+      r.getLong(0) == r.getLong(1)
+    })
+  }
+
+  test("prefix-filter theorem: every pair with jaccard >= 0.5 shares a prefix shingle") {
+    // the exact set-similarity bound q_dedup_ngram_jaccard's candidate
+    // join relies on, checked against random shingle sets: under the
+    // (doc-frequency, shingle) total order, two sets with jac >= 0.5 MUST
+    // intersect within their first floor(|sh|/2)+1 shingles
+    val docGen = Gen.listOfN(8, Gen.nonEmptyListOf(Gen.chooseNum(0, 25)).map(_.distinct))
+    check(Prop.forAll(docGen) { docs0 =>
+      val docs = docs0.filter(_.nonEmpty)
+      val df = docs.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(sh: List[Int]): Set[Int] =
+        sh.sortBy(g => (df(g), g)).take(sh.size / 2 + 1).toSet
+      docs.zipWithIndex.forall { case (a, ia) =>
+        docs.zipWithIndex.forall { case (b, ib) =>
+          ia >= ib || {
+            val sa = a.toSet; val sb = b.toSet
+            val jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+            jac < 0.5 || prefix(a).intersect(prefix(b)).nonEmpty
+          }
+        }
+      }
+    }, tests = 30)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
