@@ -43,7 +43,8 @@ object Plans {
   private val intentionalNestedLoop = Map(
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
-    "q_knn_ivf"         -> "1-row query-vector + 1-row probe-cell broadcasts",
+    "q_knn_ivf"         -> "1-row codebook-array + probe-cell broadcasts",
+    "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
   )

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer for graft's native functions — the
+  * production injection path: a deployment sets
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) and every session on the
+  * cluster has `graft_dot`, `graft_simhash`, and `shingles` from birth,
+  * catalog-visible with usage strings — no per-query
+  * `GraftFunctions.register` call to forget. The per-query register
+  * remains for ad-hoc sessions; both bind the same Expression classes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays, accumulated in double"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 32-bit SimHash signature of a token array"),
+      (exprs: Seq[Expression]) => SimHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      info("shingles", "shingles(tokens, n) - generator of distinct n-token shingles"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).eval(null) match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingles(tokens, n): n must be an integer literal, got $other")
+        }
+        ShingleGenerator(exprs.head, n)
+      }))
+  }
+}

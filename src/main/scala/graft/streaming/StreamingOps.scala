@@ -12,6 +12,9 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running state for the arbitrary-stateful operator. */
 case class UserAgg(user_id: Long, n: Long, total: Double)
 
+/** Document-ingest event for the streaming content-dedup operator. */
+case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 /** Open-session state for the event-time-timeout sessionizer: epoch-ms
   * bounds plus the running event count. */
 case class SessState(startMs: Long, lastMs: Long, n: Long)
@@ -61,6 +64,18 @@ object StreamingOps {
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Streaming exact-content dedup — the q_dedup_exact twin for a
+    * document INGEST stream: the dedup key is the batch operator's exact
+    * normalization (sha256 of lowercased trimmed text), and
+    * `dropDuplicatesWithinWatermark` bounds the seen set to the watermark
+    * horizon, so state never grows with the full corpus — the only viable
+    * exact-dedup contract on an unbounded stream (global history requires
+    * the batch path). Input needs `ts` and `text` columns. */
+  def dedupByContent(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_key", sha2(lower(trim(col("text"))), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_key")
 
   /** Stream-stream interval join: (click, purchase) pairs for the same
     * user with the purchase at most `withinHours` after the click. BOTH

@@ -51,6 +51,47 @@ class CustomFunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("GraftExtensions wires the native functions into a session at build time") {
+    // the production injection path (spark.sql.extensions) — build a
+    // second session over the SAME SparkContext with the extensions
+    // installed and use the functions without any register() call.
+    // Suites run sequentially in this forked JVM (testForkedParallel is
+    // off), so the clear/restore of the default session cannot race.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+          "graft_simhash(array('a', 'b')) AS s").head()
+      assert(r.getDouble(0) === 11.0)
+      GraftFunctions.register(spark)
+      val expected = spark.sql("SELECT graft_simhash(array('a', 'b'))").head().getLong(0)
+      assert(r.getLong(1) === expected,
+        "extension-injected simhash disagrees with the register() path")
+      // the generator is injected too: 3 tokens -> 2 bigram shingles
+      val sh = s2.sql("SELECT shingle FROM (SELECT shingles(array('a','b','c'), 2))")
+        .collect().map(_.getString(0)).toSeq
+      assert(sh === Seq("a b", "b c"))
+      // catalog-visible with a usage string
+      val desc = s2.sql("DESCRIBE FUNCTION graft_simhash")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.toLowerCase.contains("graft_simhash"))
+    } finally {
+      // s2 shares the SparkContext — never stop it; just restore sessions
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_simhash is bit-identical to the explode/bit-vote recipe it replaced") {
     GraftFunctions.register(spark)
     // the pre-expression declarative shape, inlined as the oracle: per

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{Ev, StreamingOps}
+import graft.streaming.{DocEv, Ev, StreamingOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -161,6 +161,29 @@ class StreamingSpec extends AnyFunSuite {
         .select("session_start", "session_end", "ev").collect()
         .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
       assert(closed.toSeq === Seq((ts("10:00"), ts("10:10"), 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming content dedup drops in-horizon duplicates, state bounded by watermark") {
+    import spark.implicits._
+    val in = MemoryStream[DocEv](12, spark, None)
+    val q = StreamingOps.dedupByContent(in.toDF(), watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("content_dedup_out").start()
+    try {
+      in.addData(DocEv(1, ts("10:00"), "The quick fox"), DocEv(2, ts("10:05"), "other text"))
+      q.processAllAvailable()
+      // same normalized content ("  the QUICK fox " -> "the quick fox"),
+      // different doc, within the hour: dropped
+      in.addData(DocEv(3, ts("10:30"), "  the QUICK fox "))
+      q.processAllAvailable()
+      assert(spark.table("content_dedup_out").count() === 2)
+      // fresh content always passes
+      in.addData(DocEv(4, ts("10:40"), "genuinely new"))
+      q.processAllAvailable()
+      val ids = spark.table("content_dedup_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
     } finally q.stop()
   }
 
