@@ -158,6 +158,23 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Stratified subsample: exactly 5 docs per language, picked by md5
+    // order within the stratum — the "balance the languages" curation
+    // step. The md5 ordering is a portable deterministic shuffle (same
+    // pick on any engine, any run, any partitioning — Spark's sampleBy
+    // is seeded but per-partition, so its picks change with the split);
+    // one shuffle on the stratum key, the per-stratum sort is top-k
+    // pruned by the rank filter.
+    "q_sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    }),
+
     // tf-idf: top-3 terms per language by summed tf·idf. Two aggregations
     // + one broadcast-able join on term; the corpus size N is joined in as
     // a 1-row broadcast rather than a driver-side collect.
@@ -274,6 +291,13 @@ object TextOps {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -70,6 +70,40 @@ object Multimodal {
         col("n_chars").as("n_bytes")).as("meta"))
   }
 
+  /** Frame sampling for video-like payloads: the payload splits into
+    * fixed `frameBytes` chunks ("frames") and every `everyN`th is kept,
+    * one output row per kept frame with its index. The chunking stands in
+    * for a real frame decoder; the Spark-side shape is the real thing —
+    * per-row array build + `explode` (a Generator), so frames STREAM into
+    * downstream operators inside codegen instead of materializing a
+    * frames array per asset, and a 100 TB video table fans out linearly.
+    * Null payloads produce no rows (explode of null). */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 1024, everyN: Int = 2): DataFrame = {
+    require(frameBytes >= 1 && everyN >= 1)
+    assets
+      .withColumn("nf",
+        greatest(ceil(length(col("payload")).cast("double") / frameBytes).cast("int"), lit(1)))
+      .select(col("asset_id"), col("modality"),
+        explode(expr(
+          s"transform(filter(sequence(0, nf - 1), i -> i % $everyN = 0), " +
+            s"i -> named_struct('frame_idx', i, 'frame', substring(payload, i * $frameBytes + 1, $frameBytes)))")).as("f"))
+      .select(col("asset_id"), col("modality"),
+        col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
+  }
+
+  /** Resize stub at the codec boundary: truncate the payload to
+    * `targetBytes` (a real build swaps in an image scaler) and keep the
+    * metadata's n_bytes consistent. Pure per-row projection — the
+    * downstream contract (payload within a size budget, meta in sync) is
+    * what matters for pipeline sizing. */
+  def resizeToBytes(assets: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1)
+    assets
+      .withColumn("payload", substring(col("payload"), 1, targetBytes))
+      .withColumn("meta",
+        col("meta").withField("n_bytes", least(col("meta.n_bytes"), lit(targetBytes.toLong))))
+  }
+
   /** Batched feature extraction: size-aware repartition (so one task never
     * holds more than ~`targetBytesPerTask` of payload), then a
     * mapPartitions pass handing the codec whole batches — the Scala

@@ -93,6 +93,37 @@ class LedgerMultimodalSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("frame sampling streams every Nth fixed-size chunk with stable indices") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 64, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getAs[Array[Byte]](3)))
+    assert(frames.nonEmpty)
+    // only even frame indices survive everyN=2, and no frame exceeds the size
+    assert(frames.forall { case (_, idx, f) => idx % 2 === 0 && f.length <= 64 })
+    // per asset: kept count matches ceil(bytes/64) sampled every 2nd
+    val bytesPer = assets.select("asset_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    val perAsset = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perAsset.forall { case (id, n) =>
+      val nf = math.max(1, (bytesPer(id) + 63) / 64)
+      n === (nf + 1) / 2
+    })
+    // frame 0 is the payload prefix
+    val first = frames.filter(f => f._1 === 0L && f._2 === 0).head._3
+    val payload0 = assets.where(col("asset_id") === 0).select("payload")
+      .head().getAs[Array[Byte]](0)
+    assert(first.toSeq === payload0.take(64).toSeq)
+  }
+
+  test("resize stub bounds payload and keeps metadata in sync") {
+    val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
+    val resized = Multimodal.resizeToBytes(assets, targetBytes = 100)
+      .select(col("asset_id"), length(col("payload")).as("len"), col("meta.n_bytes").as("nb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(resized.nonEmpty)
+    assert(resized.forall { case (_, len, nb) => len <= 100 && nb <= 100 && nb >= len })
+  }
+
   test("partition sizing survives inputs whose plan stats are unreliable") {
     val assets = Multimodal.assetsFromDocuments(spark, "/root/testdata/sf0.001")
     // RDD-backed plan: Catalyst reports defaultSizeInBytes (Long.MaxValue)
