@@ -135,6 +135,26 @@ object Extended {
         .orderBy("user_id")
     }),
 
+    // Day-over-day retention cohort: per activity day, how many of its
+    // distinct active users come back the next day. Activity first
+    // collapses to distinct (user, day) — events per user-day disappear
+    // before any join — then a self-join on (user, day+1) keyed on
+    // user_id. Both aggs and the join shuffle on bounded keys.
+    "q_evt_retention" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val act = days.groupBy("day").agg(countDistinct(col("user_id")).as("active"))
+      val ret = days.join(
+          days.select(col("user_id").as("user_b"), col("day").as("day_b")),
+          col("user_id") === col("user_b") && col("day_b") === date_add(col("day"), 1))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("retained"))
+      act.join(ret, Seq("day"), "left_outer")
+        .select(col("day"), col("active"),
+          coalesce(col("retained"), lit(0L)).as("retained"),
+          round(coalesce(col("retained"), lit(0L)).cast("double") / col("active"), 4).as("rate"))
+        .orderBy("day")
+    }),
+
     // Near-exact dedup on NORMALIZED text (case/punctuation-insensitive):
     // the canonical first pass of a training-data dedup pipeline. The
     // corpus plants uppercase copies (doc_id + 1_000_000) that only
@@ -153,6 +173,19 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |act AS (SELECT day, count(DISTINCT user_id) AS active FROM days GROUP BY day),
+        |ret AS (SELECT a.day, count(DISTINCT a.user_id) AS retained
+        |        FROM days a JOIN days b
+        |          ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+        |        GROUP BY a.day)
+        |SELECT act.day, act.active,
+        |  coalesce(ret.retained, 0) AS retained,
+        |  round(CAST(coalesce(ret.retained, 0) AS DOUBLE) / act.active, 4) AS rate
+        |FROM act LEFT JOIN ret ON act.day = ret.day
+        |ORDER BY act.day""".stripMargin,
+
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  ntile(4) OVER w AS quartile,
