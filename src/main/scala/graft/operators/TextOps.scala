@@ -127,16 +127,21 @@ object TextOps {
 
     // Vocabulary build: top-50 tokens by collection frequency with doc
     // frequency and a running cumulative count — the vocab/coverage-curve
-    // artifact of a tokenizer-training pipeline. One explode + one agg +
-    // a 50-row window.
+    // artifact of a tokenizer-training pipeline. The top-50 cut is
+    // orderBy+limit (TakeOrderedAndProject: per-partition partial top-k,
+    // 50 rows per map task reach the driver-side merge) — NOT a global
+    // row_number window, which Spark's WindowGroupLimit does not prune
+    // when partitionBy is empty, so a billion-token vocabulary would
+    // funnel through one reducer. The windows then rank/accumulate over
+    // just the 50 survivors.
     "q_vocab_topk" -> ((s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val vocab = tok.groupBy("token")
         .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      val top = vocab.orderBy(col("cf").desc, col("token").asc).limit(50)
       val w = Window.orderBy(col("cf").desc, col("token").asc)
-      vocab.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 50)
+      top.withColumn("rank", row_number().over(w))
         .withColumn("cum_cf", sum("cf").over(
           Window.orderBy(col("rank").asc).rowsBetween(Window.unboundedPreceding, 0)))
         .select("rank", "token", "cf", "df", "cum_cf")
