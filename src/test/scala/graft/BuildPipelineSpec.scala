@@ -20,6 +20,34 @@ class BuildPipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("curation pipeline: redact, gate, dedup, split compose end to end") {
+    import graft.sources.CurationPipeline
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val curated = CurationPipeline.curate(spark, sf, minScore = 0.3)
+    val rows = curated.collect()
+    assert(rows.nonEmpty && rows.length <= docs.count())
+    // redaction really happened: no digit survives in any kept text
+    assert(rows.forall(!_.getAs[String]("text").exists(_.isDigit)))
+    // quality gate: every kept doc meets the threshold
+    assert(rows.forall(_.getAs[Double]("score") >= 0.3))
+    // dedup: normalized content hashes are unique among keepers
+    val hashes = curated
+      .select(sha2(lower(trim(col("text"))), 256).as("h")).collect().map(_.getString(0))
+    assert(hashes.length === hashes.distinct.length)
+    // split assignment is total and deterministic across runs
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    val again = CurationPipeline.curate(spark, sf, minScore = 0.3)
+      .orderBy("doc_id").collect().toSeq
+    assert(curated.orderBy("doc_id").collect().toSeq === again)
+    // split-partitioned landing supports pruning
+    val out = Files.createTempDirectory("curated").toString + "/c"
+    CurationPipeline.writeSplits(curated, out)
+    val train = spark.read.parquet(out).where(col("split") === "train")
+    assert(train.count() > 0)
+    assert(train.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("resumable batched build covers the key space exactly once") {
     import spark.implicits._
     val base = Files.createTempDirectory("build").toString
