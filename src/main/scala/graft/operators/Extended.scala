@@ -155,6 +155,26 @@ object Extended {
         .orderBy("day")
     }),
 
+    // DAU / WAU / stickiness per day: each (user, day) activity fact
+    // contributes to the 7-day windows of days day..day+6, expressed as
+    // a 7-row explode (keyed shuffle, linear) rather than a day-range
+    // self-join; WAU days outside the observed range are dropped by the
+    // semi-join back to real days. countDistinct handles users active on
+    // several days of one window exactly once.
+    "q_evt_wau" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = days.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val contrib = days.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"))
+      val wau = contrib.join(days.select("day").distinct(), Seq("day"), "left_semi")
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // Near-exact dedup on NORMALIZED text (case/punctuation-insensitive):
     // the canonical first pass of a training-data dedup pipeline. The
     // corpus plants uppercase copies (doc_id + 1_000_000) that only
@@ -173,6 +193,18 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_wau" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),
+        |wau AS (SELECT a.day, count(DISTINCT b.user_id) AS wau
+        |        FROM (SELECT DISTINCT day FROM days) a
+        |        JOIN days b ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+        |        GROUP BY a.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
+
     "q_evt_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
         |act AS (SELECT day, count(DISTINCT user_id) AS active FROM days GROUP BY day),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: PLANS.md documents the audited plans,
+  * but these asserts make the load-bearing shapes FAIL the build if a
+  * refactor regresses them — top-k fusion, broadcast choice, the absence
+  * of nested-loop joins on the linear dedup paths, and map-side window
+  * group limits on rank-filtered tops.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AQE-final physical plan text, after executing this plan instance. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("top-k queries fuse to TakeOrderedAndProject (no global sort)") {
+    assert(finalPlan("q_topk").contains("TakeOrderedAndProject"))
+    assert(finalPlan("q_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship join broadcasts the dimension and never nested-loops") {
+    val p = finalPlan("q_join_bhj")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("linear dedup paths carry no nested-loop or cartesian join") {
+    for (q <- Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_ngram_jaccard", "q_dedup_embed")) {
+      val p = finalPlan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a nested-loop/cartesian join")
+    }
+  }
+
+  test("rank-filtered per-group tops get map-side WindowGroupLimit") {
+    // q_sample_stratified (rn <= 5 per lang) and q_win_topn rely on the
+    // partial group limit so only k rows per map task reach the shuffle
+    assert(finalPlan("q_sample_stratified").contains("WindowGroupLimit"))
+    assert(finalPlan("q_win_topn").contains("WindowGroupLimit"))
+  }
+
+  test("sessionize keeps a single exchange keyed on user_id") {
+    val p = finalPlan("q_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+}
