@@ -178,6 +178,22 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
     }),
+
+    // t-digest-style quantile sketch (approx_percentile with a bounded
+    // accuracy parameter) — the scale path where exact percentile's full
+    // sort-per-group is unaffordable; the sketch partial-merges map-side
+    // like any aggregate. No oracle (sketch internals are engine-
+    // specific); LlmOpsSpec bounds its error against the exact
+    // percentiles. Array output serialized to a string for the driver's
+    // row hasher.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "array_join(transform(approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000), " +
+            "x -> cast(round(x, 2) AS STRING)), ',')").as("p50_90_99"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracle: Map[String, String] = Map(

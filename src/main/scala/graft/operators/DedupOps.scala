@@ -69,6 +69,49 @@ object DedupOps {
       .select(col("doc_id"), col("source"), expr("graft_simhash(toks)").as("sig"))
   }
 
+  /** MinHash+LSH near-dup pairs with parameterized banding — the
+    * recall/cost dial: k hashes split into `bands` bands of k/bands
+    * rows; a pair is a candidate iff some band's rows all agree, so for
+    * shingle Jaccard j the hit probability is 1-(1-j^(k/bands))^bands —
+    * more, narrower bands buy recall at lower similarity for a
+    * proportional increase in candidate volume. Every candidate is
+    * refined with the true shingle Jaccard, so banding affects recall
+    * only, never precision. The declared q_dedup_minhash is 16 hashes in
+    * 4x4 banding; LlmOpsSpec measures the dial against 8x2. */
+  def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    GraftFunctions.register(s)
+    val minhash = udaf(new MinHashAgg(k))
+    val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+    val toksU = base.select(col("doc_id"), col("toks"))
+      .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+        expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
+    val sigs = toksU
+      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhash(col("shingle")).as("sig"))
+    val bandRows = sigs.select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
+    val b = bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    val cands = a.join(b, col("band") === col("band_b") &&
+        col("bucket") === col("bucket_b") && col("da") < col("db"))
+      .select("da", "db").distinct()
+    // refine candidates with true shingle-set Jaccard
+    val shs = nearDupCorpus(s, d).where(size(col("sh")) > 0)
+    cands
+      .join(shs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(shs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
+      .where(col("jac") >= 0.5)
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize → sha256 → group, deterministic min keeper.
     // (xxhash64 is the at-scale choice but has no DuckDB twin — the
@@ -144,37 +187,7 @@ object DedupOps {
     // aggregator salts exactly like xxhash64(concat(cast(i AS STRING), t)),
     // so signatures are interchangeable with the HOF recipe, which remains
     // as the equivalence oracle in CustomFunctionsSpec.
-    "q_dedup_minhash" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val minhash = udaf(new MinHashAgg(16))
-      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
-      val toksU = base.select(col("doc_id"), col("toks"))
-        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
-          expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
-      val sigs = toksU
-        .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
-        .groupBy("doc_id")
-        .agg(minhash(col("shingle")).as("sig"))
-      val bands = sigs.select(col("doc_id"),
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
-            "transform(slice(sig, b * 4 + 1, 4), x -> cast(x AS STRING))))))")).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val a = bands.select(col("doc_id").as("da"), col("band"), col("bucket"))
-      val b = bands.select(col("doc_id").as("db"), col("band").as("band_b"),
-        col("bucket").as("bucket_b"))
-      val cands = a.join(b, col("band") === col("band_b") &&
-          col("bucket") === col("bucket_b") && col("da") < col("db"))
-        .select("da", "db").distinct()
-      // refine candidates with true shingle-set Jaccard
-      val shs = nearDupCorpus(s, d).where(size(col("sh")) > 0)
-      cands
-        .join(shs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-        .join(shs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-        .select(col("da"), col("db"), jaccard("sha", "shb").as("jac"))
-        .where(col("jac") >= 0.5)
-        .orderBy("da", "db")
-    }),
+    "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, k = 16, bands = 4)),
 
     // SimHash: 32-bit signature from token-hash bit votes; near-dups =
     // same-source pairs within Hamming distance 2 (16-bit/dist-3 passed

@@ -31,6 +31,23 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH recall too low: $planted of $nDocs planted pairs found")
   }
 
+  test("minhash banding dial: 8x2 banding recalls at least as much as the declared 4x4") {
+    import graft.operators.DedupOps
+    // 1-(1-j^r)^b is pointwise higher for more, narrower bands; the
+    // candidate volume is the price. Both runs share hashes (k=16), so
+    // the comparison isolates banding.
+    val nDocs = Tables.documents(spark, sf).count()
+    def plantedRecall(bands: Int): Double = {
+      val pairs = DedupOps.minhashPairs(spark, sf, k = 16, bands = bands)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairs.count { case (a, b) => b == a + 1000000 }.toDouble / nDocs
+    }
+    val r4 = plantedRecall(4)
+    val r8 = plantedRecall(8)
+    assert(r8 >= r4, s"narrower bands lost recall: 4x4=$r4, 8x2=$r8")
+    assert(r8 >= 0.8, s"8x2 planted recall too low: $r8")
+  }
+
   test("simhash near-dups include planted pairs, modest false-positive rate") {
     val rows = SparkEntry.queries("q_dedup_simhash")(spark, sf)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -165,6 +182,21 @@ class LlmOpsSpec extends AnyFunSuite {
     // nprobe=1 over a 10-cell codebook: expect some but not necessarily
     // full overlap with the exact result.
     assert((exact & ivf).nonEmpty, s"IVF recall 0: exact=$exact ivf=$ivf")
+  }
+
+  test("approx_percentile within 5% of exact per group") {
+    val sf01 = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_agg_approx_percentile")(spark, sf01)
+      .collect().map(r => r.getString(0) ->
+        r.getString(1).split(",").map(_.toDouble)).toMap
+    val exact = Tables.lineitem(spark, sf01)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, a) <- approx; (av, ev) <- a.zip(exact(k)))
+      assert(math.abs(av - ev) / ev <= 0.05,
+        s"group $k: approx $av vs exact $ev off by more than 5%")
   }
 
   test("approx_count_distinct within 15% of exact") {
