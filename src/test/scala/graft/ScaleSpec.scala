@@ -193,6 +193,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime", Slow) {
+    import spark.implicits._
+    // README's skew level 2: when the join IS sort-merge, AQE's skew
+    // handling splits the oversized partition using real runtime stats —
+    // no salting needed. Thresholds are forced low so the tiny fixture
+    // triggers the same code path a hot 100 TB key would.
+    val n = 200000L
+    val hot = spark.range(n).select(lit(1L).as("k"), col("id").as("payload"))
+    val tail = spark.range(1000).select((col("id") + 2).as("k"), col("id").as("payload"))
+    val big = hot.unionByName(tail)
+    val dim = spark.range(1002).select(col("id").as("k2"), concat(lit("v"), col("id")).as("v"))
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val joined = big.join(dim, $"k" === $"k2")
+      // execute THIS plan instance so its AQE-final plan is inspectable
+      // (a .count() would build and execute a different one)
+      assert(joined.queryExecution.executedPlan.execute().count() === n + 1000L)
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join partition:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     dropBucketTable("docs_b")
     dropBucketTable("emb_b")
