@@ -77,6 +77,30 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Streaming curation: the CurationPipeline composition on an ingest
+    * stream — redact and quality-gate are stateless per-row maps (they
+    * run unchanged in a micro-batch), and the dedup stage is the
+    * watermark-bounded content dedup above. The batch pipeline's split
+    * assignment applies downstream of the sink (it needs no state); what
+    * CANNOT stream is global-history dedup — that remains the batch
+    * path's job, which is exactly the horizon contract dedupByContent
+    * declares. Input needs `ts` and `text`. */
+  def curateStream(docs: DataFrame, minScore: Double = 0.3,
+      watermark: String = "1 hour"): DataFrame = {
+    val redacted = docs.withColumn("text", regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+    val scored = redacted
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
+          col("n_tok"))
+      .withColumn("score",
+        col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+      .where(col("score") >= minScore)
+      .drop("toks", "stop_ratio")
+    dedupByContent(scored, watermark)
+  }
+
   /** Stream-stream interval join: (click, purchase) pairs for the same
     * user with the purchase at most `withinHours` after the click. BOTH
     * sides are watermarked and the join condition bounds event time in

@@ -164,6 +164,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates low-quality docs and dedups content in one flow") {
+    import spark.implicits._
+    val in = MemoryStream[DocEv](13, spark, None)
+    val q = StreamingOps.curateStream(in.toDF(), minScore = 0.3, watermark = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curate_stream_out").start()
+    try {
+      val good = "the order of the table is the row of the query " * 3
+      in.addData(
+        DocEv(1, ts("10:00"), good + "one 123"),
+        DocEv(2, ts("10:05"), "x"), // 1 token, no stopwords -> gated out
+        DocEv(3, ts("10:10"), good + "one 456")) // same text post-redaction as doc 1
+      q.processAllAvailable()
+      val rows = spark.table("curate_stream_out")
+        .select("doc_id", "text", "score").collect()
+      assert(rows.map(_.getLong(0)).toSet === Set(1L),
+        "expected only doc 1: doc 2 fails the gate, doc 3 dedups against doc 1")
+      // redaction happened before dedup: the kept text carries the placeholder
+      assert(rows.head.getString(1).contains("<NUM>"))
+      assert(rows.head.getDouble(2) >= 0.3)
+    } finally q.stop()
+  }
+
   test("streaming content dedup drops in-horizon duplicates, state bounded by watermark") {
     import spark.implicits._
     val in = MemoryStream[DocEv](12, spark, None)
