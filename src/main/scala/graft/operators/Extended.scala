@@ -155,6 +155,24 @@ object Extended {
         .orderBy("day")
     }),
 
+    // Z-score outliers: events whose value sits >= 3 sigma from their
+    // event_type's mean. The per-type stats are a tiny aggregate
+    // broadcast back onto the stream — one scan + one broadcast join,
+    // no window over the full table. (Precedent for float-aggregate
+    // threshold comparisons surviving the cross-engine hash:
+    // q_subquery_scalar's avg comparison, green at both SFs.)
+    "q_evt_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .where(abs(col("z")) >= 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    }),
+
     // DAU / WAU / stickiness per day: each (user, day) activity fact
     // contributes to the 7-day windows of days day..day+6, expressed as
     // a 7-row explode (keyed shuffle, linear) rather than a day-range
@@ -193,6 +211,15 @@ object Extended {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_anomaly" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |               FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s.mu) / s.sigma, 4) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE abs((e.value - s.mu) / s.sigma) >= 3.0
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_evt_wau" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day),
