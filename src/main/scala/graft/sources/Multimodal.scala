@@ -134,7 +134,7 @@ object Multimodal {
     val totalBytes: BigInt =
       if (statsReliable) estimate
       else BigInt(assets.agg(coalesce(sum(col("meta.n_bytes")), lit(0L)))
-        .head.getLong(0))
+        .head().getLong(0))
     val parts = ((totalBytes / targetBytesPerTask + 1)
       .min(BigInt(10000)).max(BigInt(1))).toInt
     val outSchema = StructType(Seq(
