@@ -130,6 +130,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("upsampleCorpus at factor 1 is the identity on every table") {
+    val src = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("sf1x").toString
+    Scale.upsampleCorpus(spark, src, out, factor = 1)
+    // rep 0 keeps original text/ids and id*1+0 == id
+    val a = Tables.documents(spark, src).orderBy("doc_id").collect()
+    val b = Tables.documents(spark, out).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    val ea = Tables.events(spark, src).count()
+    val eb = Tables.events(spark, out).count()
+    assert(ea === eb)
+    assert(Tables.embeddings(spark, out).count() === Tables.embeddings(spark, src).count())
+    // copied tables are byte-identical reads
+    assert(Tables.lineitem(spark, out).count() === Tables.lineitem(spark, src).count())
+  }
+
+  test("compact handles an empty dataset without failing") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("emptyc").toString + "/t"
+    val dst = Files.createTempDirectory("emptyc2").toString + "/t"
+    Seq.empty[(Long, String)].toDF("id", "v").write.parquet(src)
+    val files = Scale.compact(spark, src, dst, targetBytesPerFile = 1L << 20)
+    assert(files === 1)
+    assert(spark.read.parquet(dst).count() === 0)
+  }
+
   test("compact squeezes a many-small-files dataset into the computed file count") {
     import spark.implicits._
     val src = Files.createTempDirectory("frag").toString + "/t"
