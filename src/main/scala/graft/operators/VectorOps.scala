@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: brute-force kNN is one broadcast + one scan +
   * TakeOrderedAndProject; the similarity join is label-blocked (never
-  * all-pairs); the IVF variant prunes probes to one coarse cell — the
-  * standard billion-vector layout (coarse quantizer + per-cell lists).
+  * all-pairs); the IVF variant prunes probes to the query's top-nprobe
+  * coarse cells (cell assignment scores the whole codebook inside one
+  * per-row expression, never an n x cells join) — the standard
+  * billion-vector layout (coarse quantizer + per-cell lists).
   */
 object VectorOps {
 
