@@ -32,7 +32,6 @@ object Plans {
     * row-explosion flag. */
   private val intentionalExplosion = Map(
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
-    "q_sim_join_topk"   -> "build side deliberately replicated x16 sub-blocks for parallelism",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
     "q_jaccard_pairs"   -> "declared bounded pair enumeration (doc_id<200 cap)",
   )
@@ -45,6 +44,8 @@ object Plans {
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
     "q_knn_ivf"         -> "1-row codebook-array + probe-cell broadcasts",
     "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",
+    "q_knn_sq8"         -> "1-row quantized-query broadcast (SQ8 scan + rerank)",
+    "q_sim_join_topk"   -> "1-row IVF-codebook-array broadcast (cell assignment)",
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
   )

@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * are bit-identical (the DuckDB oracle proves the swap).
   *
   * Scale posture: brute-force kNN is one broadcast + one scan +
-  * TakeOrderedAndProject; the similarity join is label-blocked (never
-  * all-pairs); the IVF variant prunes probes to the query's top-nprobe
-  * coarse cells (cell assignment scores the whole codebook inside one
-  * per-row expression, never an n x cells join) — the standard
-  * billion-vector layout (coarse quantizer + per-cell lists).
+  * TakeOrderedAndProject; the similarity self-join generates candidates
+  * from trained IVF cells in posting-list layout (never all-pairs); the
+  * IVF variant prunes probes to the query's top-nprobe coarse cells
+  * (cell assignment scores the whole codebook inside one per-row
+  * expression, never an n x cells join) — the standard billion-vector
+  * layout (coarse quantizer + per-cell lists); SQ8 search scans int8
+  * vectors (1/4 the bytes) and reranks a bounded candidate set at full
+  * precision.
   */
 object VectorOps {
 
@@ -39,6 +42,66 @@ object VectorOps {
       .select(col("label").as("c_label"), expr("transform(pc, x -> x.c)").as("centroid"))
   }
 
+  /** The label-supervised coarse codebook (a degenerate stand-in for a
+    * trained one — see `trainCodebook`): one cell per label. */
+  private def perLabelCodebook(e: DataFrame): DataFrame =
+    centroids(e).select(col("c_label").as("cell"), col("centroid"))
+
+  /** Attach a `ranked` column: every codebook cell scored against the
+    * row's embedding, best first ((-dot, cell) struct sort — ascending on
+    * negated dot == descending similarity, cell id as the tiebreak). The
+    * whole codebook rides along as ONE broadcast row of (cell, centroid)
+    * structs and the argmax happens inside a per-row projection — scoring
+    * n vectors against C cells costs n*C dot products but materializes n
+    * rows, not n*C (a crossJoin-per-centroid + window shape would shuffle
+    * n*C rows just to argmax them; the plan audit's row-explosion detector
+    * catches exactly that shape). */
+  private def rankCells(e: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(collect_list(struct(col("cell"), col("centroid"))).as("cells"))
+    e.crossJoin(broadcast(cbArr))
+      .withColumn("ranked", expr(
+        "array_sort(transform(cells, c -> struct(-graft_dot(embedding, c.centroid) AS negs, c.cell AS cl)))"))
+      .drop("cells")
+  }
+
+  /** Unsupervised coarse quantizer: spherical k-means trained with
+    * Lloyd's iterations expressed entirely in DataFrame ops — assignment
+    * is the same broadcast-codebook argmax every IVF read path uses
+    * (`rankCells`), the update is posexplode → groupBy(cell, pos) → avg.
+    * No step shuffles more than the corpus once per iteration, and the
+    * codebook itself never exceeds k rows (localCheckpoint truncates the
+    * per-iteration lineage so iteration i's plan does not nest iteration
+    * i-1's).
+    *
+    * Determinism: seeds are the k vectors with the smallest
+    * xxhash64(vec_id) (TakeOrderedAndProject, no full sort — an
+    * arbitrary-but-fixed sample independent of row order); centroids are
+    * L2-normalized (so argmax-dot == nearest-center for unit vectors) and
+    * rounded to 6dp so float-summation-order ulps can never flip a cell
+    * assignment. Cells that lose every member drop out (k shrinks), the
+    * standard Lloyd's degeneracy. */
+  def trainCodebook(e: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    var cb = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").cast("string").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = rankCells(e, cb)
+        .select(col("embedding"), expr("ranked[0].cl").as("cell"))
+      cb = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), expr("transform(pc, x -> x.c)").as("m"))
+        .select(col("cell"), expr(
+          "transform(m, x -> round(x / sqrt(aggregate(m, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)), 6))")
+          .as("centroid"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
   /** IVF-style ANN with parameterized multi-probe over any (vec_id,
     * label, embedding) frame: per-label centroids as the coarse codebook,
     * every vector assigned to its argmax-dot cell, the query brute-forced
@@ -54,20 +117,12 @@ object VectorOps {
     * exceed ~nprobe/cells recall, measured and documented in the spec).
     * The probe set stays a tiny broadcast (nprobe rows), so the big side
     * is still one pass, no shuffle. */
-  def knnIvfOn(e: DataFrame, nprobe: Int, k: Int = 10, queryId: Long = 0): DataFrame = {
-    // The whole codebook rides along as ONE broadcast row of
-    // (label, centroid) structs and cell assignment is an array_sort
-    // inside a per-row projection — scoring n vectors against C cells
-    // costs n*C dot products but materializes n rows, not n*C (the
-    // crossJoin-per-centroid + window shape this replaces shuffled n*C
-    // rows just to argmax them: a 4096-cell codebook at 100 TB would
-    // amplify the shuffle 4096x; the plan audit's row-explosion detector
-    // catches exactly that shape).
-    val cbArr = centroids(e).agg(collect_list(struct(col("c_label"), col("centroid"))).as("cells"))
-    val scored = e.crossJoin(broadcast(cbArr))
-      // ascending sort on (-dot, label) == best cell first, label tiebreak
-      .withColumn("ranked", expr(
-        "array_sort(transform(cells, c -> struct(-graft_dot(embedding, c.centroid) AS negs, c.c_label AS cl)))"))
+  def knnIvfOn(e: DataFrame, nprobe: Int, k: Int = 10, queryId: Long = 0,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    // Codebook defaults to the per-label stand-in; pass
+    // trainCodebook(e, cells) for the unsupervised quantizer (recall on a
+    // clustered corpus is pinned against the per-label one in LlmOpsSpec).
+    val scored = rankCells(e, codebook.getOrElse(perLabelCodebook(e)))
     val assign = scored
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("ranked[0].cl").as("cell"))
@@ -87,6 +142,81 @@ object VectorOps {
   def knnIvf(s: SparkSession, d: String, nprobe: Int, k: Int = 10): DataFrame = {
     GraftFunctions.register(s)
     knnIvfOn(Tables.embeddings(s, d), nprobe, k)
+  }
+
+  /** Candidate stage of the ANN similarity self-join (`simJoinTopkAnn`),
+    * exposed so ScaleSpec can measure candidate-volume growth directly.
+    *
+    * The IVF posting-list layout: every vector is assigned to its top-1
+    * trained cell and the corpus is regrouped CELL-MAJOR — one row per
+    * cell holding its member list, exactly the on-disk layout of an IVF
+    * index. Each vector then probes its top-`nprobe` cells (an equi-join
+    * on cell id: n*nprobe probe rows against |cells| list rows, join
+    * amplification ~1 — never an all-pairs pair enumeration), scans the
+    * probed list inside a per-row expression, and keeps only its LOCAL
+    * top-k per list before exploding. Candidate rows out of this stage
+    * are therefore <= n * nprobe * k BY CONSTRUCTION — linear in n with a
+    * constant probe cost of nprobe * cell_size dot products per vector,
+    * held constant at scale by growing `cells` with the corpus (the
+    * standard IVF sizing rule, cells ~ n / target_list_size).
+    *
+    * A member list carries cell_size full vectors (~cell_size * dim * 4
+    * bytes); the cells-scale-with-n rule also bounds that row size. */
+  private[graft] def annCandidates(e: DataFrame, cells: Int, nprobe: Int,
+      k: Int, iters: Int = 2): DataFrame = {
+    val ranked = rankCells(e, trainCodebook(e, cells, iters))
+    val lists = ranked
+      .select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("embedding").as("eb"), expr("ranked[0].cl").as("cell"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vb"), col("lb"), col("eb"))).as("members"))
+    val probes = ranked.select(col("label"), col("vec_id").as("va"),
+      col("embedding").as("ea"),
+      explode(expr(s"transform(slice(ranked, 1, $nprobe), r -> r.cl)")).as("p_cell"))
+    probes.join(lists, col("p_cell") === col("cell"))
+      .select(col("label"), col("va"), explode(expr(
+        s"slice(array_sort(transform(filter(members, m -> m.lb = label AND m.vb != va), " +
+          s"m -> struct(round(-graft_dot(ea, m.eb), 6) AS negs, m.vb AS vb))), 1, $k)")).as("c"))
+      .select(col("label"), col("va"), col("c.negs").as("negs"), col("c.vb").as("vb"))
+  }
+
+  /** The ANN join's true probe cost in SCANNED PAIRS — the sum of member-
+    * list sizes over every probed list (n * nprobe * avg_cell_size dot
+    * products). The candidate-row count can't show this once the local
+    * top-k caps it; ScaleSpec measures scanned pairs directly to pin the
+    * IVF sizing rule: growing `cells` with the corpus keeps scanned pairs
+    * per vector constant (linear total), while a fixed cell count drifts
+    * quadratic. */
+  private[graft] def annScannedPairs(e: DataFrame, cells: Int, nprobe: Int,
+      iters: Int = 2): Long = {
+    val ranked = rankCells(e, trainCodebook(e, cells, iters))
+    val lists = ranked.select(expr("ranked[0].cl").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+    val probes = ranked.select(
+      explode(expr(s"transform(slice(ranked, 1, $nprobe), r -> r.cl)")).as("p_cell"))
+    probes.join(lists, col("p_cell") === col("cell"))
+      .agg(sum(col("sz"))).head().getLong(0)
+  }
+
+  /** ANN similarity self-join: top-k same-label neighbors per vector with
+    * IVF-cell candidate generation (see `annCandidates`) and exact
+    * `graft_dot` scoring — the scale-safe replacement for a within-label
+    * all-pairs join (quadratic per block: 100x data means 10_000x
+    * candidate volume). Each vector's top-1 cell is disjoint from every
+    * other's, so a candidate pair appears exactly once and the final
+    * window merges at most nprobe * k pre-ranked candidates per vector.
+    * Approximate by design (a true neighbor outside the probed cells is
+    * missed) — declared rows-only; recall against the exact join is
+    * pinned on a clustered corpus in LlmOpsSpec, candidate linearity in
+    * ScaleSpec. */
+  def simJoinTopkAnn(e: DataFrame, cells: Int, nprobe: Int, k: Int,
+      iters: Int = 2): DataFrame = {
+    val local = annCandidates(e, cells, nprobe, k, iters)
+    val w = Window.partitionBy("va").orderBy(col("negs").asc, col("vb").asc)
+    local.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("label"), col("va"), col("vb"), (-col("negs")).as("sim"), col("rn"))
+      .orderBy(col("va").asc, col("rn").asc)
   }
 
   val queries: Map[String, Q] = Map(
@@ -119,29 +249,16 @@ object VectorOps {
         .orderBy(col("label").asc, col("rn").asc)
     }),
 
-    // Label-blocked all-pairs similarity join, top-3 neighbors per vector.
-    // The block key (label) has only ~10 distinct values — a plain blocked
-    // join would cap parallelism at 10 reducers at any scale. Sub-blocking
-    // (probe side keyed by vec_id bucket, build side replicated across
-    // buckets) multiplies parallelism ×16 with identical results — the
-    // salted-join pattern applied to a self-join.
+    // ANN similarity self-join, top-3 same-label neighbors per vector.
+    // Round 3 shipped this as a within-label all-pairs join (sub-blocked
+    // x16 for parallelism) — quadratic per label block, the one plan the
+    // round-3 audit graded a scale-killer. Now IVF: trained coarse cells,
+    // posting-list candidate scan, per-list top-k, exact graft_dot refine
+    // (simJoinTopkAnn above). Approximate => rows-only tier; the recall
+    // and linearity contracts live in LlmOpsSpec / ScaleSpec.
     "q_sim_join_topk" -> ((s, d) => {
       GraftFunctions.register(s)
-      val subBlocks = 16
-      val e = Tables.embeddings(s, d)
-      val a = e.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
-        .withColumn("bucket", pmod(col("va"), lit(subBlocks)).cast("int"))
-      val b = e.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
-        .withColumn("bucket_b", explode(expr(s"sequence(0, ${subBlocks - 1})")))
-      val pairs = a.join(b,
-          col("label") === col("label_b") && col("bucket") === col("bucket_b") &&
-            col("va") =!= col("vb"))
-        .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
-      val w = Window.partitionBy("va").orderBy(col("sim").desc, col("vb").asc)
-      pairs.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select("label", "va", "vb", "sim", "rn")
-        .orderBy(col("va").asc, col("rn").asc)
+      simJoinTopkAnn(Tables.embeddings(s, d), cells = 16, nprobe = 2, k = 3)
     }),
 
     // Batch kNN: top-5 neighbors for a BATCH of query vectors (vec_id <
@@ -191,14 +308,13 @@ object VectorOps {
     // 8 bits matches with p ≈ 0.69, and 1-(1-p)^4 ≈ 0.99 recall overall.
     // Candidates are then refined with the exact codegen'd dot product.
     //
-    // ORACLE INVARIANT (why an exact DuckDB oracle can check an LSH
-    // query): in the driver fixtures the ONLY pairs with cos >= 0.99 are
-    // the planted exact copies (vec_id ±1_000_000), whose signatures are
-    // bit-identical — recall on them is exactly 1.0, not ~0.99, so the
-    // hash-match holds. If a future fixture plants a genuine
-    // non-identical near-dup pair, this oracle can miss with prob ~0.01
-    // per pair; in that world demote this query to the rows-only tier
-    // (like q_dedup_minhash) rather than weaken the LSH.
+    // Rows-only tier (demoted round 4): an exact SQL oracle for an LSH
+    // query only holds under the fixture invariant that every cos>=0.99
+    // pair is a planted bit-identical copy (signature recall exactly
+    // 1.0). Rather than ride that, LlmOpsSpec compares this output to an
+    // exact all-pairs join computed in-test and asserts the invariant
+    // itself, failing with an explicit message if a fixture refresh ever
+    // plants a genuine non-identical near-dup.
     "q_dedup_embed" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -242,6 +358,37 @@ object VectorOps {
     // (approximation); scalatest checks recall against exact kNN and
     // multi-probe behavior (see knnIvfOn above).
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d, nprobe = 1, k = 10)),
+
+    // SQ8 two-phase kNN: symmetric int8 quantization (the q_embed_quantize
+    // recipe), a top-100 candidate pass scored on the QUANTIZED vectors
+    // via graft_dot's int8 fast path (integer multiply-accumulate,
+    // dequantized by scale_a*scale_b), then an exact float rerank of the
+    // survivors. The memory-bound 100 TB serving shape: the hot scan
+    // touches 1/4 the bytes (int8 vs float32) and only <= 100 full-
+    // precision vectors are ever rescored. Approximate by design (a true
+    // neighbor mis-ranked past 100 by quantization error is lost) =>
+    // rows-only tier; LlmOpsSpec bounds rerank recall against exact kNN.
+    "q_knn_sq8" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val eq = Tables.embeddings(s, d)
+        .withColumn("scale",
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .where(col("scale") > 0)
+        .withColumn("q8", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT))"))
+      val q = eq.where(col("vec_id") === 0)
+        .select(col("q8").as("qq8"), col("scale").as("qscale"), col("embedding").as("qf"))
+      val cands = eq.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("asim", expr("graft_dot(q8, qq8)") * col("scale") * col("qscale"))
+        .orderBy(col("asim").desc, col("vec_id").asc)
+        .limit(100)
+      cands.withColumn("sim", round(expr("graft_dot(embedding, qf)"), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(20)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -264,30 +411,18 @@ object VectorOps {
         |  FROM dots) t
         |WHERE rn <= 5 ORDER BY label ASC, rn ASC""".stripMargin,
 
-    "q_sim_join_topk" ->
-      """WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
-        |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb, round(sum(a.v * b.v), 6) AS sim
-        |         FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos AND a.vec_id <> b.vec_id
-        |         GROUP BY a.label, a.vec_id, b.vec_id)
-        |SELECT label, va, vb, sim, rn FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb ASC) AS INTEGER) AS rn
-        |  FROM dots) t
-        |WHERE rn <= 3 ORDER BY va ASC, rn ASC""".stripMargin,
-
-    "q_dedup_embed" ->
-      """WITH u AS (
-        |  SELECT label, vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT label, vec_id + 1000000, embedding FROM embeddings),
-        |ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS v FROM u),
-        |dots AS (SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
-        |           round(sum(a.v * b.v), 6) AS sim
-        |         FROM ex a JOIN ex b ON a.label = b.label AND a.pos = b.pos
-        |           AND a.vec_id < b.vec_id
-        |         GROUP BY a.label, a.vec_id, b.vec_id)
-        |SELECT va, vb, sim FROM dots WHERE sim >= 0.99 ORDER BY va, vb""".stripMargin,
+    // q_sim_join_topk: DEMOTED to the rows-only tier in round 4 — the
+    // exact all-pairs semantics an SQL oracle can express is precisely
+    // the quadratic plan the ANN rewrite removes. Semantics are pinned in
+    // LlmOpsSpec (recall vs the exact join on a clustered corpus) and
+    // ScaleSpec (candidate linearity).
+    // q_dedup_embed: DEMOTED to the rows-only tier in round 4 (round-3
+    // advice). Its exact oracle only hash-matched because of a fixture
+    // invariant (the sole cos>=0.99 pairs are planted bit-identical
+    // copies, where LSH recall is exactly 1.0); a fixture refresh could
+    // break t2 without any code defect. LlmOpsSpec now (a) compares the
+    // LSH+refine output against an exact all-pairs join computed in-test
+    // and (b) fails loudly if the fixture invariant itself ever breaks.
 
     "q_knn_batch" ->
       """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

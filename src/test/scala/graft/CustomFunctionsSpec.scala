@@ -45,6 +45,39 @@ class CustomFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0 + 4.0 + 9.0)
   }
 
+  test("graft_dot int8 fast path: exact integer accumulate, codegen == interpreted") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // Seq[Byte], not Array[Byte] — Spark encodes Array[Byte] as BINARY,
+    // Seq[Byte] as array<tinyint> (what SQ8 vectors are)
+    val df = Seq((Seq[Byte](1, 2, -3, 127), Seq[Byte](4, 5, 6, -127)))
+      .toDF("a", "b")
+    // 4 + 10 - 18 - 16129 = -16133, exact in the long accumulator
+    val codegen = df.select(expr("graft_dot(a, b)")).head().getDouble(0)
+    assert(codegen === -16133.0)
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.select(expr("graft_dot(a, b)")).head().getDouble(0)
+      assert(interpreted === codegen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    // quantize-then-dot round trip: SQ8 approximation of a unit dot stays
+    // within the coarse error bound the rerank design assumes
+    val e = Tables.embeddings(spark, sf)
+    val eq = e.withColumn("scale",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .where(col("scale") > 0)
+      .withColumn("q8", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT))"))
+    val q = eq.where(col("vec_id") === 0)
+      .select(col("q8").as("qq8"), col("scale").as("qscale"), col("embedding").as("qf"))
+    val err = eq.crossJoin(broadcast(q))
+      .select(abs(expr("graft_dot(q8, qq8)") * col("scale") * col("qscale") -
+        expr("graft_dot(embedding, qf)")).as("err"))
+      .agg(max("err")).head().getDouble(0)
+    assert(err < 0.02, s"SQ8 dot error too large for a 100-candidate rerank: $err")
+  }
+
   test("graft_dot returns null on null input") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").head()

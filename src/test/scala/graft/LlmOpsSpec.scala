@@ -136,15 +136,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p1 === declared, "nprobe=1 drifted from the declared q_knn_ivf output")
   }
 
-  test("IVF multi-probe: recall@10 >= 0.9 at nprobe=2 when cells track real cluster structure") {
+  /** Deterministic clustered corpus — the data shape IVF is FOR: 8
+    * near-orthogonal centers in 16 dims, members = normalize(center +
+    * 0.8 * unit-noise) (cos ~0.78 to own center), label = cluster id so
+    * the per-label codebook is the true structure. Returns the DataFrame
+    * and the driver-side vectors for exact brute-force oracles. */
+  private def clusteredCorpus(perCluster: Int = 40)
+      : (org.apache.spark.sql.DataFrame, Map[Long, Array[Double]]) = {
     import spark.implicits._
-    import graft.operators.VectorOps
-    graft.functions.GraftFunctions.register(spark)
-    // Deterministic clustered corpus — the data shape IVF is FOR: 8
-    // near-orthogonal centers in 16 dims, members = normalize(center +
-    // 0.8 * unit-noise) (cos ~0.78 to own center), label = cluster id so
-    // the per-label codebook is the true structure.
-    val dim = 16; val nClusters = 8; val perCluster = 40
+    val dim = 16; val nClusters = 8
     val rnd = new scala.util.Random(7)
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
@@ -156,13 +156,24 @@ class LlmOpsSpec extends AnyFunSuite {
       val v = unit(centers(c).zip(noise).map { case (a, b) => a + 0.8 * b })
       (i.toLong, c.toString, v.map(_.toFloat))
     }
-    val e = rows.toDF("vec_id", "label", "embedding")
-    // exact top-10 for query 0, brute-forced on the driver (320 × 16)
-    val vecs = rows.map(r => r._1 -> r._3.map(_.toDouble)).toMap
-    val q = vecs(0L)
-    val exact = vecs.toSeq.filter(_._1 != 0L)
+    (rows.toDF("vec_id", "label", "embedding"),
+      rows.map(r => r._1 -> r._3.map(_.toDouble)).toMap)
+  }
+
+  /** Exact top-k neighbor ids of `qid`, driver brute force. */
+  private def exactTopK(vecs: Map[Long, Array[Double]], qid: Long, k: Int,
+      among: Long => Boolean = _ => true): Seq[Long] = {
+    val q = vecs(qid)
+    vecs.toSeq.filter { case (id, _) => id != qid && among(id) }
       .map { case (id, v) => (v.zip(q).map { case (a, b) => a * b }.sum, id) }
-      .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      .sortBy { case (s, id) => (-s, id) }.take(k).map(_._2)
+  }
+
+  test("IVF multi-probe: recall@10 >= 0.9 at nprobe=2 when cells track real cluster structure") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val (e, vecs) = clusteredCorpus()
+    val exact = exactTopK(vecs, 0L, 10).toSet
     def recallAt(np: Int): Double = {
       val got = VectorOps.knnIvfOn(e, nprobe = np)
         .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -171,6 +182,84 @@ class LlmOpsSpec extends AnyFunSuite {
     val r1 = recallAt(1); val r2 = recallAt(2)
     assert(r2 >= 0.9, s"recall@10 at nprobe=2 was $r2 on clustered data")
     assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 recall $r1")
+  }
+
+  test("trained IVF codebook: clustered-corpus recall >= per-label codebook at equal nprobe") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // The unsupervised quantizer must rediscover what the labels hand the
+    // supervised codebook for free. Deterministic end to end: hash-picked
+    // seeds, 6dp-rounded normalized centroids.
+    val (e, vecs) = clusteredCorpus()
+    val exact = exactTopK(vecs, 0L, 10).toSet
+    def recall(cb: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = VectorOps.knnIvfOn(e, nprobe = 2, codebook = cb)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val perLabel = recall(None)
+    val trained = recall(Some(VectorOps.trainCodebook(e, k = 8)))
+    assert(trained >= perLabel,
+      s"trained codebook recall $trained below per-label $perLabel at nprobe=2")
+    assert(trained >= 0.9, s"trained codebook recall too low: $trained")
+  }
+
+  test("ANN similarity join: recall >= 0.9 vs exact same-label top-3 on clustered corpus") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val (e, vecs) = clusteredCorpus()
+    // exact same-label top-3 pairs, driver brute force (320 x ~40 dots)
+    val label = (id: Long) => (id % 8).toString
+    val exact = vecs.keys.toSeq.flatMap { va =>
+      exactTopK(vecs, va, 3, among = id => label(id) == label(va)).map(vb => (va, vb))
+    }.toSet
+    val got = VectorOps.simJoinTopkAnn(e, cells = 8, nprobe = 2, k = 3)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN sim-join recall vs exact top-3 was $recall")
+  }
+
+  test("SQ8 two-phase kNN: rerank recall >= 0.9 vs exact top-20") {
+    // 500 vectors at sf0.01 vs a 100-candidate quantized pass: the int8
+    // scan must rank the true top-20 inside its top-100 for the exact
+    // rerank to recover them.
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_knn_cosine")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sq8 = SparkEntry.queries("q_knn_sq8")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 rerank recall vs exact top-20 was $recall")
+  }
+
+  test("q_dedup_embed equals exact all-pairs, and the fixture invariant it rests on holds") {
+    // Demoted-oracle guard (round 4): the LSH+refine output is compared
+    // against an exact all-pairs join computed HERE, and the fixture
+    // invariant (every cos>=0.99 pair is a bit-identical planted copy)
+    // is asserted explicitly — if a fixture refresh ever plants a
+    // genuine non-identical near-dup, this fails with a clear message
+    // instead of a silent driver hash mismatch.
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val u = e.select(col("label"), col("vec_id"), col("embedding"))
+      .unionByName(e.select(col("label"), (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val a = u.select(col("label"), col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = u.select(col("label").as("label_b"), col("vec_id").as("vb"), col("embedding").as("eb"))
+    val exactPairs = a.join(b, col("label") === col("label_b") && col("va") < col("vb"))
+      .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
+      .where(col("sim") >= 0.99)
+    val nonIdentical = exactPairs.where(!(col("ea") === col("eb"))).count()
+    assert(nonIdentical === 0,
+      "fixture invariant BROKEN: a cos>=0.99 pair with non-identical embeddings exists; " +
+        "LSH equality with the exact join is no longer guaranteed — review q_dedup_embed's tier")
+    val exact = exactPairs.select("va", "vb", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = SparkEntry.queries("q_dedup_embed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exact,
+      s"LSH+refine drifted from exact: only-exact=${(exact -- got).take(5)} " +
+        s"only-got=${(got -- exact).take(5)}")
+    assert(got.nonEmpty)
   }
 
   test("IVF top-10 has positive recall against exact brute-force top-10") {

@@ -130,6 +130,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN sim-join: candidates hard-capped, probe cost linear when cells scale with n") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // Random unit vectors (probe-cost accounting needs no cluster
+    // structure); label mod-8 mirrors the embeddings table shape.
+    def corpus(n: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(11)
+      def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s) }
+      (0 until n).map { i =>
+        (i.toLong, (i % 8).toString, unit(Array.fill(16)(rnd.nextGaussian())).map(_.toFloat))
+      }.toDF("vec_id", "label", "embedding")
+    }
+    val n1 = 320; val n2 = 640
+    val e1 = corpus(n1); val e2 = corpus(n2)
+    // output candidates are <= n * nprobe * k BY CONSTRUCTION (per-list
+    // local top-k before the explode) — the quadratic all-pairs shape
+    // this rewrite removed had ~n^2/labels candidates instead
+    val cand1 = VectorOps.annCandidates(e1, cells = 8, nprobe = 2, k = 3).count()
+    val cand2 = VectorOps.annCandidates(e2, cells = 16, nprobe = 2, k = 3).count()
+    assert(cand1 <= n1.toLong * 2 * 3, s"candidate cap broken at n=$n1: $cand1")
+    assert(cand2 <= n2.toLong * 2 * 3, s"candidate cap broken at n=$n2: $cand2")
+    // the true probe cost (scanned pairs): doubling n with cells held
+    // FIXED drifts ~4x (quadratic); doubling cells alongside n (the IVF
+    // sizing rule, cells ~ n / target_list_size) keeps it ~2x (linear)
+    val base = VectorOps.annScannedPairs(e1, cells = 8, nprobe = 2)
+    val scaled = VectorOps.annScannedPairs(e2, cells = 16, nprobe = 2).toDouble / base
+    val unscaled = VectorOps.annScannedPairs(e2, cells = 8, nprobe = 2).toDouble / base
+    assert(scaled <= 3.0, s"scaled-cells probe cost superlinear: ${scaled}x for 2x data")
+    assert(unscaled >= scaled * 1.2,
+      s"fixed-cells cost ${unscaled}x should exceed scaled-cells ${scaled}x — sizing rule shows no effect")
+  }
+
   test("upsampleCorpus at factor 1 is the identity on every table") {
     val src = "/root/testdata/sf0.001"
     val out = Files.createTempDirectory("sf1x").toString
