@@ -16,9 +16,10 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   *  - BroadcastNestedLoopJoin / CartesianProduct anywhere in the final
   *    plan (exempting queries whose declared semantics ARE a cross
   *    product, listed in `intentionalCross`);
-  *  - more scan-adjacent pushable filters in the optimized logical plan
-  *    than physical scans reporting PushedFilters (pushdown lost on at
-  *    least one scan — checked per-scan, not globally).
+  *  - a scan-adjacent pushable filter whose relation's physical scans do
+  *    not report PushedFilters (pushdown lost — DSv1 scans paired by
+  *    relation instance, a true per-relation check; DSv2 by aggregate
+  *    count, none currently in the source set).
   *
   * Full `explain(formatted)` dumps are kept for the headline queries only
   * (76 full plans would drown the signal). Run:
@@ -50,16 +51,23 @@ object Plans {
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
   )
 
-  /** Number of scans with a directly-adjacent filter carrying at least one
-    * conjunct in SOURCE-PUSHABLE shape — a plain attribute-vs-literal
-    * comparison (or null test / IN-list) on the scan's own columns with no
-    * subquery. A filter on a computed expression (`size(split(text)) > 0`)
-    * or on a runtime scalar-subquery value cannot reach the parquet reader
-    * and is not a defect. The audit requires at least this many PHYSICAL
-    * scans to report PushedFilters — a per-scan comparison, so a
-    * multi-table query where one scan pushes and another loses its
-    * pushable filter still flags (a global pushed>0 check would not). */
-  private def pushableFilterScans(plan: LogicalPlan): Int = {
+  /** Scans with a directly-adjacent filter carrying at least one conjunct
+    * in SOURCE-PUSHABLE shape — a plain attribute-vs-literal comparison
+    * (or null test / IN-list) on the scan's own columns with no subquery.
+    * A filter on a computed expression (`size(split(text)) > 0`) or on a
+    * runtime scalar-subquery value cannot reach the parquet reader and is
+    * not a defect.
+    *
+    * Returns (DSv1 relation instances, DSv2 scan count). The v1 relation
+    * objects let the caller pair each logical pushable-filter scan with
+    * the physical scans of the SAME HadoopFsRelation instance (physical
+    * planning reuses it) — a true per-relation check: in a multi-table
+    * query where table A's filter is pushed and table B's is lost, B
+    * flags even though the aggregate counts balance (round-3 advice). v2
+    * scans get only an aggregate-count fallback — acceptable while every
+    * source in the declared set reads through v1 (parquet/csv/json
+    * default to v1 in this Spark). */
+  private def pushableFilterScans(plan: LogicalPlan): (Seq[AnyRef], Int) = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x         => Seq(x)
@@ -79,12 +87,34 @@ object Plans {
       cond.references.subsetOf(rel.outputSet) &&
         cond.find(_.isInstanceOf[SubqueryExpression]).isEmpty &&
         conjuncts(cond).exists(pushableShape)
-    plan.collect {
-      case LFilter(c, r: LogicalRelation)                      => pushable(c, r)
-      case LFilter(c, Project(_, r: LogicalRelation))          => pushable(c, r)
-      case LFilter(c, r: DataSourceV2ScanRelation)             => pushable(c, r)
-      case LFilter(c, Project(_, r: DataSourceV2ScanRelation)) => pushable(c, r)
-    }.count(identity)
+    val v1 = plan.collect {
+      case LFilter(c, r: LogicalRelation) if pushable(c, r)             => r.relation: AnyRef
+      case LFilter(c, Project(_, r: LogicalRelation)) if pushable(c, r) => r.relation: AnyRef
+    }
+    val v2 = plan.collect {
+      case LFilter(c, r: DataSourceV2ScanRelation) if pushable(c, r)             => 1
+      case LFilter(c, Project(_, r: DataSourceV2ScanRelation)) if pushable(c, r) => 1
+    }.sum
+    (v1, v2)
+  }
+
+  /** Per-relation pushdown-lost check (see pushableFilterScans): for each
+    * relation with N logical pushable-filter scans, the PRE-REUSE physical
+    * plan must show >= N scans of that same relation instance reporting
+    * nonempty PushedFilters. `v2Fallback` covers DSv2 scans by aggregate
+    * count only. */
+  private def pushdownLost(qe: org.apache.spark.sql.execution.QueryExecution,
+      v2Fallback: Int => Boolean): Boolean = {
+    val (v1Refs, v2Count) = pushableFilterScans(qe.optimizedPlan)
+    val physRefs = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("PushedFilters").exists(_ != "[]") => f.relation: AnyRef
+    }
+    def byId(rs: Seq[AnyRef]): Map[Int, Int] =
+      rs.groupBy(System.identityHashCode(_)).map { case (k, v) => k -> v.size }
+    val phys = byId(physRefs)
+    val v1Lost = byId(v1Refs).exists { case (rel, n) => phys.getOrElse(rel, 0) < n }
+    v1Lost || (v2Count > 0 && v2Fallback(v2Count))
   }
 
   /** Max join-output amplification measured from EXECUTED metrics: for
@@ -156,16 +186,17 @@ object Plans {
       val pushed = n("PushedFilters: \\[[^\\]]")
       val bnlj = n("BroadcastNestedLoopJoin") + n("CartesianProduct")
       val crossBad = bnlj > 0 && !intentionalNestedLoop.contains(name)
-      // compare against the PRE-reuse physical plan: exchange/subquery
-      // reuse collapses repeated scan subtrees in the executed plan, so a
-      // self-join's second (pushed) scan would vanish and false-flag here
+      // per-relation pairing runs on the PRE-reuse physical plan:
+      // exchange/subquery reuse collapses repeated scan subtrees in the
+      // executed plan, so a self-join's second (pushed) scan would vanish
+      // and false-flag here
       val prePlan = df.queryExecution.sparkPlan.toString
       val pushedPre = "PushedFilters: \\[[^\\]]".r.findAllIn(prePlan).length
-      val pushdownLost =
-        pushableFilterScans(df.queryExecution.optimizedPlan) > math.max(pushed, pushedPre)
+      val lost = pushdownLost(df.queryExecution,
+        v2Fallback = v2 => v2 > math.max(pushed, pushedPre))
       val amp = joinAmplification(df.queryExecution.executedPlan)
       val explosion = amp > 4.0 && !intentionalExplosion.contains(name)
-      val flag = crossBad || pushdownLost || explosion
+      val flag = crossBad || lost || explosion
       if (flag) flagged ::= name
       sb.append(s"| $name " +
         s"| ${if (flag) "**FLAG**" else "ok"} " +

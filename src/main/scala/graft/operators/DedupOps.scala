@@ -216,7 +216,16 @@ object DedupOps {
         col("sig").as("sigb"), col("chunk").as("chunk_b"), col("cv").as("cv_b"))
       a.join(b, col("source") === col("source_b") && col("chunk") === col("chunk_b") &&
           col("cv") === col("cv_b") && col("da") < col("db"))
-        .select(col("da"), col("db"), expr("bit_count(siga ^ sigb)").as("hamming"))
+        // Mask to the low 32 bits before counting: the signature stores
+        // bit 31 as -2^31 (matching the int-shiftleft recipe it replaced),
+        // so as a long the high 32 bits are sign-extended — unmasked,
+        // bit_count(siga ^ sigb) inflates by +32 whenever the two differ
+        // in bit 31 and silently excludes ~1/16 of true distance-<=2
+        // pairs (round-3 advice). The pigeonhole chunks already band only
+        // the low 32 bits, so the mask only widens recall — exactness of
+        // the banding is unchanged (LlmOpsSpec's banded==brute proof).
+        .select(col("da"), col("db"),
+          expr("bit_count((siga ^ sigb) & 4294967295)").as("hamming"))
         .distinct()
         .where(col("hamming") <= 2)
         .orderBy("da", "db")

@@ -187,22 +187,49 @@ object StreamingOps {
             // ancient replayed event reaches the fold below.
             val wm = state.getCurrentWatermarkMs()
             val sorted = evs.map(_.ts.getTime).filter(_ >= wm).toArray.sorted
-            // fold the batch into sessions; in-batch gaps close eagerly
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            sorted.foreach { t =>
+            // Events older than the open session's merge window (t <
+            // startMs - gap) are ORPHANS: they can never extend the open
+            // session, but adjacent orphans within `gap` of EACH OTHER
+            // still form one session — emitting each as its own 1-event
+            // fragment would over-split (round-3 advice). So gap-fold the
+            // orphan group among themselves first. Every orphan session
+            // closes immediately: its last event is > gap older than the
+            // open session's start, so no later event can extend it.
+            // (Append-mode caveat stands: an orphan session is final on
+            // emission and may overlap sessions emitted in prior batches
+            // — inherent to late data under a watermark wider than the
+            // gap, not repairable in Append mode.)
+            val (orphans, live) = cur match {
+              case Some(s) => sorted.partition(_ < s.startMs - gapMs)
+              case None    => (Array.empty[Long], sorted)
+            }
+            var orph: Option[SessState] = None
+            def flushOrphan(): Unit = orph.foreach { o =>
+              out += SessionOut(uid, new java.sql.Timestamp(o.startMs),
+                new java.sql.Timestamp(o.lastMs), o.n)
+            }
+            orphans.foreach { t =>
+              orph match {
+                case Some(o) if t - o.lastMs <= gapMs =>
+                  orph = Some(SessState(o.startMs, t, o.n + 1))
+                case _ =>
+                  flushOrphan()
+                  orph = Some(SessState(t, t, 1))
+              }
+            }
+            flushOrphan()
+            // fold the in-window events into sessions; in-batch gaps
+            // close eagerly
+            live.foreach { t =>
               cur match {
                 // merge only when t is genuinely within `gap` of the open
-                // session's SPAN: a cross-batch out-of-order event far
-                // OLDER than the session has t - lastMs hugely negative
-                // (trivially <= gapMs) and must not inflate it
-                case Some(s) if t >= s.startMs - gapMs && t - s.lastMs <= gapMs =>
+                // session's SPAN (t >= startMs - gap holds for all live
+                // events by the partition above and stays true as later,
+                // larger t only ever raise startMs's floor)
+                case Some(s) if t - s.lastMs <= gapMs =>
                   cur = Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
-                case Some(s) if t < s.startMs - gapMs =>
-                  // old orphan past the merge window (but not watermark-
-                  // late): its own 1-event session, open session untouched
-                  out += SessionOut(uid, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1)
                 case Some(s) =>
                   out += SessionOut(uid, new java.sql.Timestamp(s.startMs),
                     new java.sql.Timestamp(s.lastMs), s.n)

@@ -64,8 +64,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val a = sigs.select(col("doc_id").as("da"), col("source"), col("sig").as("siga"))
     val b = sigs.select(col("doc_id").as("db"), col("source").as("source_b"),
       col("sig").as("sigb"))
+    // same low-32 mask as the query: the signature's bit 31 rides in as
+    // -2^31, so the long's high 32 bits are sign-extension noise
     val brute = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
-      .withColumn("hamming", expr("bit_count(siga ^ sigb)"))
+      .withColumn("hamming", expr("bit_count((siga ^ sigb) & 4294967295)"))
       .where(col("hamming") <= 2)
       .select("da", "db", "hamming")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -252,6 +252,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout: adjacent orphans gap-fold into one session, not per-event fragments") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](14, spark, None)
+    val q = StreamingOps.sessionizeWithTimeout(in.toDS(), gapMinutes = 30, watermark = "3 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_orphan_fold").start()
+    try {
+      in.addData(ev(1, "12:00", uid = 4))
+      q.processAllAvailable()
+      // two out-of-order old events within gap of EACH OTHER (10:00,
+      // 10:05), both past the open session's merge window (< 11:30) but
+      // not watermark-late: they must fold into ONE 2-event session —
+      // the round-3 advice hole emitted two 1-event fragments here
+      in.addData(ev(2, "10:00", uid = 4), ev(3, "10:05", uid = 4))
+      q.processAllAvailable()
+      val orphans = spark.table("sess_orphan_fold")
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      assert(orphans.toSeq === Seq((ts("10:00"), ts("10:05"), 2L)))
+      // a gap INSIDE the orphan group still splits it: 09:30+09:35 fold,
+      // 10:45 is >30m later (and still < 11:30) so it closes separately
+      in.addData(ev(4, "09:30", uid = 4), ev(5, "09:35", uid = 4), ev(6, "10:45", uid = 4))
+      q.processAllAvailable()
+      val more = spark.table("sess_orphan_fold")
+        .select("session_start", "session_end", "ev").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).sortBy(_._1.getTime)
+      assert(more.toSeq === Seq(
+        (ts("09:30"), ts("09:35"), 2L),
+        (ts("10:00"), ts("10:05"), 2L),
+        (ts("10:45"), ts("10:45"), 1L)))
+      // the open session was never touched: close it via an in-batch gap
+      in.addData(ev(7, "16:00", uid = 4))
+      q.processAllAvailable()
+      val open = spark.table("sess_orphan_fold")
+        .where(col("session_start") === ts("12:00")).collect()
+      assert(open.length === 1 && open.head.getAs[Long]("ev") === 1L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](5, spark, None)
