@@ -17,6 +17,28 @@ object Joins {
 
   private val HourUs = 3600L * 1000000
 
+  /** q_join_bhj body with the orders byte-bound injectable: production
+    * passes the real on-disk size; PlanShapeSpec passes a 100 GB bound to
+    * prove the broadcastIfSmall guard RELEASES past the threshold (the
+    * fact-side join must fall to a shuffle join, not pin a broadcast the
+    * driver could never ship at 100 TB). */
+  def joinBhjWith(s: org.apache.spark.sql.SparkSession, d: String,
+      ordersBytes: Long): org.apache.spark.sql.DataFrame = {
+    val co = broadcast(
+      Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    graft.plans.Scale.broadcastIfSmall(co, ordersBytes)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 shape: small×large×large 3-way join + agg + native top-k
     // (Catalyst fuses ORDER BY+LIMIT into TakeOrderedAndProject). Only the
@@ -28,22 +50,8 @@ object Joins {
     // shuffles instead of OOMing the driver at 100 TB where that side is
     // billions of rows. Never pin an unconditional broadcast on a
     // fact-derived relation.
-    "q_join_bhj" -> ((s, d) => {
-      val co = broadcast(
-        Tables.customer(s, d)
-          .where(col("c_mktsegment") === "BUILDING")
-          .select("c_custkey"))
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .select("o_orderkey", "o_orderdate")
-      graft.plans.Scale.broadcastIfSmall(co,
-          graft.plans.Scale.sourceBytes(s, s"$d/orders.parquet"))
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate")
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
-        .limit(10)
-    }),
+    "q_join_bhj" -> ((s, d) => joinBhjWith(s, d,
+      graft.plans.Scale.sourceBytes(s, s"$d/orders.parquet"))),
 
     // Large×large equi-join forced to SortMergeJoin: the shape that scales
     // past broadcast limits — both sides shuffle-partition on the key.

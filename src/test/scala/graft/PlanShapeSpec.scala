@@ -54,6 +54,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan("q_win_topn").contains("WindowGroupLimit"))
   }
 
+  test("flagship join RELEASES the fact-side broadcast past the byte threshold") {
+    // The other half of the broadcastIfSmall contract (round-3 advice
+    // item 7): with the orders byte-bound forced to 100 GB — what a real
+    // fact table reports — and AQE's own broadcast disabled, the
+    // fact-side join must degrade to a shuffle join instead of pinning a
+    // broadcast the driver could never ship. Only the filtered customer
+    // DIMENSION keeps its (unconditional, scale-safe) broadcast pin.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Joins.joinBhjWith(spark, sf, ordersBytes = 100L << 30)
+      df.queryExecution.executedPlan.execute().count()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"),
+        s"fact-side join did not degrade to SMJ past the threshold:\n$p")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(bhj === 1, s"expected only the pinned dimension broadcast, got $bhj:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sessionize keeps a single exchange keyed on user_id") {
     val p = finalPlan("q_sessionize")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
