@@ -106,6 +106,61 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 3.0) // min-length semantics
   }
 
+  test("trainCodebook degeneracies: k >= n collapses to n cells; nprobe past |cells| caps") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // 5 vectors, k=16 seeds: codebook can hold at most 5 cells (and may
+    // shrink further when a cell loses every member) — search must still
+    // return the full corpus ranking, and probing past |cells| must not
+    // error (slice caps at the array length)
+    val rnd = new scala.util.Random(3)
+    def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s) }
+    val e = (0L until 5L).map(i =>
+      (i, (i % 2).toString, unit(Array.fill(8)(rnd.nextGaussian())).map(_.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val cb = VectorOps.trainCodebook(e, k = 16, iters = 2)
+    val nCells = cb.count()
+    assert(nCells >= 1 && nCells <= 5, s"expected 1..5 cells from 5 vectors, got $nCells")
+    val hits = VectorOps.knnIvfOn(e, nprobe = 99, k = 10, codebook = Some(cb)).count()
+    assert(hits === 4, s"nprobe past |cells| must degenerate to all 4 non-query rows, got $hits")
+  }
+
+  test("ANN sim-join on a single-label corpus returns k neighbors per vector") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s) }
+    val e = (0L until 12L).map(i =>
+      (i, "only", unit(Array.fill(8)(rnd.nextGaussian())).map(_.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    // cells=2, nprobe=2: probes cover every cell, so all 11 same-label
+    // candidates are reachable and each vector gets a full top-3
+    val out = VectorOps.simJoinTopkAnn(e, cells = 2, nprobe = 2, k = 3)
+    assert(out.count() === 36, "12 vectors x top-3 expected with full probe coverage")
+    val rns = out.groupBy("va").agg(max("rn").as("m")).select("m")
+      .collect().map(_.getInt(0)).toSet
+    assert(rns === Set(3))
+  }
+
+  test("SQ8 quantization edge: the all-zero vector is filtered, not divided by zero") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // mirror the q_knn_sq8 / q_embed_quantize scale guard on a literal frame
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+      .withColumn("scale",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .where(col("scale") > 0)
+      .withColumn("q8", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT))"))
+    val rows = df.select(col("vec_id"), expr("q8[1]").as("qmin")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(rows.head.getByte(1) === (-127).toByte, "max-magnitude component must hit -127")
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation
