@@ -44,6 +44,7 @@ object Plans {
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
     "q_knn_ivf"         -> "1-row codebook-array + probe-cell broadcasts",
+    "q_knn_ivf_trained" -> "1-row trained-codebook-array + probe-cell broadcasts",
     "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",
     "q_knn_sq8"         -> "1-row quantized-query broadcast (SQ8 scan + rerank)",
     "q_sim_join_topk"   -> "1-row IVF-codebook-array broadcast (cell assignment)",

@@ -359,6 +359,17 @@ object VectorOps {
     // multi-probe behavior (see knnIvfOn above).
     "q_knn_ivf" -> ((s, d) => knnIvf(s, d, nprobe = 1, k = 10)),
 
+    // Same IVF read path over the UNSUPERVISED codebook (trainCodebook,
+    // spherical k-means) at nprobe=2 — the shape a real unlabeled corpus
+    // uses; per-label q_knn_ivf above stays as the degenerate fallback.
+    // Rows-only (approximate); recall vs the per-label codebook is pinned
+    // on the clustered fixture in LlmOpsSpec.
+    "q_knn_ivf_trained" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      knnIvfOn(e, nprobe = 2, k = 10, codebook = Some(trainCodebook(e, k = 8)))
+    }),
+
     // SQ8 two-phase kNN: symmetric int8 quantization (the q_embed_quantize
     // recipe), a top-100 candidate pass scored on the QUANTIZED vectors
     // via graft_dot's int8 fast path (integer multiply-accumulate,
