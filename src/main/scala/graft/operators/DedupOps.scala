@@ -152,10 +152,25 @@ object DedupOps {
     // side has an empty shingle set can never reach jac >= 0.5 (0/x = 0,
     // 0/0 = NULL) and are skipped up front.
     "q_dedup_ngram_jaccard" -> ((s, d) => {
-      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0)
+      // Materialize the shingled corpus ONCE: it feeds three consumers
+      // (the prefix explode plus both sides of the refine join), and
+      // without a barrier each recomputes split+shingle+distinct from
+      // text — the dominant per-byte cost of this query (measured ~17.5s
+      // -> see BASELINE.md round-4 telemetry). localCheckpoint is the
+      // local[?] stand-in for what a 100 TB run does anyway: land the
+      // shingled corpus as an intermediate table before the multi-pass
+      // candidate/refine phases (block-manager storage spills to disk,
+      // so this is not a fits-in-memory assumption).
+      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0).localCheckpoint(true)
       val ex = u.select(col("doc_id"), col("source"), size(col("sh")).as("len"),
         explode(col("sh")).as("g"))
       val freq = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+      // (Measured round 4: a further localCheckpoint here — the prefix
+      // pipeline does feed both candidate-join sides — costs MORE than
+      // the recompute at this scale: the block-manager round trip plus
+      // the lost stage overlap outweigh re-running the window. Exchange
+      // reuse already shares the shuffle below it. Only the `u` barrier
+      // above pays for itself.)
       val prefix = ex.join(freq, "g")
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("df_g").asc, col("g").asc)))
