@@ -47,6 +47,7 @@ object Plans {
     "q_knn_ivf_trained" -> "1-row trained-codebook-array + probe-cell broadcasts",
     "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",
     "q_knn_sq8"         -> "1-row quantized-query broadcast (SQ8 scan + rerank)",
+    "q_knn_pq"          -> "1-row ADC-table / query / codebook broadcasts (PQ scan + rerank)",
     "q_sim_join_topk"   -> "1-row IVF-codebook-array broadcast (cell assignment)",
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",

@@ -144,6 +144,121 @@ object VectorOps {
     knnIvfOn(Tables.embeddings(s, d), nprobe, k)
   }
 
+  /** Euclidean cell ranking over a SUBVECTOR frame (column `sub`):
+    * nearest-centroid by L2 == argmax(dot(x,c) - |c|^2/2), so the struct
+    * sort key is c2 - dot (ascending == nearest first). Same
+    * one-broadcast-row layout as `rankCells`; used by the PQ trainer and
+    * encoder, where subvectors are NOT unit-norm and the spherical
+    * argmax-dot rule would misassign. */
+  private def rankCellsL2(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(collect_list(struct(col("cell"), col("centroid"), col("c2"))).as("cells"))
+    sub.crossJoin(broadcast(cbArr))
+      .withColumn("ranked", expr(
+        "array_sort(transform(cells, c -> struct(c.c2 - graft_dot(sub, c.centroid) AS negs, c.cell AS cl)))"))
+      .drop("cells")
+  }
+
+  /** Plain (Euclidean) k-means over a (vec_id, sub) subvector frame —
+    * the PQ per-subspace trainer. Same Lloyd's skeleton as
+    * `trainCodebook` but without the spherical normalization (PQ
+    * minimizes subvector reconstruction MSE, which bounds the
+    * inner-product error of the ADC approximation). Returns
+    * (cell: int 0..|cells|-1, centroid, c2 = |c|^2/2) with DENSE ids so
+    * ADC tables index by position. */
+  private def trainSubCodebook(sub: DataFrame, ks: Int, iters: Int): DataFrame = {
+    def withC2(cb: DataFrame): DataFrame = cb.withColumn("c2",
+      expr("aggregate(centroid, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v) / 2"))
+    var cb = withC2(sub.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ks)
+      .select(col("vec_id").cast("string").as("cell"),
+        expr("transform(sub, x -> CAST(x AS DOUBLE))").as("centroid")))
+    for (_ <- 1 to iters) {
+      val assigned = rankCellsL2(sub, cb)
+        .select(col("sub"), expr("ranked[0].cl").as("cell"))
+      cb = withC2(assigned
+        .select(col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cell"), expr("transform(pc, x -> round(x.c, 6))").as("centroid")))
+        .localCheckpoint(true)
+    }
+    cb.withColumn("dense", row_number().over(Window.orderBy(col("cell"))) - 1)
+      .select(col("dense").as("cell"), col("centroid"), col("c2"))
+  }
+
+  /** Product-quantized kNN with ADC (asymmetric distance computation) —
+    * the 100 TB memory-layout complement to IVF: each vector is stored
+    * as m small integer codes (m * log2(ks) bits; m=8, ks=16 compresses
+    * a 64-dim float32 embedding 64x for the scan), the query stays full
+    * precision, and scoring is m table lookups per vector instead of a
+    * dim-length float loop.
+    *
+    * Train: dim/m-dim subvectors, one Euclidean k-means codebook per
+    * subspace (`trainSubCodebook`). Encode: per subspace, nearest-cell
+    * id; codes packed into one array<int> per vector in subspace order.
+    * Search: the query's per-subspace dot products against every
+    * centroid form the ADC table (ONE broadcast row of m arrays of ks
+    * doubles); approx score = sum over subspaces of tabs[j][code_j] —
+    * an m-lookup aggregate per row, fused into the scan. Top-`rerank`
+    * ADC candidates are rescored with the exact float dot (`graft_dot`)
+    * and the final top-k emitted, so PQ error only costs recall when a
+    * true neighbor is mis-ranked past `rerank` (the dial LlmOpsSpec
+    * pins: recall is monotone in rerank, >= 0.9 on clustered data).
+    *
+    * Approximate by design => rows-only tier. */
+  def knnPqOn(e: DataFrame, m: Int, ks: Int, k: Int = 20, rerank: Int = 100,
+      iters: Int = 2, queryId: Long = 0): DataFrame = {
+    // 1-scalar sizing lookup (like Multimodal's byte-stats aggregate);
+    // subspaces must tile the dimension exactly
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ subspaces ($m) must divide dim ($dim)")
+    val d = dim / m
+    val cbs: Seq[DataFrame] = (0 until m).map { j =>
+      trainSubCodebook(
+        e.select(col("vec_id"), expr(s"slice(embedding, ${j * d + 1}, $d)").as("sub")),
+        ks, iters)
+    }
+    // encode: one nearest-cell pass per subspace, then codes packed in
+    // subspace order (shuffle carries (vec_id, j, code) triples — m ints
+    // per vector, nothing embedding-sized)
+    val codes = (0 until m).map { j =>
+      rankCellsL2(
+        e.select(col("vec_id"), col("label"),
+          expr(s"slice(embedding, ${j * d + 1}, $d)").as("sub")),
+        cbs(j))
+        .select(col("vec_id"), col("label"), lit(j).as("j"),
+          expr("ranked[0].cl").as("code"))
+    }.reduce(_ unionByName _)
+      .groupBy("vec_id", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    // ADC table: dot(q_j, centroid) for every (subspace, cell), packed as
+    // tabs[j][cell] — one broadcast row of m*ks doubles
+    val codebooks = cbs.zipWithIndex
+      .map { case (cb, j) => cb.withColumn("j", lit(j)) }
+      .reduce(_ unionByName _)
+    val tabs = codebooks.crossJoin(broadcast(q))
+      .select(col("j"), col("cell"),
+        expr(s"graft_dot(slice(qv, j * $d + 1, $d), centroid)").as("t"))
+      .groupBy("j")
+      .agg(expr("transform(array_sort(collect_list(struct(cell, t))), x -> x.t)").as("tj"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, tj))), x -> x.tj)").as("tabs"))
+    val adc = codes.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(tabs))
+      .withColumn("asim", expr(
+        "aggregate(zip_with(codes, tabs, (cd, tb) -> element_at(tb, cd + 1)), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .orderBy(col("asim").desc, col("vec_id").asc)
+      .limit(rerank)
+    adc.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Candidate stage of the ANN similarity self-join (`simJoinTopkAnn`),
     * exposed so ScaleSpec can measure candidate-volume growth directly.
     *
@@ -368,6 +483,15 @@ object VectorOps {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       knnIvfOn(e, nprobe = 2, k = 10, codebook = Some(trainCodebook(e, k = 8)))
+    }),
+
+    // Product-quantized kNN (see knnPqOn): 8 subspaces x 16 cells over
+    // the 64-dim embeddings — 4-bit codes, 64x scan compression, ADC
+    // lookup scoring, exact rerank of the top-100. Rows-only; recall and
+    // the rerank dial are pinned on the clustered fixture in LlmOpsSpec.
+    "q_knn_pq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      knnPqOn(Tables.embeddings(s, d), m = 8, ks = 16, k = 20, rerank = 100)
     }),
 
     // SQ8 two-phase kNN: symmetric int8 quantization (the q_embed_quantize

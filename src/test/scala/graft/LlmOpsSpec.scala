@@ -221,6 +221,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN sim-join recall vs exact top-3 was $recall")
   }
 
+  test("PQ/ADC kNN: recall >= 0.9 on clustered data, monotone in the rerank dial") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // 16 dims -> m=4 subspaces x 4 dims, ks=8 cells each: 3-bit codes.
+    // ADC ranks by table lookups only; the exact rerank recovers the
+    // true order among the top-R candidates, so recall is monotone in R
+    // (candidates(R1) is a prefix of candidates(R2) under the same ADC
+    // ordering) and high once R comfortably covers the query's cluster.
+    val (e, vecs) = clusteredCorpus()
+    val exact = exactTopK(vecs, 0L, 10).toSet
+    def recallAt(r: Int): Double = {
+      val got = VectorOps.knnPqOn(e, m = 4, ks = 8, k = 10, rerank = r)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val r10 = recallAt(10); val r50 = recallAt(50)
+    assert(r50 >= r10, s"recall not monotone in rerank: R=10 -> $r10, R=50 -> $r50")
+    assert(r50 >= 0.9, s"PQ recall@10 with rerank=50 was $r50 on clustered data")
+  }
+
+  test("PQ codes on the driver fixture: 20 results, positive overlap with exact top-20") {
+    // Isotropic driver embeddings (no partition scheme helps here — see
+    // the IVF note above): assert the contract shape and that the ADC
+    // ordering carries real signal (nonzero overlap with exact), not a
+    // recall bound the geometry cannot support. Deterministic: fixed
+    // hash seeds and fixture.
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_knn_cosine")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("q_knn_pq")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pq.size === 20)
+    assert(exact.intersect(pq).nonEmpty, "PQ top-20 shares nothing with exact top-20")
+  }
+
   test("SQ8 two-phase kNN: rerank recall >= 0.9 vs exact top-20") {
     // 500 vectors at sf0.01 vs a 100-candidate quantized pass: the int8
     // scan must rank the true top-20 inside its top-100 for the exact
