@@ -144,47 +144,59 @@ object VectorOps {
     knnIvfOn(Tables.embeddings(s, d), nprobe, k)
   }
 
-  /** Euclidean cell ranking over a SUBVECTOR frame (column `sub`):
-    * nearest-centroid by L2 == argmax(dot(x,c) - |c|^2/2), so the struct
-    * sort key is c2 - dot (ascending == nearest first). Same
-    * one-broadcast-row layout as `rankCells`; used by the PQ trainer and
-    * encoder, where subvectors are NOT unit-norm and the spherical
-    * argmax-dot rule would misassign. */
-  private def rankCellsL2(sub: DataFrame, cb: DataFrame): DataFrame = {
-    val cbArr = cb.agg(collect_list(struct(col("cell"), col("centroid"), col("c2"))).as("cells"))
-    sub.crossJoin(broadcast(cbArr))
+  /** Euclidean cell ranking over an exploded SUBVECTOR frame (columns
+    * `j`, `sub`): nearest-centroid by L2 == argmax(dot(x,c) - |c|^2/2),
+    * so the struct sort key is c2 - dot (ascending == nearest first).
+    * The FULL multi-subspace codebook (j, cell, centroid, c2) rides
+    * along as one broadcast row; each row filters to its own subspace's
+    * cells inside the expression. Used by the PQ trainer and encoder,
+    * where subvectors are NOT unit-norm and the spherical argmax-dot
+    * rule would misassign. */
+  private def rankSubCells(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(collect_list(
+      struct(col("j").as("cj"), col("cell"), col("centroid"), col("c2"))).as("cells"))
+    subs.crossJoin(broadcast(cbArr))
       .withColumn("ranked", expr(
-        "array_sort(transform(cells, c -> struct(c.c2 - graft_dot(sub, c.centroid) AS negs, c.cell AS cl)))"))
+        "array_sort(transform(filter(cells, c -> c.cj = j), " +
+          "c -> struct(c.c2 - graft_dot(sub, c.centroid) AS negs, c.cell AS cl)))"))
       .drop("cells")
   }
 
-  /** Plain (Euclidean) k-means over a (vec_id, sub) subvector frame —
-    * the PQ per-subspace trainer. Same Lloyd's skeleton as
-    * `trainCodebook` but without the spherical normalization (PQ
-    * minimizes subvector reconstruction MSE, which bounds the
-    * inner-product error of the ADC approximation). Returns
-    * (cell: int 0..|cells|-1, centroid, c2 = |c|^2/2) with DENSE ids so
-    * ADC tables index by position. */
-  private def trainSubCodebook(sub: DataFrame, ks: Int, iters: Int): DataFrame = {
+  /** Plain (Euclidean) k-means over an exploded (vec_id, j, sub)
+    * subvector frame — ALL m PQ subspaces trained together, the subspace
+    * id j just another grouping key. One corpus pass per Lloyd's
+    * iteration total (m separate trainings would cost m passes and ~m x
+    * the job-scheduling overhead — the first cut did exactly that and
+    * the full-inventory bench caught it at ~10 s/query). No spherical
+    * normalization: PQ minimizes subvector reconstruction MSE, which
+    * bounds the ADC inner-product error. Returns (j, cell: int
+    * 0..|cells_j|-1, centroid, c2 = |c|^2/2) with per-subspace DENSE ids
+    * so ADC tables index by position. */
+  private def trainPqCodebooks(subs: DataFrame, ks: Int, iters: Int): DataFrame = {
     def withC2(cb: DataFrame): DataFrame = cb.withColumn("c2",
       expr("aggregate(centroid, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v) / 2"))
-    var cb = withC2(sub.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(ks)
-      .select(col("vec_id").cast("string").as("cell"),
+    // seeds: per subspace, the ks subvectors with smallest xxhash64(vec_id)
+    var cb = withC2(subs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("j")).orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .where(col("rk") <= ks)
+      .select(col("j"), col("vec_id").cast("string").as("cell"),
         expr("transform(sub, x -> CAST(x AS DOUBLE))").as("centroid")))
     for (_ <- 1 to iters) {
-      val assigned = rankCellsL2(sub, cb)
-        .select(col("sub"), expr("ranked[0].cl").as("cell"))
+      val assigned = rankSubCells(subs, cb)
+        .select(col("j"), col("sub"), expr("ranked[0].cl").as("cell"))
       cb = withC2(assigned
-        .select(col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
+        .select(col("j"), col("cell"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("j", "cell", "pos")
         .agg(avg(col("v").cast("double")).as("c"))
-        .groupBy("cell")
+        .groupBy("j", "cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cell"), expr("transform(pc, x -> round(x.c, 6))").as("centroid")))
+        .select(col("j"), col("cell"), expr("transform(pc, x -> round(x.c, 6))").as("centroid")))
         .localCheckpoint(true)
     }
-    cb.withColumn("dense", row_number().over(Window.orderBy(col("cell"))) - 1)
-      .select(col("dense").as("cell"), col("centroid"), col("c2"))
+    cb.withColumn("dense",
+        row_number().over(Window.partitionBy(col("j")).orderBy(col("cell"))) - 1)
+      .select(col("j"), col("dense").as("cell"), col("centroid"), col("c2"))
   }
 
   /** Product-quantized kNN with ADC (asymmetric distance computation) —
@@ -214,31 +226,24 @@ object VectorOps {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"PQ subspaces ($m) must divide dim ($dim)")
     val d = dim / m
-    val cbs: Seq[DataFrame] = (0 until m).map { j =>
-      trainSubCodebook(
-        e.select(col("vec_id"), expr(s"slice(embedding, ${j * d + 1}, $d)").as("sub")),
-        ks, iters)
-    }
-    // encode: one nearest-cell pass per subspace, then codes packed in
-    // subspace order (shuffle carries (vec_id, j, code) triples — m ints
-    // per vector, nothing embedding-sized)
-    val codes = (0 until m).map { j =>
-      rankCellsL2(
-        e.select(col("vec_id"), col("label"),
-          expr(s"slice(embedding, ${j * d + 1}, $d)").as("sub")),
-        cbs(j))
-        .select(col("vec_id"), col("label"), lit(j).as("j"),
-          expr("ranked[0].cl").as("code"))
-    }.reduce(_ unionByName _)
+    // exploded subvector frame: n*m rows of dim/m floats — same total
+    // bytes as the corpus, so training + encoding stay one-pass-shaped
+    val subs = e.select(col("vec_id"), col("label"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), jj -> " +
+          s"named_struct('j', jj, 'sub', slice(embedding, jj * $d + 1, $d)))")).as("js"))
+      .select(col("vec_id"), col("label"), col("js.j").as("j"), col("js.sub").as("sub"))
+    val cb = trainPqCodebooks(subs, ks, iters)
+    // encode: one nearest-cell pass over the exploded frame, then codes
+    // packed in subspace order (the shuffle carries (vec_id, j, code)
+    // triples — m small ints per vector, nothing embedding-sized)
+    val codes = rankSubCells(subs, cb)
+      .select(col("vec_id"), col("label"), col("j"), expr("ranked[0].cl").as("code"))
       .groupBy("vec_id", "label")
       .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
     val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
     // ADC table: dot(q_j, centroid) for every (subspace, cell), packed as
     // tabs[j][cell] — one broadcast row of m*ks doubles
-    val codebooks = cbs.zipWithIndex
-      .map { case (cb, j) => cb.withColumn("j", lit(j)) }
-      .reduce(_ unionByName _)
-    val tabs = codebooks.crossJoin(broadcast(q))
+    val tabs = cb.crossJoin(broadcast(q))
       .select(col("j"), col("cell"),
         expr(s"graft_dot(slice(qv, j * $d + 1, $d), centroid)").as("t"))
       .groupBy("j")
