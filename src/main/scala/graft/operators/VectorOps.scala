@@ -206,8 +206,8 @@ object VectorOps {
     * precision, and scoring is m table lookups per vector instead of a
     * dim-length float loop.
     *
-    * Train: dim/m-dim subvectors, one Euclidean k-means codebook per
-    * subspace (`trainSubCodebook`). Encode: per subspace, nearest-cell
+    * Train: dim/m-dim subvectors, all subspace codebooks trained
+    * together (`trainPqCodebooks`). Encode: per subspace, nearest-cell
     * id; codes packed into one array<int> per vector in subspace order.
     * Search: the query's per-subspace dot products against every
     * centroid form the ADC table (ONE broadcast row of m arrays of ks
@@ -218,9 +218,23 @@ object VectorOps {
     * true neighbor is mis-ranked past `rerank` (the dial LlmOpsSpec
     * pins: recall is monotone in rerank, >= 0.9 on clustered data).
     *
+    * The declared q_knn_pq trains+searches in one query; production
+    * splits the phases — `pqIndex` once, persist via `writePqIndex`,
+    * then `pqSearch` per query against the stored tables (spec-pinned
+    * round trip in LlmOpsSpec).
+    *
     * Approximate by design => rows-only tier. */
   def knnPqOn(e: DataFrame, m: Int, ks: Int, k: Int = 20, rerank: Int = 100,
       iters: Int = 2, queryId: Long = 0): DataFrame = {
+    val (cb, codes) = pqIndex(e, m, ks, iters)
+    pqSearch(cb, codes, e, queryId, k, rerank)
+  }
+
+  /** Train + encode phase of PQ: returns (codebooks (j, cell, centroid,
+    * c2), codes (vec_id, label, codes)) — the two index tables a
+    * production deployment persists (`writePqIndex`) and reuses across
+    * queries. */
+  def pqIndex(e: DataFrame, m: Int, ks: Int, iters: Int = 2): (DataFrame, DataFrame) = {
     // 1-scalar sizing lookup (like Multimodal's byte-stats aggregate);
     // subspaces must tile the dimension exactly
     val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -240,12 +254,21 @@ object VectorOps {
       .select(col("vec_id"), col("label"), col("j"), expr("ranked[0].cl").as("code"))
       .groupBy("vec_id", "label")
       .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
-    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    (cb, codes)
+  }
+
+  /** ADC search phase of PQ over a (persisted or freshly built) index.
+    * The subvector length is read off each centroid (size(centroid)),
+    * so a stored index is self-describing. `full` supplies the query
+    * vector and the exact-rerank embeddings. */
+  def pqSearch(cb: DataFrame, codes: DataFrame, full: DataFrame,
+      queryId: Long = 0, k: Int = 20, rerank: Int = 100): DataFrame = {
+    val q = full.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
     // ADC table: dot(q_j, centroid) for every (subspace, cell), packed as
     // tabs[j][cell] — one broadcast row of m*ks doubles
     val tabs = cb.crossJoin(broadcast(q))
       .select(col("j"), col("cell"),
-        expr(s"graft_dot(slice(qv, j * $d + 1, $d), centroid)").as("t"))
+        expr("graft_dot(slice(qv, j * size(centroid) + 1, size(centroid)), centroid)").as("t"))
       .groupBy("j")
       .agg(expr("transform(array_sort(collect_list(struct(cell, t))), x -> x.t)").as("tj"))
       .agg(expr("transform(array_sort(collect_list(struct(j, tj))), x -> x.tj)").as("tabs"))
@@ -256,13 +279,27 @@ object VectorOps {
           "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
       .orderBy(col("asim").desc, col("vec_id").asc)
       .limit(rerank)
-    adc.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+    adc.join(full.select(col("vec_id"), col("embedding")), "vec_id")
       .crossJoin(broadcast(q))
       .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Persist a PQ index as two parquet tables under `dir` — the
+    * train-once/search-many deployment shape (codes are m ints per
+    * vector: the 100 TB scan reads these, never the float embeddings,
+    * except for the bounded rerank fetch). */
+  def writePqIndex(e: DataFrame, m: Int, ks: Int, dir: String, iters: Int = 2): Unit = {
+    val (cb, codes) = pqIndex(e, m, ks, iters)
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted PQ index: (codebooks, codes). */
+  def readPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/codebooks"), s.read.parquet(s"$dir/codes"))
 
   /** Candidate stage of the ANN similarity self-join (`simJoinTopkAnn`),
     * exposed so ScaleSpec can measure candidate-volume growth directly.

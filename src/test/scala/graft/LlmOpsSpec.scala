@@ -241,6 +241,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r50 >= 0.9, s"PQ recall@10 with rerank=50 was $r50 on clustered data")
   }
 
+  test("PQ index persists: parquet round trip searches identically to the in-memory index") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // train-once/search-many: the stored index must carry everything the
+    // search needs (self-describing subvector length via size(centroid))
+    // and reproduce the in-memory search bit-for-bit — same codebooks,
+    // same codes, same ADC tables.
+    val (e, _) = clusteredCorpus()
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val (cb, codes) = VectorOps.pqIndex(e, m = 4, ks = 8)
+    val direct = VectorOps.pqSearch(cb, codes, e, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    VectorOps.writePqIndex(e, m = 4, ks = 8, dir)
+    val (cb2, codes2) = VectorOps.readPqIndex(spark, dir)
+    val stored = VectorOps.pqSearch(cb2, codes2, e, k = 10, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(stored === direct,
+      "search over the persisted index drifted from the in-memory index")
+    assert(stored.nonEmpty)
+  }
+
   test("PQ codes on the driver fixture: 20 results, positive overlap with exact top-20") {
     // Isotropic driver embeddings (no partition scheme helps here — see
     // the IVF note above): assert the contract shape and that the ADC
