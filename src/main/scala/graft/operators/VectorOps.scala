@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * expression, never an n x cells join) — the standard billion-vector
   * layout (coarse quantizer + per-cell lists); SQ8 search scans int8
   * vectors (1/4 the bytes) and reranks a bounded candidate set at full
-  * precision.
+  * precision; PQ/ADC (`knnPqOn`, persistable via `writePqIndex`) scans
+  * m-lookup codes (4-bit cells, 64x compression at the declared
+  * parameters) for the memory-bound extreme.
   */
 object VectorOps {
 
