@@ -105,6 +105,28 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 30)
   }
 
+  test("SQ8 law: per-component dequantization error is bounded by scale/2") {
+    import spark.implicits._
+    // symmetric int8 quantization (the q_embed_quantize / q_knn_sq8
+    // recipe): q = floor(x/scale + 0.5) with scale = max|x|/127 rounds to
+    // nearest, so |q*scale - x| <= scale/2 for every component — the
+    // invariant the SQ8 candidate scan's error analysis rests on
+    val vecs = Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f)).suchThat(_.exists(_ != 0f))
+    check(Prop.forAll(vecs) { v =>
+      val df = Seq(Tuple1(v)).toDF("embedding")
+        .withColumn("scale",
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+        .where(col("scale") > 0)
+        .withColumn("err", expr(
+          "aggregate(transform(embedding, x -> " +
+            "abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT) * scale - CAST(x AS DOUBLE))), " +
+            "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))"))
+      df.select(col("err") <= col("scale") / 2 + lit(1e-9)).collect()
+        .forall(_.getBoolean(0))
+    })
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

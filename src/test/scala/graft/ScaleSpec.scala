@@ -109,7 +109,11 @@ class ScaleSpec extends AnyFunSuite {
     val dedup = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_embed")
     val knn = Seq("q_knn_cosine", "q_knn_ivf")
-    for (name <- flagship ++ dedup ++ knn) {
+    // top-3-per-vector ANN join: output must scale exactly with the
+    // corpus (a quadratic candidate stage would blow the time bound and
+    // the per-vector row cap long before 10x)
+    val simJoin = Seq("q_sim_join_topk")
+    for (name <- flagship ++ dedup ++ knn ++ simJoin) {
       val (baseRows, baseBnlj, _) = runOne(name, base)
       val (blownRows, blownBnlj, blownSecs) = runOne(name, blown)
       assert(blownRows > 0, s"$name returned no rows at ${factor}x")
@@ -127,6 +131,15 @@ class ScaleSpec extends AnyFunSuite {
       if (knn.contains(name))
         assert(blownRows === baseRows,
           s"$name top-k row count changed at ${factor}x: $baseRows -> $blownRows")
+      if (simJoin.contains(name))
+        // <= k rows per vector caps output linearly by construction; the
+        // denser blown corpus fills toward the cap (base sits below it
+        // where a probe set lacks 3 same-label members), so bound both
+        // sides with that slack — a quadratic candidate stage would blow
+        // the TIME bound above regardless
+        assert(blownRows <= factor * baseRows * 11 / 10 + 100 &&
+            blownRows >= factor * baseRows * 8 / 10,
+          s"$name output not ~linear at ${factor}x: $baseRows -> $blownRows")
     }
   }
 
