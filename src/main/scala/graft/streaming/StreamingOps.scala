@@ -15,6 +15,9 @@ case class UserAgg(user_id: Long, n: Long, total: Double)
 /** Document-ingest event for the streaming content-dedup operator. */
 case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** Query-vector event for the streaming kNN scorer. */
+case class QVec(qid: Long, ts: java.sql.Timestamp, qv: Seq[Float])
+
 /** Open-session state for the event-time-timeout sessionizer: epoch-ms
   * bounds plus the running event count. */
 case class SessState(startMs: Long, lastMs: Long, n: Long)
@@ -59,6 +62,36 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("ev"))
       .select(col("user_id"), col("w.start").as("session_start"), col("ev"))
+
+  /** Streaming kNN enrichment: score a stream of query vectors against a
+    * STATIC corpus and emit each query's top-k neighbors — the online-
+    * retrieval shape of q_knn_batch (queries arrive as micro-batches
+    * instead of one batch). The corpus rides as ONE broadcast row of
+    * (vec_id, label, embedding) structs joined stream-static on a
+    * constant key; each query row scans it inside a per-row expression
+    * and keeps only its local top-k before exploding, so the operator is
+    * STATELESS (Append mode, no watermark needed) and emits exactly k
+    * rows per query.
+    *
+    * Scale bound, stated honestly: the corpus must be broadcast-sized
+    * (an index/centroid table, a candidate subset — not 100 TB of raw
+    * vectors). Past that, stream the queries against the IVF/PQ index
+    * tables instead: assign each query a probed cell (the same broadcast
+    * codebook argmax) and stream-static equi-join on cell against the
+    * posting lists — the batch machinery in VectorOps is the template.
+    * Requires `graft_dot` registered on the session. */
+  def knnScoreStream(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val corpusArr = corpus
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("embedding"))).as("cs"))
+      .withColumn("one", lit(1))
+    queries.withColumn("one", lit(1))
+      .join(corpusArr, "one") // stream-static equi-join; static side is 1 row
+      .select(col("qid"), col("ts"), explode(expr(
+        s"slice(array_sort(transform(cs, c -> named_struct(" +
+          s"'negs', -graft_dot(qv, c.embedding), 'vec_id', c.vec_id, 'label', c.label))), 1, $k)")).as("c"))
+      .select(col("qid"), col("ts"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("label"), round(-col("c.negs"), 6).as("sim"))
+  }
 
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{DocEv, Ev, StreamingOps}
+import graft.streaming.{DocEv, Ev, QVec, StreamingOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -288,6 +288,42 @@ class StreamingSpec extends AnyFunSuite {
       val open = spark.table("sess_orphan_fold")
         .where(col("session_start") === ts("12:00")).collect()
       assert(open.length === 1 && open.head.getAs[Long]("ev") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming kNN scorer: each micro-batched query gets its exact top-k, statelessly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // small deterministic corpus; exact top-2 computable by hand
+    def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s) }
+    val rnd = new scala.util.Random(13)
+    val corpusVecs = (0L until 20L).map(i => i -> unit(Array.fill(8)(rnd.nextGaussian())))
+    val corpus = corpusVecs
+      .map { case (id, v) => (id, (id % 4).toString, v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val in = MemoryStream[QVec](15, spark, None)
+    val q = StreamingOps.knnScoreStream(in.toDF(), corpus, k = 2)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("knn_stream_out").start()
+    try {
+      val q1 = unit(Array.fill(8)(rnd.nextGaussian()))
+      val q2 = unit(Array.fill(8)(rnd.nextGaussian()))
+      in.addData(QVec(100L, ts("10:00"), q1.map(_.toFloat).toSeq))
+      q.processAllAvailable()
+      in.addData(QVec(200L, ts("10:05"), q2.map(_.toFloat).toSeq))
+      q.processAllAvailable()
+      def exactTop2(qv: Array[Double]): Seq[Long] =
+        corpusVecs.map { case (id, v) => (v.zip(qv).map { case (a, b) => a * b }.sum, id) }
+          .sortBy { case (s, id) => (-s, id) }.take(2).map(_._2)
+      val got = spark.table("knn_stream_out")
+        .select("qid", "vec_id", "sim").collect()
+        .groupBy(_.getLong(0)).view.mapValues(
+          _.sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq).toMap
+      assert(got.keySet === Set(100L, 200L))
+      assert(got(100L) === exactTop2(q1), "query 100 top-2 mismatch")
+      assert(got(200L) === exactTop2(q2), "query 200 top-2 mismatch")
+      // stateless: exactly k rows per query, nothing accretes
+      assert(spark.table("knn_stream_out").count() === 4)
     } finally q.stop()
   }
 
