@@ -161,7 +161,17 @@ object DedupOps {
       // shingled corpus as an intermediate table before the multi-pass
       // candidate/refine phases (block-manager storage spills to disk,
       // so this is not a fits-in-memory assumption).
-      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0).localCheckpoint(true)
+      //
+      // LAZY (eager = false): the barrier must not run at DataFrame-
+      // CONSTRUCTION time — plan-audit/explain paths call this function
+      // without ever executing the query (round-4 advice). The RDD is
+      // still checkpointed on first materialization and shared by all
+      // three consumers. Known audit blind spot either way: the
+      // checkpoint truncates lineage to a LogicalRDD, so the parquet
+      // scan under it is invisible to Plans' pushdown audit for this
+      // query (the scan-adjacent filter here is on a computed column —
+      // size(sh) — which is non-pushable by shape anyway).
+      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0).localCheckpoint(false)
       val ex = u.select(col("doc_id"), col("source"), size(col("sh")).as("len"),
         explode(col("sh")).as("g"))
       val freq = ex.groupBy("g").agg(count(lit(1)).as("df_g"))

@@ -96,9 +96,14 @@ object VectorOps {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("cell"), expr("transform(pc, x -> x.c)").as("m"))
-        .select(col("cell"), expr(
-          "transform(m, x -> round(x / sqrt(aggregate(m, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)), 6))")
-          .as("centroid"))
+        // A degenerate cell whose member mean is the ZERO vector would
+        // normalize to NaN centroids that silently sort last in every
+        // argmax instead of dropping (round-4 advice). Drop it
+        // explicitly — same deterministic fate as a memberless cell.
+        .withColumn("nrm2", expr("aggregate(m, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
+        .where(col("nrm2") > 0)
+        .select(col("cell"),
+          expr("transform(m, x -> round(x / sqrt(nrm2), 6))").as("centroid"))
         .localCheckpoint(true)
     }
     cb

@@ -80,12 +80,27 @@ object StreamingOps {
     * codebook argmax) and stream-static equi-join on cell against the
     * posting lists — the batch machinery in VectorOps is the template.
     * Requires `graft_dot` registered on the session. */
-  def knnScoreStream(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+  def knnScoreStream(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+      maxCorpusRows: Long = 1000000L): DataFrame = {
+    // Make the scale bound EXPLICIT rather than planner-dependent
+    // (round-4 advice): (a) fail fast with a clear message when the
+    // corpus exceeds the declared broadcast-sized contract, instead of
+    // letting a too-big corpus surface as a 2 GB single-row overflow or
+    // a silent fall-back to a shuffle join mid-stream; (b) pin the
+    // broadcast with an explicit hint — the one-row static side holds
+    // the whole corpus in a single row, so size ESTIMATION can exceed
+    // autoBroadcastJoinThreshold even though broadcasting one row is
+    // exactly right. corpus is a static (batch) frame, so the count is
+    // a one-time setup cost, not per-micro-batch work.
+    val n = corpus.count()
+    require(n <= maxCorpusRows,
+      s"knnScoreStream corpus has $n rows > maxCorpusRows=$maxCorpusRows; " +
+        "stream queries against IVF/PQ index tables instead (see scaladoc)")
     val corpusArr = corpus
       .agg(collect_list(struct(col("vec_id"), col("label"), col("embedding"))).as("cs"))
       .withColumn("one", lit(1))
     queries.withColumn("one", lit(1))
-      .join(corpusArr, "one") // stream-static equi-join; static side is 1 row
+      .join(broadcast(corpusArr), "one") // stream-static equi-join; static side is 1 row
       .select(col("qid"), col("ts"), explode(expr(
         s"slice(array_sort(transform(cs, c -> named_struct(" +
           s"'negs', -graft_dot(qv, c.embedding), 'vec_id', c.vec_id, 'label', c.label))), 1, $k)")).as("c"))
