@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators (SURVEY §2.D). Hash aggregation with map-side
@@ -179,6 +180,38 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // Linear-regression aggregates (single-pass co-moment form, map-side
+    // combinable like corr). Slope/intercept/r2 of price ~ quantity per
+    // return flag; rounded per G4 (co-moments over 1e5 well-scaled values
+    // were stable at 4dp in q_agg_stats/q_agg_corr).
+    "q_agg_regr" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic per-group MODE: native mode() is tie-UNSTABLE in both
+    // engines (ties resolve by encounter order), so the declared form is
+    // the portable rewrite — count per value, window-pick the (count desc,
+    // value asc) winner. Same two-shuffle shape an exact mode costs at
+    // scale; ties can never flip the result between engines.
+    "q_agg_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
     // t-digest-style quantile sketch (approx_percentile with a bounded
     // accuracy parameter) — the scale path where exact percentile's full
     // sort-per-group is unaffordable; the sketch partial-merges map-side
@@ -215,6 +248,22 @@ object Aggregates {
     "q_agg_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal),2) AS bal

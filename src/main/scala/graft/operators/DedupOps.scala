@@ -269,6 +269,52 @@ object DedupOps {
           size(col("sh")).as("n_shingles"))
         .orderBy("doc_id")
     }),
+
+    // Duplicate CLUSTERS: the step every pairwise dedup stops short of —
+    // near-dup pairs are edges of an undirected graph, and the unit of
+    // removal is the connected component (keep min doc_id per component,
+    // drop the rest). A chain a~b~c must collapse to ONE cluster even
+    // though (a,c) was never a candidate pair.
+    //
+    // Components come from iterative min-label propagation (the Pregel
+    // recipe in DataFrame ops): every node starts as its own component;
+    // each round, labels flow across the symmetric edge set and each
+    // node keeps the min seen. Each round is one keyed equi-join + one
+    // groupBy-min — linear shuffles, label diameter halves nothing but
+    // spreads one hop per round, so `iters` rounds are exact for any
+    // component of diameter <= iters. Near-dup clusters are tiny dense
+    // cliques (diameter 1-2 in this corpus; rarely > 8 anywhere), and
+    // LlmOpsSpec pins exactness: union-find components match at
+    // sf0.01. Edges reuse q_jaccard_pairs' bounded candidate set
+    // (doc_id < 200, same source) at jac >= 0.5; the DuckDB oracle walks
+    // the same edges with a recursive CTE — an exact cross-engine check
+    // of the component structure itself.
+    "q_dedup_clusters" -> ((s, d) => {
+      val t = Tables.documents(s, d).where(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("doc_id").as("da"), col("source"), col("toks").as("ta"))
+      val b = t.select(col("doc_id").as("db"), col("source").as("source_b"), col("toks").as("tb"))
+      val edges = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+        .select(col("da"), col("db"), jaccard("ta", "tb").as("jac"))
+        .where(col("jac") >= 0.5)
+        .select("da", "db")
+      val sym = edges.unionByName(
+        edges.select(col("db").as("da"), col("da").as("db")))
+      var comp = t.select(col("doc_id").as("node"), col("doc_id").as("comp"))
+      for (_ <- 1 to 8) {
+        val viaNeighbor = sym.join(comp, col("da") === col("node"))
+          .select(col("db").as("node"), col("comp"))
+        // lazy barrier per round: truncates the exponentially nesting
+        // lineage (same reasoning as trainCodebook) without executing
+        // at construction time
+        comp = comp.unionByName(viaNeighbor)
+          .groupBy("node").agg(min("comp").as("comp"))
+          .localCheckpoint(false)
+      }
+      comp.withColumn("members", count(lit(1)).over(Window.partitionBy("comp")))
+        .select(col("node"), col("comp"), col("members"))
+        .orderBy("node")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -279,6 +325,29 @@ object DedupOps {
         |  SELECT doc_id + 1000000, sha256(lower(trim(text))) FROM documents)
         |SELECT h, min(doc_id) AS keep_id, count(*) AS dups
         |FROM u GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    // The recursive CTE enumerates every (node, reachable-ancestor) pair;
+    // min over it is the component id — exact against Spark's iterative
+    // min-label propagation as long as propagation ran >= diameter rounds
+    // (pinned by LlmOpsSpec's union-find equality test).
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5),
+        |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT e.db, w.comp FROM walk w JOIN edges e ON e.da = w.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+        |SELECT node, comp,
+        |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS members
+        |FROM comps ORDER BY node""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks

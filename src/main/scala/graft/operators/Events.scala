@@ -62,6 +62,27 @@ object Events {
         .agg(min("event_id").as("keep_id"), count(lit(1)).as("dups"))
         .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
     }),
+
+    // Shannon entropy of each user's event-type mix — the behavioral-
+    // diversity score (0 = one event type; ln(5) ≈ 1.609 = uniform over
+    // all five). Uses the single-pass identity
+    //   H = ln(T) - (Σ c·ln c) / T   (T = Σ c)
+    // so the per-user pass is one groupBy over (user, type) counts and
+    // one over users — no p=c/T per-row division whose summation order
+    // could drift across engines; ln is libm-stable and 4dp rounding
+    // absorbs the last ulp (same discipline as q_math_funcs).
+    "q_evt_entropy" -> ((s, d) => {
+      val c = Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      c.groupBy("user_id")
+        .agg(
+          round(log(sum("cnt")) - sum(col("cnt") * log(col("cnt"))) / sum("cnt"), 4)
+            .as("entropy"),
+          count(lit(1)).as("n_types"),
+          sum("cnt").as("n_events"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -94,6 +115,15 @@ object Events {
         |x AS (SELECT unnest(generate_series(h - 5, h)) AS wstart, value FROM h)
         |SELECT wstart, count(*) AS n, round(sum(value),2) AS sv
         |FROM x GROUP BY wstart ORDER BY wstart ASC""".stripMargin,
+
+    "q_evt_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4) AS entropy,
+        |  count(*) AS n_types,
+        |  CAST(sum(cnt) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_evt_dedup" ->
       """WITH e AS (SELECT user_id, event_type,

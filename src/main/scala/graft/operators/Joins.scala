@@ -139,6 +139,27 @@ object Joins {
         .orderBy("err_id")
     }),
 
+    // Skew-salted equi-join, DECLARED with an exact oracle: the salted
+    // rewrite must be RESULT-IDENTICAL to the plain join, and the oracle
+    // is the plain join's SQL — a cross-engine proof the rewrite changes
+    // the shuffle, not the semantics. Fact rows scatter across 8 sub-keys
+    // (hash-derived salt), the supplier dimension replicates 8x with an
+    // exploded salt, the join keys on (suppkey, salt), and the aggregate
+    // collapses the salt away. At 100 TB this is the manual fallback when
+    // one hot key swamps a reducer past what AQE's skew split handles
+    // (ScaleSpec measures the reducer-share effect on a 50%-hot key); at
+    // sf0.1 AQE may still broadcast the small replicated side — the
+    // declared contract is the rewrite's correctness, which is exactly
+    // what an oracle can pin.
+    "q_join_salted" -> ((s, d) =>
+      graft.plans.Scale.saltedEquiJoin(
+          Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+          Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+        .orderBy("s_nationkey")),
+
     // As-of join: each purchase matched to the same user's latest click at
     // or before it. No native as-of in Spark SQL — union-tag + running
     // `last(_, ignoreNulls)` window, the standard distributed rewrite
@@ -219,6 +240,11 @@ object Joins {
         |  ON e.ts_us BETWEEN probes.err_us - 3600000000 AND probes.err_us + 3600000000
         | AND e.event_id <> probes.err_id
         |GROUP BY err_id ORDER BY err_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_join_asof" ->
       """WITH e AS (

@@ -200,6 +200,24 @@ object TextOps {
         .select("lang", "term", "score", "rn")
         .orderBy(col("lang").asc, col("rn").asc)
     }),
+
+    // Character-trigram top-30: the fingerprinting/language-ID primitive
+    // at character granularity (q_lang_id's heuristic operates on these).
+    // Each document explodes to length-2 trigram rows — linear in corpus
+    // bytes, partial-aggregated map-side before the shuffle carries only
+    // distinct trigrams. The CASE guard keeps sub-3-char docs from
+    // generating a DESCENDING sequence() (Spark) where DuckDB's
+    // generate_series would return empty — the one cross-engine trap in
+    // this shape (same guard as DedupOps.shingleExpr).
+    "q_str_ngrams" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(expr(
+          "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)) ELSE array() END")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc)
+        .limit(30)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -213,6 +231,13 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_str_ngrams" ->
+      """SELECT g, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+        |    i -> substr(text, i, 3))) AS g
+        |  FROM documents) t
+        |GROUP BY g ORDER BY cnt DESC, g ASC LIMIT 30""".stripMargin,
 
     "q_array_funcs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)

@@ -399,6 +399,31 @@ object VectorOps {
         .limit(20)
     }),
 
+    // FILTERED vector search: exact top-10 under a metadata predicate
+    // (label differs from the query's) — the filter+similarity shape
+    // every vector store serves. Filtering makes ANN *harder* (post-
+    // filtering an index probe loses recall when the filter is
+    // selective), but the exact scan composes for free: the predicate
+    // evaluates inside the same single pass, before any dot product of
+    // a filtered-out row, and the plan stays scan + 1-row broadcast +
+    // TakeOrderedAndProject — so the filtered query keeps an exact
+    // oracle at any selectivity. For the indexed variant, the same
+    // predicate drops into simJoinTopkAnn's member-list lambda
+    // (pre-filtering, not post-), bounding the recall loss to the IVF
+    // probe itself.
+    "q_knn_filtered" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("label").as("q_label"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0 && col("label") =!= col("q_label"))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // Per-label centroid, then the 5 nearest members of each label — the
     // "interactive similarity session" pattern.
     "q_knn_per_label" -> ((s, d) => {
@@ -582,6 +607,14 @@ object VectorOps {
         |  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),6) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+
+    "q_knn_filtered" ->
+      """WITH q AS (SELECT embedding AS qv, label AS q_label
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),6) AS sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label <> q.q_label
+        |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "q_knn_per_label" ->
       """WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -108,6 +108,32 @@ object StreamingOps {
         col("c.label").as("label"), round(-col("c.negs"), 6).as("sim"))
   }
 
+  /** STREAM-STREAM attribution join — the streaming twin of
+    * q_evt_funnel: each purchase matches the same user's clicks at most
+    * `horizon` older. Both sides are watermarked and the join condition
+    * carries the event-time band, which is what lets Spark DERIVE state
+    * eviction bounds: a buffered click can be dropped once the purchase
+    * watermark passes click.ts + horizon, a buffered purchase once the
+    * click watermark passes purchase.ts — so state holds only the
+    * (watermark + horizon) window per side regardless of stream length.
+    * Inner join ⇒ matches emit immediately (Append); the watermark only
+    * governs cleanup, not emission. Without the time band in the join
+    * condition both sides would buffer FOREVER — the classic
+    * stream-stream join mistake this operator exists to encode. */
+  def attributeStream(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("cts"), col("pts"))
+  }
+
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -57,6 +57,43 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash too loose: ${rows.length} pairs for $planted planted")
   }
 
+  test("dedup clusters: 8-round min-label propagation equals exact union-find components") {
+    // The declared query is exact only if every node's min-label reaches
+    // it within 8 propagation rounds (distance-to-min <= 8). Rebuild the
+    // SAME candidate edge set and compute components exactly with
+    // union-find (roots merged min-ward, so each root IS the component
+    // min); any divergence — non-convergence, asymmetric edges, a chain
+    // the rounds didn't cover — fails here before the oracle sees it.
+    val rows = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val t = Tables.documents(spark, sf).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("da"), col("source"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("db"), col("source").as("source_b"), col("toks").as("tb"))
+    val edges = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+      .withColumn("jac", round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        size(array_union(col("ta"), col("tb"))), 4))
+      .where(col("jac") >= 0.5)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    rows.foreach { case (node, comp, _) =>
+      assert(comp == find(node), s"node $node: declared comp $comp != exact ${find(node)}")
+    }
+    val sizes = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    rows.foreach { case (_, comp, members) =>
+      assert(members == sizes(comp), s"comp $comp: members col $members != ${sizes(comp)}")
+    }
+    assert(rows.exists(_._3 > 1), "fixture has no multi-member clusters to exercise merging")
+  }
+
   test("simhash pigeonhole banding is lossless: banded pairs == brute-force all-pairs") {
     import graft.operators.DedupOps
     // brute force straight from the SAME signatures the query bands

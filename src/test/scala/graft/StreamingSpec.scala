@@ -327,6 +327,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to in-horizon clicks only") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](16, spark, None)
+    val df = in.toDF()
+    // genuine stream-stream self-join: both sides are the SAME unbounded
+    // source, filtered — Spark buffers each side's state independently
+    val out = StreamingOps.attributeStream(
+      df.where($"event_type" === "click"),
+      df.where($"event_type" === "purchase"),
+      watermark = "10 minutes", horizon = "1 hour")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_out").start()
+    try {
+      in.addData(
+        ev(1, "10:00", uid = 1, typ = "click"),
+        ev(2, "10:30", uid = 1, typ = "purchase"), // in horizon -> match
+        ev(3, "12:00", uid = 1, typ = "purchase"), // 2h after the click -> no match
+        ev(4, "10:10", uid = 2, typ = "purchase")) // no click for this user
+      q.processAllAvailable()
+      // purchase arriving in a LATER batch still matches the buffered click
+      in.addData(ev(5, "10:50", uid = 1, typ = "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L), (1L, 5L)),
+        s"attribution pairs wrong: $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](5, spark, None)
