@@ -115,13 +115,16 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session-scoped registration of graft's native functions. Idempotent —
   * call at the top of any query that uses them. SQL names: `graft_dot`,
-  * `graft_simhash(tokens)`, `shingles(tokens, n)`. */
+  * `graft_simhash(tokens)`, `graft_topk(item, capacity)`,
+  * `shingles(tokens, n)`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", TopKSketch.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => {
         val n = exprs(1).eval(null) match {

@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash", "graft_simhash(tokens) - 32-bit SimHash signature of a token array"),
       (exprs: Seq[Expression]) => SimHash(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(item, capacity) - SpaceSaving heavy-hitters sketch; " +
+        "emits array<struct<item, cnt, err>> sorted by estimated count"),
+      (exprs: Seq[Expression]) => TopKSketch.build(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - generator of distinct n-token shingles"),
       (exprs: Seq[Expression]) => {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -199,6 +200,27 @@ object TextOps {
         .where(col("rn") <= 3)
         .select("lang", "term", "score", "rn")
         .orderBy(col("lang").asc, col("rn").asc)
+    }),
+
+    // Sketched vocabulary top-10 per language — q_vocab_topk's 100 TB
+    // shape: the SpaceSaving `graft_topk` aggregate (TypedImperative,
+    // TopKSketch.scala) builds a capacity-64 summary map-side and the
+    // shuffle carries <= 64 entries per language instead of every
+    // distinct term. No oracle (summary content is partition-order-
+    // dependent within its error bounds; rows = one per language, fixed);
+    // CustomFunctionsSpec pins the SpaceSaving guarantees — every true
+    // heavy hitter present, est >= true >= est - err — against exact
+    // counts, single- and multi-partition.
+    "q_vocab_sketch" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang")
+        .agg(expr("graft_topk(term, 64)").as("sketch"))
+        .select(col("lang"),
+          expr("array_join(transform(slice(sketch, 1, 10), x -> x.item), ',')").as("top_terms"),
+          size(col("sketch")).as("m"))
+        .orderBy("lang")
     }),
 
     // Character-trigram top-30: the fingerprinting/language-ID primitive

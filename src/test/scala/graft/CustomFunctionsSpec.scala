@@ -154,6 +154,45 @@ class CustomFunctionsSpec extends AnyFunSuite {
     assert(edge.isNullAt(0) && edge.getLong(1) === 0L)
   }
 
+  test("graft_topk keeps every true heavy hitter with sound count bounds, across partitions") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // skewed stream: h1 x 300, h2 x 150, h3 x 60, tail of 200 singletons.
+    // n = 710, capacity 16 => anything with true count > n/16 ≈ 44 MUST
+    // be monitored (SpaceSaving guarantee), including after the partial
+    // sketches built on 8 partitions merge through the shuffle.
+    val items = Seq.fill(300)("h1") ++ Seq.fill(150)("h2") ++ Seq.fill(60)("h3") ++
+      (0 until 200).map(i => s"t$i")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = scala.util.Random.shuffle(items).toDF("item").repartition(8)
+    val sketch = df.agg(expr("graft_topk(item, 16)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val monitored = sketch.map(_._1).toSet
+    Seq("h1", "h2", "h3").foreach(h =>
+      assert(monitored.contains(h), s"heavy hitter $h missing from sketch: $monitored"))
+    assert(sketch.length <= 16)
+    sketch.foreach { case (item, cnt, err) =>
+      val t = truth(item)
+      assert(cnt >= t, s"$item: estimate $cnt underestimates true $t")
+      assert(cnt - err <= t, s"$item: lower bound ${cnt - err} exceeds true $t")
+    }
+    // the top of the sketch ranks the heavies correctly
+    assert(sketch.take(2).map(_._1).toSeq === Seq("h1", "h2"))
+  }
+
+  test("graft_topk is exact (err 0) while distinct items fit the capacity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("item").repartition(3)
+    val got = df.agg(expr("graft_topk(item, 16)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+
   test("MinHashAgg matches the HOF signature recipe of q_dedup_minhash") {
     import spark.implicits._
     val shingles = Seq("a b c", "b c d", "c d e")

@@ -127,6 +127,71 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("salted join equals the plain join for any salt count (rewrite soundness law)") {
+    import spark.implicits._
+    val facts = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(-50.0, 50.0)))
+    val dims = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 8L), Gen.alphaStr.map(_.take(4))))
+    check(Prop.forAll(facts, dims, Gen.chooseNum(1, 12)) { (fs, ds, salts) =>
+      val fact = fs.toDF("fk", "v")
+      val dim = ds.distinctBy(_._1).toDF("dk", "name")
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("dk").agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = norm(fact.join(dim, col("fk") === col("dk")))
+      val salted = norm(graft.plans.Scale.saltedEquiJoin(fact, dim, "fk", "dk", salts))
+      plain == salted
+    })
+  }
+
+  test("entropy law: q_evt_entropy's identity is in [0, ln(n_types)], 0 iff one type") {
+    import spark.implicits._
+    // random per-type counts; H = ln T - (sum c ln c)/T must satisfy the
+    // entropy bounds, hitting 0 exactly for a single type
+    val counts = Gen.nonEmptyListOf(Gen.chooseNum(1L, 50L)).map(_.take(6))
+    check(Prop.forAll(counts) { cs =>
+      val df = cs.zipWithIndex.map { case (c, i) => (s"t$i", c) }.toDF("typ", "cnt")
+      val h = df.agg(
+        (log(sum("cnt")) - sum(col("cnt") * log(col("cnt"))) / sum("cnt")).as("h"))
+        .head().getDouble(0)
+      val upper = math.log(cs.length.toDouble) + 1e-9
+      h >= -1e-9 && h <= upper && (cs.length > 1 || math.abs(h) < 1e-9)
+    })
+  }
+
+  test("min-label propagation converges to union-find components on random graphs") {
+    import spark.implicits._
+    // random sparse graph on <= 30 nodes; 8 Spark propagation rounds (the
+    // declared q_dedup_clusters count) must agree with exact union-find
+    // whenever the diameter allows — cap at 7 edges so the worst case (a
+    // 7-edge chain with the min at one end) still has distance-to-min
+    // 7 <= 8
+    val edgesGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
+      .map(_.filter { case (a, b) => a != b }.take(7))
+    check(Prop.forAll(edgesGen) { es =>
+      val nodes = (es.flatMap { case (a, b) => Seq(a, b) } :+ 0L).distinct
+      val nodesDf = nodes.toDF("node").withColumn("comp", col("node"))
+      val edges = es.toDF("da", "db")
+      val sym = edges.unionByName(edges.select(col("db").as("da"), col("da").as("db")))
+      var comp = nodesDf
+      for (_ <- 1 to 8) {
+        comp = comp.unionByName(
+            sym.join(comp, col("da") === col("node")).select(col("db").as("node"), col("comp")))
+          .groupBy("node").agg(min("comp").as("comp"))
+      }
+      val got = comp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      nodes.forall(n => got(n) == find(n))
+    }, tests = 8)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
