@@ -35,6 +35,8 @@ object Plans {
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
     "q_jaccard_pairs"   -> "declared bounded pair enumeration (doc_id<200 cap)",
+    "q_sim_sparse"      -> ("declared bounded pair enumeration (doc_id<100 cap); at scale the " +
+      "df-capped postings cut removes the quadratic term (see TextOps comment)"),
   )
 
   /** Queries whose nested-loop / cartesian join is the RIGHT plan, with

@@ -202,6 +202,36 @@ object TextOps {
         .orderBy(col("lang").asc, col("rn").asc)
     }),
 
+    // SPARSE cosine similarity join via an inverted index — the sparse
+    // (term-vector) complement of the dense kNN/ANN paths: documents as
+    // tf vectors, pairwise cosine computed by joining postings on the
+    // TERM key (dot accumulates only over shared terms), never an
+    // all-pairs document join. Work is sum over terms of df^2 — at scale
+    // the standard controls drop straight into this plan: cut stopword
+    // postings (df cap, cf. q_dedup_ngram_jaccard's rarity prefix) and
+    // the quadratic term vanishes with them. tf dots are exact integer
+    // sums; sqrt/division are IEEE-identical cross-engine; the threshold
+    // applies to the 4dp-ROUNDED cosine so an ulp at the boundary cannot
+    // flip membership. Bounded here at doc_id < 100 (same declared-cap
+    // convention as q_jaccard_pairs).
+    "q_sim_sparse" -> ((s, d) => {
+      val tf = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nrm = tf.groupBy("doc_id").agg(sqrt(sum(col("tf") * col("tf"))).as("n"))
+      val a = tf.select(col("doc_id").as("da"), col("term"), col("tf").as("tfa"))
+      val b = tf.select(col("doc_id").as("db"), col("term").as("term_b"), col("tf").as("tfb"))
+      val dots = a.join(b, col("term") === col("term_b") && col("da") < col("db"))
+        .groupBy("da", "db").agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(nrm.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+        .where(col("cos") >= 0.75)
+        .select("da", "db", "cos")
+        .orderBy("da", "db")
+    }),
+
     // Sketched vocabulary top-10 per language — q_vocab_topk's 100 TB
     // shape: the SpaceSaving `graft_topk` aggregate (TypedImperative,
     // TopKSketch.scala) builds a capacity-64 summary map-side and the
@@ -253,6 +283,23 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_sim_sparse" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |nrm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS n FROM tf GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.tf * b.tf) AS dot
+        |  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d.da, d.db, round(d.dot / (na.n * nb.n), 4) AS cos
+        |FROM dots d
+        |JOIN nrm na ON d.da = na.doc_id
+        |JOIN nrm nb ON d.db = nb.doc_id
+        |WHERE round(d.dot / (na.n * nb.n), 4) >= 0.75
+        |ORDER BY d.da, d.db""".stripMargin,
 
     "q_str_ngrams" ->
       """SELECT g, count(*) AS cnt FROM (
