@@ -383,6 +383,59 @@ object VectorOps {
       .orderBy(col("va").asc, col("rn").asc)
   }
 
+  /** MMR (maximal marginal relevance) diversified retrieval: exact
+    * top-`candidates` by query similarity, then k greedy picks maximizing
+    * `lambda * sim(q, c) - (1 - lambda) * max sim(c, already-picked)` —
+    * the standard rerank that keeps a result page from filling with
+    * near-duplicates of one hit. lambda = 1 degenerates to plain top-k
+    * (LlmOpsSpec pins that identity; ties broken by vec_id).
+    *
+    * Shape: stage 1 is the usual single scan + TakeOrderedAndProject
+    * (all the data-sized work); stage 2 collapses the `candidates`
+    * survivors to ONE row and runs the k greedy steps as a RUNTIME fold
+    * — a single `aggregate(sequence(1, k), …)` expression whose
+    * accumulator is the (picked, remaining) pair. The loop must unroll
+    * at runtime, not plan time: a first cut built k chained withColumns
+    * and Catalyst's project-collapse inlined each step's sel/rem into
+    * the next several times over — an exponentially nested expression
+    * tree that took minutes to analyze/codegen for k=5. The fold keeps
+    * the plan O(1) regardless of k; cost is O(k * candidates) dot
+    * products on one bounded row (the candidate cap is the declared
+    * contract, as in every reranking retrieval stack). */
+  def knnMmr(e: DataFrame, queryId: Long = 0, candidates: Int = 20, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    require(k <= candidates, s"k ($k) must be <= candidates ($candidates)")
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val cand = e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", expr("graft_dot(embedding, qv)"))
+      .select("vec_id", "label", "sim", "embedding")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(candidates)
+    val mu = 1.0 - lambda
+    // argmax over the remaining candidates of the MMR objective; no
+    // let-binding in SQL lambdas, so the expression appears twice per
+    // step (picked once into sel, dropped once from rem) — 2x a tiny
+    // compute, not 2x plan size
+    val best =
+      s"array_sort(transform(st.rem, c2 -> struct(-($lambda * c2.sim - $mu * " +
+        "coalesce(array_max(transform(st.sel, s -> graft_dot(c2.embedding, s.embedding))), " +
+        "CAST(0.0 AS DOUBLE))) AS nm, c2.vec_id AS vid)))[0].vid"
+    cand
+      .agg(collect_list(struct(col("vec_id"), col("label"), col("sim"), col("embedding"))).as("cs"))
+      .withColumn("sel", expr(
+        s"aggregate(sequence(1, $k), " +
+          "named_struct('sel', slice(cs, 1, 0), 'rem', cs), " +
+          s"(st, i) -> named_struct(" +
+          s"'sel', concat(st.sel, filter(st.rem, c -> c.vec_id = $best)), " +
+          s"'rem', filter(st.rem, c -> c.vec_id != $best)), " +
+          "st -> st.sel)"))
+      .select(posexplode(col("sel")).as(Seq("rank0", "c")))
+      .select((col("rank0") + 1).cast("int").as("rank"), col("c.vec_id").as("vec_id"),
+        col("c.label").as("label"), round(col("c.sim"), 6).as("sim"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-20 against one query vector. The query side is
     // a 1-row broadcast; the scan side streams — at 100 TB this is a single
@@ -422,6 +475,15 @@ object VectorOps {
         .select("vec_id", "label", "sim")
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // MMR-diversified top-5 from the exact top-20 candidates (λ = 0.7).
+    // Approximate-by-contract (the candidate cap) ⇒ rows-only tier;
+    // LlmOpsSpec pins λ=1 ≡ plain top-k and the diversity effect on a
+    // planted near-dup fixture.
+    "q_knn_mmr" -> ((s, d) => {
+      GraftFunctions.register(s)
+      knnMmr(Tables.embeddings(s, d), queryId = 0, candidates = 20, k = 5, lambda = 0.7)
     }),
 
     // Per-label centroid, then the 5 nearest members of each label — the

@@ -134,6 +134,29 @@ object StreamingOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("cts"), col("pts"))
   }
 
+  /** Left-outer variant of `attributeStream`: every click eventually
+    * emits — matched rows immediately, UNMATCHED clicks with null
+    * purchase columns once the watermark passes click.ts + horizon and
+    * no match can arrive anymore (the "unattributed traffic" report).
+    * The outer side is what makes the watermark semantically load-
+    * bearing: a null-padded row is only correct when lateness is
+    * provably over, so emission waits on it — the inner join above
+    * never has to. */
+  def attributeStreamOuter(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes", horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("cts"), col("pts"))
+  }
+
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -57,6 +57,45 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash too loose: ${rows.length} pairs for $planted planted")
   }
 
+  test("MMR at lambda=1 is exactly plain top-k; diversified picks break up a planted dup block") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // fixture: query q at vec_id 0; three near-identical top hits
+    // (1, 2, 3) just off q; two moderately similar but mutually distant
+    // vectors (4, 5); far tail (6, 7)
+    def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s).map(_.toFloat) }
+    val e1 = Array(1.0, 0.0, 0.0, 0.0)
+    val rows = Seq(
+      0L -> unit(e1),
+      1L -> unit(Array(1.0, 0.09, 0.0, 0.0)),
+      2L -> unit(Array(1.0, 0.10, 0.0, 0.0)),
+      3L -> unit(Array(1.0, 0.11, 0.0, 0.0)),
+      4L -> unit(Array(1.0, -0.5, 0.5, 0.0)),
+      5L -> unit(Array(1.0, 0.5, -0.5, 0.0)),
+      6L -> unit(Array(0.0, 0.0, 1.0, 0.0)),
+      7L -> unit(Array(0.0, 0.0, 0.0, 1.0)))
+    val df = rows.map { case (id, v) => (id, (id % 2).toInt, v) }
+      .toDF("vec_id", "label", "embedding")
+    def picks(lambda: Double): Seq[Long] =
+      VectorOps.knnMmr(df, queryId = 0, candidates = 7, k = 4, lambda = lambda)
+        .collect().map(_.getLong(1)).toSeq
+    // exact top-4 computed in-test from the same vectors
+    val qv = rows.head._2.map(_.toDouble)
+    val exact = rows.tail
+      .map { case (id, v) => (id, v.map(_.toDouble).zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1)
+    assert(picks(1.0) === exact, "lambda=1 must reduce MMR to plain top-k")
+    assert(exact.take(3) === Seq(1L, 2L, 3L),
+      "fixture broken: the planted near-dup block should fill the exact top-3")
+    val div = picks(0.5)
+    assert(div.head === exact.head, "MMR must open with the most relevant hit")
+    assert(div(1) != 2L && div(1) != 3L,
+      s"diversified second pick stayed inside the near-dup block: $div")
+    assert(div.toSet != exact.toSet,
+      "lambda=0.5 selection should differ from pure relevance on this fixture")
+  }
+
   test("dedup clusters: 8-round min-label propagation equals exact union-find components") {
     // The declared query is exact only if every node's min-label reaches
     // it within 8 propagation rounds (distance-to-min <= 8). Rebuild the

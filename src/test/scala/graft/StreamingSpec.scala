@@ -357,6 +357,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer attribution join null-pads unmatched clicks only after the watermark closes them") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](17, spark, None)
+    val df = in.toDF()
+    val out = StreamingOps.attributeStreamOuter(
+      df.where($"event_type" === "click"),
+      df.where($"event_type" === "purchase"),
+      watermark = "10 minutes", horizon = "1 hour")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_outer_out").start()
+    try {
+      in.addData(
+        ev(1, "10:00", uid = 1, typ = "click"),    // will match
+        ev(2, "10:30", uid = 1, typ = "purchase"),
+        ev(3, "10:05", uid = 2, typ = "click"))    // never matches
+      q.processAllAvailable()
+      val early = spark.table("attrib_outer_out")
+        .where(col("click_id") === 3).count()
+      assert(early === 0,
+        "unmatched click null-padded before the watermark could rule out a late match")
+      // advance event time past 10:05 + 1h horizon + 10m watermark ->
+      // click 3 is provably unmatchable and must emit null-padded
+      in.addData(ev(9, "11:30", uid = 9, typ = "click"))
+      q.processAllAvailable()
+      in.addData(ev(10, "11:45", uid = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer_out")
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(rows.contains((1L, 2L)), s"matched pair missing: $rows")
+      assert(rows.contains((3L, -1L)), s"closed unmatched click not null-padded: $rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user aggregates across batches") {
     import spark.implicits._
     val in = MemoryStream[Ev](5, spark, None)
