@@ -63,6 +63,28 @@ object Events {
         .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
     }),
 
+    // Calendar-spine join with zero-fill: every day of the observed
+    // range emits a row even when the (rare) fact slice has no events
+    // that day — the gap-free time series every dashboard/training-label
+    // pipeline needs (6 of 30 days are genuinely zero-filled at sf0.01).
+    // Scale order matters: the facts aggregate to per-day rows FIRST
+    // (keyed shuffle, ~days rows), then the tiny generated spine
+    // left-joins the daily aggregate — never a spine-to-raw-facts outer
+    // join, which would put the unbounded side on the right of a
+    // left_outer at 100 TB.
+    "q_date_spine" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val daily = e.where(col("event_type") === "purchase" && col("value") < 1)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n0"), round(sum("value"), 2).as("t0"))
+      val spine = e.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left_outer")
+        .select(col("day"), coalesce(col("n0"), lit(0L)).as("n"),
+          coalesce(col("t0"), lit(0.0)).as("total"))
+        .orderBy("day")
+    }),
+
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity score (0 = one event type; ln(5) ≈ 1.609 = uniform over
     // all five). Uses the single-pass identity
@@ -115,6 +137,18 @@ object Events {
         |x AS (SELECT unnest(generate_series(h - 5, h)) AS wstart, value FROM h)
         |SELECT wstart, count(*) AS n, round(sum(value),2) AS sv
         |FROM x GROUP BY wstart ORDER BY wstart ASC""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        |           FROM events WHERE event_type = 'purchase' AND value < 1),
+        |daily AS (SELECT day, count(*) AS n, round(sum(value), 2) AS t
+        |          FROM d GROUP BY day),
+        |b AS (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+        |             max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b)
+        |SELECT s.day, coalesce(daily.n, 0) AS n, coalesce(daily.t, 0) AS total
+        |FROM spine s LEFT JOIN daily ON s.day = daily.day
+        |ORDER BY s.day""".stripMargin,
 
     "q_evt_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
