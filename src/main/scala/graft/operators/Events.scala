@@ -63,6 +63,28 @@ object Events {
         .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
     }),
 
+    // Gaps-and-islands: each user's LONGEST streak of consecutive active
+    // days — the classic `day - row_number()` trick: inside a run of
+    // consecutive days the difference is constant, so it IS the island
+    // key, turning streak detection into one window pass + one keyed
+    // aggregate (no self-join, no iteration). Ties on length break to
+    // the earliest streak start for a total order.
+    "q_win_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+      val streaks = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("start_day").asc)
+      streaks.withColumn("rn", row_number().over(best))
+        .where(col("rn") === 1)
+        .select("user_id", "len", "start_day")
+        .orderBy("user_id")
+    }),
+
     // Calendar-spine join with zero-fill: every day of the observed
     // range emits a row even when the (rare) fact slice has no events
     // that day — the gap-free time series every dashboard/training-label
@@ -137,6 +159,20 @@ object Events {
         |x AS (SELECT unnest(generate_series(h - 5, h)) AS wstart, value FROM h)
         |SELECT wstart, count(*) AS n, round(sum(value),2) AS sv
         |FROM x GROUP BY wstart ORDER BY wstart ASC""".stripMargin,
+
+    "q_win_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |              FROM events),
+        |isl AS (SELECT user_id, day,
+        |          CAST(day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |            AS INTEGER) AS DATE) AS grp
+        |        FROM days),
+        |streaks AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |            FROM isl GROUP BY user_id, grp),
+        |best AS (SELECT user_id, len, start_day,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rn
+        |         FROM streaks)
+        |SELECT user_id, len, start_day FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_date_spine" ->
       """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
