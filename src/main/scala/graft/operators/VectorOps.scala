@@ -294,6 +294,53 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Train + assign phase of a persistable IVF index — the coarse twin of
+    * `pqIndex`, completing the index lifecycle for BOTH ANN families:
+    * returns (codebook (cell, centroid), postings (cell, vec_id, label,
+    * embedding)). The postings table is the corpus stored CELL-MAJOR
+    * (partition/cluster by `cell` on write and a probe touches only its
+    * cells' files — the on-disk layout a billion-vector deployment
+    * serves from). */
+  def ivfIndex(e: DataFrame, cells: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val cb = trainCodebook(e, cells, iters)
+    val postings = rankCells(e, cb)
+      .select(expr("ranked[0].cl").as("cell"), col("vec_id"), col("label"), col("embedding"))
+    (cb, postings)
+  }
+
+  /** Persist an IVF index under `dir`: codebook + cell-partitioned
+    * postings (partitionBy makes the per-cell file pruning real — a
+    * probe's scan reads only the probed cells' directories). */
+  def writeIvfIndex(e: DataFrame, cells: Int, dir: String, iters: Int = 2): Unit = {
+    val (cb, postings) = ivfIndex(e, cells, iters)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    postings.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Load a persisted IVF index: (codebook, postings). */
+  def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/postings"))
+
+  /** Probe phase over a (persisted or fresh) IVF index: rank the stored
+    * codebook against the query (one broadcast row), equi-join the
+    * top-`nprobe` cells against the postings — with a cell-partitioned
+    * postings table the cell predicate prunes to the probed directories
+    * — and exact-score the survivors with `graft_dot`. Mirrors
+    * `knnIvfOn`'s plan with the training replaced by two table reads. */
+  def ivfSearch(cb: DataFrame, postings: DataFrame, queryId: Long = 0,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val qCells = rankCells(postings.where(col("vec_id") === queryId)
+        .select(col("vec_id"), col("label"), col("embedding")), cb)
+      .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"), col("embedding").as("qv"))
+      .select(col("pc.cl").as("q_cell"), col("qv"))
+    postings.where(col("vec_id") =!= queryId)
+      .join(broadcast(qCells), col("cell") === col("q_cell"))
+      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Persist a PQ index as two parquet tables under `dir` — the
     * train-once/search-many deployment shape (codes are m ints per
     * vector: the 100 TB scan reads these, never the float embeddings,

@@ -57,6 +57,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash too loose: ${rows.length} pairs for $planted planted")
   }
 
+  test("persisted IVF index: stored search == in-memory search, postings pruned by cell") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+    val stored = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10)
+    // the same trained codebook is deterministic, so the in-memory path
+    // must agree row for row
+    val mem = VectorOps.knnIvfOn(e, nprobe = 2, k = 10,
+      codebook = Some(VectorOps.trainCodebook(e, 8, 2)))
+    val a = stored.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val b = mem.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(a === b, s"stored-index search diverged from in-memory: $a vs $b")
+    // cell-partitioned layout: the probed cells arrive at runtime (from
+    // the query's codebook ranking), so the pruning must be DYNAMIC —
+    // Spark's dynamic partition pruning turns the cell equi-join into a
+    // runtime partition filter on the postings scan, and only the probed
+    // cells' files are read (what makes the stored index cheaper than a
+    // full scan)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "postings scan shows no dynamic partition pruning:\n" + plan.take(2000))
+  }
+
   test("MMR at lambda=1 is exactly plain top-k; diversified picks break up a planted dup block") {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(spark)
