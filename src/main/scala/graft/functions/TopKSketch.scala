@@ -53,21 +53,31 @@ final class TopKBuffer(val capacity: Int) {
     }
   }
 
-  /** Mergeable-summaries combine: counts and errors add pointwise (an
-    * absent key contributes 0 — its mass is already inside the other
-    * side's errors), then the table truncates back to the top `capacity`
-    * entries by (count desc, key asc). */
+  /** Mergeable-summaries combine. The load-bearing detail is what an
+    * ABSENT key contributes: by the SpaceSaving invariant, an item not
+    * in a full summary has true count <= that summary's min count, so
+    * the absent side contributes its min count to BOTH the estimate
+    * (keeping est >= true when an item was evicted on one side but
+    * monitored on the other) and the error (keeping est - err <= true —
+    * the contribution is pure uncertainty). A summary that never
+    * overflowed has floor 0: absence there really means count 0. Then
+    * the table truncates back to the top `capacity` by (count desc,
+    * key asc). */
   def mergeIn(other: TopKBuffer): Unit = {
     total += other.total
-    other.counts.foreach { case (k, c) =>
-      counts.update(k, counts.getOrElse(k, 0L) + c)
-      errs.update(k, errs.getOrElse(k, 0L) + other.errs.getOrElse(k, 0L))
+    val floorSelf = if (counts.size >= capacity) counts.values.min else 0L
+    val floorOther = if (other.counts.size >= other.capacity) other.counts.values.min else 0L
+    val keys = counts.keySet ++ other.counts.keySet
+    val merged = keys.toSeq.map { k =>
+      val cSelf = counts.getOrElse(k, floorSelf)
+      val eSelf = if (counts.contains(k)) errs.getOrElse(k, 0L) else floorSelf
+      val cOther = other.counts.getOrElse(k, floorOther)
+      val eOther = if (other.counts.contains(k)) other.errs.getOrElse(k, 0L) else floorOther
+      (k, cSelf + cOther, eSelf + eOther)
     }
-    if (counts.size > capacity) {
-      val keep = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(capacity)
-      val keepKeys = keep.map(_._1).toSet
-      counts.filterInPlace { case (k, _) => keepKeys.contains(k) }
-      errs.filterInPlace { case (k, _) => keepKeys.contains(k) }
+    counts.clear(); errs.clear()
+    merged.sortBy { case (k, c, _) => (-c, k) }.take(capacity).foreach {
+      case (k, c, e) => counts.update(k, c); errs.update(k, e)
     }
   }
 

@@ -212,6 +212,22 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Conditional (FILTER-clause) aggregates: several differently-
+    // filtered measures in ONE pass over the group — the alternative is
+    // one scan per predicate. Spark spells it count_if / sum(CASE);
+    // DuckDB spells it FILTER (WHERE ...); semantics identical, and the
+    // empty-filter sum is NULL in both engines (kept as-is to pin that).
+    "q_agg_filtered" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity > 25)").as("big_qty"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
+          expr("count_if(l_tax = 0)").as("no_tax"),
+          round(avg(when(col("l_linestatus") === "F", col("l_quantity"))), 4).as("avg_f_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // t-digest-style quantile sketch (approx_percentile with a bounded
     // accuracy parameter) — the scale path where exact percentile's full
     // sort-per-group is unaffordable; the sketch partial-merges map-side
@@ -255,6 +271,14 @@ object Aggregates {
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
         |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_filtered" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS big_qty,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev,
+        |  count(*) FILTER (WHERE l_tax = 0) AS no_tax,
+        |  round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_f_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_mode" ->

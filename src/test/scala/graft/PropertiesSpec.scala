@@ -192,6 +192,38 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 8)
   }
 
+  test("TopK sketch guarantees survive arbitrary partitionings and merge orders") {
+    import graft.functions.TopKBuffer
+    // pure-JVM law (no Spark): split a random stream into random chunks,
+    // build a SpaceSaving buffer per chunk, merge in a shuffled order —
+    // the mergeability contract says the guarantees hold for ANY merge
+    // tree, which is exactly what Spark's partial aggregation relies on
+    val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map {
+      case n if n < 3 => "hot" + n // skewed head
+      case n          => "t" + n
+    })
+    check(Prop.forAll(stream, Gen.chooseNum(1, 6), Gen.chooseNum(0L, 999L)) {
+      (items, nChunks, seed) =>
+        val cap = 8
+        val rnd = new scala.util.Random(seed)
+        val chunks = items.grouped(math.max(1, items.size / nChunks)).toSeq
+        val bufs = chunks.map { c =>
+          val b = new TopKBuffer(cap); c.foreach(b.add); b
+        }
+        val merged = rnd.shuffle(bufs).reduce { (a, b) => a.mergeIn(b); a }
+        val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val entries = merged.sorted
+        val monitored = entries.map(_._1).toSet
+        val heavyOk = truth.forall { case (k, t) =>
+          t <= merged.total / cap || monitored.contains(k)
+        }
+        val boundsOk = entries.forall { case (k, cnt, err) =>
+          cnt >= truth(k) && cnt - err <= truth(k)
+        }
+        merged.total == items.size && heavyOk && boundsOk
+    }, tests = 30)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
