@@ -47,6 +47,7 @@ object Plans {
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
     "q_knn_filtered"    -> "1-row query-vector broadcast; filter pre-applied in the same scan pass",
     "q_knn_mmr"         -> "1-row query-vector broadcast; greedy rerank runs on one bounded candidate row",
+    "q_knn_range"       -> "1-row query-vector broadcast; radius predicate filters the same single pass",
     "q_knn_ivf"         -> "1-row codebook-array + probe-cell broadcasts",
     "q_knn_ivf_trained" -> "1-row trained-codebook-array + probe-cell broadcasts",
     "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",

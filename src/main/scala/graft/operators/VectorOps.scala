@@ -524,6 +524,25 @@ object VectorOps {
         .limit(10)
     }),
 
+    // RANGE (radius) search: every vector within a similarity radius of
+    // the query — the other query type a vector store serves besides
+    // top-k (dedup-by-threshold, recall-oriented retrieval). Same
+    // single-pass plan as q_knn_cosine but the predicate replaces the
+    // limit, so the result size is data-dependent; the threshold applies
+    // to the 6dp-ROUNDED similarity so a boundary ulp cannot flip
+    // membership cross-engine.
+    "q_knn_range" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+        .where(col("sim") >= 0.2)
+        .select("vec_id", "label", "sim")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+    }),
+
     // MMR-diversified top-5 from the exact top-20 candidates (λ = 0.7).
     // Approximate-by-contract (the candidate cap) ⇒ rows-only tier;
     // LlmOpsSpec pins λ=1 ≡ plain top-k and the diversity effect on a
@@ -710,18 +729,42 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // Sequential double fold (see q_knn_range note): embeddings are only
+    // APPROXIMATELY unit-norm in float32, and DuckDB's list_* kernels
+    // accumulate in float — both differences can flip a 6dp rounding at
+    // a boundary, so the oracle mirrors graft_dot's arithmetic exactly.
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
-        |  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),6) AS sim
+        |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+        |    (acc, x) -> acc + x), 6) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+
+    // The dot is a sequential left-fold in DOUBLE (list_reduce), bit-
+    // identical to graft_dot's accumulation. DuckDB's list_dot_product /
+    // list_cosine_similarity accumulate in FLOAT (~1e-6 relative), and a
+    // range query emits every in-radius row — over ~100 rows some sim
+    // WILL sit on a 6dp rounding boundary where a float-vs-double
+    // difference flips the rounded value (caught live at sf0.1).
+    "q_knn_range" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, e.label,
+        |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+        |    (acc, x) -> acc + x), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, sim FROM s WHERE sim >= 0.2
+        |ORDER BY sim DESC, vec_id ASC""".stripMargin,
 
     "q_knn_filtered" ->
       """WITH q AS (SELECT embedding AS qv, label AS q_label
         |           FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
-        |  round(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE),6) AS sim
+        |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+        |    (acc, x) -> acc + x), 6) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label <> q.q_label
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
