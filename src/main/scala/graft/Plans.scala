@@ -55,6 +55,7 @@ object Plans {
     "q_knn_pq"          -> "1-row ADC-table / query / codebook broadcasts (PQ scan + rerank)",
     "q_sim_join_topk"   -> "1-row IVF-codebook-array broadcast (cell assignment)",
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
+    "q_text_search"     -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
   )
 

@@ -202,6 +202,30 @@ object TextOps {
         .orderBy(col("lang").asc, col("rn").asc)
     }),
 
+    // Ranked text SEARCH: score every document against a fixed query by
+    // summed tf·idf of matched terms, return the top-10 — the classic
+    // inverted-index retrieval shape (the lexical complement of
+    // q_knn_cosine's dense retrieval; q_sim_sparse is the doc-to-doc
+    // variant). The term filter lands FIRST, so the per-term stats and
+    // the scoring join touch only the query terms' postings — at scale
+    // that is exactly an inverted-index lookup, never a vocabulary-wide
+    // pass; doc frequencies and corpus size N ride as tiny broadcasts.
+    "q_text_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qtok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term").isin("data", "vector", "stream"))
+      val tf = qtok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = qtok.groupBy("term").agg(countDistinct(col("doc_id")).as("dfc"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(broadcast(dft), "term").crossJoin(broadcast(n))
+        .withColumn("w", col("tf") * log(col("n").cast("double") / col("dfc")))
+        .groupBy("doc_id")
+        .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("matched"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // SPARSE cosine similarity join via an inverted index — the sparse
     // (term-vector) complement of the dense kNN/ANN paths: documents as
     // tf vectors, pairwise cosine computed by joining postings on the
@@ -283,6 +307,19 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, term FROM tok WHERE term IN ('data', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(tf.tf * ln(CAST(n.n AS DOUBLE) / dft.dfc)), 6) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
 
     "q_sim_sparse" ->
       """WITH tok AS (
