@@ -87,7 +87,11 @@ object Bench {
           catch { case NonFatal(_) => -1L }
         (name, (System.nanoTime() - t0) / 1e9, rows)
       }
-      val times = all.map { case (k, v, _) => "\"" + k + "\":" + "%.3f".format(v) }
+      // Locale.ROOT: the default-locale format turns 0.123 into "0,123"
+      // under comma-decimal locales, corrupting the telemetry JSON (the
+      // contract line below concatenates raw Doubles and is locale-safe).
+      val times = all.map { case (k, v, _) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v) }
         .mkString("{", ",", "}")
       val rows = all.map { case (k, _, r) => "\"" + k + "\":" + r }
         .mkString("{", ",", "}")

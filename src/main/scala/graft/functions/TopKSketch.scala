@@ -187,9 +187,14 @@ object TopKSketch {
     * before any row is seen). */
   def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "graft_topk(item, capacity) takes two arguments")
+    if (!exprs(1).foldable) throw new IllegalArgumentException(
+      "graft_topk(item, capacity): capacity must be an integer literal, " +
+        s"got non-foldable expression ${exprs(1).sql}")
     val cap = exprs(1).eval(null) match {
       case i: Int  => i
-      case l: Long => l.toInt
+      case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
+      case l: Long => throw new IllegalArgumentException(
+        s"graft_topk(item, capacity): capacity $l out of range [1, ${Int.MaxValue}]")
       case other => throw new IllegalArgumentException(
         s"graft_topk(item, capacity): capacity must be an integer literal, got $other")
     }

@@ -50,6 +50,64 @@ object DedupOps {
     round(size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b))), 4)
 
+  /** Connected components of an undirected graph, exact for ANY diameter:
+    * min-label propagation accelerated with pointer doubling, iterated to
+    * a true fixpoint.
+    *
+    * `nodes` is a single-column frame (`node`); `edges` is (da, db), one
+    * row per undirected edge (either orientation). Every round does
+    * (1) one hop of label flow across the symmetric edge set (keyed
+    * equi-join + groupBy-min — linear shuffles), then (2) pointer doubling
+    * comp(x) := comp(comp(x)) (a self-join on the label table — labels are
+    * always node ids, so the lookup total). Reach therefore at least
+    * doubles per round, and the loop stops when a round changes NO label
+    * (`changed` is a count aggregate — one scalar to the driver per round,
+    * never row data). The previous fixed-8-round propagation was exact
+    * only for diameter <= 8 and silently split longer chains; with
+    * doubling the 64-round safety cap covers any graph (2^64 diameter) and
+    * the fixpoint check makes the cap unreachable in practice
+    * (LlmOpsSpec plants a diameter-12 chain and proves one component).
+    *
+    * Each round's result is localCheckpoint'ed: truncates the
+    * exponentially nesting lineage, and the `changed` count doubles as its
+    * materialization, so the checkpoint is never wasted work. This
+    * function EXECUTES jobs when called (the fixpoint needs per-round
+    * scalars) — unlike the lazy-barrier queries, callers get a small
+    * number of bounded jobs at construction time. */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE — every
+    // round's hop join re-reads it (round-5 advice: the quadratic pair
+    // join re-executed in all 8 rounds)
+    val sym = edges.select(col("da"), col("db"))
+      .unionByName(edges.select(col("db").as("da"), col("da").as("db")))
+      .distinct()
+      .localCheckpoint(false)
+    var comp = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val viaNeighbor = sym.join(comp, col("da") === col("node"))
+        .select(col("db").as("node"), col("comp"))
+      val hopped = comp.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("comp").as("comp"))
+      // pointer doubling: follow the label one more level. Every label is
+      // some node's id, so the left lookup always hits; coalesce guards
+      // the (impossible by construction) miss rather than nulling comps.
+      val ptr = hopped.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val next = hopped.join(ptr, col("comp") === col("p_node"), "left")
+        .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
+        .localCheckpoint(false)
+      // one scalar per round; labels only decrease, so inequality == change
+      changed = next.join(comp.withColumnRenamed("comp", "old"), "node")
+        .where(col("comp") =!= col("old")).count()
+      comp = next
+      rounds += 1
+    }
+    comp
+  }
+
   /** (doc_id, source, sig): 32-bit SimHash per document of the derived
     * original + truncated-copy corpus, computed by the native codegen'd
     * `graft_simhash` expression — one long per row straight off the scan
@@ -276,46 +334,36 @@ object DedupOps {
     // drop the rest). A chain a~b~c must collapse to ONE cluster even
     // though (a,c) was never a candidate pair.
     //
-    // Components come from iterative min-label propagation (the Pregel
-    // recipe in DataFrame ops): every node starts as its own component;
-    // each round, labels flow across the symmetric edge set and each
-    // node keeps the min seen. Each round is one keyed equi-join + one
-    // groupBy-min — linear shuffles, label diameter halves nothing but
-    // spreads one hop per round, so `iters` rounds are exact for any
-    // component of diameter <= iters. Near-dup clusters are tiny dense
-    // cliques (diameter 1-2 in this corpus; rarely > 8 anywhere), and
-    // LlmOpsSpec pins exactness: union-find components match at
-    // sf0.01. Edges reuse q_jaccard_pairs' bounded candidate set
-    // (doc_id < 200, same source) at jac >= 0.5; the DuckDB oracle walks
-    // the same edges with a recursive CTE — an exact cross-engine check
-    // of the component structure itself.
-    "q_dedup_clusters" -> ((s, d) => {
-      val t = Tables.documents(s, d).where(col("doc_id") < 200)
-        .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("toks"))
-      val a = t.select(col("doc_id").as("da"), col("source"), col("toks").as("ta"))
-      val b = t.select(col("doc_id").as("db"), col("source").as("source_b"), col("toks").as("tb"))
-      val edges = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
-        .select(col("da"), col("db"), jaccard("ta", "tb").as("jac"))
-        .where(col("jac") >= 0.5)
-        .select("da", "db")
-      val sym = edges.unionByName(
-        edges.select(col("db").as("da"), col("da").as("db")))
-      var comp = t.select(col("doc_id").as("node"), col("doc_id").as("comp"))
-      for (_ <- 1 to 8) {
-        val viaNeighbor = sym.join(comp, col("da") === col("node"))
-          .select(col("db").as("node"), col("comp"))
-        // lazy barrier per round: truncates the exponentially nesting
-        // lineage (same reasoning as trainCodebook) without executing
-        // at construction time
-        comp = comp.unionByName(viaNeighbor)
-          .groupBy("node").agg(min("comp").as("comp"))
-          .localCheckpoint(false)
-      }
-      comp.withColumn("members", count(lit(1)).over(Window.partitionBy("comp")))
-        .select(col("node"), col("comp"), col("members"))
-        .orderBy("node")
-    }),
+    // Components come from `connectedComponents` above: min-label
+    // propagation with pointer doubling, iterated to a true fixpoint —
+    // exact for ANY component diameter (the round-5 version's fixed 8
+    // rounds silently split chains of diameter > 8; LlmOpsSpec now plants
+    // a diameter-12 chain against exactly that). Edges reuse
+    // q_jaccard_pairs' bounded candidate set (doc_id < 200, same source)
+    // at jac >= 0.5; the DuckDB oracle walks the same edges with a
+    // recursive CTE — an exact cross-engine check of the component
+    // structure itself.
+    "q_dedup_clusters" -> ((s, d) =>
+      dedupClusters(Tables.documents(s, d).where(col("doc_id") < 200))),
   )
+
+  /** q_dedup_clusters' body over any (doc_id, source, text) frame —
+    * exposed so the spec can run the identical pipeline on a planted
+    * long-chain corpus. */
+  private[graft] def dedupClusters(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("source"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = t.select(col("doc_id").as("da"), col("source"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("db"), col("source").as("source_b"), col("toks").as("tb"))
+    val edges = a.join(b, col("source") === col("source_b") && col("da") < col("db"))
+      .select(col("da"), col("db"), jaccard("ta", "tb").as("jac"))
+      .where(col("jac") >= 0.5)
+      .select("da", "db")
+    val comp = connectedComponents(t.select(col("doc_id").as("node")), edges)
+    comp.withColumn("members", count(lit(1)).over(Window.partitionBy("comp")))
+      .select(col("node"), col("comp"), col("members"))
+      .orderBy("node")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->

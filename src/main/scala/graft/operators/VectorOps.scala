@@ -317,9 +317,15 @@ object VectorOps {
     postings.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
   }
 
-  /** Load a persisted IVF index: (codebook, postings). */
+  /** Load a persisted IVF index: (codebook, postings). The `cell`
+    * partition column is pinned to int on read — partition-column type
+    * inference parses the cell=N directory names, and leaving the type
+    * to inference would make ivfSearch's cell === q_cell join key depend
+    * on numeric-string coercion (silently matching nothing if cell ids
+    * ever became non-numeric strings). */
   def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/postings"))
+    (s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/postings").withColumn("cell", col("cell").cast("int")))
 
   /** Probe phase over a (persisted or fresh) IVF index: rank the stored
     * codebook against the query (one broadcast row), equi-join the

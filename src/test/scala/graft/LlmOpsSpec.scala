@@ -122,13 +122,11 @@ class LlmOpsSpec extends AnyFunSuite {
       "lambda=0.5 selection should differ from pure relevance on this fixture")
   }
 
-  test("dedup clusters: 8-round min-label propagation equals exact union-find components") {
-    // The declared query is exact only if every node's min-label reaches
-    // it within 8 propagation rounds (distance-to-min <= 8). Rebuild the
-    // SAME candidate edge set and compute components exactly with
-    // union-find (roots merged min-ward, so each root IS the component
-    // min); any divergence — non-convergence, asymmetric edges, a chain
-    // the rounds didn't cover — fails here before the oracle sees it.
+  test("dedup clusters: fixpoint label propagation equals exact union-find components") {
+    // Rebuild the SAME candidate edge set and compute components exactly
+    // with union-find (roots merged min-ward, so each root IS the
+    // component min); any divergence — non-convergence, asymmetric edges,
+    // a premature fixpoint — fails here before the oracle sees it.
     val rows = SparkEntry.queries("q_dedup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val t = Tables.documents(spark, sf).where(col("doc_id") < 200)
@@ -157,6 +155,28 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(members == sizes(comp), s"comp $comp: members col $members != ${sizes(comp)}")
     }
     assert(rows.exists(_._3 > 1), "fixture has no multi-member clusters to exercise merging")
+  }
+
+  test("dedup clusters: planted diameter-12 chain collapses to ONE component") {
+    // The round-5 implementation ran a FIXED 8 rounds of one-hop
+    // propagation and silently split any component of diameter > 8. This
+    // corpus is a 13-document chain: doc i = "w{i} w{i+1} w{i+2}", so
+    // consecutive docs share 2 of 4 distinct tokens (Jaccard exactly 0.5,
+    // on-threshold edge) while docs two apart share 1 of 5 (0.2 — no
+    // edge). The edge set is a pure path of diameter 12; pointer-doubling
+    // fixpoint must collapse it to a single component labeled 0.
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val docs = (0 to 12)
+      .map(i => (i.toLong, "chain", s"w$i w${i + 1} w${i + 2}"))
+      .toDF("doc_id", "source", "text")
+    val rows = DedupOps.dedupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 13)
+    rows.foreach { case (node, comp, members) =>
+      assert(comp == 0L, s"chain split: node $node landed in comp $comp")
+      assert(members == 13L, s"node $node reports $members members, expected 13")
+    }
   }
 
   test("simhash pigeonhole banding is lossless: banded pairs == brute-force all-pairs") {

@@ -158,27 +158,20 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("min-label propagation converges to union-find components on random graphs") {
+  test("connectedComponents fixpoint converges to union-find components on random graphs") {
     import spark.implicits._
-    // random sparse graph on <= 30 nodes; 8 Spark propagation rounds (the
-    // declared q_dedup_clusters count) must agree with exact union-find
-    // whenever the diameter allows — cap at 7 edges so the worst case (a
-    // 7-edge chain with the min at one end) still has distance-to-min
-    // 7 <= 8
+    // random sparse graph on <= 30 nodes; the pointer-doubling fixpoint
+    // (the q_dedup_clusters engine) must agree with exact union-find for
+    // ANY diameter — no edge cap, unlike the pre-round-6 fixed-8-round
+    // recipe this replaced, which needed distance-to-min <= 8
     val edgesGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
-      .map(_.filter { case (a, b) => a != b }.take(7))
+      .map(_.filter { case (a, b) => a != b }.take(25))
     check(Prop.forAll(edgesGen) { es =>
       val nodes = (es.flatMap { case (a, b) => Seq(a, b) } :+ 0L).distinct
-      val nodesDf = nodes.toDF("node").withColumn("comp", col("node"))
+      val nodesDf = nodes.toDF("node")
       val edges = es.toDF("da", "db")
-      val sym = edges.unionByName(edges.select(col("db").as("da"), col("da").as("db")))
-      var comp = nodesDf
-      for (_ <- 1 to 8) {
-        comp = comp.unionByName(
-            sym.join(comp, col("da") === col("node")).select(col("db").as("node"), col("comp")))
-          .groupBy("node").agg(min("comp").as("comp"))
-      }
-      val got = comp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = graft.operators.DedupOps.connectedComponents(nodesDf, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         val p = parent.getOrElse(x, x)
