@@ -37,6 +37,8 @@ object Plans {
     "q_jaccard_pairs"   -> "declared bounded pair enumeration (doc_id<200 cap)",
     "q_sim_sparse"      -> ("declared bounded pair enumeration (doc_id<100 cap); at scale the " +
       "df-capped postings cut removes the quadratic term (see TextOps comment)"),
+    "q_sim_sparse_full" -> ("UNBOUNDED inverted-index pair enumeration with the df-cap (df<=100) " +
+      "stopword cut wired in — the quadratic term is bounded at cap^2 per term by construction"),
   )
 
   /** Queries whose nested-loop / cartesian join is the RIGHT plan, with
@@ -56,6 +58,8 @@ object Plans {
     "q_sim_join_topk"   -> "1-row IVF-codebook-array broadcast (cell assignment)",
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_text_search"     -> "1-row corpus-N broadcast (vs a driver collect)",
+    "q_text_search_bm25" -> "1-row (N, avgdl) stats broadcast (vs a driver collect)",
+    "q_knn_ivfpq"       -> "1-row ADC-table / query / coarse-codebook broadcasts (IVFADC probe + rerank)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
   )
 
@@ -191,6 +195,14 @@ object Plans {
     sb.append("FLAG ⇒ BroadcastNestedLoopJoin/CartesianProduct (outside declared cross joins), ")
     sb.append("a scan-adjacent filter that lost pushdown, or a join whose measured output ")
     sb.append("exceeds 4x its larger input (row explosion, outside declared pair enumerations).\n\n")
+    sb.append("AQE caveat: the bhj/smj columns read the AQE-FINAL plan at the audit scale ")
+    sb.append("factor, where AQE may broadcast a side merely because it is small HERE — a ")
+    sb.append("`bhj` count is evidence a join CAN broadcast, not that it would at 100 TB. ")
+    sb.append("Broadcasts pinned BY CODE (an explicit `broadcast(...)` hint on a bounded side ")
+    sb.append("— query vectors, codebooks, ADC tables, corpus scalars, probe cells) hold at ")
+    sb.append("any scale; size-triggered ones revert to shuffle joins as data grows, which is ")
+    sb.append("the correct behavior, not a regression. PlanShapeSpec's broadcast-release test ")
+    sb.append("pins the worst case (q_join_bhj).\n\n")
     sb.append("| query | flag | scans | pushed scans | bhj | smj | bnlj/cart | top-k fused | codegen | exchanges | max join amp |\n")
     sb.append("|---|---|---|---|---|---|---|---|---|---|---|\n")
 

@@ -226,6 +226,40 @@ object TextOps {
         .limit(10)
     }),
 
+    // BM25 ranked retrieval — q_text_search's production scoring: Okapi
+    // BM25 (k1 = 1.2, b = 0.75) replaces raw tf·idf with a saturating tf
+    // and document-length normalization, the default of every lexical
+    // retriever (Lucene/Elasticsearch, and the BM25 baseline in every
+    // retrieval paper). Plan shape is IDENTICAL to q_text_search — the
+    // term filter lands first so stats and scoring touch only the query
+    // terms' postings (an inverted-index lookup at scale); the two corpus
+    // scalars BM25 adds (N and avgdl) ride together as ONE broadcast row,
+    // never a driver collect. idf is the Lucene form
+    // ln((N - df + 0.5) / (df + 0.5) + 1), always positive. Every input
+    // (tf, dl, df, N) is an exact integer and avgdl an exact integer
+    // mean, so the closed form is cross-engine reproducible; the 4dp
+    // round keeps an ulp of ln/÷ drift from flipping the oracle.
+    "q_text_search_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qtok = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term").isin("data", "vector", "stream"))
+      val tf = qtok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dft = qtok.groupBy("term").agg(countDistinct(col("doc_id")).as("dfc"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
+      tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // SPARSE cosine similarity join via an inverted index — the sparse
     // (term-vector) complement of the dense kNN/ANN paths: documents as
     // tf vectors, pairwise cosine computed by joining postings on the
@@ -252,6 +286,41 @@ object TextOps {
         .join(nrm.select(col("doc_id").as("db"), col("n").as("nb")), "db")
         .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
         .where(col("cos") >= 0.75)
+        .select("da", "db", "cos")
+        .orderBy("da", "db")
+    }),
+
+    // UNBOUNDED sparse similarity — q_sim_sparse with the bound LIFTED,
+    // proving the inverted index holds at the full corpus. Two changes
+    // make that safe: the vector space is 3-gram shingles (the unigram
+    // vocabulary of this corpus is 31 shared terms — every one a
+    // stopword, sum(df^2) ~ 4.5e8 at sf0.1; the shingle space is ~27k
+    // terms with max df 25), and the df-cap stopword cut (df <= 100) is
+    // WIRED IN, not just documented — on a real corpus it drops
+    // boilerplate shingles and bounds the quadratic term at cap^2 per
+    // term. Shingle sets are distinct per doc, so tf = 1 and the cosine
+    // is |A∩B| / sqrt(|A|·|B|) — integer dot, exact cross-engine, 4dp
+    // round at the threshold. Full ✓-oracle despite the scale: every
+    // step is closed-form SQL.
+    "q_sim_sparse_full" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) - 2 >= 1 THEN array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) " +
+            "ELSE array() END")).as("g"))
+      val kept = sh.join(
+        sh.groupBy("g").agg(count(lit(1)).as("dfg")).where(col("dfg") <= 100).select("g"), "g")
+      val nrm = kept.groupBy("doc_id").agg(sqrt(count(lit(1)).cast("double")).as("n"))
+      val a = kept.select(col("doc_id").as("da"), col("g"))
+      val b = kept.select(col("doc_id").as("db"), col("g").as("g_b"))
+      val dots = a.join(b, col("g") === col("g_b") && col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).cast("double").as("dot"))
+      dots
+        .join(nrm.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(nrm.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 4))
+        .where(col("cos") >= 0.2)
         .select("da", "db", "cos")
         .orderBy("da", "db")
     }),
@@ -320,6 +389,44 @@ object TextOps {
         |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // Arithmetic written in the SAME association order as the Spark
+    // column expression so both engines evaluate bit-identical doubles
+    // before the 4dp round.
+    "q_text_search_bm25" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('data', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_sim_sparse_full" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) - 2 >= 1 THEN
+        |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END) AS g
+        |       FROM t0),
+        |kept AS (SELECT sh.doc_id, sh.g FROM sh
+        |         JOIN (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100) d USING (g)),
+        |nrm AS (SELECT doc_id, sqrt(CAST(count(*) AS DOUBLE)) AS n FROM kept GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS DOUBLE) AS dot
+        |         FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |cs AS (SELECT da, db, round(dot / (na.n * nb.n), 4) AS cos FROM dots
+        |       JOIN nrm na ON na.doc_id = dots.da
+        |       JOIN nrm nb ON nb.doc_id = dots.db)
+        |SELECT da, db, cos FROM cs WHERE cos >= 0.2 ORDER BY da, db""".stripMargin,
 
     "q_sim_sparse" ->
       """WITH tok AS (

@@ -318,14 +318,29 @@ object VectorOps {
   }
 
   /** Load a persisted IVF index: (codebook, postings). The `cell`
-    * partition column is pinned to int on read — partition-column type
-    * inference parses the cell=N directory names, and leaving the type
-    * to inference would make ivfSearch's cell === q_cell join key depend
-    * on numeric-string coercion (silently matching nothing if cell ids
-    * ever became non-numeric strings). */
+    * partition column is pinned back to STRING on read: cell ids are
+    * stringified seed vec_ids (trainCodebook), partition-column
+    * inference parses the numeric-looking cell=N directory names as int,
+    * and ivfSearch's cell === q_cell join against the string-typed
+    * codebook ranking would then hinge on implicit numeric-string
+    * coercion — matching nothing if cell ids ever became non-numeric. */
   def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$dir/codebook"),
-      s.read.parquet(s"$dir/postings").withColumn("cell", col("cell").cast("int")))
+    (s.read.parquet(s"$dir/codebook"), readCellPartitioned(s, s"$dir/postings"))
+
+  /** Read a cell-partitioned index table with the `cell` partition column
+    * PINNED to string via an explicit schema (not a cast): a cast on top
+    * of the inferred-int partition attribute would stop it being a direct
+    * partition column and break dynamic partition pruning — the schema
+    * override keeps `cell` a genuine string partition attribute, so the
+    * probe equi-join both type-matches the codebook and still prunes to
+    * the probed directories. */
+  private def readCellPartitioned(s: SparkSession, path: String): DataFrame = {
+    val inferred = s.read.parquet(path).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map { f =>
+      if (f.name == "cell") f.copy(dataType = org.apache.spark.sql.types.StringType) else f
+    })
+    s.read.schema(pinned).parquet(path)
+  }
 
   /** Probe phase over a (persisted or fresh) IVF index: rank the stored
     * codebook against the query (one broadcast row), equi-join the
@@ -345,6 +360,183 @@ object VectorOps {
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Composed IVFADC index (IVF + PQ on residuals) — the actual
+    * billion-vector layout (FAISS IVFPQ): coarse cells bound the scan,
+    * PQ codes of the RESIDUAL (x - coarse centroid) bound the bytes.
+    * Residuals are much smaller than raw vectors, so the same ks cells
+    * per subspace quantize them far more precisely — the reason the
+    * composition beats flat PQ at equal code size.
+    *
+    * Returns (coarse codebook (cell, centroid), residual PQ codebooks
+    * (j, cell, centroid, c2) shared across coarse cells, codes
+    * (cell, vec_id, label, codes)). Training is `trainCodebook` (coarse)
+    * + one residual pass + `trainPqCodebooks` (all m subspaces in one
+    * grouped training); the coarse codebook rides as a broadcast into
+    * the residual computation, so nothing here shuffles more than the
+    * corpus once per Lloyd's iteration. */
+  def ivfPqIndex(e: DataFrame, cells: Int, m: Int, ks: Int, iters: Int = 2)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"PQ subspaces ($m) must divide dim ($dim)")
+    val d = dim / m
+    val coarse = trainCodebook(e, cells, iters)
+    val assigned = rankCells(e, coarse)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("ranked[0].cl").as("cell"))
+      .join(broadcast(coarse.select(col("cell"), col("centroid").as("cc"))), "cell")
+      .withColumn("res", expr("zip_with(embedding, cc, (x, c) -> CAST(x AS DOUBLE) - c)"))
+    val subs = assigned.select(col("vec_id"), col("label"), col("cell"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), jj -> " +
+          s"named_struct('j', jj, 'sub', slice(res, jj * $d + 1, $d)))")).as("js"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("js.j").as("j"), col("js.sub").as("sub"))
+    val pqcb = trainPqCodebooks(subs, ks, iters)
+    val codes = rankSubCells(subs, pqcb)
+      .select(col("vec_id"), col("label"), col("cell"), col("j"),
+        expr("ranked[0].cl").as("code"))
+      .groupBy("vec_id", "label", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
+      .select(col("cell"), col("vec_id"), col("label"), col("codes"))
+    (coarse, pqcb, codes)
+  }
+
+  /** Probe + ADC + rerank over a (persisted or fresh) IVFADC index.
+    * dot(q, x) = dot(q, c) + dot(q, r) for x = c + r, so the approximate
+    * score is the query's coarse-cell dot (carried on each probe row)
+    * plus the usual ADC sum over the RESIDUAL codebooks — one global
+    * m × ks table regardless of how many cells are probed. The codes
+    * scan touches only the probed cells (dynamic partition pruning on a
+    * cell-partitioned store), reads m small ints per vector, and only
+    * the top-`rerank` survivors ever fetch their float embeddings. */
+  def ivfPqSearch(coarse: DataFrame, pqcb: DataFrame, codes: DataFrame,
+      full: DataFrame, queryId: Long = 0, nprobe: Int = 2, k: Int = 20,
+      rerank: Int = 100): DataFrame = {
+    val q = full.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val qCells = rankCells(q.select(col("qv").as("embedding")), coarse)
+      .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"))
+      .select(col("pc.cl").as("q_cell"), (-col("pc.negs")).as("qoff"))
+    // residual ADC table: one broadcast row of m arrays of ks doubles
+    val tabs = pqcb.crossJoin(broadcast(q))
+      .select(col("j"), col("cell"),
+        expr("graft_dot(slice(qv, j * size(centroid) + 1, size(centroid)), centroid)").as("t"))
+      .groupBy("j")
+      .agg(expr("transform(array_sort(collect_list(struct(cell, t))), x -> x.t)").as("tj"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, tj))), x -> x.tj)").as("tabs"))
+    val adc = codes.where(col("vec_id") =!= queryId)
+      .join(broadcast(qCells), col("cell") === col("q_cell"))
+      .crossJoin(broadcast(tabs))
+      .withColumn("asim", col("qoff") + expr(
+        "aggregate(zip_with(codes, tabs, (cd, tb) -> element_at(tb, cd + 1)), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+      .orderBy(col("asim").desc, col("vec_id").asc)
+      .limit(rerank)
+    adc.select("vec_id", "label")
+      .join(full.select(col("vec_id"), col("embedding")), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Train + search in one call — the declared q_knn_ivfpq shape;
+    * production persists via `writeIvfPqIndex` and searches the store. */
+  def knnIvfPqOn(e: DataFrame, cells: Int, m: Int, ks: Int, nprobe: Int = 2,
+      k: Int = 20, rerank: Int = 100, iters: Int = 2, queryId: Long = 0): DataFrame = {
+    val (coarse, pqcb, codes) = ivfPqIndex(e, cells, m, ks, iters)
+    ivfPqSearch(coarse, pqcb, codes, e, queryId, nprobe, k, rerank)
+  }
+
+  /** Persist an IVFADC index under `dir`: coarse codebook, residual PQ
+    * codebooks, and CELL-PARTITIONED codes — a probe reads only its
+    * cells' directories, and each read byte is an m-int code, never a
+    * float vector (those live with the source table for the bounded
+    * rerank fetch only). */
+  def writeIvfPqIndex(e: DataFrame, cells: Int, m: Int, ks: Int, dir: String,
+      iters: Int = 2): Unit = {
+    val (coarse, pqcb, codes) = ivfPqIndex(e, cells, m, ks, iters)
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    pqcb.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Load a persisted IVFADC index: (coarse, pq codebooks, codes). The
+    * codes' `cell` partition column is pinned to string on read (see
+    * `readCellPartitioned`) — coarse cell ids are the trainCodebook seed
+    * vec_ids AS STRINGS, so partition-column inference would otherwise
+    * guess int and leave the probe equi-join against the string-typed
+    * coarse codebook to implicit coercion. */
+  def readIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    (s.read.parquet(s"$dir/coarse"), s.read.parquet(s"$dir/pq_codebooks"),
+      readCellPartitioned(s, s"$dir/codes"))
+
+  /** Incrementally append a new vector batch to a persisted IVF index —
+    * the lifecycle a growing corpus actually runs: the coarse codebook is
+    * FROZEN (read from the store, never retrained), the batch is
+    * assign-only encoded (one broadcast-codebook argmax pass over the
+    * batch), and the new postings land as a partition APPEND — existing
+    * cells' files are untouched, searches see the union atomically per
+    * Spark's append semantics. Cost is O(batch), independent of the base
+    * corpus size; periodic full retrains remain a policy decision above
+    * this call (centroid drift is the price of freezing, as in every
+    * production ANN store). */
+  def appendToIvfIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val cb = s.read.parquet(s"$dir/codebook")
+    rankCells(batch, cb)
+      .select(expr("ranked[0].cl").as("cell"), col("vec_id"), col("label"), col("embedding"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Incrementally append to a persisted PQ index: assign-only encode of
+    * the batch against the FROZEN residual-free codebooks (subvector
+    * length and subspace count read off the stored codebook — the index
+    * stays self-describing), appended to the codes table. No retrain. */
+  def appendToPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val cb = s.read.parquet(s"$dir/codebooks")
+    val (m, d) = {
+      val r = cb.agg(max(col("j")), max(size(col("centroid")))).head()
+      (r.getInt(0) + 1, r.getInt(1))
+    }
+    val subs = batch.select(col("vec_id"), col("label"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), jj -> " +
+          s"named_struct('j', jj, 'sub', slice(embedding, jj * $d + 1, $d)))")).as("js"))
+      .select(col("vec_id"), col("label"), col("js.j").as("j"), col("js.sub").as("sub"))
+    rankSubCells(subs, cb)
+      .select(col("vec_id"), col("label"), col("j"), expr("ranked[0].cl").as("code"))
+      .groupBy("vec_id", "label")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Incrementally append to a persisted IVFADC index: frozen coarse
+    * assignment, residual against the frozen coarse centroid, frozen
+    * residual-PQ encode, cell-partition append of the codes. */
+  def appendToIvfPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val coarse = s.read.parquet(s"$dir/coarse")
+    val pqcb = s.read.parquet(s"$dir/pq_codebooks")
+    val (m, d) = {
+      val r = pqcb.agg(max(col("j")), max(size(col("centroid")))).head()
+      (r.getInt(0) + 1, r.getInt(1))
+    }
+    val assigned = rankCells(batch, coarse)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("ranked[0].cl").as("cell"))
+      .join(broadcast(coarse.select(col("cell"), col("centroid").as("cc"))), "cell")
+      .withColumn("res", expr("zip_with(embedding, cc, (x, c) -> CAST(x AS DOUBLE) - c)"))
+    val subs = assigned.select(col("vec_id"), col("label"), col("cell"),
+        explode(expr(s"transform(sequence(0, ${m - 1}), jj -> " +
+          s"named_struct('j', jj, 'sub', slice(res, jj * $d + 1, $d)))")).as("js"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        col("js.j").as("j"), col("js.sub").as("sub"))
+    rankSubCells(subs, pqcb)
+      .select(col("vec_id"), col("label"), col("cell"), col("j"),
+        expr("ranked[0].cl").as("code"))
+      .groupBy("vec_id", "label", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, code))), x -> x.code)").as("codes"))
+      .select(col("cell"), col("vec_id"), col("label"), col("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Persist a PQ index as two parquet tables under `dir` — the
@@ -700,6 +892,18 @@ object VectorOps {
     "q_knn_pq" -> ((s, d) => {
       GraftFunctions.register(s)
       knnPqOn(Tables.embeddings(s, d), m = 8, ks = 16, k = 20, rerank = 100)
+    }),
+
+    // Composed IVFADC kNN (see ivfPqIndex/ivfPqSearch): 8 coarse cells +
+    // PQ(8x16) on residuals over the 64-dim embeddings, nprobe=2 probe,
+    // ADC scan of the probed cells' codes, exact rerank of the top-100.
+    // The billion-vector layout both q_knn_ivf_trained (scan bound) and
+    // q_knn_pq (byte bound) approximate from one side each. Rows-only;
+    // recall and the stored-index round trip are pinned in LlmOpsSpec.
+    "q_knn_ivfpq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      knnIvfPqOn(Tables.embeddings(s, d), cells = 8, m = 8, ks = 16,
+        nprobe = 2, k = 20, rerank = 100)
     }),
 
     // SQ8 two-phase kNN: symmetric int8 quantization (the q_embed_quantize

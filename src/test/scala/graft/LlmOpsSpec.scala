@@ -384,6 +384,114 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("IVFADC: recall >= 0.9 at nprobe=2/rerank=100 on clustered data; stored == in-memory") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // The composed index must keep the recall of its parts: coarse probe
+    // bounds the scan, residual-PQ ADC bounds the bytes, the exact rerank
+    // recovers true order among the survivors. 16 dims -> m=4 x 4-dim
+    // subspaces, ks=8 residual cells, 8 coarse cells (true structure).
+    val (e0, vecs) = clusteredCorpus()
+    // the corpus rides as parquet: a LocalRelation fixture would constant-
+    // fold the query's vec_id filter away and DPP (asserted below) never
+    // sees a selective predicate — parquet is also the deployment shape
+    val corpusDir = java.nio.file.Files.createTempDirectory("ivfpq_corpus").toString
+    e0.write.mode("overwrite").parquet(corpusDir)
+    val e = spark.read.parquet(corpusDir)
+    val exact = exactTopK(vecs, 0L, 10).toSet
+    val (coarse, pqcb, codes) = VectorOps.ivfPqIndex(e, cells = 8, m = 4, ks = 8)
+    val direct = VectorOps.ivfPqSearch(coarse, pqcb, codes, e,
+        nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val recall = exact.intersect(direct.map(_._1).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVFADC recall@10 at nprobe=2/rerank=100 was $recall")
+    // train-once/search-many: the persisted index (re-trained
+    // deterministically by writeIvfPqIndex) must search bit-identically
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    VectorOps.writeIvfPqIndex(e, cells = 8, m = 4, ks = 8, dir = dir)
+    val (c2, p2, k2) = VectorOps.readIvfPqIndex(spark, dir)
+    val stored = VectorOps.ivfPqSearch(c2, p2, k2, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(stored === direct,
+      "search over the persisted IVFADC index drifted from the in-memory index")
+    // the probe must still prune the cell-partitioned codes store
+    val plan = VectorOps.ivfPqSearch(c2, p2, k2, e, nprobe = 2, k = 10, rerank = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "IVFADC codes scan shows no dynamic partition pruning:\n" + plan.take(2000))
+  }
+
+  test("incremental append: frozen-codebook append == from-scratch encode of the full corpus") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val (e, _) = clusteredCorpus()
+    val base = e.where(col("vec_id") < 200)
+    val batch = e.where(col("vec_id") >= 200)
+    // IVF: build on the base, append the batch assign-only
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    VectorOps.writeIvfIndex(base, cells = 8, dir = ivfDir)
+    VectorOps.appendToIvfIndex(spark, batch, ivfDir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, ivfDir)
+    assert(postings.count() === e.count(), "appended postings lost rows")
+    val appended = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // from-scratch oracle: knnIvfOn assigns the FULL corpus against the
+    // SAME frozen codebook in one pass — exactly what a from-scratch
+    // build with that codebook would serve
+    val fromScratch = VectorOps.knnIvfOn(e, nprobe = 2, k = 10, codebook = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(appended === fromScratch,
+      s"append path diverged from from-scratch encode: $appended vs $fromScratch")
+    assert(appended.nonEmpty)
+    // PQ: same contract — append the batch to the base index, then
+    // encode the whole corpus against the same frozen codebooks into a
+    // fresh store and compare searches
+    val pqDir = java.nio.file.Files.createTempDirectory("pq_app").toString
+    VectorOps.writePqIndex(base, m = 4, ks = 8, dir = pqDir)
+    VectorOps.appendToPqIndex(spark, batch, pqDir)
+    val (pcb, codes) = VectorOps.readPqIndex(spark, pqDir)
+    assert(codes.count() === e.count(), "appended codes lost rows")
+    val viaAppend = VectorOps.pqSearch(pcb, codes, e, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val pqDir2 = java.nio.file.Files.createTempDirectory("pq_scratch").toString
+    spark.read.parquet(s"$pqDir/codebooks").write.parquet(s"$pqDir2/codebooks")
+    VectorOps.appendToPqIndex(spark, e, pqDir2) // full corpus, one encode pass
+    val (pcb2, codes2) = VectorOps.readPqIndex(spark, pqDir2)
+    val scratch = VectorOps.pqSearch(pcb2, codes2, e, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(viaAppend === scratch,
+      "PQ append path diverged from a one-pass encode with the same codebooks")
+    assert(viaAppend.nonEmpty)
+  }
+
+  test("Ledger-driven index build resumes: only missing batches append, second pass is a no-op") {
+    import graft.operators.VectorOps
+    import graft.sources.Ledger
+    graft.functions.GraftFunctions.register(spark)
+    val (e, _) = clusteredCorpus()
+    val base = e.where(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ledger").toString
+    val ledgerPath = s"$dir/ledger"
+    VectorOps.writeIvfIndex(base, cells = 8, dir = dir)
+    Ledger.record(base.select("vec_id"), ledgerPath, "base")
+    val target = e.select("vec_id")
+    // resume step: the anti-join finds exactly the un-indexed vectors,
+    // they are appended assign-only, and the ledger records them
+    val n1 = Ledger.step(spark, target, Seq("vec_id"), ledgerPath, "b1") { todo =>
+      VectorOps.appendToIvfIndex(spark, e.join(todo, "vec_id"), dir)
+      todo
+    }
+    assert(n1 === e.count() - base.count(), s"resume step appended $n1 keys")
+    // idempotence: a second step finds nothing missing and must not run
+    val n2 = Ledger.step(spark, target, Seq("vec_id"), ledgerPath, "b2") { todo =>
+      VectorOps.appendToIvfIndex(spark, e.join(todo, "vec_id"), dir)
+      todo
+    }
+    assert(n2 === 0L, s"second resume step re-appended $n2 keys")
+    val (_, postings) = VectorOps.readIvfIndex(spark, dir)
+    assert(postings.count() === e.count(), "resumed index incomplete or duplicated")
+  }
+
   test("PQ codes on the driver fixture: 20 results, positive overlap with exact top-20") {
     // Isotropic driver embeddings (no partition scheme helps here — see
     // the IVF note above): assert the contract shape and that the ADC

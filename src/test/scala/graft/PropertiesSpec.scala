@@ -217,6 +217,40 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 30)
   }
 
+  test("TopK sketch bounds hold under EVERY merge permutation, not just a sampled order") {
+    import graft.functions.TopKBuffer
+    // The sampled-order test above could in principle miss an order-
+    // dependent merge bug; with <= 4 chunks the permutation space is
+    // <= 24, so EXHAUSTIVELY merging in every order and asserting the
+    // SpaceSaving guarantees each time pins true commutativity — the
+    // property Spark's partial aggregation assumes when executors merge
+    // partial buffers in whatever order tasks happen to finish.
+    val stream = Gen.nonEmptyListOf(Gen.chooseNum(0, 30).map {
+      case n if n < 3 => "hot" + n
+      case n          => "t" + n
+    })
+    check(Prop.forAll(stream, Gen.chooseNum(2, 4)) { (items, nChunks) =>
+      val cap = 8
+      val chunks = items.grouped(math.max(1, items.size / nChunks)).toList
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      chunks.permutations.forall { perm =>
+        // fresh buffers per permutation: mergeIn mutates the accumulator
+        val merged = perm.map { c =>
+          val b = new TopKBuffer(cap); c.foreach(b.add); b
+        }.reduce { (a, b) => a.mergeIn(b); a }
+        val entries = merged.sorted
+        val monitored = entries.map(_._1).toSet
+        val heavyOk = truth.forall { case (k, t) =>
+          t <= merged.total / cap || monitored.contains(k)
+        }
+        val boundsOk = entries.forall { case (k, cnt, err) =>
+          cnt >= truth(k) && cnt - err <= truth(k)
+        }
+        merged.total == items.size && heavyOk && boundsOk
+      }
+    }, tests = 20)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
