@@ -137,23 +137,11 @@ object DedupOps {
     * only, never precision. The declared q_dedup_minhash is 16 hashes in
     * 4x4 banding; LlmOpsSpec measures the dial against 8x2. */
   def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
-    GraftFunctions.register(s)
-    val minhash = udaf(new MinHashAgg(k))
     val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
     val toksU = base.select(col("doc_id"), col("toks"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
         expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
-    val sigs = toksU
-      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
-      .groupBy("doc_id")
-      .agg(minhash(col("shingle")).as("sig"))
-    val bandRows = sigs.select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
-          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bandRows = minhashBandsOf(s, toksU, k, bands)
     val a = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val b = bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
@@ -170,6 +158,94 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
+  /** (doc_id, band, bucket) LSH band rows of a (doc_id, toks) frame:
+    * shingle Generator → k-hash MinHash UDAF → banded bucket ids. The
+    * shared signature stage of minhashPairs and the persisted MinHash
+    * index. MinHash "training" is just the fixed salt family, so unlike
+    * the ANN codebooks there is nothing to freeze — any two frames
+    * signed with the same (k, bands) are join-compatible by
+    * construction. */
+  private[graft] def minhashBandsOf(s: SparkSession, toks: DataFrame,
+      k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    GraftFunctions.register(s)
+    val minhash = udaf(new MinHashAgg(k))
+    toks
+      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhash(col("shingle")).as("sig"))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Persist a MinHash/LSH near-dup index for a (doc_id, source, text)
+    * corpus under `dir`: band-bucket rows (the candidate join key),
+    * shingle sets (the refine tier), and a 1-row meta table pinning
+    * (k, bands) so appends and probes sign new documents identically.
+    * The dedup lifecycle twin of writeIvfIndex/writePqIndex — built
+    * once over the corpus, then every new crawl batch probes and
+    * appends in O(batch). */
+  def writeMinhashIndex(s: SparkSession, docs: DataFrame, dir: String,
+      k: Int = 16, bands: Int = 4): Unit = {
+    val toks = docs.withColumn("toks", split(col("text"), " "))
+    minhashBandsOf(s, toks.select(col("doc_id"), col("toks")), k, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    import s.implicits._
+    Seq((k, bands)).toDF("k", "bands").write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a new batch to a persisted MinHash index — signatures use
+    * the stored (k, bands), so appended rows are band-compatible with
+    * the base; O(batch) cost, no corpus re-signing. */
+  def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    val toks = batch.withColumn("toks", split(col("text"), " "))
+    minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+      .write.mode("append").parquet(s"$dir/bands")
+    toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh"))
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** INCREMENTAL near-dup dedup: flag the documents of a new batch that
+    * near-duplicate anything already in a persisted MinHash index — the
+    * shape a production training pipeline actually runs per crawl
+    * snapshot (batch-vs-corpus, never corpus-vs-corpus again). The
+    * batch is signed with the index's stored (k, bands), candidates
+    * come from the band-bucket equi-join (batch bands × stored bands —
+    * linear in batch size, never all-pairs), and every candidate is
+    * refined with the true shingle Jaccard against the stored shingle
+    * sets. Returns (batch_id, corpus_id, jac) pairs at jac >=
+    * threshold; anti-join the distinct batch_ids to keep the batch's
+    * novel documents. */
+  def dedupAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    val toks = batch.withColumn("toks", split(col("text"), " "))
+    val bBands = minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val cands = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+      .join(s.read.parquet(s"$dir/bands").select(col("doc_id").as("corpus_id"),
+          col("band").as("band_c"), col("bucket").as("bucket_c")),
+        col("band") === col("band_c") && col("bucket") === col("bucket_c"))
+      .select("batch_id", "corpus_id").distinct()
+    val bSh = toks.select(col("doc_id").as("batch_id"), expr(shingleExpr(0)).as("shb"))
+      .where(size(col("shb")) > 0)
+    val cSh = s.read.parquet(s"$dir/shingles")
+      .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
+      .where(size(col("shc")) > 0)
+    cands.join(bSh, "batch_id").join(cSh, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"), jaccard("shb", "shc").as("jac"))
+      .where(col("jac") >= threshold)
+      .orderBy("batch_id", "corpus_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: normalize → sha256 → group, deterministic min keeper.
     // (xxhash64 is the at-scale choice but has no DuckDB twin — the
@@ -181,6 +257,29 @@ object DedupOps {
       orig.unionByName(dup)
         .groupBy("h")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+        .orderBy("keep_id")
+    }),
+
+    // INCREMENTAL exact dedup — the batch-vs-corpus shape every crawl
+    // pipeline runs: even doc_ids play the already-kept corpus, odd ones
+    // plus planted exact copies of corpus docs (doc_id % 10 = 0, re-id'd
+    // +1M) play the new snapshot. A batch doc survives iff its content
+    // hash is unseen in the corpus (anti join — Ledger.missing for
+    // CONTENT instead of keys) and it is the min-id representative of
+    // its within-batch hash group. Both the anti join and the group-by
+    // are keyed on the hash — linear at any corpus size.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val h = sha2(lower(trim(col("text"))), 256)
+      val corpus = docs.where(col("doc_id") % 2 === 0).select(h.as("h")).distinct()
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), h.as("h"))
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), h.as("h")))
+      batch.join(corpus, Seq("h"), "left_anti")
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("batch_dups"))
+        .select("keep_id", "batch_dups")
         .orderBy("keep_id")
     }),
 
@@ -373,6 +472,17 @@ object DedupOps {
         |  SELECT doc_id + 1000000, sha256(lower(trim(text))) FROM documents)
         |SELECT h, min(doc_id) AS keep_id, count(*) AS dups
         |FROM u GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents),
+        |corpus AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, h FROM h WHERE doc_id % 2 = 1
+        |          UNION ALL
+        |          SELECT doc_id + 1000000, h FROM h WHERE doc_id % 10 = 0)
+        |SELECT min(b.doc_id) AS keep_id, count(*) AS batch_dups
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+        |GROUP BY b.h ORDER BY keep_id""".stripMargin,
 
     // The recursive CTE enumerates every (node, reachable-ancestor) pair;
     // min over it is the component id — exact against Spark's iterative

@@ -179,6 +179,38 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted MinHash index: new batch dedups against corpus; appended docs participate") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.DataFrame
+    // the incremental lifecycle: build the index once over the corpus,
+    // then each snapshot probes batch-vs-index (never corpus-vs-corpus)
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val nDocs = docs.count()
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    DedupOps.writeMinhashIndex(spark, docs, dir)
+    // batch = every corpus doc re-id'd +1M with the last 3 tokens cut —
+    // the same near-dup planting recipe q_dedup_minhash's recall is
+    // pinned on (shingle Jaccard >= 0.5 vs the source)
+    def cut(df: DataFrame, shift: Long): DataFrame =
+      df.select((col("doc_id") + shift).as("doc_id"), col("source"),
+        expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 3, 1)), ' ')")
+          .as("text"))
+    val batch = cut(docs, 1000000L)
+    val flagged = DedupOps.dedupAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = flagged.count { case (b, c) => b == c + 1000000L }
+    assert(planted >= (nDocs * 0.8).toLong,
+      s"incremental dedup found $planted of $nDocs planted near-dups")
+    // append the batch; copies OF THE BATCH must now flag against the
+    // appended ids — proof appended rows are band-compatible and probed
+    DedupOps.appendToMinhashIndex(spark, batch, dir)
+    val flagged2 = DedupOps.dedupAgainstIndex(spark, cut(batch, 1000000L), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vsAppended = flagged2.count { case (b, c) => b == c + 1000000L && c >= 1000000L }
+    assert(vsAppended >= (nDocs * 0.8).toLong,
+      s"only $vsAppended of $nDocs batch-2 docs matched their appended sources")
+  }
+
   test("simhash pigeonhole banding is lossless: banded pairs == brute-force all-pairs") {
     import graft.operators.DedupOps
     // brute force straight from the SAME signatures the query bands
