@@ -177,6 +177,27 @@ object Joins {
         .select("user_id", "event_id", "ts_us", "last_click_us")
         .orderBy(col("user_id").asc, col("ts_us").asc, col("event_id").asc)
     }),
+
+    // As-of join with TOLERANCE: the feature-store variant — a match
+    // older than the staleness bound (1 h here) is no match at all
+    // (NULL), exactly pandas merge_asof(tolerance=...). Same union-tag +
+    // running-last rewrite as q_join_asof with one post-filter on the
+    // match's age; still a single shuffle on user_id.
+    "q_join_asof_tol" -> ((s, d) => {
+      val tolUs = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", "ts_us", "event_type")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("lc",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("last_click_us", when(col("ts_us") - col("lc") <= tolUs, col("lc")))
+        .select("user_id", "event_id", "ts_us", "last_click_us")
+        .orderBy(col("user_id").asc, col("ts_us").asc, col("event_id").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -255,6 +276,21 @@ object Joins {
         |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
         |      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
         |            ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM e) t
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id ASC, ts_us ASC, event_id ASC""".stripMargin,
+
+    "q_join_asof_tol" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+        |  FROM events WHERE event_type IN ('click','purchase'))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - lc <= 3600000000 THEN lc END AS last_click_us
+        |FROM (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |            ROWS UNBOUNDED PRECEDING) AS lc
         |  FROM e) t
         |WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, ts_us ASC, event_id ASC""".stripMargin,

@@ -72,6 +72,23 @@ object Windows {
         .orderBy(col("user_id").asc, col("ts_us").asc, col("event_id").asc)
     }),
 
+    // cume_dist + nth_value — the two ranking-family functions the other
+    // window queries don't touch (percent_rank lives in q_win_rank).
+    // cume_dist assigns tied rows the same fraction in both engines;
+    // nth_value needs the explicit full frame for the same reason as
+    // last_value below.
+    "q_win_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("second_best", nth_value(col("o_orderkey"), 2).over(wf))
+        .drop("o_totalprice")
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+
     // first_value / last_value with an explicit full-partition frame
     // (Spark's last_value default frame ends at CURRENT ROW — the classic
     // pitfall; always spell the frame).
@@ -133,6 +150,15 @@ object Windows {
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS mavg
         |FROM e
         |ORDER BY user_id ASC, ts_us ASC, event_id ASC""".stripMargin,
+
+    "q_win_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey ASC, o_orderkey ASC""".stripMargin,
 
     "q_win_firstlast" ->
       """SELECT o_custkey, o_orderkey,
