@@ -22,15 +22,38 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
-  private def hash(salt: Int, shingle: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(salt.toString + shingle), StringType, 42L)
+  // Salt prefixes "0".."k-1" as UTF-8 bytes, computed once per
+  // (deserialized) instance. UTF-8 concatenation equals byte
+  // concatenation, so prefix-bytes ++ shingle-bytes hashes BIT-IDENTICAL
+  // to UTF8String.fromString(salt.toString + shingle) — the recipe the
+  // Scaladoc above pins and CustomFunctionsSpec asserts.
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(_.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // Per-thread scratch buffer: the naive recipe paid k string concats +
+  // k UTF-8 encodings + k byte[] allocations PER SHINGLE — the dominant
+  // cost of signature building (q_dedup_minhash was the second-slowest
+  // telemetry query). Reusing one buffer drops that to one encode and
+  // zero steady-state allocation; ThreadLocal because one Aggregator
+  // instance can serve several local-mode tasks concurrently.
+  @transient private lazy val scratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](128))
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    val sb = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // digit count grows with the index, so the last prefix is the widest
+    val maxLen = prefixes(k - 1).length + sb.length
+    var arr = scratch.get()
+    if (arr.length < maxLen) { arr = new Array[Byte](maxLen); scratch.set(arr) }
     var i = 0
     while (i < k) {
-      val h = hash(i, shingle)
+      val p = prefixes(i)
+      System.arraycopy(p, 0, arr, 0, p.length)
+      System.arraycopy(sb, 0, arr, p.length, sb.length)
+      val h = XxHash64Function.hash(
+        UTF8String.fromBytes(arr, 0, p.length + sb.length), StringType, 42L)
       if (h < buf(i)) buf(i) = h
       i += 1
     }
