@@ -28,7 +28,7 @@ object DedupOps {
   /** Distinct 3-gram shingles of the first `n-drop` tokens (1-based
     * element_at; guarded so short docs yield an empty array rather than a
     * descending sequence()). */
-  private def shingleExpr(drop: Int): String = {
+  private[graft] def shingleExpr(drop: Int): String = {
     val last = s"size(toks) - ${2 + drop}"
     s"CASE WHEN $last >= 1 THEN array_distinct(transform(sequence(1, $last), " +
       "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) " +

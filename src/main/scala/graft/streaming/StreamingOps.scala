@@ -63,6 +63,56 @@ object StreamingOps {
       .agg(count(lit(1)).as("ev"))
       .select(col("user_id"), col("w.start").as("session_start"), col("ev"))
 
+  /** Streaming incremental near-dup probe: flag documents of an incoming
+    * stream that near-duplicate anything in a persisted MinHash index
+    * (DedupOps.writeMinhashIndex) — the online twin of
+    * DedupOps.dedupAgainstIndex, the admission gate a streaming ingest
+    * pipeline runs per document before keeping it.
+    *
+    * STATELESS by construction (Append mode, no watermark needed): the
+    * k-hash signature is computed PER ROW by the HOF recipe
+    * (CustomFunctionsSpec pins it identical to MinHashAgg's salted
+    * hashes, so stream signatures band-match the stored index), bands
+    * explode to (band, bucket) rows, and both the candidate lookup and
+    * the shingle refine are stream-STATIC equi-joins against the stored
+    * index tables. A pair agreeing in several bands emits once per
+    * agreeing band — bounded duplication (<= bands copies per pair);
+    * sinks dedupe by (doc_id, corpus_id) or upsert idempotently. A
+    * stream-side distinct would buy nothing but unbounded state. */
+  def dedupAgainstIndexStream(docs: DataFrame, indexDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val k = meta.getAs[Int]("k")
+    val bands = meta.getAs[Int]("bands")
+    val r = k / bands
+    val sig = docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("shb", expr(graft.operators.DedupOps.shingleExpr(0)))
+      .where(size(col("shb")) > 0)
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${k - 1}), i -> " +
+          "array_min(transform(shb, t -> xxhash64(concat(cast(i AS STRING), t)))))"))
+    val bandRows = sig.select(col("doc_id").as("batch_id"), col("ts"), col("shb"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, " +
+          "'bucket', xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
+      .select(col("batch_id"), col("ts"), col("shb"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val idx = s.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("corpus_id"), col("band").as("band_c"),
+        col("bucket").as("bucket_c"))
+    val csh = s.read.parquet(s"$indexDir/shingles")
+      .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
+      .where(size(col("shc")) > 0)
+    bandRows
+      .join(idx, col("band") === col("band_c") && col("bucket") === col("bucket_c"))
+      .join(csh, "corpus_id")
+      .withColumn("jac", round(size(array_intersect(col("shb"), col("shc"))).cast("double") /
+        size(array_union(col("shb"), col("shc"))), 4))
+      .where(col("jac") >= threshold)
+      .select(col("batch_id"), col("ts"), col("corpus_id"), col("jac"))
+  }
+
   /** Streaming kNN enrichment: score a stream of query vectors against a
     * STATIC corpus and emit each query's top-k neighbors — the online-
     * retrieval shape of q_knn_batch (queries arrive as micro-batches

@@ -210,6 +210,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index probe flags near-dups of the stored corpus, stateless append") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // corpus: three documents with disjoint vocabularies, indexed once
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = Seq((1L, "a", mk(1)), (2L, "a", mk(2)), (3L, "a", mk(3)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_stream_idx").toString
+    DedupOps.writeMinhashIndex(spark, corpus, dir)
+    val in = MemoryStream[DocEv](14, spark, None)
+    val q = StreamingOps.dedupAgainstIndexStream(in.toDF(), dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("idx_probe_out").start()
+    try {
+      in.addData(
+        // near-dup of corpus doc 1: last 2 tokens cut (shingle jac 8/10)
+        DocEv(101, ts("10:00"), (1 to 10).map(t => s"w1_$t").mkString(" ")),
+        // genuinely novel vocabulary: zero shared shingles
+        DocEv(102, ts("10:01"), (1 to 12).map(t => s"fresh_$t").mkString(" ")))
+      q.processAllAvailable()
+      // a pair agreeing in several bands emits once per band — dedupe here
+      val pairs = spark.table("idx_probe_out")
+        .select("batch_id", "corpus_id", "jac").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.map(p => (p._1, p._2)).toSet === Set((101L, 1L)),
+        s"expected exactly the planted (101, 1) match, got ${pairs.toSeq}")
+      assert(pairs.head._3 >= 0.5)
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
     import spark.implicits._
     val in = MemoryStream[Ev](11, spark, None)
