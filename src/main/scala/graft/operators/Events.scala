@@ -107,6 +107,47 @@ object Events {
         .orderBy("day")
     }),
 
+    // Time-series LINEAR INTERPOLATION — q_date_spine's zero-fill is
+    // right for counts; a measured signal (sensor values, daily spend)
+    // needs gap values estimated from the neighbors instead. Classic
+    // two-window recipe: per-user daily averages (sparse by
+    // construction: purchase events only), a per-user day spine, then
+    // last/first(ignoreNulls) windows carry the previous/next observed
+    // (day, value) to every gap row and the fill is the exact linear
+    // blend pv + (nv - pv) * (day - pd)/(nd - pd). The spine runs
+    // min..max per user, so edge rows are always observed and the blend
+    // never divides by zero. Same shape at scale: one keyed shuffle for
+    // the daily agg, windows on the (tiny) per-user day series.
+    "q_ts_interpolate" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .where(col("event_type") === "purchase" && col("user_id") < 50)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(avg("value").as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wPrev = Window.partitionBy("user_id").orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy(col("day").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+        // 6dp, not 4: daily averages of 2dp values blended at small-
+        // denominator ratios land EXACTLY on 4dp halves (e.g. 75.91375),
+        // where the engines' half-rounding disagrees; at 6dp the rounding
+        // position sits past the blend's last nonzero decimal digit, so
+        // there is no boundary to disagree on (caught by the sf0.01 gate).
+        .withColumn("vi", round(when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            datediff(col("day"), col("pd")).cast("double") / datediff(col("nd"), col("pd"))), 6))
+        .withColumn("filled", col("v").isNull)
+        .select("user_id", "day", "vi", "filled")
+        .orderBy("user_id", "day")
+    }),
+
     // Shannon entropy of each user's event-type mix — the behavioral-
     // diversity score (0 = one event type; ln(5) ≈ 1.609 = uniform over
     // all five). Uses the single-pass identity
@@ -173,6 +214,35 @@ object Events {
         |           row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day ASC) AS rn
         |         FROM streaks)
         |SELECT user_id, len, start_day FROM best WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // Same association order as the Spark blend so both engines round
+    // the same double. generate_series over DATEs needs the ::DATE cast
+    // back from the TIMESTAMP it yields.
+    "q_ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, avg(value) AS v
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+        |      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |w AS (SELECT user_id, day, v,
+        |        last_value(v IGNORE NULLS) OVER wp AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |        first_value(v IGNORE NULLS) OVER wn AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |      FROM j
+        |      WINDOW wp AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING),
+        |             wn AS (PARTITION BY user_id ORDER BY day
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |        ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)
+        |             / date_diff('day', pd, nd) END, 6) AS vi,
+        |  (v IS NULL) AS filled
+        |FROM w ORDER BY user_id, day""".stripMargin,
 
     "q_date_spine" ->
       """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
