@@ -325,6 +325,29 @@ object TextOps {
         .orderBy("da", "db")
     }),
 
+    // SEQUENCE PACKING — the LLM-pretraining data step that assigns
+    // documents to fixed-token-budget context windows (2048 here):
+    // within each source, documents fill packs in doc_id order and a
+    // document starting at running offset o lands in pack o div budget
+    // at offset o mod budget — the standard contiguous-fill
+    // approximation of bin packing every distributed pipeline uses
+    // (greedy first-fit is inherently sequential). All-integer
+    // arithmetic, so the oracle is exact; one window pass per source
+    // partition, and at scale the partition key IS the parallelism
+    // (packs never span sources, so no global sequential scan exists).
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+        .withColumn("pack_offset", expr("(cum - n_tok) % 2048"))
+        .select("source", "doc_id", "n_tok", "pack_id", "pack_offset")
+        .orderBy("source", "doc_id")
+    }),
+
     // Sketched vocabulary top-10 per language — q_vocab_topk's 100 TB
     // shape: the SpaceSaving `graft_topk` aggregate (TypedImperative,
     // TopKSketch.scala) builds a capacity-64 summary map-side and the
@@ -410,6 +433,19 @@ object TextOps {
         |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT source, doc_id, n_tok,
+        |  (cum - n_tok) // 2048 AS pack_id,
+        |  (cum - n_tok) % 2048 AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q_sim_sparse_full" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
