@@ -105,6 +105,11 @@ object DedupOps {
       comp = next
       rounds += 1
     }
+    // With doubling the cap means diameter 2^64 — unreachable — but if it
+    // ever WERE hit, returning silently would hand back split components
+    // (the exact bug this function replaced). Fail loudly instead.
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxRounds rounds ($changed labels still moving)")
     comp
   }
 

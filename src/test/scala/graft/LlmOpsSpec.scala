@@ -494,6 +494,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaAppend === scratch,
       "PQ append path diverged from a one-pass encode with the same codebooks")
     assert(viaAppend.nonEmpty)
+    // IVFADC: same contract for the composed index — base + appended
+    // batch must search identically to a one-pass encode of the full
+    // corpus against the same frozen coarse + residual codebooks
+    val adcDir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    VectorOps.writeIvfPqIndex(base, cells = 8, m = 4, ks = 8, dir = adcDir)
+    VectorOps.appendToIvfPqIndex(spark, batch, adcDir)
+    val (ac, ap, ak) = VectorOps.readIvfPqIndex(spark, adcDir)
+    assert(ak.count() === e.count(), "appended IVFADC codes lost rows")
+    val adcAppend = VectorOps.ivfPqSearch(ac, ap, ak, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val adcDir2 = java.nio.file.Files.createTempDirectory("ivfpq_scratch").toString
+    spark.read.parquet(s"$adcDir/coarse").write.parquet(s"$adcDir2/coarse")
+    spark.read.parquet(s"$adcDir/pq_codebooks").write.parquet(s"$adcDir2/pq_codebooks")
+    VectorOps.appendToIvfPqIndex(spark, e, adcDir2) // full corpus, one encode pass
+    val (sc2, sp2, sk2) = VectorOps.readIvfPqIndex(spark, adcDir2)
+    val adcScratch = VectorOps.ivfPqSearch(sc2, sp2, sk2, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(adcAppend === adcScratch,
+      "IVFADC append path diverged from a one-pass encode with the same codebooks")
+    assert(adcAppend.nonEmpty)
   }
 
   test("Ledger-driven index build resumes: only missing batches append, second pass is a no-op") {
