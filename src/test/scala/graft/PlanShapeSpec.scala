@@ -54,6 +54,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(finalPlan("q_win_topn").contains("WindowGroupLimit"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join at scale settings") {
+    // At 100 TB the biggest shuffle saver Spark offers for a selective
+    // dim-fact SHUFFLE join is the runtime bloom filter: the selective
+    // (dimension) side builds a bloom filter that is pushed into the
+    // fact scan, dropping non-joining rows BEFORE the exchange. The
+    // injection rule is size-gated (fact side must look >= 10 GB by
+    // default), so the sf0.001 fixture needs the application-side
+    // threshold dropped and auto-broadcast disabled (a broadcast join
+    // would not need the filter) to demonstrate the plan shape a real
+    // fact table gets for free.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val dim = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        "no runtime bloom filter injected on the fact side:\n" + plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("flagship join RELEASES the fact-side broadcast past the byte threshold") {
     // The other half of the broadcastIfSmall contract (round-3 advice
     // item 7): with the orders byte-bound forced to 100 GB — what a real
