@@ -332,19 +332,18 @@ object TextOps {
     // at offset o mod budget — the standard contiguous-fill
     // approximation of bin packing every distributed pipeline uses
     // (greedy first-fit is inherently sequential). All-integer
-    // arithmetic, so the oracle is exact; one window pass per source
-    // partition, and at scale the partition key IS the parallelism
-    // (packs never span sources, so no global sequential scan exists).
+    // arithmetic — but the oracle must CAST its derived columns back to
+    // BIGINT because DuckDB's window sum(BIGINT) returns HUGEINT and the
+    // driver's hash is type-sensitive (the r6 red row). Implemented via
+    // two-level prefix sums (packTwoLevel below): chunks within a source
+    // pack in parallel, then shift by a broadcast exclusive prefix sum of
+    // per-chunk token totals — no single per-source window task at scale.
     "q_pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
-        .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
-        .withColumn("pack_offset", expr("(cum - n_tok) % 2048"))
-        .select("source", "doc_id", "n_tok", "pack_id", "pack_offset")
+      packTwoLevel(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tok")),
+        budget = 2048, chunks = 8)
         .orderBy("source", "doc_id")
     }),
 
@@ -387,6 +386,50 @@ object TextOps {
         .limit(30)
     }),
   )
+
+  /** Two-level prefix-sum sequence packing — the distributed-scan layout of
+    * `q_pack_sequences`. Semantics are EXACTLY the single per-source running
+    * sum (docs fill packs in doc_id order; a doc at running offset o lands in
+    * pack `o div budget` at `o % budget`), but no task ever scans a whole
+    * source: docs are range-bucketed into `chunks` contiguous doc_id spans,
+    * each (source, chunk) packs locally in parallel, and a broadcast
+    * exclusive prefix sum of per-chunk token totals (a `sources x chunks`-row
+    * table) shifts each chunk to its global offset — the standard two-level
+    * distributed scan. Chunk boundaries depend only on the corpus doc_id
+    * min/max (one broadcast row), so the output is deterministic and
+    * bit-identical for any `chunks >= 1` (PropertiesSpec pins the law;
+    * ScaleSpec pins >1 cumulative task per source in the physical plan).
+    *
+    * `docs` must have columns (source, doc_id, n_tok:bigint).
+    */
+  def packTwoLevel(docs: org.apache.spark.sql.DataFrame, budget: Int, chunks: Int): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"pack budget must be >= 1, got $budget")
+    require(chunks >= 1, s"chunk count must be >= 1, got $chunks")
+    val base = docs.select(col("source"), col("doc_id"), col("n_tok"))
+    // Monotone range bucket over the observed doc_id domain. The scaled
+    // multiply stays in Long for any realistic id domain (chunks is small);
+    // least() guards the hi endpoint landing exactly on `chunks`.
+    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val withChunk = base.crossJoin(broadcast(bounds))
+      .withColumn("chunk",
+        expr(s"CAST(least($chunks - 1, (doc_id - lo) * $chunks div (hi - lo + 1)) AS INT)"))
+      .drop("lo", "hi")
+    val wLocal = Window.partitionBy("source", "chunk").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withChunk.withColumn("cum_local", sum("n_tok").over(wLocal))
+    // Per-chunk totals are one row per (source, chunk) — tiny at any corpus
+    // size; their exclusive per-source prefix sum is the chunk's global shift.
+    val wShift = Window.partitionBy("source").orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shifts = withChunk.groupBy("source", "chunk").agg(sum("n_tok").as("tot"))
+      .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
+      .select("source", "chunk", "shift")
+    local.join(broadcast(shifts), Seq("source", "chunk"))
+      .withColumn("cum", col("cum_local") + col("shift"))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .withColumn("pack_offset", expr(s"(cum - n_tok) % $budget"))
+      .select("source", "doc_id", "n_tok", "pack_id", "pack_offset")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
@@ -443,8 +486,8 @@ object TextOps {
         |                         ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM t)
         |SELECT source, doc_id, n_tok,
-        |  (cum - n_tok) // 2048 AS pack_id,
-        |  (cum - n_tok) % 2048 AS pack_offset
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q_sim_sparse_full" ->

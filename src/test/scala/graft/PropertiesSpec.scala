@@ -251,6 +251,34 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 20)
   }
 
+  test("two-level sequence packing equals the single-scan reference for any chunk count") {
+    import spark.implicits._
+    // the distributed-scan law behind q_pack_sequences: range-chunked
+    // local packing + broadcast exclusive prefix shift must reproduce the
+    // per-source sequential running sum EXACTLY for every chunk count —
+    // K = 1 degenerates to one chunk per source (the old single-window
+    // recipe), K > 1 is the scale shape. Equality with the sequential
+    // reference also pins budget-respect (offset = o mod budget < budget)
+    // and the exact-cover property (offsets are the running prefix sums).
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("s1", "s2", "s3"), Gen.chooseNum(1L, 500L)))
+      .map(_.distinctBy(_._1))
+    check(Prop.forAll(docsGen, Gen.oneOf(1, 2, 7)) { (docs, k) =>
+      val df = docs.toDF("doc_id", "source", "n_tok")
+      val got = graft.operators.TextOps.packTwoLevel(df, budget = 100, chunks = k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = docs.groupBy(_._2).flatMap { case (src, ds) =>
+        val sorted = ds.sortBy(_._1)
+        sorted.scanLeft(0L)(_ + _._3).zip(sorted).map { case (o, (id, _, n)) =>
+          (src, id, n, o / 100, o % 100)
+        }
+      }.toSet
+      got == want
+    }, tests = 12)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

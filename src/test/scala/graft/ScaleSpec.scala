@@ -192,6 +192,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(Tables.lineitem(spark, out).count() === Tables.lineitem(spark, src).count())
   }
 
+  test("two-level packing runs the cumulative window on (source, chunk), not one task per source") {
+    import spark.implicits._
+    // The r6 scale-killer: a per-source unbounded window funnels a
+    // billion-doc source through ONE task. The two-level layout's
+    // cumulative window partitions on (source, chunk) — strictly more
+    // parallel units than sources — and the only per-source window left
+    // runs over the tiny per-chunk totals table (chunks rows per source,
+    // not docs). Assert both facts on the real physical plan.
+    val docs = (0L until 400L).map(i => (i, s"s${i % 2}", 7L)).toDF("doc_id", "source", "n_tok")
+    val packed = graft.operators.TextOps.packTwoLevel(docs, budget = 100, chunks = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("chunk"), s"no chunked window in plan:\n$plan")
+    // the doc-bearing cumulative window must key on BOTH source and chunk
+    val winSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(winSpecs.exists(s => s.contains("source") && s.contains("chunk")),
+      s"cumulative window not partitioned by (source, chunk): $winSpecs\n$plan")
+    // parallel units: distinct (source, chunk) pairs strictly exceed sources
+    val units = packed.select("source", "doc_id").distinct().count() // materialize once
+    val groups = docs
+      .withColumn("chunk", expr("CAST(least(7, (doc_id - 0) * 8 div 400) AS INT)"))
+      .select("source", "chunk").distinct().count()
+    assert(units === 400 && groups > 2, s"expected >2 (source,chunk) units, got $groups")
+  }
+
   test("compact handles an empty dataset without failing") {
     import spark.implicits._
     val src = Files.createTempDirectory("emptyc").toString + "/t"
