@@ -46,9 +46,18 @@ object DedupOps {
     orig.unionByName(variant)
   }
 
+  /** Set Jaccard rounded to 4dp with INTEGER-exact half-up rounding:
+    * floor((2*i*10^4 + u) / (2u)) computed wholly in BIGINT, then one
+    * exact int->double division — no float arithmetic ever enters the
+    * rounding path, so both engines produce the identical double by
+    * construction (the G11 discipline applied to the ratio case; plain
+    * round(i/u, 4) leaves each engine's round() convention in play at
+    * exact 4dp halves, e.g. 7/32). u = 0 yields NULL in both engines
+    * (Spark `div` and DuckDB `//` both return NULL on zero). */
   private def jaccard(a: String, b: String) =
-    round(size(array_intersect(col(a), col(b))).cast("double") /
-      size(array_union(col(a), col(b))), 4)
+    expr(s"CAST((CAST(size(array_intersect($a, $b)) AS BIGINT) * 20000" +
+      s" + size(array_union($a, $b))) div" +
+      s" (2 * CAST(size(array_union($a, $b)) AS BIGINT)) AS DOUBLE) / 10000.0")
 
   /** Connected components of an undirected graph, exact for ANY diameter:
     * min-label propagation accelerated with pointer doubling, iterated to
@@ -500,8 +509,10 @@ object DedupOps {
         |pairs AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db
         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5),
+        |  WHERE CAST((len(list_intersect(a.toks, b.toks)) * 20000
+        |        + len(list_distinct(list_concat(a.toks, b.toks)))) //
+        |       (2 * len(list_distinct(list_concat(a.toks, b.toks)))) AS DOUBLE)
+        |    / 10000.0 >= 0.5),
         |edges AS (SELECT da, db FROM pairs UNION ALL SELECT db, da FROM pairs),
         |walk(node, comp) AS (
         |  SELECT doc_id, doc_id FROM t
@@ -512,12 +523,17 @@ object DedupOps {
         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS members
         |FROM comps ORDER BY node""".stripMargin,
 
+    // Integer-exact 4dp rounding (see the jaccard helper's note): the
+    // whole rounding happens in BIGINT, mirroring the Spark side's
+    // arithmetic operation-for-operation.
     "q_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents WHERE doc_id < 200)
         |SELECT a.doc_id AS da, b.doc_id AS db,
-        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+        |  CAST((len(list_intersect(a.toks, b.toks)) * 20000
+        |        + len(list_distinct(list_concat(a.toks, b.toks)))) //
+        |       (2 * len(list_distinct(list_concat(a.toks, b.toks)))) AS DOUBLE)
+        |    / 10000.0 AS jac
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
 
@@ -535,8 +551,10 @@ object DedupOps {
         |      FROM t0),
         |u AS (SELECT * FROM o UNION ALL SELECT * FROM v),
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
-        |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |              / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+        |        CAST((len(list_intersect(a.sh, b.sh)) * 20000
+        |              + len(list_distinct(list_concat(a.sh, b.sh)))) //
+        |             (2 * len(list_distinct(list_concat(a.sh, b.sh)))) AS DOUBLE)
+        |          / 10000.0 AS jac
         |      FROM u a JOIN u b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db""".stripMargin,
   )

@@ -978,13 +978,20 @@ object VectorOps {
         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label <> q.q_label
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
+    // G11 fold (r7 upgrade): the dot against the centroid is a sequential
+    // left-fold in position order — bit-identical to graft_dot's
+    // accumulation — instead of an unordered SQL sum over joined
+    // (pos, v*c) rows, whose accumulation order each engine picks freely.
     "q_knn_per_label" ->
-      """WITH ex AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+      """WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
         |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos),
-        |dots AS (SELECT ex.label, ex.vec_id, round(sum(ex.v * cent.c), 6) AS sim
-        |         FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
-        |         GROUP BY ex.label, ex.vec_id)
+        |cl AS (SELECT label, list(c ORDER BY pos ASC) AS cv FROM cent GROUP BY label),
+        |dots AS (SELECT e.label, e.vec_id,
+        |  round(list_reduce(list_transform(generate_series(1, len(cl.cv)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * cl.cv[i]),
+        |    (acc, x) -> acc + x), 6) AS sim
+        |  FROM embeddings e JOIN cl ON e.label = cl.label)
         |SELECT label, vec_id, sim, rn FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rn
         |  FROM dots) t
@@ -1003,13 +1010,16 @@ object VectorOps {
     // LSH+refine output against an exact all-pairs join computed in-test
     // and (b) fails loudly if the fixture invariant itself ever breaks.
 
+    // G11 fold (r7 upgrade, same reasoning as q_knn_per_label): the old
+    // oracle's sum over pos-joined products let each engine pick its own
+    // accumulation order.
     "q_knn_batch" ->
-      """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |              CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, pos, v FROM ex WHERE vec_id < 10),
-        |c AS (SELECT vec_id, pos, v FROM ex WHERE vec_id >= 10),
-        |dots AS (SELECT q.qid, c.vec_id, round(sum(q.v * c.v), 6) AS sim
-        |         FROM q JOIN c ON q.pos = c.pos GROUP BY q.qid, c.vec_id)
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |dots AS (SELECT q.qid, e.vec_id,
+        |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+        |    (acc, x) -> acc + x), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id >= 10)
         |SELECT qid, vec_id, sim, rn FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rn
         |  FROM dots) t
