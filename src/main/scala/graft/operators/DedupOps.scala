@@ -216,7 +216,12 @@ object DedupOps {
 
   /** Append a new batch to a persisted MinHash index — signatures use
     * the stored (k, bands), so appended rows are band-compatible with
-    * the base; O(batch) cost, no corpus re-signing. */
+    * the base; O(batch) cost, no corpus re-signing. The caller owns
+    * doc_id uniqueness: a re-sent batch duplicates band/shingle rows for
+    * its ids (harmless to candidate CORRECTNESS — candidates are
+    * distinct-ed — but it doubles their probe cost); gate retried
+    * batches through Ledger.missing as the LlmOpsSpec resume test
+    * shows. */
   def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = s.read.parquet(s"$dir/meta").head()
     val toks = batch.withColumn("toks", split(col("text"), " "))
@@ -225,6 +230,22 @@ object DedupOps {
       .write.mode("append").parquet(s"$dir/bands")
     toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh"))
       .write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** Delete documents from a persisted MinHash index (takedowns, dedup
+    * removals): an O(ids) tombstone append. `dedupAgainstIndex` and the
+    * streaming gate exclude the ids immediately; `compactMinhashIndex`
+    * later folds them into the stored tables. Re-adding a deleted id
+    * requires compaction first (see Tombstones). */
+  def deleteFromMinhashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    graft.sources.Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into the stored MinHash tables (bands + shingles
+    * are flat — full rewrite each) and clear them. */
+  def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
+    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/bands", dir, "doc_id")
+    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/shingles", dir, "doc_id")
+    graft.sources.Tombstones.clear(s, dir)
   }
 
   /** INCREMENTAL near-dup dedup: flag the documents of a new batch that
@@ -244,14 +265,21 @@ object DedupOps {
     val toks = batch.withColumn("toks", split(col("text"), " "))
     val bBands = minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    // deleted corpus docs (tombstones, see deleteFromMinhashIndex) must
+    // not veto new batches: apply the delete-aware view of both stored
+    // tiers before the candidate join / refine
+    val storedBands = graft.sources.Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/bands"), dir, "doc_id")
+    val storedSh = graft.sources.Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/shingles"), dir, "doc_id")
     val cands = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
-      .join(s.read.parquet(s"$dir/bands").select(col("doc_id").as("corpus_id"),
+      .join(storedBands.select(col("doc_id").as("corpus_id"),
           col("band").as("band_c"), col("bucket").as("bucket_c")),
         col("band") === col("band_c") && col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
     val bSh = toks.select(col("doc_id").as("batch_id"), expr(shingleExpr(0)).as("shb"))
       .where(size(col("shb")) > 0)
-    val cSh = s.read.parquet(s"$dir/shingles")
+    val cSh = storedSh
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
       .where(size(col("shc")) > 0)
     cands.join(bSh, "batch_id").join(cSh, "corpus_id")

@@ -325,7 +325,8 @@ object VectorOps {
     * codebook ranking would then hinge on implicit numeric-string
     * coercion — matching nothing if cell ids ever became non-numeric. */
   def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$dir/codebook"), readCellPartitioned(s, s"$dir/postings"))
+    (s.read.parquet(s"$dir/codebook"),
+      graft.sources.Tombstones.applyTo(s, readCellPartitioned(s, s"$dir/postings"), dir, "vec_id"))
 
   /** Read a cell-partitioned index table with the `cell` partition column
     * PINNED to string via an explicit schema (not a cast): a cast on top
@@ -470,7 +471,21 @@ object VectorOps {
     * coarse codebook to implicit coercion. */
   def readIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     (s.read.parquet(s"$dir/coarse"), s.read.parquet(s"$dir/pq_codebooks"),
-      readCellPartitioned(s, s"$dir/codes"))
+      graft.sources.Tombstones.applyTo(s, readCellPartitioned(s, s"$dir/codes"), dir, "vec_id"))
+
+  /** Fail loudly when an append batch's vector dimension disagrees with
+    * the stored index (a mis-wired pipeline would otherwise encode
+    * garbage silently). One-row metadata probe; empty batches pass (the
+    * append is then a no-op). The OTHER corruption an append can't
+    * detect is a re-sent id: duplicate postings/codes for it would
+    * surface in every search. Caller owns id uniqueness — gate retried
+    * batches through Ledger.missing (the LlmOpsSpec resume test shows
+    * the discipline). */
+  private def requireBatchDim(batch: DataFrame, dim: Int, family: String): Unit =
+    batch.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$family append: batch dimension ${r.getInt(0)} != stored index dimension $dim")
+    }
 
   /** Incrementally append a new vector batch to a persisted IVF index —
     * the lifecycle a growing corpus actually runs: the coarse codebook is
@@ -484,6 +499,7 @@ object VectorOps {
     * production ANN store). */
   def appendToIvfIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val cb = s.read.parquet(s"$dir/codebook")
+    requireBatchDim(batch, cb.select(size(col("centroid"))).head().getInt(0), "IVF")
     rankCells(batch, cb)
       .select(expr("ranked[0].cl").as("cell"), col("vec_id"), col("label"), col("embedding"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
@@ -499,6 +515,7 @@ object VectorOps {
       val r = cb.agg(max(col("j")), max(size(col("centroid")))).head()
       (r.getInt(0) + 1, r.getInt(1))
     }
+    requireBatchDim(batch, m * d, "PQ")
     val subs = batch.select(col("vec_id"), col("label"),
         explode(expr(s"transform(sequence(0, ${m - 1}), jj -> " +
           s"named_struct('j', jj, 'sub', slice(embedding, jj * $d + 1, $d)))")).as("js"))
@@ -520,6 +537,7 @@ object VectorOps {
       val r = pqcb.agg(max(col("j")), max(size(col("centroid")))).head()
       (r.getInt(0) + 1, r.getInt(1))
     }
+    requireBatchDim(batch, m * d, "IVFADC")
     val assigned = rankCells(batch, coarse)
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("ranked[0].cl").as("cell"))
@@ -539,6 +557,74 @@ object VectorOps {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** Delete vectors from a persisted IVF index: an O(ids) tombstone
+    * append — no posting file is touched. `readIvfIndex` applies the
+    * tombstones (broadcast anti-join), so every search over the store
+    * excludes the ids immediately; `compactIvfIndex` later folds them
+    * into the files. Re-adding a deleted id requires compaction first
+    * (see Tombstones). */
+  def deleteFromIvfIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    graft.sources.Tombstones.append(s, ids, dir)
+
+  /** Delete vectors from a persisted PQ index (tombstone append; see
+    * `deleteFromIvfIndex`). */
+  def deleteFromPqIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    graft.sources.Tombstones.append(s, ids, dir)
+
+  /** Delete vectors from a persisted IVFADC index (tombstone append; see
+    * `deleteFromIvfIndex`). */
+  def deleteFromIvfPqIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    graft.sources.Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into a cell-partitioned index table, rewriting ONLY
+    * the cell partitions that actually contain deleted rows: survivors of
+    * the affected cells land in a temp dir, the affected `cell=` dirs are
+    * dropped, and the survivor partitions are renamed in — every
+    * untouched cell's files stay byte-identical (asserted in spec). A
+    * cell whose rows all died simply disappears. The affected-cell list
+    * crosses the driver (bounded by the cell count — metadata, not row
+    * data). */
+  private def compactCellPartitioned(s: SparkSession, path: String, dir: String): Unit = {
+    graft.sources.Tombstones.read(s, dir).foreach { t =>
+      val table = readCellPartitioned(s, path)
+      val affected = table.join(broadcast(t), table("vec_id") === t("id"), "left_semi")
+        .select("cell").distinct().collect().map(_.getString(0)).toSeq
+      val hfs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (affected.nonEmpty) {
+        val tmp = s"${path}__compact_tmp"
+        table.where(col("cell").isin(affected: _*))
+          .join(broadcast(t), table("vec_id") === t("id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        affected.foreach(c =>
+          hfs.delete(new org.apache.hadoop.fs.Path(s"$path/cell=$c"), true))
+        hfs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .filter(_.getPath.getName.startsWith("cell="))
+          .foreach(st => hfs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(s"$path/${st.getPath.getName}")))
+        hfs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      graft.sources.Tombstones.clear(s, dir)
+    }
+  }
+
+  /** Compact a persisted IVF index after deletions (affected cell
+    * partitions only). */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit =
+    compactCellPartitioned(s, s"$dir/postings", dir)
+
+  /** Compact a persisted PQ index after deletions (flat codes table —
+    * full rewrite). */
+  def compactPqIndex(s: SparkSession, dir: String): Unit = {
+    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/codes", dir, "vec_id")
+    graft.sources.Tombstones.clear(s, dir)
+  }
+
+  /** Compact a persisted IVFADC index after deletions (affected cell
+    * partitions of the codes table only). */
+  def compactIvfPqIndex(s: SparkSession, dir: String): Unit =
+    compactCellPartitioned(s, s"$dir/codes", dir)
+
   /** Persist a PQ index as two parquet tables under `dir` — the
     * train-once/search-many deployment shape (codes are m ints per
     * vector: the 100 TB scan reads these, never the float embeddings,
@@ -551,7 +637,8 @@ object VectorOps {
 
   /** Load a persisted PQ index: (codebooks, codes). */
   def readPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$dir/codebooks"), s.read.parquet(s"$dir/codes"))
+    (s.read.parquet(s"$dir/codebooks"),
+      graft.sources.Tombstones.applyTo(s, s.read.parquet(s"$dir/codes"), dir, "vec_id"))
 
   /** Candidate stage of the ANN similarity self-join (`simJoinTopkAnn`),
     * exposed so ScaleSpec can measure candidate-volume growth directly.

@@ -75,16 +75,31 @@ object StreamingOps {
     * hashes, so stream signatures band-match the stored index), bands
     * explode to (band, bucket) rows, and both the candidate lookup and
     * the shingle refine are stream-STATIC equi-joins against the stored
-    * index tables. A pair agreeing in several bands emits once per
-    * agreeing band — bounded duplication (<= bands copies per pair);
-    * sinks dedupe by (doc_id, corpus_id) or upsert idempotently. A
-    * stream-side distinct would buy nothing but unbounded state. */
+    * index tables.
+    *
+    * Exactly ONE row per (stream doc, matched corpus doc) pair — the
+    * BAND-PRIORITY PICK: both sides carry their full per-doc bucket
+    * array alongside the exploded (band, bucket) join key, and a row
+    * survives only if NO earlier band also agrees, i.e. only the
+    * smallest agreeing band emits. The dedup is a pure per-row array
+    * predicate over the two carried arrays — no stream state, unlike a
+    * dropDuplicates, which would buffer unboundedly without a watermark.
+    * A doc near-duplicating SEVERAL corpus docs still emits one row per
+    * match (that is the answer, not duplication). Deleted corpus docs
+    * (tombstones, DedupOps.deleteFromMinhashIndex) are excluded from
+    * both stored tiers; the tombstone check resolves when the streaming
+    * query is PLANNED, so a delete lands in already-running gates at
+    * their next restart. */
   def dedupAgainstIndexStream(docs: DataFrame, indexDir: String,
       threshold: Double = 0.5): DataFrame = {
     val s = docs.sparkSession
     val meta = s.read.parquet(s"$indexDir/meta").head()
     val k = meta.getAs[Int]("k")
     val bands = meta.getAs[Int]("bands")
+    // minhashBandsOf validates this at write time; a hand-edited or
+    // corrupt meta row must fail loudly, not silently truncate the last
+    // hashes out of the banding (quietly reduced recall)
+    require(k % bands == 0, s"index meta: bands ($bands) must divide k ($k)")
     val r = k / bands
     val sig = docs.withColumn("toks", split(col("text"), " "))
       .withColumn("shb", expr(graft.operators.DedupOps.shingleExpr(0)))
@@ -92,20 +107,30 @@ object StreamingOps {
       .withColumn("sig", expr(
         s"transform(sequence(0, ${k - 1}), i -> " +
           "array_min(transform(shb, t -> xxhash64(concat(cast(i AS STRING), t)))))"))
+      .withColumn("sbuckets", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))"))
     val bandRows = sig.select(col("doc_id").as("batch_id"), col("ts"), col("shb"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, " +
-          "'bucket', xxhash64(concat_ws(',', " +
-          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
-      .select(col("batch_id"), col("ts"), col("shb"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val idx = s.read.parquet(s"$indexDir/bands")
-      .select(col("doc_id").as("corpus_id"), col("band").as("band_c"),
-        col("bucket").as("bucket_c"))
-    val csh = s.read.parquet(s"$indexDir/shingles")
+        col("sbuckets"), posexplode(col("sbuckets")).as(Seq("band", "bucket")))
+    // static side: the stored band rows regrouped to one bucket array per
+    // corpus doc (ordered by band), re-exploded with the array carried —
+    // a static setup aggregation over the index, not stream state
+    val idx = graft.sources.Tombstones.applyTo(
+        s, s.read.parquet(s"$indexDir/bands"), indexDir, "doc_id")
+      .groupBy(col("doc_id").as("corpus_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(band, bucket))), x -> x.bucket)")
+        .as("cbuckets"))
+      .select(col("corpus_id"), col("cbuckets"),
+        posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
+    val csh = graft.sources.Tombstones.applyTo(
+        s, s.read.parquet(s"$indexDir/shingles"), indexDir, "doc_id")
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
       .where(size(col("shc")) > 0)
     bandRows
       .join(idx, col("band") === col("band_c") && col("bucket") === col("bucket_c"))
+      // band-priority pick: drop the row if any EARLIER band also agrees
+      .where(expr("size(filter(zip_with(slice(sbuckets, 1, band), " +
+        "slice(cbuckets, 1, band), (x, y) -> x = y), v -> v)) = 0"))
       .join(csh, "corpus_id")
       .withColumn("jac", round(size(array_intersect(col("shb"), col("shc"))).cast("double") /
         size(array_union(col("shb"), col("shc"))), 4))

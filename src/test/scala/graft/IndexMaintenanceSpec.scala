@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deletion half of the persisted-index lifecycle (takedowns, dedup
+  * removals): tombstone deletes are immediately search-invisible, equal a
+  * frozen-codebook rebuild without the deleted vectors, survive appends,
+  * and compaction folds them into the stored files touching ONLY the
+  * affected cell partitions.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 8 true clusters of 40 unit vectors (dim 16), cluster = vec_id % 8 —
+    * the LlmOpsSpec recall fixture, reproduced locally. */
+  private def clusteredCorpus(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = 16; val nClusters = 8
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    (0 until nClusters * 40).map { i =>
+      val c = i % nClusters
+      val noise = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (i.toLong, c.toString, unit(centers(c).zip(noise).map { case (a, b) => a + 0.8 * b })
+        .map(_.toFloat))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  private def files(dir: String): Set[(String, Long, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length(), f.lastModified())).toSet
+  }
+
+  test("IVF delete: tombstoned search == frozen-codebook rebuild; compaction touches only affected cells") {
+    import graft.operators.VectorOps
+    import graft.sources.Tombstones
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = clusteredCorpus()
+    // delete the query's own cluster-mates: the ids most likely to be
+    // the query's top hits, so the delete genuinely changes the answer
+    val deleted = e.where(col("vec_id") % 8 === 0 && col("vec_id") =!= 0)
+      .select("vec_id")
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    val survivors = e.where(!col("vec_id").isin(deletedIds.toSeq: _*))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    val before = VectorOps.ivfSearch(VectorOps.readIvfIndex(spark, dir)._1,
+      VectorOps.readIvfIndex(spark, dir)._2, queryId = 0, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(before.intersect(deletedIds).nonEmpty,
+      "fixture defect: the to-be-deleted ids never appeared in the top-10")
+    VectorOps.deleteFromIvfIndex(spark, deleted, dir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+    val afterDelete = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10)
+    val afterRows = afterDelete.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(afterRows.map(_._1).toSet.intersect(deletedIds).isEmpty,
+      "deleted ids still surfaced in search results")
+    // the probe must still prune the cell-partitioned store THROUGH the
+    // tombstone anti-join (a delete must not cost partition pruning)
+    val plan = afterDelete.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "tombstoned postings scan lost dynamic partition pruning:\n" + plan.take(2000))
+    // frozen-codebook rebuild without the deleted vectors: copy the
+    // codebook, assign-only encode the survivors — must search equal
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_del_rebuild").toString
+    spark.read.parquet(s"$dir/codebook").write.parquet(s"$dir2/codebook")
+    VectorOps.appendToIvfIndex(spark, survivors, dir2)
+    val (cb2, p2) = VectorOps.readIvfIndex(spark, dir2)
+    val rebuilt = VectorOps.ivfSearch(cb2, p2, queryId = 0, nprobe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(afterRows === rebuilt,
+      s"tombstoned search diverged from the rebuild: $afterRows vs $rebuilt")
+    // append after delete: new vectors are searchable, deleted stay gone
+    val extra = Seq((9000L, "0", e.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray))
+      .toDF("vec_id", "label", "embedding")
+    VectorOps.appendToIvfIndex(spark, extra, dir)
+    val (cb3, p3) = VectorOps.readIvfIndex(spark, dir)
+    val afterAppend = VectorOps.ivfSearch(cb3, p3, queryId = 0, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterAppend.contains(9000L), "appended vector not searchable after a delete")
+    assert(afterAppend.intersect(deletedIds).isEmpty)
+    // compaction: only affected cell partitions are rewritten
+    val allCells = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    val affectedCells = spark.read.parquet(s"$dir/postings")
+      .where(col("vec_id").isin(deletedIds.toSeq: _*))
+      .select(input_file_name()).distinct().collect()
+      .map(r => "cell=[^/]+".r.findFirstIn(r.getString(0)).get).toSet
+    val untouched = allCells -- affectedCells
+    assert(untouched.nonEmpty,
+      s"fixture defect: every cell affected ($allCells), nothing to assert untouched")
+    val untouchedBefore = untouched.map(c => c -> files(s"$dir/postings/$c")).toMap
+    VectorOps.compactIvfIndex(spark, dir)
+    assert(!Tombstones.exists(spark, dir), "compaction left tombstones behind")
+    untouched.foreach { c =>
+      assert(files(s"$dir/postings/$c") === untouchedBefore(c),
+        s"compaction rewrote files of unaffected partition $c")
+    }
+    // folded store holds exactly the survivors (+ the appended vector)
+    val (_, pc) = VectorOps.readIvfIndex(spark, dir)
+    assert(pc.count() === survivors.count() + 1)
+    assert(pc.where(col("vec_id").isin(deletedIds.toSeq: _*)).count() === 0,
+      "compacted postings still contain deleted rows")
+    val afterCompact = VectorOps.ivfSearch(VectorOps.readIvfIndex(spark, dir)._1,
+      VectorOps.readIvfIndex(spark, dir)._2, queryId = 0, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterCompact === afterAppend, "compaction changed search results")
+  }
+
+  test("PQ and IVFADC delete/compact: deleted ids invisible, IVFADC equals frozen rebuild") {
+    import graft.operators.VectorOps
+    import graft.sources.Tombstones
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = clusteredCorpus()
+    val deleted = e.where(col("vec_id") % 8 === 0 && col("vec_id") =!= 0).select("vec_id")
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    val survivors = e.where(!col("vec_id").isin(deletedIds.toSeq: _*))
+    // PQ (flat codes table)
+    val pqDir = java.nio.file.Files.createTempDirectory("pq_del").toString
+    VectorOps.writePqIndex(e, m = 4, ks = 8, dir = pqDir)
+    VectorOps.deleteFromPqIndex(spark, deleted, pqDir)
+    val (pcb, pcodes) = VectorOps.readPqIndex(spark, pqDir)
+    val pqAfter = VectorOps.pqSearch(pcb, pcodes, e, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(pqAfter.map(_._1).toSet.intersect(deletedIds).isEmpty)
+    VectorOps.compactPqIndex(spark, pqDir)
+    assert(!Tombstones.exists(spark, pqDir))
+    val (pcb2, pcodes2) = VectorOps.readPqIndex(spark, pqDir)
+    assert(pcodes2.count() === survivors.count(), "compacted PQ codes row count off")
+    val pqCompact = VectorOps.pqSearch(pcb2, pcodes2, e, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(pqCompact === pqAfter, "PQ compaction changed search results")
+    // IVFADC (cell-partitioned codes): frozen-rebuild equivalence too
+    val adcDir = java.nio.file.Files.createTempDirectory("adc_del").toString
+    VectorOps.writeIvfPqIndex(e, cells = 8, m = 4, ks = 8, dir = adcDir)
+    VectorOps.deleteFromIvfPqIndex(spark, deleted, adcDir)
+    val (ac, ap, ak) = VectorOps.readIvfPqIndex(spark, adcDir)
+    val adcAfter = VectorOps.ivfPqSearch(ac, ap, ak, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(adcAfter.map(_._1).toSet.intersect(deletedIds).isEmpty)
+    val adcDir2 = java.nio.file.Files.createTempDirectory("adc_del_rebuild").toString
+    spark.read.parquet(s"$adcDir/coarse").write.parquet(s"$adcDir2/coarse")
+    spark.read.parquet(s"$adcDir/pq_codebooks").write.parquet(s"$adcDir2/pq_codebooks")
+    VectorOps.appendToIvfPqIndex(spark, survivors, adcDir2)
+    val (rc, rp, rk) = VectorOps.readIvfPqIndex(spark, adcDir2)
+    val rebuilt = VectorOps.ivfPqSearch(rc, rp, rk, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(adcAfter === rebuilt,
+      "IVFADC tombstoned search diverged from the frozen-codebook rebuild")
+    VectorOps.compactIvfPqIndex(spark, adcDir)
+    assert(!Tombstones.exists(spark, adcDir))
+    val (cc, cp, ck) = VectorOps.readIvfPqIndex(spark, adcDir)
+    assert(ck.count() === survivors.count())
+    val adcCompact = VectorOps.ivfPqSearch(cc, cp, ck, e, nprobe = 2, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(adcCompact === adcAfter, "IVFADC compaction changed search results")
+    // the append dim guard fails loudly on a mis-wired batch
+    val bad = Seq((7777L, "0", Array.fill(8)(0.1f))).toDF("vec_id", "label", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfPqIndex(spark, bad, adcDir)
+    }
+    assert(err.getMessage.contains("dimension"))
+  }
+
+  test("MinHash delete: deleted corpus docs stop vetoing batches; compact folds both tables") {
+    import graft.operators.DedupOps
+    import graft.sources.Tombstones
+    import spark.implicits._
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = Seq((1L, "a", mk(1)), (2L, "a", mk(2)), (3L, "a", mk(3)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_del").toString
+    DedupOps.writeMinhashIndex(spark, corpus, dir)
+    // near-dup of corpus doc 1 (last 2 tokens cut)
+    val batch = Seq((101L, "a", (1 to 10).map(t => s"w1_$t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    assert(DedupOps.dedupAgainstIndex(spark, batch, dir).count() > 0,
+      "fixture defect: planted near-dup not flagged before the delete")
+    DedupOps.deleteFromMinhashIndex(spark, Seq(1L).toDF("doc_id"), dir)
+    assert(DedupOps.dedupAgainstIndex(spark, batch, dir).count() === 0,
+      "a deleted corpus doc still vetoed the batch")
+    // append after delete: the index keeps growing normally
+    DedupOps.appendToMinhashIndex(spark,
+      Seq((4L, "a", mk(4))).toDF("doc_id", "source", "text"), dir)
+    val b4 = Seq((104L, "a", (1 to 10).map(t => s"w4_$t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    assert(DedupOps.dedupAgainstIndex(spark, b4, dir).count() > 0,
+      "appended-after-delete corpus doc not probed")
+    DedupOps.compactMinhashIndex(spark, dir)
+    assert(!Tombstones.exists(spark, dir))
+    assert(spark.read.parquet(s"$dir/bands").where(col("doc_id") === 1L).count() === 0)
+    assert(spark.read.parquet(s"$dir/shingles").where(col("doc_id") === 1L).count() === 0)
+    assert(DedupOps.dedupAgainstIndex(spark, batch, dir).count() === 0,
+      "compaction resurrected a deleted corpus doc")
+    assert(DedupOps.dedupAgainstIndex(spark, b4, dir).count() > 0,
+      "compaction lost a live corpus doc")
+  }
+}

@@ -230,14 +230,31 @@ class StreamingSpec extends AnyFunSuite {
         // genuinely novel vocabulary: zero shared shingles
         DocEv(102, ts("10:01"), (1 to 12).map(t => s"fresh_$t").mkString(" ")))
       q.processAllAvailable()
-      // a pair agreeing in several bands emits once per band — dedupe here
+      // the band-priority pick bounds emission to EXACTLY ONE row per
+      // matched pair — a raw (no distinct) read must already be deduped
+      // even though an identical near-dup agrees in every band
       val pairs = spark.table("idx_probe_out")
-        .select("batch_id", "corpus_id", "jac").distinct()
+        .select("batch_id", "corpus_id", "jac")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      assert(pairs.map(p => (p._1, p._2)).toSet === Set((101L, 1L)),
-        s"expected exactly the planted (101, 1) match, got ${pairs.toSeq}")
+      assert(pairs.length === 1 && (pairs.head._1, pairs.head._2) === ((101L, 1L)),
+        s"expected exactly ONE row for the planted (101, 1) match, got ${pairs.toSeq}")
       assert(pairs.head._3 >= 0.5)
     } finally q.stop()
+    // deletion: tombstone corpus doc 1, restart the gate — a fresh
+    // near-dup of the deleted doc must pass clean (deleted corpus docs
+    // are excluded from both stored tiers at stream planning time)
+    import spark.implicits._
+    DedupOps.deleteFromMinhashIndex(spark, Seq(1L).toDF("doc_id"), dir)
+    val in2 = MemoryStream[DocEv](15, spark, None)
+    val q2 = StreamingOps.dedupAgainstIndexStream(in2.toDF(), dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("idx_probe_out2").start()
+    try {
+      in2.addData(DocEv(103, ts("10:05"), (1 to 10).map(t => s"w1_$t").mkString(" ")))
+      q2.processAllAvailable()
+      assert(spark.table("idx_probe_out2").count() === 0,
+        "a near-dup of a DELETED corpus doc was still flagged")
+    } finally q2.stop()
   }
 
   test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
