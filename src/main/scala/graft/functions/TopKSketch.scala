@@ -191,7 +191,9 @@ object TopKSketch {
       "graft_topk(item, capacity): capacity must be an integer literal, " +
         s"got non-foldable expression ${exprs(1).sql}")
     val cap = exprs(1).eval(null) match {
-      case i: Int  => i
+      case i: Int if i >= 1 => i
+      case i: Int => throw new IllegalArgumentException(
+        s"graft_topk(item, capacity): capacity $i out of range [1, ${Int.MaxValue}]")
       case l: Long if l >= 1 && l <= Int.MaxValue => l.toInt
       case l: Long => throw new IllegalArgumentException(
         s"graft_topk(item, capacity): capacity $l out of range [1, ${Int.MaxValue}]")

@@ -193,6 +193,24 @@ class CustomFunctionsSpec extends AnyFunSuite {
     assert(got === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
   }
 
+  test("graft_topk rejects non-positive capacities in both literal widths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // the Int branch used to pass any Int through to TopKBuffer, where
+    // the SpaceSaving recycle path on an empty map overflows minCnt —
+    // both integer widths must hit the same [1, Int.MaxValue] guard
+    val df = Seq("a").toDF("item")
+    for (capSql <- Seq("0", "-3", "CAST(0 AS BIGINT)")) {
+      val e = intercept[Exception] {
+        df.agg(expr(s"graft_topk(item, $capSql)")).collect()
+      }
+      def rootMsgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: rootMsgs(x.getCause))
+      assert(rootMsgs(e).exists(m => m != null && m.contains("out of range")),
+        s"capacity $capSql did not hit the range guard: $e")
+    }
+  }
+
   test("MinHashAgg matches the HOF signature recipe of q_dedup_minhash") {
     import spark.implicits._
     val shingles = Seq("a b c", "b c d", "c d e")
