@@ -61,6 +61,9 @@ object Plans {
     "q_text_search_bm25" -> "1-row (N, avgdl) stats broadcast (vs a driver collect)",
     "q_knn_ivfpq"       -> "1-row ADC-table / query / coarse-codebook broadcasts (IVFADC probe + rerank)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
+    "q_pack_sequences"  -> ("1-row doc_id-bounds broadcast assigning range chunks (two-level " +
+      "prefix-sum packing); shows twice — the local-window and per-chunk-totals consumers " +
+      "share the chunked base"),
   )
 
   /** Scans with a directly-adjacent filter carrying at least one conjunct
