@@ -486,6 +486,38 @@ object DedupOps {
     // structure itself.
     "q_dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables.documents(s, d).where(col("doc_id") < 200))),
+
+    // Benchmark DECONTAMINATION — the eval-leakage check every
+    // pretraining pipeline runs [PK: the n-gram-overlap rule of the
+    // GPT-3/PaLM data reports]: flag corpus documents sharing any 5-gram
+    // with a benchmark/eval set. The benchmark here is derived — the
+    // first 10 tokens of every 20th document, excerpts whose
+    // contaminating sources exist by construction. Candidates come from
+    // a 5-gram inverted-index equi-join (the tiny benchmark side
+    // broadcasts), never an all-pairs document scan; at 100 TB the same
+    // df-cap stopword cut as q_sim_sparse_full bounds any hot gram.
+    // Output per contaminated doc: distinct leaked 5-grams, implicated
+    // benchmark docs, smallest such benchmark id. All integer — exact
+    // oracle.
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sh5(c: String) =
+        s"CASE WHEN size($c) - 4 >= 1 THEN array_distinct(transform(sequence(1, size($c) - 4), " +
+          s"i -> concat_ws(' ', element_at($c, i), element_at($c, i + 1), element_at($c, i + 2), " +
+          s"element_at($c, i + 3), element_at($c, i + 4)))) ELSE array() END"
+      val corpus = docs
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(sh5("toks"))).as("g"))
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .withColumn("toks", expr("slice(split(text, ' '), 1, 10)"))
+        .select(col("doc_id").as("bench_id"), explode(expr(sh5("toks"))).as("g"))
+      corpus.join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("leaked_grams"),
+          countDistinct("bench_id").as("bench_docs"),
+          min("bench_id").as("first_bench_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q_dedup_clusters' body over any (doc_id, source, text) frame —
@@ -564,6 +596,24 @@ object DedupOps {
         |    / 10000.0 AS jac
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, unnest(CASE WHEN len(toks) - 4 >= 1 THEN
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
+        |        ELSE [] END) AS g
+        |      FROM t),
+        |b AS (SELECT bench_id, unnest(CASE WHEN len(bt) - 4 >= 1 THEN
+        |        list_distinct(list_transform(generate_series(1, len(bt) - 4),
+        |          i -> concat_ws(' ', bt[i], bt[i+1], bt[i+2], bt[i+3], bt[i+4])))
+        |        ELSE [] END) AS g
+        |      FROM (SELECT doc_id AS bench_id, list_slice(string_split(text, ' '), 1, 10) AS bt
+        |            FROM documents WHERE doc_id % 20 = 0))
+        |SELECT c.doc_id, count(DISTINCT c.g) AS leaked_grams,
+        |  count(DISTINCT b.bench_id) AS bench_docs, min(b.bench_id) AS first_bench_id
+        |FROM c JOIN b ON c.g = b.g
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

@@ -347,6 +347,33 @@ object TextOps {
         .orderBy("source", "doc_id")
     }),
 
+    // Gopher-style REPETITION filter signals [PK: Rae et al. 2021 quality
+    // heuristics]: the within-document duplicate-token and duplicate-
+    // 3-gram fractions — the gate that catches boilerplate/looping text
+    // which q_text_quality's length/punctuation stats miss. Pure per-row
+    // expressions, no shuffle except the output sort. Ratios round with
+    // the integer-exact recipe (see DedupOps.jaccard) so no engine
+    // round() convention is in play; a sub-3-token doc has no 3-grams
+    // and its fraction is NULL in both engines (integer div by zero).
+    "q_text_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("g3", expr(
+          "CASE WHEN size(toks) - 2 >= 1 THEN transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+            "element_at(toks, i + 2))) ELSE array() END"))
+        .withColumn("n_tok", size(col("toks")).cast("bigint"))
+        .withColumn("d_tok", size(array_distinct(col("toks"))).cast("bigint"))
+        .withColumn("n_g3", size(col("g3")).cast("bigint"))
+        .withColumn("d_g3", size(array_distinct(col("g3"))).cast("bigint"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("CAST(((n_tok - d_tok) * 20000 + n_tok) div (2 * n_tok) AS DOUBLE) / 10000.0")
+            .as("dup_tok_frac"),
+          expr("CAST(((n_g3 - d_g3) * 20000 + n_g3) div (2 * n_g3) AS DOUBLE) / 10000.0")
+            .as("dup_g3_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Sketched vocabulary top-10 per language — q_vocab_topk's 100 TB
     // shape: the SpaceSaving `graft_topk` aggregate (TypedImperative,
     // TopKSketch.scala) builds a capacity-64 summary map-side and the
@@ -489,6 +516,24 @@ object TextOps {
         |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
         |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) - 2 >= 1 THEN list_transform(
+        |          generate_series(1, len(toks) - 2),
+        |          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) ELSE [] END AS g3
+        |      FROM t),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS d_tok,
+        |        CAST(len(g3) AS BIGINT) AS n_g3,
+        |        CAST(len(list_distinct(g3)) AS BIGINT) AS d_g3
+        |      FROM g)
+        |SELECT doc_id, n_tok,
+        |  CAST(((n_tok - d_tok) * 20000 + n_tok) // (2 * n_tok) AS DOUBLE) / 10000.0 AS dup_tok_frac,
+        |  CAST(((n_g3 - d_g3) * 20000 + n_g3) // (2 * n_g3) AS DOUBLE) / 10000.0 AS dup_g3_frac
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_sim_sparse_full" ->
       """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

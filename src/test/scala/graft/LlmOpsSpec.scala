@@ -57,6 +57,40 @@ class LlmOpsSpec extends AnyFunSuite {
       s"simhash too loose: ${rows.length} pairs for $planted planted")
   }
 
+  test("contamination flags every benchmark excerpt's source; repetition matches driver recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // q_contamination: every %20 doc whose first-10-token excerpt has a
+    // 5-gram must flag ITSELF (the excerpt came from it), and the
+    // smallest implicated benchmark id can be at most itself
+    val got = SparkEntry.queries("q_contamination")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val benchSources = docs.keys.filter(id =>
+      id % 20 == 0 && docs(id).split(" ", -1).take(10).length >= 5)
+    assert(benchSources.nonEmpty, "fixture defect: no benchmark excerpts exist")
+    benchSources.foreach { id =>
+      assert(got.contains(id), s"benchmark source $id not flagged as contaminated")
+      assert(got(id) <= id, s"doc $id: first_bench_id ${got(id)} > itself")
+    }
+    // q_text_repetition: exact driver-side recompute of both fractions
+    def frac(i: Long, u: Long): Option[Double] =
+      if (u == 0) None else Some(((i * 20000 + u) / (2 * u)).toDouble / 10000.0)
+    val rep = SparkEntry.queries("q_text_repetition")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (
+        r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rep.keySet === docs.keySet)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val g3 = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      val want = (toks.length.toLong,
+        frac(toks.length.toLong - toks.distinct.length, toks.length.toLong),
+        frac(g3.length.toLong - g3.distinct.length, g3.length.toLong))
+      assert(rep(id) === want, s"doc $id repetition stats diverged")
+    }
+  }
+
   test("persisted IVF index: stored search == in-memory search, postings pruned by cell") {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(spark)
