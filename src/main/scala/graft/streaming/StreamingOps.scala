@@ -138,6 +138,42 @@ object StreamingOps {
       .select(col("batch_id"), col("ts"), col("corpus_id"), col("jac"))
   }
 
+  /** Streaming DECONTAMINATION gate: score each incoming document against
+    * a static benchmark/eval set's 5-gram inventory — the online twin of
+    * q_contamination, run per document at ingest before it can leak eval
+    * data into a training corpus. The benchmark grams ride as ONE
+    * broadcast row (same pattern as knnScoreStream's corpus); each stream
+    * doc computes its leaked-gram count inside a per-row
+    * `array_intersect` expression, so the operator is STATELESS (Append,
+    * no watermark) and emits EXACTLY one row per document — no join, no
+    * per-match duplication. `clean` = true admits the doc.
+    *
+    * Scale bound, stated honestly: the benchmark gram set must be
+    * broadcast-sized (eval sets are — thousands of docs, not the
+    * corpus); `maxGrams` fails fast past the declared contract. Past
+    * that, fall back to the q_contamination inverted-index equi-join as
+    * a stream-static join (per-match emission, dedupe downstream). */
+  def contaminationGateStream(docs: DataFrame, benchmark: DataFrame,
+      maxGrams: Long = 1000000L): DataFrame = {
+    val sh5 =
+      "CASE WHEN size(toks) - 4 >= 1 THEN array_distinct(transform(sequence(1, size(toks) - 4), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
+        "element_at(toks, i + 3), element_at(toks, i + 4)))) ELSE array() END"
+    val benchGrams = benchmark
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(sh5)).as("g")).distinct()
+    val n = benchGrams.count() // static side: one-time setup cost
+    require(n <= maxGrams,
+      s"contaminationGateStream benchmark has $n grams > maxGrams=$maxGrams; " +
+        "use the q_contamination inverted-index join shape instead (see scaladoc)")
+    val bg = benchGrams.agg(collect_list(col("g")).as("bg")).withColumn("one", lit(1))
+    docs.withColumn("one", lit(1))
+      .join(broadcast(bg), "one") // stream-static; static side is 1 row
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("leaked", size(array_intersect(expr(sh5), col("bg"))))
+      .select(col("doc_id"), col("ts"), col("leaked"), (col("leaked") === 0).as("clean"))
+  }
+
   /** Streaming kNN enrichment: score a stream of query vectors against a
     * STATIC corpus and emit each query's top-k neighbors — the online-
     * retrieval shape of q_knn_batch (queries arrive as micro-batches

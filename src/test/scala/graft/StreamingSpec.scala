@@ -257,6 +257,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming decontamination gate: one row per doc, exact leaked counts, stateless") {
+    import spark.implicits._
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val benchmark = Seq((1L, mk(1)), (2L, mk(2))).toDF("doc_id", "text")
+    val in = MemoryStream[DocEv](16, spark, None)
+    val q = StreamingOps.contaminationGateStream(in.toDF(), benchmark)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam_gate_out").start()
+    try {
+      in.addData(
+        // first 8 tokens of benchmark doc 1 -> exactly 4 leaked 5-grams
+        DocEv(201, ts("10:00"), (1 to 8).map(t => s"w1_$t").mkString(" ")),
+        // disjoint vocabulary: clean
+        DocEv(202, ts("10:01"), (1 to 12).map(t => s"fresh_$t").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("contam_gate_out")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+      assert(rows.keySet === Set(201L, 202L), s"expected one row per doc, got $rows")
+      assert(rows(201) === ((4, false)), s"contaminated doc mis-scored: ${rows(201)}")
+      assert(rows(202) === ((0, true)), s"clean doc mis-scored: ${rows(202)}")
+    } finally q.stop()
+  }
+
   test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
     import spark.implicits._
     val in = MemoryStream[Ev](11, spark, None)
