@@ -445,10 +445,15 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withChunk.withColumn("cum_local", sum("n_tok").over(wLocal))
     // Per-chunk totals are one row per (source, chunk) — tiny at any corpus
-    // size; their exclusive per-source prefix sum is the chunk's global shift.
+    // size; their exclusive per-source prefix sum is the chunk's global
+    // shift. Derived as max(cum_local) FROM THE WINDOWED OUTPUT (the last
+    // running sum of a chunk IS its total) rather than re-aggregating the
+    // chunked base: both consumers then hang off the same
+    // hashpartitioning(source, chunk) exchange, which Spark reuses — one
+    // corpus shuffle for the whole operator instead of two.
     val wShift = Window.partitionBy("source").orderBy(col("chunk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val shifts = withChunk.groupBy("source", "chunk").agg(sum("n_tok").as("tot"))
+    val shifts = local.groupBy("source", "chunk").agg(max("cum_local").as("tot"))
       .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
       .select("source", "chunk", "shift")
     local.join(broadcast(shifts), Seq("source", "chunk"))
