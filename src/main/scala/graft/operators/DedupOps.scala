@@ -487,6 +487,51 @@ object DedupOps {
     "q_dedup_clusters" -> ((s, d) =>
       dedupClusters(Tables.documents(s, d).where(col("doc_id") < 200))),
 
+    // EXACT SUBSTRING dedup [PK: Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better" — the ExactSubstr method]: find
+    // MAXIMAL repeated token spans across document pairs, the dedup tier
+    // that catches long verbatim quotes/boilerplate which whole-document
+    // and near-dup methods both miss. Distributed shape (a suffix array
+    // does not distribute; this does): 8-token k-grams with positions →
+    // inverted-index equi-join on the gram (df <= 100 stopgram cut wired
+    // in, same scale control as q_sim_sparse_full) → matches on the same
+    // (pair, diagonal) with CONSECUTIVE positions are one repeated span
+    // (gaps-and-islands per diagonal), span length = run + k - 1. Derived
+    // corpus plants (doc, truncated copy) pairs whose maximal span is the
+    // whole copy by construction. All integer — exact oracle; spans >= 12
+    // tokens reported, aggregated per pair.
+    "q_dedup_substring" -> ((s, d) => {
+      val base = Tables.documents(s, d).withColumn("toks", split(col("text"), " "))
+      val u = base.select(col("doc_id"), col("toks"))
+        .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+          expr("slice(toks, 1, greatest(size(toks) - 3, 1))").as("toks")))
+      val grams = u.select(col("doc_id"),
+          posexplode(expr(
+            "CASE WHEN size(toks) - 7 >= 1 THEN transform(sequence(1, size(toks) - 7), " +
+              "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+              "element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), " +
+              "element_at(toks, i + 5), element_at(toks, i + 6), element_at(toks, i + 7))) " +
+              "ELSE array() END")).as(Seq("p0", "gram")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      val keptGrams = grams.groupBy("gram").agg(count(lit(1)).as("dfc"))
+        .where(col("dfc") <= 100).select("gram")
+      val p = grams.join(keptGrams, "gram")
+      val m = p.select(col("gram"), col("doc_id").as("da"), col("pos").as("ia"))
+        .join(p.select(col("gram").as("gram_b"), col("doc_id").as("db"), col("pos").as("ib")),
+          col("gram") === col("gram_b") && col("da") < col("db"))
+        .select(col("da"), col("db"), (col("ia") - col("ib")).as("diag"), col("ia"))
+        .distinct()
+      val w = Window.partitionBy("da", "db", "diag").orderBy(col("ia").asc)
+      m.withColumn("isl", col("ia") - row_number().over(w))
+        .groupBy("da", "db", "diag", "isl")
+        .agg((count(lit(1)) + 7).as("span"))
+        .where(col("span") >= 12)
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("n_spans"), max("span").as("max_span"),
+          sum("span").cast("bigint").as("total_span"))
+        .orderBy("da", "db")
+    }),
+
     // Benchmark DECONTAMINATION — the eval-leakage check every
     // pretraining pipeline runs [PK: the n-gram-overlap rule of the
     // GPT-3/PaLM data reports]: flag corpus documents sharing any 5-gram
@@ -596,6 +641,39 @@ object DedupOps {
         |    / 10000.0 AS jac
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+
+    // Parallel unnests zip in DuckDB, so positions and grams stay aligned
+    // without a struct list; the window/count arithmetic mirrors the
+    // Spark side exactly and total_span's sum(BIGINT) is cast back from
+    // HUGEINT (§2 determinism rule 6).
+    "q_dedup_substring" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, toks FROM t0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, list_slice(toks, 1, greatest(len(toks) - 3, 1)) FROM t0),
+        |g AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(toks) - 7 >= 1
+        |          THEN generate_series(1, len(toks) - 7) ELSE [] END) AS pos,
+        |        unnest(CASE WHEN len(toks) - 7 >= 1 THEN
+        |          list_transform(generate_series(1, len(toks) - 7),
+        |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                           toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+        |          ELSE [] END) AS gram
+        |      FROM u),
+        |kept AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+        |p AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN kept USING (gram)),
+        |m AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |        a.pos - b.pos AS diag, a.pos AS ia
+        |      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |i AS (SELECT da, db, diag, ia,
+        |        ia - row_number() OVER (PARTITION BY da, db, diag ORDER BY ia ASC) AS isl
+        |      FROM m),
+        |runs AS (SELECT da, db, count(*) + 7 AS span
+        |         FROM i GROUP BY da, db, diag, isl)
+        |SELECT da, db, count(*) AS n_spans, max(span) AS max_span,
+        |  CAST(sum(span) AS BIGINT) AS total_span
+        |FROM runs WHERE span >= 12
+        |GROUP BY da, db ORDER BY da, db""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -91,6 +91,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring dedup recovers every planted copy's full span length") {
+    // the derived corpus pairs each doc with its first-(n-3)-tokens copy:
+    // the maximal cross-doc repeated span for that pair is EXACTLY the
+    // whole copy (n-3 tokens) — the operator must find it, never more
+    // (the copy has no more tokens) and never fragmented
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    val got = SparkEntry.queries("q_dedup_substring")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    var checked = 0
+    docs.foreach { case (id, n) =>
+      val span = n - 3
+      if (span >= 12) {
+        val key = (id, id + 1000000L)
+        assert(got.contains(key), s"planted copy pair $key (span $span) not found")
+        assert(got(key) === span.toLong,
+          s"pair $key: max_span ${got(key)} != planted span $span")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "fixture defect: no doc long enough to plant a span")
+  }
+
   test("persisted IVF index: stored search == in-memory search, postings pruned by cell") {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(spark)
