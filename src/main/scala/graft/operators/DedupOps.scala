@@ -155,6 +155,14 @@ object DedupOps {
     val toksU = base.select(col("doc_id"), col("toks"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
         expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
+    // NO corpus barrier here, deliberately (round-7 A/B): unlike
+    // q_dedup_ngram_jaccard, every duplicated subplan in this query
+    // reaches its consumers through IDENTICAL exchanges (both candidate
+    // sides partition the band rows the same way; both refine sides
+    // hash-partition the shingle frame by doc_id), so ReuseExchange
+    // already computes each pipeline once — adding localCheckpoint
+    // barriers measured a wash (4.95 s vs 4.93 s at sf0.1) and would
+    // blind the plan audit's pushdown view for nothing.
     val bandRows = minhashBandsOf(s, toksU, k, bands)
     val a = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val b = bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
