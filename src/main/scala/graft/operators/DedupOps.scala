@@ -406,6 +406,53 @@ object DedupOps {
         .orderBy("da", "db")
     }),
 
+    // n-gram CONTAINMENT |A∩B| / |A| — the asymmetric twin of Jaccard
+    // that catches SUB-document duplication: a short doc fully embedded
+    // in a long one scores near 1.0 here while its Jaccard (divided by
+    // the union) can sit far below any near-dup threshold. Direction is
+    // pinned small-into-big (|A| <= |B|, da != db), so the truncated
+    // variants land as contained in their originals.
+    //
+    // Candidates via the EXACT asymmetric prefix filter [PK: Chaudhuri
+    // et al. ICDE'06]: containment >= t means A misses at most
+    // |A| - ceil(t*|A|) of its own shingles in B, so among A's RAREST
+    // |A| - ceil(t*|A|) + 1 shingles (global ascending-df order) at
+    // least one is in B — join that prefix against B's FULL posting
+    // list (no prefix on the container side; that is what makes the
+    // filter one-sided). Recall exactly 1.0, linear shuffles, no
+    // all-pairs; every candidate refined with the true integer-exact
+    // containment. ceil(0.8*n) = (4n+4) div 5 keeps the prefix length
+    // in pure BIGINT arithmetic.
+    "q_dedup_containment" -> ((s, d) => {
+      // same corpus barrier as q_dedup_ngram_jaccard (three consumers
+      // with different plan shapes: the A-prefix explode, the B posting
+      // explode, and both refine sides)
+      val u = nearDupCorpus(s, d).where(size(col("sh")) > 0).localCheckpoint(false)
+      val ex = u.select(col("doc_id"), col("source"), size(col("sh")).as("len"),
+        explode(col("sh")).as("g"))
+      val freq = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+      val prefixA = ex.join(freq, "g")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df_g").asc, col("g").asc)))
+        .where(col("rk") <= expr("len - ((len * 4 + 4) div 5) + 1"))
+        .select(col("doc_id").as("da"), col("source"), col("len").as("len_a"), col("g"))
+      val postingsB = ex.select(col("doc_id").as("db"), col("source").as("source_b"),
+        col("len").as("len_b"), col("g").as("g_b"))
+      val cands = prefixA.join(postingsB, col("g") === col("g_b") &&
+          col("source") === col("source_b") && col("da") =!= col("db") &&
+          col("len_a") <= col("len_b"))
+        .select("da", "db").distinct()
+      cands
+        .join(u.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(u.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        .select(col("da"), col("db"),
+          expr("CAST((CAST(size(array_intersect(sha, shb)) AS BIGINT) * 20000" +
+            " + size(sha)) div (2 * CAST(size(sha) AS BIGINT)) AS DOUBLE) / 10000.0")
+            .as("cont"))
+        .where(col("cont") >= 0.8)
+        .orderBy("da", "db")
+    }),
+
     // MinHash + LSH: 16 hashes (salted xxhash64 over shingles), 4 bands
     // of 4 rows; candidates = pairs sharing a band bucket; verified with
     // true shingle Jaccard. No DuckDB oracle (engine-specific hash) —
@@ -721,5 +768,25 @@ object DedupOps {
         |          / 10000.0 AS jac
         |      FROM u a JOIN u b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT da, db, jac FROM p WHERE jac >= 0.5 ORDER BY da, db""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, source,
+        |        CASE WHEN len(toks) - 2 >= 1 THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 2),
+        |          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END AS sh
+        |      FROM t0),
+        |v AS (SELECT doc_id + 1000000 AS doc_id, source,
+        |        CASE WHEN len(toks) - 5 >= 1 THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 5),
+        |          i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) ELSE [] END AS sh
+        |      FROM t0),
+        |u AS (SELECT * FROM (SELECT * FROM o UNION ALL SELECT * FROM v)
+        |      WHERE len(sh) >= 1),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |        CAST((len(list_intersect(a.sh, b.sh)) * 20000 + len(a.sh)) //
+        |             (2 * len(a.sh)) AS DOUBLE) / 10000.0 AS cont
+        |      FROM u a JOIN u b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |                       AND len(a.sh) <= len(b.sh) AND len(a.sh) >= 1)
+        |SELECT da, db, cont FROM p WHERE cont >= 0.8 ORDER BY da, db""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pivot/unpivot and subquery operators — beyond SURVEY §2's rows but
@@ -57,6 +58,32 @@ object Reshape {
       finally s.catalog.dropTempView(v)
     }),
 
+    // SCD2 (type-2 slowly-changing dimension) build: per-customer order
+    // status history compressed to CHANGE rows with half-open effective
+    // ranges [eff_from, eff_to) — eff_to is the next change's eff_from
+    // (exclusive), NULL marks the current row. Half-open ranges avoid
+    // interval arithmetic entirely (the classic eff_to = next - 1 day
+    // form bakes a grain assumption into the dimension); consecutive
+    // same-status events collapse via lag() so the dimension records
+    // transitions, not events. Change order within a customer is pinned
+    // by (o_orderdate, o_orderkey) — a total order, so ties on the
+    // timestamp are deterministic. Scale: both windows partition by
+    // o_custkey (parallelism = #customers, no global window), and the
+    // second window reuses the first's partitioning — one shuffle total.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chg = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+        .withColumn("prev", lag("o_orderstatus", 1).over(w))
+        .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      chg.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("eff_from"),
+          lead("o_orderdate", 1).over(w).as("eff_to"),
+          lead("o_orderdate", 1).over(w).isNull.as("is_current"))
+        .orderBy("o_custkey", "eff_from", "o_orderkey")
+    }),
+
     // Correlated scalar subquery: customers above their nation's average
     // balance — Catalyst decorrelates to an aggregate + join.
     "q_subquery_correlated" -> ((s, d) => {
@@ -93,6 +120,23 @@ object Reshape {
         |  SELECT l_returnflag, 'sum_price', round(sum(l_extendedprice),2)
         |  FROM lineitem GROUP BY l_returnflag) u
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |         lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM ev
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |       o_orderdate AS eff_from,
+        |       lead(o_orderdate) OVER w AS eff_to,
+        |       lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, eff_from, o_orderkey""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice FROM orders

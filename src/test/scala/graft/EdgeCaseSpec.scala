@@ -161,6 +161,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rows.head.getByte(1) === (-127).toByte, "max-magnitude component must hit -127")
   }
 
+  test("q_scd2: valid type-2 dimension — one current row, chained half-open ranges, real transitions") {
+    val sf = "/root/testdata/sf0.001"
+    val dim = SparkEntry.queries("q_scd2")(spark, sf).collect()
+    assert(dim.nonEmpty)
+    val byCust = dim.groupBy(_.getLong(0))
+    byCust.foreach { case (cust, rows) =>
+      // exactly one open (current) row per customer
+      assert(rows.count(_.getBoolean(5)) === 1, s"customer $cust current-row count")
+      // rows chain: each non-current eff_to equals the NEXT row's eff_from
+      // (rows come back ordered by eff_from, o_orderkey)
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) === b.get(3),
+            s"customer $cust: range chain broken at ${a.get(3)}")
+          // consecutive rows must be genuine transitions
+          assert(a.getString(2) !== b.getString(2),
+            s"customer $cust: consecutive rows share status ${a.getString(2)}")
+        case _ =>
+      }
+    }
+    // compression: change rows never exceed events, and statuses survive
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(dim.length <= nOrders)
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation
