@@ -28,6 +28,7 @@ object SparkEntry {
     (Scans.queries, Scans.oracle),
     (Reshape.queries, Reshape.oracle),
     (Extended.queries, Extended.oracle),
+    (CurationOps.queries, CurationOps.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

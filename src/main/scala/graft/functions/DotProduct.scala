@@ -126,6 +126,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", TopKSketch.build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => {
         val n = exprs(1).eval(null) match {
           case i: Int => i

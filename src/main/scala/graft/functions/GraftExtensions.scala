@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "emits array<struct<item, cnt, err>> sorted by estimated count"),
       (exprs: Seq[Expression]) => TopKSketch.build(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(str) - Unicode NFC normalization (canonical composition)"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - generator of distinct n-token shingles"),
       (exprs: Seq[Expression]) => {

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: Unicode normalization (the precondition for
+  * every hash/shingle step), stride chunking (RAG / long-context
+  * windowing), and the deterministic global shuffle that fixes training
+  * order. All three are exactly oracle-able — normalization matches
+  * DuckDB's `nfc_normalize`, and the shuffle key is md5, which both
+  * engines implement identically.
+  */
+object CurationOps {
+
+  val queries: Map[String, Q] = Map(
+    // Unicode NFC normalization via the native graft_nfc expression
+    // (functions/NfcNormalize.scala). The corpus text is ASCII, so the
+    // query PLANTS denormalized input: even doc_ids get a decomposed
+    // "Cafe" + U+0301 suffix (NFC composes it to U+00E9 "e-acute"), odd doc_ids
+    // the already-composed U+00E9 form (NFC is identity). `changed`
+    // must flip exactly on parity and `ascii_identity` must hold
+    // corpus-wide — both checked byte-exactly against nfc_normalize.
+    "q_text_normalize" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("raw",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(substring(col("text"), 1, 32), lit(" Cafe\u0301")))
+            .otherwise(concat(substring(col("text"), 1, 32), lit(" Caf\u00e9"))))
+        .select(col("doc_id"),
+          expr("graft_nfc(raw)").as("norm"),
+          (expr("graft_nfc(raw)") =!= col("raw")).as("changed"),
+          (expr("graft_nfc(text)") === col("text")).as("ascii_identity"))
+        .orderBy("doc_id")
+    }),
+
+    // Stride chunking: 64-token windows every 48 tokens (16-token
+    // overlap carries context across cuts) — the standard long-document
+    // splitter for embedding/RAG pipelines. One generate-and-explode
+    // per document, no shuffle until the final presentation sort;
+    // chunk count is ceil(n_tok / 48) so output is ~1.33x input tokens.
+    "q_chunk_docs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), col("source"), col("toks"),
+          posexplode(expr("sequence(1, size(toks), 48)")).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("source"),
+          col("chunk_idx").cast("bigint").as("chunk_idx"),
+          expr("array_join(slice(toks, start, 64), ' ')").as("chunk"),
+          expr("CAST(size(slice(toks, start, 64)) AS BIGINT)").as("n_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic global shuffle: the reproducible random order a
+    // training run needs. Key = md5(doc_id:source) — uniform, engine-
+    // portable, seedable by changing the salt; shard = first hex nibble
+    // mod 8; pos = rank of the key within the shard. At scale this is
+    // the canonical one-shuffle layout: hash-partition into O(#output
+    // files) shards, sort each shard by the key (hash order IS random
+    // order), write shards in parallel. Shard count is the parallelism
+    // knob — 8 here, thousands at 100 TB.
+    "q_shuffle_deterministic" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))).as("h"))
+        .withColumn("shard",
+          expr("CAST((locate(substring(h, 1, 1), '0123456789abcdef') - 1) % 8 AS BIGINT)"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("h")).cast("bigint"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH r AS (SELECT doc_id, text,
+        |        CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 32) || ' Cafe' || chr(769)
+        |             ELSE substr(text, 1, 32) || ' Caf' || chr(233) END AS raw
+        |      FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |       nfc_normalize(raw) <> raw AS changed,
+        |       nfc_normalize(text) = text AS ascii_identity
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, source, toks,
+        |        unnest(generate_series(1, len(toks), 48)) AS start
+        |      FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, source, (start - 1) // 48 AS chunk_idx,
+        |       array_to_string(toks[start : start + 63], ' ') AS chunk,
+        |       len(toks[start : start + 63]) AS n_tok
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_shuffle_deterministic" ->
+      """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':' || source) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS shard FROM h)
+        |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h) AS pos, doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
+  )
+}

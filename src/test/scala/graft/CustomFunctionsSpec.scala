@@ -233,4 +233,29 @@ class CustomFunctionsSpec extends AnyFunSuite {
     val right = Seq("y", "z").foldLeft(agg.zero)(agg.reduce)
     assert(agg.merge(left, right).toSeq === full.toSeq)
   }
+
+  test("graft_nfc: composes decomposed forms, identity on ASCII and NFC input, null-safe") {
+    GraftFunctions.register(spark)
+    val decomposed = "Cafe\u0301" // e + combining acute, 6 bytes
+    val composed = "Caf\u00e9"    // precomposed e-acute, 5 bytes
+    // decomposed composes; composed input unchanged; ASCII fast path
+    // returns the input; idempotent; null in -> null out
+    val r = spark.sql(
+      s"SELECT graft_nfc('$decomposed') AS comp, graft_nfc('$composed') AS already, " +
+        s"graft_nfc('plain ascii') AS ascii, graft_nfc(graft_nfc('$decomposed')) AS idem, " +
+        "graft_nfc(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) === composed)
+    assert(r.getString(1) === composed)
+    assert(r.getString(2) === "plain ascii")
+    assert(r.getString(3) === composed)
+    assert(r.isNullAt(4))
+    // byte lengths differ pre/post composition: the expression really
+    // rewrote bytes, not just display
+    val lens = spark.sql(
+      s"SELECT octet_length('$decomposed'), octet_length(graft_nfc('$decomposed'))").head()
+    assert(lens.getInt(0) === 6 && lens.getInt(1) === 5)
+    // codegen and interpreted paths agree on a corpus-wide fold
+    val df = Tables.documents(spark, sf).selectExpr("graft_nfc(text) AS n", "text")
+    assert(df.where(col("n") =!= col("text")).count() === 0L)
+  }
 }

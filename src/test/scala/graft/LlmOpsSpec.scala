@@ -750,4 +750,55 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("jac").collect().map(_.getDouble(0))
     assert(j.forall(x => x >= 0.0 && x <= 1.0))
   }
+
+  test("q_chunk_docs: exact cover — stride-prefix concatenation reconstructs every document") {
+    // chunk i spans tokens [48i+1, min(n, 48i+64)]: taking the first 48
+    // tokens of every chunk but ALL of the last one must rebuild the doc
+    // verbatim — proves no token lost, none duplicated outside the
+    // declared 16-token overlap, and chunk_idx dense from 0
+    val chunks = SparkEntry.queries("q_chunk_docs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === (0L until ordered.length).toSeq,
+        s"doc $id: chunk_idx not dense")
+      assert(ordered.forall(_._4 <= 64), s"doc $id: chunk over budget")
+      // a non-last chunk always has another start 48 ahead inside the
+      // doc, so it carries at least 49 tokens (full 64 only when the
+      // doc extends past its window)
+      assert(ordered.init.forall(_._4 >= 49),
+        s"doc $id: non-last chunk shorter than stride+1")
+      val rebuilt = (ordered.init.map(_._3.split(" ").take(48).mkString(" ")) :+
+        ordered.last._3).mkString(" ")
+      assert(rebuilt === docs(id), s"doc $id: stride reconstruction diverged")
+    }
+  }
+
+  test("q_shuffle_deterministic: a reproducible permutation with dense per-shard positions") {
+    val once = SparkEntry.queries("q_shuffle_deterministic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val again = SparkEntry.queries("q_shuffle_deterministic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(once.toSeq === again.toSeq, "shuffle order must be run-stable")
+    // permutation: every doc exactly once
+    val allDocs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(once.map(_._3).toSet === allDocs && once.length === allDocs.size)
+    // positions dense 1..count within each shard
+    once.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard: positions not dense")
+    }
+    // the order is hash-random, not id-order: adjacent positions in some
+    // shard must not be adjacent doc_ids throughout
+    val idOrdered = once.groupBy(_._1).values.forall { rows =>
+      val ids = rows.sortBy(_._2).map(_._3)
+      ids.zip(ids.drop(1)).forall { case (a, b) => a < b }
+    }
+    assert(!idOrdered, "hash order degenerated to doc_id order")
+  }
 }
