@@ -55,6 +55,32 @@ object CurationOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Weighted mixture sampling: per-source up/down-sampling rates —
+    // the "mix web at 0.5x, books at 2x" step that fixes a training
+    // corpus' source proportions. Rates here derive from the source
+    // number (0.5 + (num % 4) * 0.5 ∈ {0.5, 1.0, 1.5, 2.0}) so the
+    // query exercises drop, keep, and multi-epoch duplication in one
+    // pass. Integer copies come from floor(rate); the fractional half
+    // is a Bernoulli gate on one md5 nibble (hex < '8' ⇔ p = 1/2) —
+    // deterministic, engine-portable, and ZERO shuffles before the
+    // presentation sort: every row decides its own fate from its hash,
+    // which is exactly what survives 100 TB (no per-source rank, no
+    // window, no count pass — the scale trap sequence packing had).
+    // rate2 = 2*rate stays in pure integer arithmetic throughout.
+    "q_sample_weighted" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"), col("source"))))
+        .withColumn("rate2",
+          (lit(1) + pmod(substring(col("source"), 4, 10).cast("bigint"), lit(4))))
+        .withColumn("copies", expr(
+          "CAST(rate2 div 2 AS BIGINT) + " +
+            "CASE WHEN rate2 % 2 = 1 AND substring(h, 1, 1) < '8' THEN 1 ELSE 0 END"))
+        .where(col("copies") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(CAST(1 AS BIGINT), copies)")).as("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // Deterministic global shuffle: the reproducible random order a
     // training run needs. Key = md5(doc_id:source) — uniform, engine-
     // portable, seedable by changing the salt; shard = first hex nibble
@@ -95,6 +121,18 @@ object CurationOps {
         |       array_to_string(toks[start : start + 63], ' ') AS chunk,
         |       len(toks[start : start + 63]) AS n_tok
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH r AS (SELECT doc_id, source,
+        |        md5(doc_id::VARCHAR || '#' || source) AS h,
+        |        1 + substr(source, 4)::BIGINT % 4 AS rate2
+        |      FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        rate2 // 2 + CASE WHEN rate2 % 2 = 1 AND substr(h, 1, 1) < '8'
+        |                     THEN 1 ELSE 0 END AS copies
+        |      FROM r)
+        |SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, epoch""".stripMargin,
     "q_shuffle_deterministic" ->
       """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR || ':' || source) AS h FROM documents),
         |s AS (SELECT doc_id, h,

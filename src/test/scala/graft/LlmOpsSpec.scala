@@ -778,6 +778,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sample_weighted: rates realized — integer copies exact, Bernoulli half within bounds") {
+    val rows = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // epochs dense from 1 for every emitted doc
+    perDoc.foreach { case ((id, src), epochs) =>
+      assert(epochs === (1L to epochs.length).toSeq, s"doc $id/$src: epochs not dense")
+    }
+    val nPerSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate2(src: String) = 1 + src.drop(3).toLong % 4
+    perDoc.foreach { case ((id, src), epochs) =>
+      val base = rate2(src) / 2
+      assert(epochs.length == base || epochs.length == base + 1,
+        s"doc $id/$src: ${epochs.length} copies at rate2=${rate2(src)}")
+    }
+    // whole-rate sources are EXACT: every doc present with exactly
+    // rate2/2 copies; fractional sources land within 4-sigma Bernoulli
+    nPerSource.foreach { case (src, n) =>
+      val emitted = rows.count(_._2 == src)
+      val r2 = rate2(src)
+      if (r2 % 2 == 0) assert(emitted === n * r2 / 2, s"$src: exact rate missed")
+      else {
+        val mean = n * r2 / 2.0
+        val tol = 4 * math.sqrt(n * 0.25)
+        assert(math.abs(emitted - mean) <= tol, s"$src: $emitted vs $mean outside 4σ")
+      }
+    }
+    // deterministic across runs
+    val again = SparkEntry.queries("q_sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("q_shuffle_deterministic: a reproducible permutation with dense per-shard positions") {
     val once = SparkEntry.queries("q_shuffle_deterministic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
