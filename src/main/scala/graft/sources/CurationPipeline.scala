@@ -53,4 +53,71 @@ object CurationPipeline {
     * readers prune to their split's directory. */
   def writeSplits(curated: DataFrame, path: String): Unit =
     Scale.writePartitioned(curated, path, Seq("split"))
+
+  /** The last mile from curated corpus to training-ready layout — the
+    * composition of the r7 curation operators:
+    *
+    *   NFC-normalize (graft_nfc) → weighted mixture (per-source rates,
+    *   q_sample_weighted's Bernoulli-gate shape, epochs materialize
+    *   up-sampling) → deterministic shard + order (q_shuffle_
+    *   deterministic's md5 key) → dense per-shard position.
+    *
+    * Returns (shard, pos, doc_id, source, epoch, text, n_tok): shard
+    * `pos` ranks are each training file's row order; reading shards in
+    * parallel and rows in pos order IS the reproducible global shuffle.
+    * Rates are arbitrary non-negative doubles quantized to 1/256 (the
+    * Bernoulli gate reads two md5 nibbles); whole parts are exact.
+    * Scale: the rates table is a broadcast of |sources| rows, the gate
+    * is per-row arithmetic, and the only shuffle is the shard exchange
+    * + in-shard sort — `shards` is the parallelism knob (<= 4096 here
+    * to keep two-nibble uniformity; thousands of shards at 100 TB).
+    */
+  def pretrainingLayout(
+      spark: SparkSession,
+      sfDir: String,
+      rates: Map[String, Double],
+      shards: Int = 8,
+      minScore: Double = 0.3): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1, 4096], got $shards")
+    require(rates.values.forall(r => r >= 0 && r <= 127),
+      "rates must be in [0, 127] (epoch counts explode per copy)")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("source", "rate")
+      .select(col("source"),
+        floor(col("rate")).cast("bigint").as("base"),
+        round((col("rate") - floor(col("rate"))) * 256).cast("bigint").as("frac256"))
+    val nib = "'0123456789abcdef'"
+    val mixed = curate(spark, sfDir, minScore)
+      .withColumn("text", expr("graft_nfc(text)"))
+      .join(broadcast(rateDf), Seq("source"), "inner")
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"), col("source"))))
+      .withColumn("v256", expr(
+        s"(locate(substring(h, 1, 1), $nib) - 1) * 16 + locate(substring(h, 2, 1), $nib) - 1"))
+      .withColumn("copies", col("base") + when(col("v256") < col("frac256"), 1L).otherwise(0L))
+      .where(col("copies") >= 1)
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
+        explode(expr("sequence(CAST(1 AS BIGINT), copies)")).as("epoch"))
+    // shard/order key salts in the epoch so up-sampled copies scatter
+    // across shards instead of clumping next to each other
+    val keyed = mixed
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("source"), lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard", pmod(expr(
+        s"((locate(substring(k, 1, 1), $nib) - 1) * 256 + " +
+          s"(locate(substring(k, 2, 1), $nib) - 1) * 16 + " +
+          s"locate(substring(k, 3, 1), $nib) - 1)"), lit(shards)).cast("bigint"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("k"), col("doc_id"), col("epoch"))).cast("bigint"))
+      .select("shard", "pos", "doc_id", "source", "epoch", "text", "n_tok")
+  }
+
+  /** Land the training layout shard-partitioned: one directory per
+    * shard, rows in `pos` order within each file, so a data loader
+    * streams shard directories in parallel and gets the reproducible
+    * global order with zero further shuffling. */
+  def writeShards(layout: DataFrame, path: String): Unit =
+    layout.repartition(col("shard")).sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -48,6 +48,51 @@ class BuildPipelineSpec extends AnyFunSuite {
     assert(train.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("pretraining layout: mixture rates, salted shard scatter, dense reproducible order") {
+    import graft.sources.CurationPipeline
+    val sf = "/root/testdata/sf0.001"
+    val sources = Tables.documents(spark, sf).select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    // drop one source entirely, keep one exactly, up-sample one 2x
+    val rates = sources.zipWithIndex.map { case (s, i) =>
+      s -> Seq(0.0, 1.0, 2.0, 0.5)(i % 4)
+    }.toMap
+    val layout = CurationPipeline.pretrainingLayout(spark, sf, rates, shards = 4)
+    val rows = layout.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getLong(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._4)
+    val curatedCounts = CurationPipeline.curate(spark, sf, 0.3)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (src, rate) =>
+      val emitted = bySource.get(src).map(_.length).getOrElse(0)
+      val n = curatedCounts.getOrElse(src, 0L)
+      if (rate == 0.0) assert(emitted === 0, s"$src: rate 0 must drop everything")
+      if (rate == 1.0) assert(emitted === n, s"$src: rate 1 must keep all once")
+      if (rate == 2.0) assert(emitted === 2 * n, s"$src: rate 2 must emit two epochs")
+    }
+    // dense per-shard positions, shards within range
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 4)
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // up-sampled epochs of the same doc scatter: not all copies co-shard
+    val epochShards = rows.filter(_._5 >= 1).groupBy(r => (r._3, r._4))
+      .values.filter(_.length > 1).map(_.map(_._1).distinct.length)
+    assert(epochShards.exists(_ > 1), "epoch salt failed to scatter copies")
+    // reproducible end to end
+    val again = CurationPipeline.pretrainingLayout(spark, sf, rates, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getString(5)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+    // shard-partitioned landing: loader reads one directory per shard
+    val out = Files.createTempDirectory("layout").toString + "/l"
+    CurationPipeline.writeShards(layout, out)
+    val s0 = spark.read.parquet(out).where(col("shard") === 0)
+    assert(s0.count() > 0)
+    assert(s0.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("resumable batched build covers the key space exactly once") {
     import spark.implicits._
     val base = Files.createTempDirectory("build").toString
