@@ -139,6 +139,36 @@ object Joins {
         .orderBy("err_id")
     }),
 
+    // Interval OVERLAP self-join (the Flink/Kusto "interval join" class):
+    // per-customer 7-day order-activity windows [day, day+7], emit every
+    // overlapping pair. Scalable shape: each interval lands in the <= 2
+    // week buckets it touches (array_distinct keeps same-bucket intervals
+    // single), the join shuffles on (custkey, bucket) equality — linear,
+    // never all-pairs — and the overlap predicate refines inside the
+    // join. NO dedup pass: a pair is emitted only in the bucket holding
+    // greatest(start_a, start_b), which both intervals touch (the overlap
+    // start lies in each) and which is unique — the same trick
+    // q_join_theta_range's single-bucket landing uses, generalized to
+    // interval×interval. All arithmetic is integer epoch-days.
+    "q_join_interval" -> ((s, d) => {
+      def side(p: String) = Tables.orders(s, d)
+        .select(col("o_custkey").as(s"c$p"), col("o_orderkey").as(s"k$p"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .as(s"s$p"))
+        .withColumn(s"e$p", col(s"s$p") + 7)
+        .withColumn(s"bk$p", explode(array_distinct(array(
+          expr(s"s$p div 7"), expr(s"e$p div 7")))))
+      side("a").join(side("b"),
+          col("ca") === col("cb") && col("bka") === col("bkb") &&
+            col("ka") < col("kb") &&
+            col("sa") <= col("eb") && col("sb") <= col("ea") &&
+            col("bka") === expr("greatest(sa, sb) div 7"))
+        .select(col("ca").as("custkey"), col("ka").as("o1"), col("kb").as("o2"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
+            .cast("bigint").as("ov_days"))
+        .orderBy("custkey", "o1", "o2")
+    }),
+
     // Skew-salted equi-join, DECLARED with an exact oracle: the salted
     // rewrite must be RESULT-IDENTICAL to the plain join, and the oracle
     // is the plain join's SQL — a cross-engine proof the rewrite changes
@@ -266,6 +296,18 @@ object Joins {
       """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS rev, count(*) AS n
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // brute-force per-customer pair enumeration — the bucketed rewrite
+    // must emit the exact same pair set
+    "q_join_interval" ->
+      """WITH o AS (SELECT o_custkey AS c, o_orderkey AS k,
+        |        (o_orderdate::DATE - DATE '1970-01-01') AS s,
+        |        (o_orderdate::DATE - DATE '1970-01-01') + 7 AS e
+        |      FROM orders)
+        |SELECT a.c AS custkey, a.k AS o1, b.k AS o2,
+        |       CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS BIGINT) AS ov_days
+        |FROM o a JOIN o b ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY custkey, o1, o2""".stripMargin,
 
     "q_join_asof" ->
       """WITH e AS (

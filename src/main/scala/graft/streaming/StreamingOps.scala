@@ -18,6 +18,9 @@ case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
 /** Query-vector event for the streaming kNN scorer. */
 case class QVec(qid: Long, ts: java.sql.Timestamp, qv: Seq[Float])
 
+/** Input row for the streaming mixture gate. */
+case class SrcDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
+
 /** Open-session state for the event-time-timeout sessionizer: epoch-ms
   * bounds plus the running event count. */
 case class SessState(startMs: Long, lastMs: Long, n: Long)
@@ -172,6 +175,33 @@ object StreamingOps {
       .withColumn("toks", split(col("text"), " "))
       .withColumn("leaked", size(array_intersect(expr(sh5), col("bg"))))
       .select(col("doc_id"), col("ts"), col("leaked"), (col("leaked") === 0).as("clean"))
+  }
+
+  /** Streaming mixture gate: apply per-source up/down-sampling rates to
+    * a document stream — q_sample_weighted's Bernoulli-gate shape lifted
+    * to Structured Streaming. Whole-rate copies come from floor(rate);
+    * the fractional part is a deterministic gate on two md5 nibbles
+    * (1/256 quantization), and each admitted copy emits with its epoch
+    * index. Every row decides its own fate from its own hash, so the
+    * operator is STATELESS (Append, no watermark, no state store) and
+    * replaying the stream reproduces the identical sample — the property
+    * a training-data ingest gate actually needs. The rates table rides
+    * as a broadcast stream-static join on source. */
+  def mixtureGateStream(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val nib = "'0123456789abcdef'"
+    val rateDf = rates
+      .select(col("source"),
+        floor(col("rate")).cast("bigint").as("base"),
+        round((col("rate") - floor(col("rate"))) * 256).cast("bigint").as("frac256"))
+    docs
+      .join(broadcast(rateDf), Seq("source"), "inner")
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"), col("source"))))
+      .withColumn("v256", expr(
+        s"(locate(substring(h, 1, 1), $nib) - 1) * 16 + locate(substring(h, 2, 1), $nib) - 1"))
+      .withColumn("copies", col("base") + when(col("v256") < col("frac256"), 1L).otherwise(0L))
+      .where(col("copies") >= 1)
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode(expr("sequence(CAST(1 AS BIGINT), copies)")).as("epoch"))
   }
 
   /** Streaming kNN enrichment: score a stream of query vectors against a

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{DocEv, Ev, QVec, StreamingOps}
+import graft.streaming.{DocEv, Ev, QVec, SrcDoc, StreamingOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -278,6 +278,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(201) === ((4, false)), s"contaminated doc mis-scored: ${rows(201)}")
       assert(rows(202) === ((0, true)), s"clean doc mis-scored: ${rows(202)}")
     } finally q.stop()
+  }
+
+  test("streaming mixture gate: rates applied statelessly, replay reproduces the sample") {
+    import spark.implicits._
+    val rates = Seq(("keep", 1.0), ("double", 2.0), ("drop", 0.0), ("half", 0.5))
+      .toDF("source", "rate")
+    def run(name: String, id: Int): Map[(Long, String), Seq[Long]] = {
+      val in = MemoryStream[SrcDoc](id, spark, None)
+      val q = StreamingOps.mixtureGateStream(in.toDF(), rates)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        in.addData((1L to 40L).flatMap(i => Seq(
+          SrcDoc(i, "keep", ts("10:00")), SrcDoc(i, "double", ts("10:00")),
+          SrcDoc(i, "drop", ts("10:00")), SrcDoc(i, "half", ts("10:00")))))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+          .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+      } finally q.stop()
+    }
+    val out = run("mix_gate_out", 17)
+    // whole rates exact: every keep-doc once, every double-doc twice
+    // with dense epochs, no drop-doc at all
+    (1L to 40L).foreach { i =>
+      assert(out.get(i -> "keep").contains(Seq(1L)))
+      assert(out.get(i -> "double").contains(Seq(1L, 2L)))
+      assert(!out.contains(i -> "drop"))
+    }
+    // fractional rate: admitted subset within Bernoulli bounds, epoch 1
+    val halves = out.keys.count(_._2 == "half")
+    assert(halves >= 8 && halves <= 32, s"half-rate admitted $halves of 40")
+    out.filter(_._1._2 == "half").values.foreach(e => assert(e === Seq(1L)))
+    // replaying the identical stream reproduces the identical sample
+    assert(run("mix_gate_out2", 18) === out)
   }
 
   test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
