@@ -55,6 +55,30 @@ object CurationOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Per-source quality calibration: a global quality threshold is the
+    // classic curation mistake — a "0.3" means different things in web
+    // text vs books — so production filters set PERCENTILE thresholds
+    // per source. percent_rank over (source, score-order) converts the
+    // q_text_quality score to its within-source quantile; `keep` drops
+    // each source's bottom fifth. Same 100 TB shape as every window op
+    // here: parallelism = #sources x nothing-else, one shuffle, and the
+    // rank order is totalized by doc_id so the oracle is exact.
+    "q_quality_calibrate" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy(col("score").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
+            col("n_tok"))
+        .withColumn("score",
+          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("keep", col("pr") >= 0.2)
+        .select("source", "doc_id", "score", "pr", "keep")
+        .orderBy("source", "doc_id")
+    }),
+
     // Weighted mixture sampling: per-source up/down-sampling rates —
     // the "mix web at 0.5x, books at 2x" step that fixes a training
     // corpus' source proportions. Rates here derive from the source
@@ -121,6 +145,21 @@ object CurationOps {
         |       array_to_string(toks[start : start + 63], ' ') AS chunk,
         |       len(toks[start : start + 63]) AS n_tok
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_quality_calibrate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id, source,
+        |        CAST(len(list_filter(toks, t -> list_contains(['a','the','of'], t))) AS DOUBLE)
+        |          / len(toks) AS stop_ratio,
+        |        CAST(len(toks) AS INTEGER) AS nt
+        |      FROM t),
+        |sc AS (SELECT doc_id, source,
+        |        stop_ratio * 0.3 + CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.7 AS score
+        |      FROM q)
+        |SELECT source, doc_id, score,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr,
+        |       percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) >= 0.2 AS keep
+        |FROM sc ORDER BY source, doc_id""".stripMargin,
+
     "q_sample_weighted" ->
       """WITH r AS (SELECT doc_id, source,
         |        md5(doc_id::VARCHAR || '#' || source) AS h,

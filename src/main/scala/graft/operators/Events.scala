@@ -63,6 +63,26 @@ object Events {
         .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
     }),
 
+    // Per-user rate limiting: admit at most 8 events per (user, hour),
+    // earliest-first — the ingestion throttle every event pipeline runs
+    // in front of expensive downstream operators (and the batch twin of
+    // a streaming token-bucket). One window keyed (user_id, hour): a
+    // bot user's flood bounds its OWN partition's output at 8 while
+    // draining in parallel with everyone else; emitted rows carry rn so
+    // downstream can distinguish "first of the hour" from "barely made
+    // the cut". Hour arithmetic is epoch-µs integer division — exact in
+    // both engines.
+    "q_evt_rate_limit" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "hour")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("hour", expr("ts_us div 3600000000"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .where(col("rn") <= 8)
+        .select("user_id", "hour", "event_id", "rn")
+        .orderBy("user_id", "hour", "rn")
+    }),
+
     // Gaps-and-islands: each user's LONGEST streak of consecutive active
     // days — the classic `day - row_number()` trick: inside a run of
     // consecutive days the difference is constant, so it IS the island
@@ -272,5 +292,17 @@ object Events {
         |  min(event_id) AS keep_id, count(*) AS dups
         |FROM e GROUP BY user_id, event_type, minute
         |ORDER BY user_id ASC, event_type ASC, minute ASC""".stripMargin,
+
+    "q_evt_rate_limit" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour
+        |      FROM events),
+        |r AS (SELECT user_id, hour, event_id,
+        |        row_number() OVER (PARTITION BY user_id, hour
+        |                           ORDER BY ts_us, event_id) AS rn
+        |      FROM e)
+        |SELECT user_id, hour, event_id, rn FROM r WHERE rn <= 8
+        |ORDER BY user_id, hour, rn""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,16 +72,8 @@ object Reshape {
     // o_custkey (parallelism = #customers, no global window), and the
     // second window reuses the first's partitioning — one shuffle total.
     "q_scd2" -> ((s, d) => {
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      val chg = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
-        .withColumn("prev", lag("o_orderstatus", 1).over(w))
-        .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
-      chg.select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderstatus").as("status"),
-          col("o_orderdate").as("eff_from"),
-          lead("o_orderdate", 1).over(w).as("eff_to"),
-          lead("o_orderdate", 1).over(w).isNull.as("is_current"))
+      scd2Build(Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"))
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
@@ -149,4 +142,61 @@ object Reshape {
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
   )
+
+  /** The SCD2 transition core shared by q_scd2 and scd2Apply: collapse
+    * consecutive same-status events per customer, chain half-open
+    * effective ranges. Input: (o_custkey, o_orderkey, o_orderstatus,
+    * o_orderdate). Output: (o_custkey, o_orderkey, status, eff_from,
+    * eff_to, is_current). Unordered — callers sort for presentation. */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    events
+      .withColumn("prev", lag("o_orderstatus", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("eff_from"),
+        lead("o_orderdate", 1).over(w).as("eff_to"),
+        lead("o_orderdate", 1).over(w).isNull.as("is_current"))
+  }
+
+  /** Incremental SCD2 merge — the production shape: a day's new events
+    * must NOT trigger a full-history rebuild. Cost is O(batch + the
+    * affected customers' OPEN rows): untouched customers' rows stream
+    * through unchanged, affected customers' CLOSED history passes
+    * through untouched, and only the open row + the new events re-run
+    * the transition build (the open row seeds it, so a batch whose
+    * first status equals the current one collapses into it — exactly
+    * the from-scratch answer). New customers appearing only in the
+    * batch build their history from the batch alone.
+    *
+    * Precondition (validated, loud failure): every batch event is
+    * STRICTLY LATER than its customer's open-row eff_from. An event
+    * landing at-or-before the current row could create or destroy
+    * transitions inside already-closed history that the compressed
+    * dimension no longer has the events to recompute — those customers
+    * need a rebuild from raw history, not a merge. Validation is one
+    * O(batch) aggregate against the |affected|-row open set.
+    *
+    * Mirrors the persisted-index append discipline (VectorOps
+    * appendTo*: O(batch) against a frozen base, guarded, loud). */
+  def scd2Apply(dim: DataFrame, batch: DataFrame): DataFrame = {
+    val affected = batch.select("o_custkey").distinct()
+    val open = dim.where(col("is_current"))
+      .join(affected, Seq("o_custkey"), "left_semi")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("status").as("o_orderstatus"), col("eff_from").as("o_orderdate"))
+    val late = batch.join(
+        open.select(col("o_custkey"), col("o_orderdate").as("open_from")), Seq("o_custkey"))
+      .where(col("o_orderdate") <= col("open_from")).count()
+    require(late == 0L,
+      s"scd2Apply: $late batch event(s) at or before their customer's current row — " +
+        "merge cannot recompute closed history; rebuild those customers from raw events")
+    val rebuilt = scd2Build(open.unionByName(
+      batch.select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")))
+    dim.join(affected, Seq("o_custkey"), "left_anti")
+      .unionByName(dim.where(!col("is_current"))
+        .join(affected, Seq("o_custkey"), "left_semi"))
+      .unionByName(rebuilt)
+  }
 }

@@ -186,6 +186,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(dim.length <= nOrders)
   }
 
+  test("scd2Apply: incremental merge equals the from-scratch rebuild; stale batches fail loudly") {
+    import graft.operators.Reshape
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    // global time split on DISTINCT dates (not events): every batch
+    // event is then strictly later than every t0 date — including each
+    // customer's open-row eff_from — so the merge precondition holds by
+    // construction even when many orders share the boundary date.
+    import org.apache.spark.sql.expressions.Window
+    val t0dates = all.select("o_orderdate").distinct()
+      .withColumn("pct", org.apache.spark.sql.functions.percent_rank()
+        .over(Window.orderBy(col("o_orderdate"))))
+      .where(col("pct") <= 0.7).drop("pct")
+    val t0 = all.join(t0dates, Seq("o_orderdate")).select(all.columns.map(col): _*)
+    val batch = all.join(t0dates, Seq("o_orderdate"), "left_anti")
+    assert(t0.count() > 0 && batch.count() > 0)
+    val merged = Reshape.scd2Apply(Reshape.scd2Build(t0), batch)
+      .orderBy("o_custkey", "eff_from", "o_orderkey").collect().toSeq
+    val full = Reshape.scd2Build(all)
+      .orderBy("o_custkey", "eff_from", "o_orderkey").collect().toSeq
+    assert(merged === full, "incremental merge diverged from the from-scratch dimension")
+    // a batch reaching into closed history must be rejected, not merged
+    val stale = intercept[IllegalArgumentException] {
+      Reshape.scd2Apply(Reshape.scd2Build(all), t0.limit(1))
+    }
+    assert(stale.getMessage.contains("rebuild"))
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation
