@@ -107,7 +107,8 @@ class ScaleSpec extends AnyFunSuite {
 
     val flagship = Seq("q_join_bhj", "q_sessionize")
     val dedup = Seq("q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_ngram_jaccard", "q_dedup_embed")
+      "q_dedup_ngram_jaccard", "q_dedup_embed", "q_dedup_containment",
+      "q_dedup_substring")
     val knn = Seq("q_knn_cosine", "q_knn_ivf")
     // top-3-per-vector ANN join: output must scale exactly with the
     // corpus (a quadratic candidate stage would blow the time bound and
