@@ -144,4 +144,61 @@ object Scale {
           false, true, conf)
       }
   }
+
+  /** Range-clustered layout: repartitionByRange + in-partition sort on
+    * `key`, so each output file owns a narrow disjoint key range. This
+    * is what makes BOTH levels of data skipping selective: parquet
+    * row-group min/max stats inside each file, and the file-level zone
+    * map below. On an unsorted layout every file spans the full key
+    * range and no range predicate can skip anything. */
+  def writeRangeSorted(df: DataFrame, path: String, key: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** File-level zone map: one row per parquet file with the file's
+    * min/max/count of `key` — the ANALYZE-style skipping statistics an
+    * engine keeps per data file (Iceberg/Delta manifests, ORC tail
+    * stats). One distributed scan of the key column; `input_file_name`
+    * attributes rows to files without touching any other column. */
+  def fileStats(spark: SparkSession, path: String, key: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(key), input_file_name().as("file"))
+      .groupBy("file")
+      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("rows"))
+
+  /** Zone-map-pruned range scan: consult `fileStats`, read ONLY the
+    * files whose [lo, hi] intersects [from, to], then apply the exact
+    * predicate. On a range-sorted layout this skips all but O(range
+    * fraction) of the files BEFORE any data I/O — the driver-side file
+    * list is the only full enumeration, mirroring how a table format's
+    * manifest pruning works. Falls back gracefully: on an unsorted
+    * layout every file intersects and the scan degrades to a full read
+    * with the same answer (correctness never depends on layout). */
+  def pruneByStats(spark: SparkSession, path: String, key: String,
+      from: Any, to: Any): (DataFrame, Int, Int) = {
+    val stats = fileStats(spark, path, key).collect()
+    val keep = stats.filter(r =>
+      cmp(r.get(1), to) <= 0 && cmp(from, r.get(2)) <= 0).map(_.getString(0))
+    val pruned =
+      if (keep.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (pruned.where(col(key) >= lit(from) && col(key) <= lit(to)),
+      keep.length, stats.length)
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    // exact integral compare first: a double round-trip above 2^53 could
+    // silently EXCLUDE a file that holds matching rows
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Comparable[_], y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"pruneByStats: uncomparable stat types ${a.getClass} / ${b.getClass}")
+  }
 }

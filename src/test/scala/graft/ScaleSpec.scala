@@ -218,6 +218,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(units === 400 && groups > 2, s"expected >2 (source,chunk) units, got $groups")
   }
 
+  test("zone-map skipping: range-sorted layout prunes files, unsorted reads all, answers equal") {
+    val sf = "/root/testdata/sf0.01"
+    val orders = Tables.orders(spark, sf)
+    val sorted = Files.createTempDirectory("zm_sorted").toString + "/o"
+    val unsorted = Files.createTempDirectory("zm_unsorted").toString + "/o"
+    Scale.writeRangeSorted(orders, sorted, "o_totalprice", partitions = 8)
+    // unsorted control: same data, hash-scattered so every file spans
+    // the full price range
+    orders.repartition(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(unsorted)
+    val (lo, hi) = (50000.0, 80000.0)
+    val expected = orders
+      .where(col("o_totalprice") >= lo && col("o_totalprice") <= hi)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val (prunedDf, kept, total) = Scale.pruneByStats(spark, sorted, "o_totalprice", lo, hi)
+    assert(total === 8)
+    assert(kept < total, s"sorted layout failed to skip files: $kept of $total")
+    assert(prunedDf.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq === expected,
+      "zone-map pruning changed the answer")
+    // stats really are per-file disjoint-ish under the sorted layout:
+    // every file's span must be narrower than the global span
+    val span = orders.agg(max("o_totalprice").cast("double") - min("o_totalprice").cast("double"))
+      .head().getDouble(0)
+    Scale.fileStats(spark, sorted, "o_totalprice").collect().foreach { r =>
+      assert(r.getDouble(2) - r.getDouble(1) < span * 0.9,
+        s"sorted file spans nearly the whole range: $r")
+    }
+    // unsorted control: nothing skippable, but the answer still holds
+    val (fullDf, keptU, totalU) = Scale.pruneByStats(spark, unsorted, "o_totalprice", lo, hi)
+    assert(keptU === totalU, "hash-scattered layout should intersect everywhere")
+    assert(fullDf.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq === expected)
+    // empty-range request reads zero files
+    val (emptyDf, kept0, _) = Scale.pruneByStats(spark, sorted, "o_totalprice", -2.0, -1.0)
+    assert(kept0 === 0 && emptyDf.count() === 0)
+  }
+
   test("compact handles an empty dataset without failing") {
     import spark.implicits._
     val src = Files.createTempDirectory("emptyc").toString + "/t"
