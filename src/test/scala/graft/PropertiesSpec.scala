@@ -279,6 +279,42 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 12)
   }
 
+  test("scd2 law: incremental merge == from-scratch build for any events and any time split") {
+    import graft.operators.Reshape
+    import spark.implicits._
+    // random per-customer event streams over a small day grid (dense
+    // collisions in both status and date exercise the collapse + the
+    // tie-break), split at a random day boundary
+    val events = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 4L),     // customer
+      Gen.chooseNum(1L, 500L),   // orderkey (may collide across custs — fine)
+      Gen.oneOf("O", "F", "P"),  // status
+      Gen.chooseNum(1, 20)))     // day
+    check(Prop.forAll(events, Gen.chooseNum(0, 20)) { (evs, splitDay) =>
+      // de-dupe the total-order key (cust, day, orderkey) — two events on
+      // the same key would make the transition order itself ambiguous
+      val uniq = evs.groupBy(e => (e._1, e._4, e._2)).map(_._2.head).toSeq
+      val df = uniq.map { case (c, k, st, d) =>
+        (c, k, st, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+      }.toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+      val t0 = df.where(expr(s"day(o_orderdate) <= $splitDay"))
+      val batch = df.where(expr(s"day(o_orderdate) > $splitDay"))
+      val full = Reshape.scd2Build(df)
+        .orderBy("o_custkey", "eff_from", "o_orderkey").collect().toSeq
+      if (t0.isEmpty || batch.isEmpty) {
+        // degenerate splits: merge of an empty side must still hold
+        val dim = Reshape.scd2Build(t0)
+        val merged = Reshape.scd2Apply(dim, batch)
+          .orderBy("o_custkey", "eff_from", "o_orderkey").collect().toSeq
+        merged == full
+      } else {
+        val merged = Reshape.scd2Apply(Reshape.scd2Build(t0), batch)
+          .orderBy("o_custkey", "eff_from", "o_orderkey").collect().toSeq
+        merged == full
+      }
+    }, tests = 12)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
