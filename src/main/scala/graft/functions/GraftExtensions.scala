@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * production injection path: a deployment sets
   * `spark.sql.extensions=graft.functions.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`) and every session on the
-  * cluster has `graft_dot`, `graft_simhash`, and `shingles` from birth,
+  * cluster has `graft_dot`, `graft_simhash`, `graft_nfc`, `graft_topk`,
+  * and `shingles` from birth,
   * catalog-visible with usage strings — no per-query
   * `GraftFunctions.register` call to forget. The per-query register
   * remains for ad-hoc sessions; both bind the same Expression classes.

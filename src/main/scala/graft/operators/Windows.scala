@@ -89,6 +89,26 @@ object Windows {
         .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
     }),
 
+    // Rolling DISTINCT count — the window family's missing builtin:
+    // neither Spark nor DuckDB allows count(DISTINCT) OVER, so engines
+    // either punt or users fall back to a quadratic self-join. Here:
+    // reduce to distinct (user, day, type) rows, collect_set over a
+    // 7-day RANGE frame, size it — one shuffle, per-user linear work.
+    // The oracle IS the quadratic self-join rewrite (exact but O(n·w)
+    // rows) — the declarative frame and the join must agree exactly,
+    // which also documents why the window form is the 100 TB shape.
+    "q_win_rolling_distinct" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("day")).rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .select("user_id", "day", "event_type").distinct()
+        .withColumn("n_types",
+          size(array_distinct(collect_list("event_type").over(w))).cast("bigint"))
+        .groupBy("user_id", "day")
+        .agg(max("n_types").as("n_types"))
+        .orderBy("user_id", "day")
+    }),
+
     // first_value / last_value with an explicit full-partition frame
     // (Spark's last_value default frame ends at CURRENT ROW — the classic
     // pitfall; always spell the frame).
@@ -106,6 +126,17 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_rolling_distinct" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, event_type
+        |      FROM events),
+        |d AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT d.user_id AS user_id, d.day AS day,
+        |       CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+        |FROM d JOIN e ON e.user_id = d.user_id AND e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.user_id, d.day
+        |ORDER BY d.user_id, d.day""".stripMargin,
+
     "q_win_topn" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -177,6 +177,41 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("leaked"), (col("leaked") === 0).as("clean"))
   }
 
+  /** Streaming rate limiter — q_evt_rate_limit's stateful twin: admit at
+    * most `perHour` events per (user, event-hour), state = one Long per
+    * open (user, hour) group, expired by event-time timeout as soon as
+    * the watermark passes the hour's end (bounded state by
+    * construction). Within a micro-batch admission is deterministic
+    * (earliest (ts, event_id) first); across micro-batches it is
+    * arrival-order — the honest streaming semantics, since a limiter
+    * that waited to re-order across batches would not be limiting.
+    * Watermark-late events are dropped explicitly (flatMapGroupsWith-
+    * State does NOT pre-filter them). Emits admitted events unchanged. */
+  def rateLimitStream(ds: Dataset[Ev], perHour: Int,
+      watermark: String = "10 minutes"): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    require(perHour >= 1, s"perHour must be >= 1, got $perHour")
+    val hourMs = 3600L * 1000
+    ds.withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.ts.getTime / hourMs))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), evs: Iterator[Ev], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val batch = evs.filter(_.ts.getTime >= wm).toArray
+              .sortBy(e => (e.ts.getTime, e.event_id))
+            val already = state.getOption.getOrElse(0L)
+            val admit = batch.take(math.max(0L, perHour - already).toInt)
+            state.update(already + admit.length)
+            state.setTimeoutTimestamp((key._2 + 1) * hourMs)
+            admit.iterator
+          }
+      }
+  }
+
   /** Streaming mixture gate: apply per-source up/down-sampling rates to
     * a document stream — q_sample_weighted's Bernoulli-gate shape lifted
     * to Structured Streaming. Whole-rate copies come from floor(rate);

@@ -280,6 +280,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rate limiter: caps per (user, hour) across batches, fresh cap each hour") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](19, spark, None)
+    val q = StreamingOps.rateLimitStream(in.toDS(), perHour = 3)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rate_out").start()
+    try {
+      // batch 1: user 1 floods 4 events in hour 10 -> only 3 admitted;
+      // user 2 sends 1 -> admitted
+      in.addData(ev(1, "10:00"), ev(2, "10:05"), ev(3, "10:10"), ev(4, "10:15"),
+        ev(50, "10:00", uid = 2))
+      q.processAllAvailable()
+      // batch 2: same user, same hour -> cap already exhausted, 0 admitted
+      in.addData(ev(5, "10:20"), ev(6, "10:25"))
+      q.processAllAvailable()
+      // batch 3: next hour -> fresh cap
+      in.addData(ev(7, "11:00"), ev(8, "11:05"))
+      q.processAllAvailable()
+      val admitted = spark.table("rate_out")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(1L, 2L, 3L, 50L, 7L, 8L),
+        s"unexpected admission set: $admitted")
+    } finally q.stop()
+  }
+
   test("streaming mixture gate: rates applied statelessly, replay reproduces the sample") {
     import spark.implicits._
     val rates = Seq(("keep", 1.0), ("double", 2.0), ("drop", 0.0), ("half", 0.5))
