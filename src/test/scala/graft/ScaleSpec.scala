@@ -114,7 +114,12 @@ class ScaleSpec extends AnyFunSuite {
     // corpus (a quadratic candidate stage would blow the time bound and
     // the per-vector row cap long before 10x)
     val simJoin = Seq("q_sim_join_topk")
-    for (name <- flagship ++ dedup ++ knn ++ simJoin) {
+    // deterministic per-doc curation ops: output must scale EXACTLY
+    // linearly — upsampled replicas keep every doc's token count, so
+    // chunk counts replicate precisely, and the shuffle emits exactly
+    // one row per doc
+    val linearExact = Seq("q_chunk_docs", "q_shuffle_deterministic")
+    for (name <- flagship ++ dedup ++ knn ++ simJoin ++ linearExact) {
       val (baseRows, baseBnlj, _) = runOne(name, base)
       val (blownRows, blownBnlj, blownSecs) = runOne(name, blown)
       assert(blownRows > 0, s"$name returned no rows at ${factor}x")
@@ -132,6 +137,9 @@ class ScaleSpec extends AnyFunSuite {
       if (knn.contains(name))
         assert(blownRows === baseRows,
           s"$name top-k row count changed at ${factor}x: $baseRows -> $blownRows")
+      if (linearExact.contains(name))
+        assert(blownRows === factor * baseRows,
+          s"$name not exactly linear at ${factor}x: $baseRows -> $blownRows")
       if (simJoin.contains(name))
         // <= k rows per vector caps output linearly by construction; the
         // denser blown corpus fills toward the cap (base sits below it
