@@ -151,6 +151,29 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // Equi-depth histogram — the ANALYZE-style statistic an optimizer
+    // keeps per column (and the planning input for the zone-map layout's
+    // range boundaries): ntile(10) over the price order splits rows into
+    // equal-count buckets whose [lo, hi] bounds are the decile edges.
+    // ntile is deterministic under a totalized order (price, orderkey),
+    // so the bucket assignment — and therefore every bound — is exact
+    // across engines. The global window is ONE sort task — acceptable
+    // for a statistic but not the 100 TB path: at scale you compute the
+    // decile EDGES with approx_percentile (declared as
+    // q_agg_approx_percentile, fully parallel) and bucket by comparing
+    // against the broadcast edges; this exact variant is the
+    // oracle-able twin that pins the semantics.
+    "q_stats_histogram" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bucket", ntile(10).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"),
+          count(lit(1)).as("rows"))
+        .orderBy("bucket")
+    }),
+
     // Interpolated median (percentile_cont semantics in both engines).
     "q_agg_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -358,6 +381,14 @@ object Aggregates {
         |  round(quantile_cont(l_quantity, 0.5),4) AS median_q,
         |  round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats_histogram" ->
+      """WITH b AS (SELECT o_totalprice,
+        |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |      FROM orders)
+        |SELECT bucket, min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |       count(*) AS rows
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_agg_bool" ->
       """SELECT l_returnflag,
