@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,21 +152,16 @@ object Joins {
     // q_join_theta_range's single-bucket landing uses, generalized to
     // interval×interval. All arithmetic is integer epoch-days.
     "q_join_interval" -> ((s, d) => {
-      def side(p: String) = Tables.orders(s, d)
-        .select(col("o_custkey").as(s"c$p"), col("o_orderkey").as(s"k$p"),
-          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
-            .as(s"s$p"))
-        .withColumn(s"e$p", col(s"s$p") + 7)
-        .withColumn(s"bk$p", explode(array_distinct(array(
-          expr(s"s$p div 7"), expr(s"e$p div 7")))))
-      side("a").join(side("b"),
-          col("ca") === col("cb") && col("bka") === col("bkb") &&
-            col("ka") < col("kb") &&
-            col("sa") <= col("eb") && col("sb") <= col("ea") &&
-            col("bka") === expr("greatest(sa, sb) div 7"))
-        .select(col("ca").as("custkey"), col("ka").as("o1"), col("kb").as("o2"),
-          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
-            .cast("bigint").as("ov_days"))
+      intervalOverlapJoin(
+          Tables.orders(s, d).select(
+            col("o_custkey").as("k"), col("o_orderkey").as("id"),
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("bigint").as("s"),
+            (datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("bigint") + 7).as("e")),
+          grain = 7)
+        .select(col("k").as("custkey"), col("id1").as("o1"), col("id2").as("o2"),
+          col("ov").as("ov_days"))
         .orderBy("custkey", "o1", "o2")
     }),
 
@@ -337,4 +333,30 @@ object Joins {
         |WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, ts_us ASC, event_id ASC""".stripMargin,
   )
+
+  /** Interval-overlap self-join engine behind q_join_interval. Input
+    * columns: `k` (equality key), `id` (unique per interval, orders the
+    * pair), `s`/`e` (inclusive BIGINT endpoints, s <= e). Emits one row
+    * per overlapping same-k pair (id1 < id2) with `ov` = overlap length
+    * in grain units + 1. Each interval explodes to the buckets its span
+    * touches (a span wider than `grain` touches more than two — the
+    * sequence covers all of them, so the rewrite is exact for ANY
+    * span); the join shuffles on (k, bucket) equality; a pair is
+    * emitted only in the bucket containing greatest(s1, s2) — a bucket
+    * both intervals touch (the overlap start lies in each) and which is
+    * unique, so no dedup pass exists anywhere in the plan. */
+  def intervalOverlapJoin(intervals: DataFrame, grain: Long): DataFrame = {
+    require(grain >= 1, s"grain must be >= 1, got $grain")
+    def side(p: String) = intervals
+      .select(col("k"), col("id").as(s"id$p"), col("s").as(s"s$p"), col("e").as(s"e$p"))
+      .withColumn(s"bk$p",
+        explode(expr(s"sequence(s$p div $grain, e$p div $grain)")))
+    side("1").join(side("2").withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("bk1") === col("bk2") &&
+          col("id1") < col("id2") &&
+          col("s1") <= col("e2") && col("s2") <= col("e1") &&
+          col("bk1") === expr(s"greatest(s1, s2) div $grain"))
+      .select(col("k"), col("id1"), col("id2"),
+        (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")) + 1).as("ov"))
+  }
 }

@@ -315,6 +315,32 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 12)
   }
 
+  test("interval-join law: bucketed rewrite == brute force for any intervals and grain") {
+    import graft.operators.Joins
+    import spark.implicits._
+    // spans deliberately straddle the grain in both directions (0 to 3x)
+    // so intervals touch 1..4 buckets — the multi-bucket sequence path
+    // and the unique-emission rule are both exercised
+    val ivs = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 3L),     // key
+      Gen.chooseNum(0L, 60L),    // start
+      Gen.chooseNum(0L, 21L)))   // span
+    check(Prop.forAll(ivs, Gen.oneOf(1L, 5L, 7L, 13L)) { (raw, grain) =>
+      val rows = raw.zipWithIndex.map { case ((k, s, span), i) =>
+        (k, i.toLong, s, s + span)
+      }
+      val df = rows.toDF("k", "id", "s", "e")
+      val got = Joins.intervalOverlapJoin(df, grain)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val brute = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield (a._1, a._2, b._2,
+        math.min(a._4, b._4) - math.max(a._3, b._3) + 1)).toSet
+      got == brute
+    }, tests = 15)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
