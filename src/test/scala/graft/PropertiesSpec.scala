@@ -341,6 +341,25 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 15)
   }
 
+  test("zone-map law: pruned range scan == full filter for any data, layout, and range") {
+    import graft.plans.Scale
+    import spark.implicits._
+    val data = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L))
+    check(Prop.forAll(data, Gen.chooseNum(1, 6), Gen.chooseNum(-1200L, 1200L),
+      Gen.chooseNum(0L, 800L)) { (vs, parts, from, width) =>
+      val dir = java.nio.file.Files.createTempDirectory("zm_prop").toString + "/t"
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      Scale.writeRangeSorted(df, dir, "v", parts)
+      val to = from + width
+      val (pruned, kept, total) = Scale.pruneByStats(spark, dir, "v", from, to)
+      val got = pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = vs.zipWithIndex.collect {
+        case (v, i) if v >= from && v <= to => i.toLong
+      }.sorted
+      kept <= total && got == want
+    }, tests = 5)
+  }
+
   test("dot product is symmetric on random float vectors") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
