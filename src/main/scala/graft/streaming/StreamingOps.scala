@@ -224,6 +224,14 @@ object StreamingOps {
     * as a broadcast stream-static join on source. */
   def mixtureGateStream(docs: DataFrame, rates: DataFrame): DataFrame = {
     val nib = "'0123456789abcdef'"
+    // rates is the STATIC side — validate it eagerly and loudly: a
+    // negative or null rate would otherwise just silently drop every
+    // doc of that source (copies <= 0), which reads as data loss, not
+    // misconfiguration
+    val bad = rates.where(col("rate").isNull || col("rate") < 0 ||
+      col("rate") > 127 || col("source").isNull).count()
+    require(bad == 0L,
+      s"mixtureGateStream: $bad rate row(s) null, negative, or > 127 — fix the rates table")
     val rateDf = rates
       .select(col("source"),
         floor(col("rate")).cast("bigint").as("base"),

@@ -338,6 +338,14 @@ class StreamingSpec extends AnyFunSuite {
     out.filter(_._1._2 == "half").values.foreach(e => assert(e === Seq(1L)))
     // replaying the identical stream reproduces the identical sample
     assert(run("mix_gate_out2", 18) === out)
+    // a malformed rates table fails loudly at wiring time, not as
+    // silent per-source data loss
+    val bad = intercept[IllegalArgumentException] {
+      StreamingOps.mixtureGateStream(
+        MemoryStream[SrcDoc](20, spark, None).toDF(),
+        Seq(("keep", -1.0)).toDF("source", "rate"))
+    }
+    assert(bad.getMessage.contains("rates table"))
   }
 
   test("sessionizeWithTimeout: out-of-order events older than the open session never inflate it") {
