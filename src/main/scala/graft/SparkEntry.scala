@@ -29,6 +29,7 @@ object SparkEntry {
     (Reshape.queries, Reshape.oracle),
     (Extended.queries, Extended.oracle),
     (CurationOps.queries, CurationOps.oracle),
+    (MultimodalOps.queries, MultimodalOps.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

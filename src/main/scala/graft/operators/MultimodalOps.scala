@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.{AudioCodec, ImageCodec, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Declared queries over REAL multimodal decode (SURVEY §2 family I-mm).
+  *
+  * The assets are synthesized deterministically from `documents`
+  * ([[graft.sources.ImageCodec]]/[[graft.sources.AudioCodec]]): every
+  * pattern parameter is exact integer arithmetic on (doc_id, n_chars), so
+  * the DuckDB oracle reproduces each statistic in closed form — while the
+  * Spark side gets its numbers by genuinely DECODING the PNG/WAV payloads
+  * with the JDK codecs. A hash match therefore proves the full
+  * encode → binary column → decode → stats round-trip, not just the
+  * arithmetic.
+  *
+  * Scale shape shared by all of these: column-pruned scan → one stateless
+  * mapPartitions decode pass (no shuffle) → the query's own agg/sort. The
+  * only shuffles are the final aggregates; decode failures surface as
+  * `ok = false` rows, never task failures.
+  */
+object MultimodalOps {
+
+  val queries: Map[String, Q] = Map(
+    // Per-image stats off a real javax.imageio decode. All-BIGINT output
+    // (determinism rule 6: no HUGEINT drift, no float convention).
+    "q_image_stats" -> ((s, d) => {
+      ImageCodec.imageStats(ImageCodec.imageAssets(s, d))
+        .where(col("ok"))
+        .select(col("asset_id"), col("width"), col("height"),
+          col("channels"), col("n_pixels"), col("sum_luma"))
+        .orderBy("asset_id")
+    }),
+
+    // Global 16-bin luma histogram: per-image bins come from decoded
+    // pixels, then one partial-agg shuffle folds them corpus-wide.
+    "q_image_hist" -> ((s, d) => {
+      ImageCodec.imageStats(ImageCodec.imageAssets(s, d))
+        .where(col("ok"))
+        .select(posexplode(col("hist")).as(Seq("bucket", "cnt")))
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(sum("cnt").as("n_pixels"))
+        .orderBy("bucket")
+    }),
+
+    // Perceptual near-dup pairs over planted duplicates: decode → aHash →
+    // 4x16-bit band join → exact popcount verify. ✗ rows+spec tier (the
+    // aHash is an engine hash, same designation as q_dedup_simhash);
+    // semantics pinned in MultimodalCodecSpec.
+    "q_image_dedup" -> ((s, d) => {
+      ImageCodec.perceptualDupPairs(
+        ImageCodec.imageHashes(ImageCodec.dedupAssets(s, d)))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Per-audio amplitude stats off a real javax.sound WAV decode.
+    "q_audio_stats" -> ((s, d) => {
+      AudioCodec.audioStats(AudioCodec.audioAssets(s, d))
+        .where(col("ok"))
+        .select(col("asset_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("sum_abs"), col("peak"))
+        .orderBy("asset_id")
+    }),
+
+    // Corpus inventory across all three modalities: per-modality asset
+    // count and total DECODED logical bytes (text: payload octets; image:
+    // pixels x channels; audio: 2 bytes per sample) — the numbers a
+    // training-mix planner actually budgets with. Container sizes (PNG
+    // deflate output) are deliberately NOT the metric: they are
+    // codec-version-dependent, logical size is not.
+    "q_asset_inventory" -> ((s, d) => {
+      val text = Multimodal.assetsFromDocuments(s, d)
+        .select(col("modality"), octet_length(col("payload")).cast("long").as("logical_bytes"))
+      val image = ImageCodec.imageStats(ImageCodec.imageAssets(s, d))
+        .where(col("ok"))
+        .select(lit("image").as("modality"),
+          (col("n_pixels") * col("channels")).as("logical_bytes"))
+      val audio = AudioCodec.audioStats(AudioCodec.audioAssets(s, d))
+        .where(col("ok"))
+        .select(lit("audio").as("modality"),
+          (col("n_samples") * lit(2L)).as("logical_bytes"))
+      text.unionByName(image).unionByName(audio)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_assets"), sum("logical_bytes").as("total_bytes"))
+        .orderBy("modality")
+    }),
+  )
+
+  /** The image/audio pattern CTEs mirror ImageCodec.pattern /
+    * AudioCodec.sampleCount exactly; see those scaladocs for the closed
+    * forms. Everything is BIGINT arithmetic end to end. */
+  val oracle: Map[String, String] = Map(
+    "q_image_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         8 + (n_chars % 24) AS w,
+        |         8 + (doc_id % 24) AS h,
+        |         (8 + (n_chars % 24)) * (8 + (doc_id % 24)) AS npix,
+        |         (doc_id * 31 + 7) % 256 AS a,
+        |         (doc_id * 97 + 13) % 256 AS b,
+        |         (n_chars * 2654435761) % ((8 + (n_chars % 24)) * (8 + (doc_id % 24))) AS k
+        |  FROM documents)
+        |SELECT doc_id AS asset_id,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(npix AS BIGINT) AS n_pixels,
+        |       CAST(k * a + (npix - k) * b AS BIGINT) AS sum_luma
+        |FROM p
+        |ORDER BY asset_id""".stripMargin,
+
+    "q_image_hist" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         (8 + (n_chars % 24)) * (8 + (doc_id % 24)) AS npix,
+        |         (doc_id * 31 + 7) % 256 AS a,
+        |         (doc_id * 97 + 13) % 256 AS b,
+        |         (n_chars * 2654435761) % ((8 + (n_chars % 24)) * (8 + (doc_id % 24))) AS k
+        |  FROM documents),
+        |u AS (
+        |  SELECT a // 16 AS bucket, k AS cnt FROM p
+        |  UNION ALL
+        |  SELECT b // 16 AS bucket, npix - k AS cnt FROM p)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(sum(cnt) AS BIGINT) AS n_pixels
+        |FROM u GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q_audio_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, 64 + ((n_chars * 7 + doc_id) % 192) AS n FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM d),
+        |s AS (
+        |  SELECT doc_id, n, ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS v FROM g)
+        |SELECT doc_id AS asset_id,
+        |       CAST(16000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(max(n) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id
+        |ORDER BY asset_id""".stripMargin,
+
+    "q_asset_inventory" ->
+      """WITH img AS (
+        |  SELECT (8 + (n_chars % 24)) * (8 + (doc_id % 24)) AS npix FROM documents),
+        |aud AS (
+        |  SELECT 64 + ((n_chars * 7 + doc_id) % 192) AS n FROM documents)
+        |SELECT modality, n_assets, total_bytes FROM (
+        |  SELECT 'audio' AS modality, CAST(count(*) AS BIGINT) AS n_assets,
+        |         CAST(sum(2 * n) AS BIGINT) AS total_bytes FROM aud
+        |  UNION ALL
+        |  SELECT 'image', CAST(count(*) AS BIGINT), CAST(sum(npix) AS BIGINT) FROM img
+        |  UNION ALL
+        |  SELECT 'text', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM documents)
+        |ORDER BY modality""".stripMargin,
+  )
+}

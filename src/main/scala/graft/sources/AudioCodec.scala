@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+import scala.util.control.NonFatal
+
+/** REAL audio decode behind the multimodal seam: `javax.sound.sampled`
+  * (WAV/PCM) is built into the JDK — offline-safe, zero added deps, works
+  * on any executor JVM.
+  *
+  * Mirror of [[ImageCodec]]'s design: [[audioAssets]] synthesizes a
+  * deterministic 16-bit PCM mono WAV per document, every sample an exact
+  * integer function of `(doc_id, sample index)`, and the declared query
+  * recovers amplitude statistics by actually DECODING the WAV container
+  * (header parse + frame extraction through AudioSystem). PCM is lossless,
+  * so decoded stats equal the closed-form arithmetic the DuckDB oracle
+  * computes with `generate_series` — an exact cross-engine check of a real
+  * codec round-trip.
+  *
+  * 100 TB posture: synthesis reads only `(doc_id, n_chars)`; decode is one
+  * stateless `mapPartitions` pass; corrupt/unsupported payloads yield
+  * `ok = false` rows instead of failing the task.
+  */
+object AudioCodec {
+
+  val SampleRate = 16000
+
+  /** Deterministic per-document sample plan: n in [64, 255], each sample
+    * an exact integer in [-32768, 32767]. */
+  def sampleCount(docId: Long, nChars: Long): Int =
+    (64 + ((nChars * 7 + docId) % 192)).toInt
+
+  def sampleAt(docId: Long, i: Int): Short =
+    (((docId * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+
+  /** Encode 16-bit signed little-endian PCM mono as a WAV container. */
+  def encodeWavPcm16(samples: Array[Short], rate: Float = SampleRate.toFloat): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Real decode via AudioSystem. Handles 16-bit signed PCM (either
+    * endianness); anything else — or a corrupt container — returns None,
+    * never throws. */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] = {
+    if (payload == null) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return None
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val out = new Array[Short](n)
+      val big = fmt.isBigEndian
+      var i = 0
+      while (i < n) {
+        out(i) =
+          if (big) (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort
+          else (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, out))
+    } catch { case NonFatal(_) => None }
+  }
+
+  /** Synthesize the per-document WAV asset table (Multimodal.schema). */
+  def audioAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "n_chars")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(Multimodal.schema))
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nc = r.getLong(1)
+        val n = sampleCount(id, nc)
+        val samples = Array.tabulate(n)(i => sampleAt(id, i))
+        val wav = encodeWavPcm16(samples)
+        Row(id, "audio", wav,
+          Row("audio/wav", null, null, wav.length.toLong))
+      }
+    }(enc)
+  }
+
+  private val statsSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sum_abs", LongType, nullable = true),
+    StructField("peak", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** Decode every asset and emit exact amplitude statistics. Integer sums
+    * only (sum of |sample|, max |sample|) so the oracle comparison never
+    * touches a float rounding convention. */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(statsSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        decodeWav(r.getAs[Array[Byte]]("payload")) match {
+          case Some(d) =>
+            var sumAbs = 0L
+            var peak = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              val av = math.abs(d.samples(i).toLong)
+              sumAbs += av
+              if (av > peak) peak = av
+              i += 1
+            }
+            Row(id, d.sampleRate.toLong, d.channels.toLong,
+              d.samples.length.toLong, sumAbs, peak, true)
+          case None =>
+            Row(id, null, null, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import graft.sources.{AudioCodec, ImageCodec, Multimodal}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec seam: javax.imageio PNG and javax.sound WAV round-trips,
+  * decode-failure containment, perceptual dedup planting, and the
+  * real-decode feature codec plugged into Multimodal.extractFeatures. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  // ---- local (no-Spark) codec laws ----
+
+  test("PNG round-trip recovers exact gray samples") {
+    val p = ImageCodec.pattern(docId = 42, nChars = 137)
+    val luma = ImageCodec.render(p)
+    val png = ImageCodec.encodeGrayPng(p.w, p.h, luma)
+    val d = ImageCodec.decodeLuma(png).get
+    assert(d.width === p.w && d.height === p.h && d.channels === 1)
+    assert(d.luma.toSeq === luma.toSeq)
+  }
+
+  test("RGB PNG decodes through the Rec.601 integer luma path") {
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 100 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = ImageCodec.decodeLuma(bos.toByteArray).get
+    assert(d.channels === 3)
+    // (299r + 587g + 114b) / 1000, integer division
+    assert(d.luma(0) === (299 * 0 + 587 * 0 + 114 * 200) / 1000)
+    assert(d.luma(4 + 3) === (299 * 120 + 587 * 100 + 114 * 200) / 1000)
+  }
+
+  test("corrupt and null image payloads decode to None, never throw") {
+    assert(ImageCodec.decodeLuma(null).isEmpty)
+    assert(ImageCodec.decodeLuma(Array[Byte](1, 2, 3)).isEmpty)
+    val png = ImageCodec.encodeGrayPng(4, 4, Array.fill(16)(7))
+    assert(ImageCodec.decodeLuma(png.take(png.length / 2)).isEmpty)
+  }
+
+  test("WAV round-trip recovers exact PCM16 samples and format") {
+    val samples = Array.tabulate(300)(i => AudioCodec.sampleAt(9L, i))
+    val wav = AudioCodec.encodeWavPcm16(samples)
+    val d = AudioCodec.decodeWav(wav).get
+    assert(d.sampleRate === AudioCodec.SampleRate && d.channels === 1)
+    assert(d.samples.toSeq === samples.toSeq)
+  }
+
+  test("corrupt and non-PCM16 audio payloads decode to None, never throw") {
+    assert(AudioCodec.decodeWav(null).isEmpty)
+    assert(AudioCodec.decodeWav(Array[Byte](82, 73, 70, 70)).isEmpty)
+    // an 8-bit WAV is a valid container but not our sample format
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.fill[Byte](100)(64)), fmt8, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(AudioCodec.decodeWav(out.toByteArray).isEmpty)
+  }
+
+  test("aHash is invariant under re-encode and sensitive to different textures") {
+    val luma = ImageCodec.texturedLuma(123L, 24, 24)
+    val h1 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
+    val h2 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
+    assert(h1 === h2)
+    val other = ImageCodec.texturedLuma(124L, 24, 24)
+    val h3 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, other)).get)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > 3, "distinct textures must not collide")
+  }
+
+  // ---- Spark-side: declared queries' engine paths ----
+
+  test("imageStats matches the closed-form pattern arithmetic (real decode)") {
+    val stats = ImageCodec.imageStats(ImageCodec.imageAssets(spark, sf))
+      .orderBy("asset_id").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").orderBy("doc_id").collect()
+    assert(stats.length === docs.length)
+    stats.zip(docs).foreach { case (s, doc) =>
+      val p = ImageCodec.pattern(doc.getLong(0), doc.getLong(1))
+      assert(s.getLong(0) === doc.getLong(0))
+      assert(s.getBoolean(s.fieldIndex("ok")))
+      assert(s.getLong(s.fieldIndex("width")) === p.w)
+      assert(s.getLong(s.fieldIndex("height")) === p.h)
+      assert(s.getLong(s.fieldIndex("channels")) === 1L)
+      assert(s.getLong(s.fieldIndex("sum_luma")) === p.k * p.a + (p.nPixels - p.k) * p.b)
+      val hist = s.getSeq[Long](s.fieldIndex("hist"))
+      assert(hist.sum === p.nPixels)
+      if ((p.a >> 4) == (p.b >> 4)) assert(hist(p.a >> 4) === p.nPixels)
+      else assert(hist(p.a >> 4) + hist(p.b >> 4) === p.nPixels)
+    }
+  }
+
+  test("imageStats contains corrupt payloads as ok=false rows") {
+    import spark.implicits._
+    val good = ImageCodec.encodeGrayPng(8, 8, Array.fill(64)(10))
+    val rows = Seq(
+      (1L, "image", good),
+      (2L, "image", Array[Byte](9, 9, 9)),
+      (3L, "image", null.asInstanceOf[Array[Byte]]),
+    ).toDF("asset_id", "modality", "payload")
+    val out = ImageCodec.imageStats(rows).orderBy("asset_id").collect()
+    assert(out.map(_.getBoolean(out.head.fieldIndex("ok"))).toSeq === Seq(true, false, false))
+    assert(out(1).isNullAt(out(1).fieldIndex("sum_luma")))
+  }
+
+  test("perceptual dedup output == all pairs with true hamming <= 3 (banding recall is exact)") {
+    // The engine's contract: 4x16-bit banding + popcount filter returns
+    // EXACTLY the pairs at Hamming distance <= 3 (pigeonhole guarantees
+    // every such pair shares a band). Compute the ground truth locally
+    // from the same deterministic assets and compare as sets.
+    val hashes = ImageCodec.imageHashes(ImageCodec.dedupAssets(spark, sf))
+      .where(col("ok")).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      ham = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if ham <= 3
+    } yield (hashes(i)._1, hashes(j)._1, ham.toLong)).toSet
+    val pairs = ImageCodec.perceptualDupPairs(
+      ImageCodec.imageHashes(ImageCodec.dedupAssets(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === expected)
+    // fixture sanity: every exact planted pair (key-shared, unperturbed)
+    // must be present at hamming 0, and near-dup planting must land at
+    // least some pairs under the threshold
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val exact = (0L until nDocs by 10).map(m => (m, m + 4)).filter(_._2 < nDocs)
+    exact.foreach { case (a, b) =>
+      assert(pairs.contains((a, b, 0L)), s"exact planted pair ($a, $b) missing")
+    }
+    val near = (5L until nDocs by 10).map(m => (m, m + 4)).filter(_._2 < nDocs)
+    val nearFound = near.count(p => pairs.exists(q => q._1 == p._1 && q._2 == p._2))
+    assert(nearFound >= near.size / 2,
+      s"only $nearFound/${near.size} near-dup plantings under hamming 3 — perturbation too strong")
+    // distinct textures must not collide: no more than a handful of
+    // non-planted pairs
+    val plantedSet = (exact ++ near).toSet
+    val spurious = pairs.filterNot(p => plantedSet.contains((p._1, p._2)))
+    assert(spurious.size <= 5, s"${spurious.size} spurious pairs: $spurious")
+  }
+
+  test("audioStats matches the closed-form sample plan (real decode)") {
+    val stats = AudioCodec.audioStats(AudioCodec.audioAssets(spark, sf))
+      .orderBy("asset_id").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").orderBy("doc_id").collect()
+    stats.zip(docs).foreach { case (s, doc) =>
+      val id = doc.getLong(0)
+      val n = AudioCodec.sampleCount(id, doc.getLong(1))
+      val abs = (0 until n).map(i => math.abs(AudioCodec.sampleAt(id, i).toLong))
+      assert(s.getLong(s.fieldIndex("n_samples")) === n.toLong)
+      assert(s.getLong(s.fieldIndex("sample_rate")) === 16000L)
+      assert(s.getLong(s.fieldIndex("sum_abs")) === abs.sum)
+      assert(s.getLong(s.fieldIndex("peak")) === abs.max)
+    }
+  }
+
+  test("ImageFeatureCodec drives extractFeatures with real decode (partitioning-invariant)") {
+    val assets = ImageCodec.imageAssets(spark, sf)
+    val f1 = Multimodal.extractFeatures(assets, ImageCodec.ImageFeatureCodec, dim = 8)
+      .orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(assets.repartition(7), ImageCodec.ImageFeatureCodec, dim = 8)
+      .orderBy("asset_id").collect()
+    assert(f1.length === f2.length && f1.length > 0)
+    f1.zip(f2).foreach { case (a, b) =>
+      val va = a.getSeq[Float](2)
+      assert(va === b.getSeq[Float](2), "features must not depend on partitioning")
+      assert(math.abs(va.sum - 1f) < 1e-5f, "histogram must normalize to 1")
+    }
+    // a corrupt payload maps to the zero vector, not a task failure
+    import spark.implicits._
+    val bad = Seq((99L, "image", Array[Byte](0, 1, 2))).toDF("asset_id", "modality", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(3L).as("n_bytes")))
+    val fb = Multimodal.extractFeatures(bad, ImageCodec.ImageFeatureCodec, dim = 8).collect()
+    assert(fb.head.getSeq[Float](2).forall(_ == 0f))
+  }
+
+  test("multimodal declared queries return rows at sf0.001") {
+    Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats", "q_asset_inventory")
+      .foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
+      }
+  }
+}
