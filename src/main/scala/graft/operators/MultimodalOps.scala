@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Q
-import graft.sources.{AudioCodec, ImageCodec, Multimodal}
+import graft.functions.GraftFunctions
+import graft.sources.{AudioCodec, ImageCodec, Multimodal, VideoCodec}
 import org.apache.spark.sql.functions._
 
 /** Declared queries over REAL multimodal decode (SURVEY §2 family I-mm).
@@ -61,6 +62,34 @@ object MultimodalOps {
         .select(col("asset_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("sum_abs"), col("peak"))
         .orderBy("asset_id")
+    }),
+
+    // Per-frame video stats: container parse + real ImageIO decode of
+    // EVERY frame, one row per frame (flatMap-shaped, frames stream).
+    "q_video_frames" -> ((s, d) => {
+      VideoCodec.videoFrameStats(VideoCodec.videoAssets(s, d))
+        .orderBy("asset_id", "frame_idx")
+    }),
+
+    // Multimodal retrieval composition: decoded-image features (real
+    // codec through the extractFeatures seam) → brute-force cosine top-10
+    // against one query image's features. ✗ rows+spec tier: the features
+    // are float divisions of decoded integer counts, so no engine-exact
+    // SQL twin exists; semantics pinned in MultimodalCodecSpec against a
+    // local ground-truth ranking. Same scale shape as q_knn_cosine:
+    // single feature pass + 1-row broadcast + TakeOrderedAndProject.
+    "q_image_knn" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val feats = Multimodal.extractFeatures(
+        ImageCodec.imageAssets(s, d), ImageCodec.ImageFeatureCodec, dim = 16)
+        .localCheckpoint(false) // one decode pass feeds both query row and corpus scan
+      val q = feats.where(col("asset_id") === 0).select(col("features").as("qf"))
+      feats.where(col("asset_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(expr("graft_dot(features, qf)"), 6))
+        .select("asset_id", "sim")
+        .orderBy(col("sim").desc, col("asset_id").asc)
+        .limit(10)
     }),
 
     // Corpus inventory across all three modalities: per-modality asset
@@ -142,6 +171,29 @@ object MultimodalOps {
         |       CAST(max(abs(v)) AS BIGINT) AS peak
         |FROM s GROUP BY doc_id
         |ORDER BY asset_id""".stripMargin,
+
+    "q_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, 2 + (doc_id % 4) AS nf FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f FROM d),
+        |p AS (
+        |  SELECT doc_id, f,
+        |         8 + ((n_chars + f) % 24) AS w,
+        |         8 + ((doc_id + f * 1000003) % 24) AS h,
+        |         (8 + ((n_chars + f) % 24)) * (8 + ((doc_id + f * 1000003) % 24)) AS npix,
+        |         ((doc_id + f * 1000003) * 31 + 7) % 256 AS a,
+        |         ((doc_id + f * 1000003) * 97 + 13) % 256 AS b,
+        |         ((n_chars + f) * 2654435761) %
+        |           ((8 + ((n_chars + f) % 24)) * (8 + ((doc_id + f * 1000003) % 24))) AS k
+        |  FROM g)
+        |SELECT doc_id AS asset_id,
+        |       CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(k * a + (npix - k) * b AS BIGINT) AS sum_luma
+        |FROM p
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     "q_asset_inventory" ->
       """WITH img AS (

@@ -261,6 +261,34 @@ object ImageCodec {
     }(enc)
   }
 
+  private val annotatedSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** Payload-PRESERVING decode annotation: each asset row comes back with
+    * its payload plus decoded dimensions (or ok = false). Stateless, so it
+    * runs unchanged on a streaming DataFrame — this is the engine under
+    * StreamingOps.imageGateStream. */
+  def annotateDecoded(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeLuma(payload) match {
+          case Some(d) =>
+            Row(id, payload, Int.box(d.width), Int.box(d.height), Int.box(d.channels), true)
+          case None => Row(id, payload, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
   private val hashSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("ahash", LongType, nullable = true),
@@ -278,6 +306,45 @@ object ImageCodec {
         decodeLuma(r.getAs[Array[Byte]]("payload")) match {
           case Some(d) => Row(id, aHash64(d), true)
           case None    => Row(id, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL raster resize at the codec boundary (complements
+    * Multimodal.resizeToBytes, which only truncates a byte budget):
+    * decode, nearest-neighbor sample the luma plane at integer-exact
+    * coordinates (sx = x * srcW / outW — pure integer math, so the result
+    * is bit-reproducible on any JVM), re-encode as lossless gray PNG, and
+    * keep meta (width/height/n_bytes) in sync. Multi-band inputs resize
+    * through their Rec.601 luma plane (output is always 8-bit gray — the
+    * normalized form a training pipeline wants anyway). Undecodable
+    * payloads pass through UNCHANGED (containment: gate first if you need
+    * them gone). Stateless mapPartitions; no shuffle. */
+  def resizeImages(assets: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"resize target must be >= 1x1, got ${outW}x$outH")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(Multimodal.schema))
+    assets.select("asset_id", "modality", "payload", "meta").mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeLuma(payload) match {
+          case Some(d) =>
+            val out = new Array[Int](outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy = y * d.height / outH
+              var x = 0
+              while (x < outW) {
+                out(y * outW + x) = d.luma(sy * d.width + x * d.width / outW)
+                x += 1
+              }
+              y += 1
+            }
+            val png = encodeGrayPng(outW, outH, out)
+            val meta = r.getStruct(3)
+            Row(r.getLong(0), r.getString(1), png,
+              Row(meta.get(0), Int.box(outW), Int.box(outH), png.length.toLong))
+          case None => Row(r.getLong(0), r.getString(1), payload, r.getStruct(3))
         }
       }
     }(enc)

@@ -358,6 +358,25 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
 
+  /** Streaming multimodal ingestion gate: decode every image payload with
+    * the REAL JDK codec (graft.sources.ImageCodec — javax.imageio) and
+    * admit only assets that decode successfully AND land inside the
+    * accepted dimension envelope. Stateless (one mapPartitions per
+    * micro-batch — no watermark, no state store), so throughput scales
+    * with executor count; a corrupt blob becomes a dropped row, never a
+    * failed stream. Survivors keep their payload and gain decoded
+    * width/height/channels — exactly what the ingest sink wants to land.
+    * Input needs `asset_id` and `payload` columns. */
+  def imageGateStream(assets: DataFrame, minSide: Int = 8, maxSide: Int = 4096): DataFrame = {
+    require(1 <= minSide && minSide <= maxSide,
+      s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
+    graft.sources.ImageCodec.annotateDecoded(assets)
+      .where(col("ok") &&
+        col("width").between(minSide, maxSide) &&
+        col("height").between(minSide, maxSide))
+      .drop("ok")
+  }
+
   /** Streaming curation: the CurationPipeline composition on an ingest
     * stream — redact and quality-gate are stateless per-row maps (they
     * run unchanged in a micro-batch), and the dedup stage is the

@@ -190,8 +190,111 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(fb.head.getSeq[Float](2).forall(_ == 0f))
   }
 
+  test("video container round-trips frames and tolerates corruption") {
+    import graft.sources.VideoCodec
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val enc = VideoCodec.encodeContainer(frames)
+    assert(VideoCodec.decodeContainer(enc).map(_.toSeq) === frames.map(_.toSeq))
+    // truncated tail: parsed prefix survives, no throw
+    assert(VideoCodec.decodeContainer(enc.dropRight(1)).map(_.toSeq) === frames.take(2).map(_.toSeq))
+    // bad magic / null / tiny: empty
+    assert(VideoCodec.decodeContainer(Array[Byte](9, 9, 9, 9, 0, 0, 0, 1)).isEmpty)
+    assert(VideoCodec.decodeContainer(null).isEmpty)
+    assert(VideoCodec.decodeContainer(Array[Byte](1)).isEmpty)
+  }
+
+  test("videoFrameStats decodes every frame to its closed-form stats; everyN samples") {
+    import graft.sources.VideoCodec
+    val assets = VideoCodec.videoAssets(spark, sf)
+    val stats = VideoCodec.videoFrameStats(assets).orderBy("asset_id", "frame_idx").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").orderBy("doc_id").collect()
+    val expected = docs.flatMap { doc =>
+      val id = doc.getLong(0)
+      (0 until VideoCodec.frameCount(id)).map { f =>
+        val p = VideoCodec.framePattern(id, doc.getLong(1), f)
+        (id, f.toLong, p.w.toLong, p.h.toLong, p.k * p.a + (p.nPixels - p.k) * p.b)
+      }
+    }
+    assert(stats.length === expected.length)
+    stats.zip(expected).foreach { case (s, e) =>
+      assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4)) === e)
+    }
+    // frame sampling keeps exactly the 0 mod N indices
+    val sampled = VideoCodec.videoFrameStats(assets, everyN = 2).collect()
+    assert(sampled.forall(_.getLong(1) % 2 == 0))
+    assert(sampled.length === expected.count(_._2 % 2 == 0))
+  }
+
+  test("imageGateStream admits only decodable in-envelope assets (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val good = ImageCodec.encodeGrayPng(16, 16, Array.fill(256)(100))   // in envelope
+    val tiny = ImageCodec.encodeGrayPng(4, 4, Array.fill(16)(100))      // below minSide
+    val corrupt = Array[Byte](1, 2, 3)
+    mem.addData((1L, good), (2L, tiny), (3L, corrupt), (4L, null))
+    val gated = graft.streaming.StreamingOps.imageGateStream(
+      mem.toDF.toDF("asset_id", "payload"), minSide = 8, maxSide = 64)
+    val q = gated.writeStream.format("memory").queryName("img_gate")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("img_gate").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getInt(out.head.fieldIndex("width")) === 16)
+  }
+
+  test("q_image_knn ranking matches local ground truth on decoded features") {
+    val feats = Multimodal.extractFeatures(
+      ImageCodec.imageAssets(spark, sf), ImageCodec.ImageFeatureCodec, dim = 16)
+      .orderBy("asset_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](2).toArray))
+    val qf = feats.find(_._1 == 0L).get._2
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expected = feats.filter(_._1 != 0L)
+      .map { case (id, f) => (id, BigDecimal(dot(f, qf)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+      .sortBy { case (id, sim) => (-sim, id) }
+      .take(10).map(_._1).toSeq
+    val got = SparkEntry.queries("q_image_knn")(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
+  test("resizeImages nearest-neighbor samples exactly, syncs meta, passes corrupt through") {
+    import spark.implicits._
+    val src = ImageCodec.texturedLuma(7L, 16, 12)
+    val png = ImageCodec.encodeGrayPng(16, 12, src)
+    val rows = Seq((1L, "image", png), (2L, "image", Array[Byte](3, 3)))
+      .toDF("asset_id", "modality", "payload")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(16).as("width"), lit(12).as("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+    val out = ImageCodec.resizeImages(rows, 8, 6).orderBy("asset_id").collect()
+    val resized = ImageCodec.decodeLuma(out(0).getAs[Array[Byte]]("payload")).get
+    assert(resized.width === 8 && resized.height === 6)
+    val expected = Array.tabulate(8 * 6) { i =>
+      val x = i % 8; val y = i / 8
+      src((y * 12 / 6) * 16 + x * 16 / 8)
+    }
+    assert(resized.luma.toSeq === expected.toSeq)
+    val meta = out(0).getStruct(out(0).fieldIndex("meta"))
+    assert(meta.getInt(1) === 8 && meta.getInt(2) === 6)
+    assert(meta.getLong(3) === out(0).getAs[Array[Byte]]("payload").length.toLong)
+    // corrupt passes through byte-identical
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq === Seq[Byte](3, 3))
+    // identity resize reproduces the source plane exactly
+    val same = ImageCodec.resizeImages(rows.where($"asset_id" === 1L), 16, 12).collect()
+    assert(ImageCodec.decodeLuma(same(0).getAs[Array[Byte]]("payload")).get.luma.toSeq === src.toSeq)
+  }
+
   test("multimodal declared queries return rows at sf0.001") {
-    Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats", "q_asset_inventory")
+    Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats",
+      "q_asset_inventory", "q_video_frames", "q_image_knn")
       .foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
       }
