@@ -376,6 +376,80 @@ object ImageCodec {
     }
   }
 
+  /** 4x16-bit band explosion of a hash column — the shared candidate
+    * structure of the self-join dedup and the persisted-index probe. */
+  private def banded(hashes: DataFrame, idAs: String, hashAs: String): DataFrame =
+    hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (shiftrightunsigned(ahash, b * 16) & 65535))"))
+        .as(Seq("band_idx", "band_val")))
+
+  // --- Persisted perceptual-hash index lifecycle (the image analogue of
+  // the MinHash text index, DedupOps.writeMinhashIndex ff.): build once
+  // over the corpus, probe every ingest batch in O(batch), append the
+  // survivors, tombstone takedowns, compact eventually. Stored layout is
+  // one long per asset (`dir/hashes`) — banding is recomputed at read
+  // (a map-side transform), so the stored bytes stay minimal. Probing
+  // against an index built from a BENCHMARK image set is image
+  // decontamination — same op, different corpus. ---
+
+  /** Build the index: decode + aHash every asset, store (asset_id, ahash). */
+  def writeImageHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+    imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    import s.implicits._
+    Seq((4, 16)).toDF("bands", "bits").write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Assign-only append: hash the batch with the same (deterministic)
+    * codec path and append — no retraining, nothing rewritten. Caller
+    * owns id uniqueness (Ledger discipline; a retried batch duplicates
+    * rows — same contract as every other index append). */
+  def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("bands") == 4 && meta.getAs[Int]("bits") == 16,
+      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")})")
+    imageHashes(batch).where(col("ok")).select("asset_id", "ahash")
+      .write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Takedown path: O(ids) tombstone append; probes exclude the ids
+    * immediately, compaction folds them in later. */
+  def deleteFromImageHashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into the stored hash table and clear them. */
+  def compactImageHashIndex(s: SparkSession, dir: String): Unit = {
+    Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
+    Tombstones.clear(s, dir)
+  }
+
+  /** Probe: which batch images perceptually duplicate an indexed image?
+    * Batch side is decoded + hashed once (the barrier keeps the codec
+    * pass single — the probe fans the hashes into 4 band rows); stored
+    * side is a scan + map-side band transform; candidates come from the
+    * band equi-join (linear in batch size, never batch x corpus) and are
+    * verified with an exact popcount. Returns (batch_id, corpus_id,
+    * hamming) at hamming <= maxHamming. */
+  def dedupImagesAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding only guarantees recall for Hamming <= 3, got $maxHamming")
+    val meta = s.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("bands") == 4 && meta.getAs[Int]("bits") == 16,
+      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")})")
+    val bHashes = imageHashes(batch).where(col("ok"))
+      .select("asset_id", "ahash").localCheckpoint(false)
+    val stored = Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
+    banded(bHashes, "batch_id", "b_hash")
+      .join(banded(stored, "corpus_id", "c_hash"), Seq("band_idx", "band_val"))
+      .select(col("batch_id"), col("corpus_id"),
+        expr("bit_count(b_hash ^ c_hash)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Perceptual near-duplicate pairs: band the 64-bit aHash into four
     * 16-bit keys (pigeonhole: Hamming distance <= 3 guarantees at least
     * one identical band), equi-join per band for candidates, then verify
@@ -394,14 +468,8 @@ object ImageCodec {
     // sf0.1, local[32], 3-run median: 3.07 s without -> 2.29 s with.
     val ok = hashes.where(col("ok")).select("asset_id", "ahash")
       .localCheckpoint(false)
-    val banded = ok.select(col("asset_id"), col("ahash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (shiftrightunsigned(ahash, b * 16) & 65535))"))
-        .as(Seq("band_idx", "band_val")))
-    val l = banded.select(col("band_idx"), col("band_val"),
-      col("asset_id").as("a_id"), col("ahash").as("a_hash"))
-    val r = banded.select(col("band_idx"), col("band_val"),
-      col("asset_id").as("b_id"), col("ahash").as("b_hash"))
+    val l = banded(ok, "a_id", "a_hash")
+    val r = banded(ok, "b_id", "b_hash")
     l.join(r, Seq("band_idx", "band_val"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

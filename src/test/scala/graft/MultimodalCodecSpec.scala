@@ -292,6 +292,54 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeLuma(same(0).getAs[Array[Byte]]("payload")).get.luma.toSeq === src.toSeq)
   }
 
+  test("image hash index lifecycle: build, probe, append, delete, compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("imghash").toString + "/idx"
+    def assetRow(id: Long, key: Long): (Long, String, Array[Byte]) =
+      (id, "image", ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20)))
+    def df(rows: (Long, String, Array[Byte])*) = rows.toDF("asset_id", "modality", "payload")
+
+    // corpus: keys 1..10 under ids 1..10
+    val corpus = df((1L to 10L).map(k => assetRow(k, k)): _*)
+    ImageCodec.writeImageHashIndex(spark, corpus, dir)
+
+    // probe: id 100 duplicates key 3, id 101 is fresh, id 102 corrupt
+    val batch = df(assetRow(100L, 3L), assetRow(101L, 999L))
+      .union(df((102L, "image", Array[Byte](1, 2))))
+    val hits = ImageCodec.dedupImagesAgainstIndex(spark, batch, dir).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === Set((100L, 3L, 0L)))
+
+    // append the novel asset; a copy of it now flags
+    ImageCodec.appendToImageHashIndex(spark, df(assetRow(101L, 999L)), dir)
+    val hits2 = ImageCodec.dedupImagesAgainstIndex(spark, df(assetRow(200L, 999L)), dir).collect()
+    assert(hits2.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((200L, 101L)))
+
+    // delete key 3's asset: its duplicate no longer flags (takedown honored)
+    ImageCodec.deleteFromImageHashIndex(spark, Seq(3L).toDF("asset_id"), dir)
+    val hits3 = ImageCodec.dedupImagesAgainstIndex(spark, df(assetRow(300L, 3L)), dir).collect()
+    assert(hits3.isEmpty, s"deleted corpus image still vetoes: ${hits3.mkString}")
+
+    // the lifecycle law: probe after delete == probe of a from-scratch
+    // index built without the deleted asset
+    val fresh = java.nio.file.Files.createTempDirectory("imghash_fresh").toString + "/idx"
+    ImageCodec.writeImageHashIndex(spark,
+      corpus.where($"asset_id" =!= 3L).union(df(assetRow(101L, 999L))), fresh)
+    val probe = df(assetRow(400L, 3L), assetRow(401L, 999L), assetRow(402L, 7L))
+    val viaTomb = ImageCodec.dedupImagesAgainstIndex(spark, probe, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFresh = ImageCodec.dedupImagesAgainstIndex(spark, probe, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTomb === viaFresh)
+
+    // compact folds tombstones in and clears them; probes unchanged
+    ImageCodec.compactImageHashIndex(spark, dir)
+    assert(!graft.sources.Tombstones.exists(spark, dir))
+    val viaCompacted = ImageCodec.dedupImagesAgainstIndex(spark, probe, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCompacted === viaFresh)
+    assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
+  }
+
   test("multimodal declared queries return rows at sf0.001") {
     Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats",
       "q_asset_inventory", "q_video_frames", "q_image_knn")
