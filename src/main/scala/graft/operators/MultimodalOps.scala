@@ -81,7 +81,8 @@ object MultimodalOps {
     "q_image_knn" -> ((s, d) => {
       GraftFunctions.register(s)
       val feats = Multimodal.extractFeatures(
-        ImageCodec.imageAssets(s, d), ImageCodec.ImageFeatureCodec, dim = 16)
+        ImageCodec.imageAssets(s, d), ImageCodec.ImageFeatureCodec, dim = 16,
+        partitionsOverride = Some(s.sparkContext.defaultParallelism))
         .localCheckpoint(false) // one decode pass feeds both query row and corpus scan
       val q = feats.where(col("asset_id") === 0).select(col("features").as("qf"))
       feats.where(col("asset_id") =!= 0)

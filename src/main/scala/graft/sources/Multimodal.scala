@@ -110,7 +110,8 @@ object Multimodal {
     * analogue of mapInPandas batch shape. Output schema: (asset_id,
     * modality, features array<float>). */
   def extractFeatures(assets: DataFrame, codec: Codec = StubCodec, dim: Int = 16,
-      targetBytesPerTask: Long = 64L * 1024 * 1024): DataFrame = {
+      targetBytesPerTask: Long = 64L * 1024 * 1024,
+      partitionsOverride: Option[Int] = None): DataFrame = {
     val spark = assets.sparkSession
     // Partition count so one task holds at most ~targetBytesPerTask of
     // PAYLOAD. Catalyst's planning-time size estimate is the free fast
@@ -127,16 +128,23 @@ object Multimodal {
       case _: LeafNode   => true
       case _             => false
     }
-    val plan = assets.queryExecution.optimizedPlan
-    val estimate = plan.stats.sizeInBytes
-    val statsReliable = directScan(plan) &&
-      estimate < BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    val totalBytes: BigInt =
-      if (statsReliable) estimate
-      else BigInt(assets.agg(coalesce(sum(col("meta.n_bytes")), lit(0L)))
-        .head().getLong(0))
-    val parts = ((totalBytes / targetBytesPerTask + 1)
-      .min(BigInt(10000)).max(BigInt(1))).toInt
+    // partitionsOverride skips the sizing entirely — the escape hatch for
+    // SYNTHESIZED (non-file-scan) inputs, where the one-pass n_bytes
+    // aggregate below would itself cost a full codec pass (q_image_knn
+    // measured it at ~half the query).
+    val parts = partitionsOverride.getOrElse {
+      val plan = assets.queryExecution.optimizedPlan
+      val estimate = plan.stats.sizeInBytes
+      val statsReliable = directScan(plan) &&
+        estimate < BigInt(spark.sessionState.conf.defaultSizeInBytes)
+      val totalBytes: BigInt =
+        if (statsReliable) estimate
+        else BigInt(assets.agg(coalesce(sum(col("meta.n_bytes")), lit(0L)))
+          .head().getLong(0))
+      ((totalBytes / targetBytesPerTask + 1)
+        .min(BigInt(10000)).max(BigInt(1))).toInt
+    }
+    require(parts >= 1, s"partitionsOverride must be >= 1, got $parts")
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
       StructField("modality", StringType, nullable = false),

@@ -371,4 +371,63 @@ class PropertiesSpec extends AnyFunSuite {
         .where(col("ab") =!= col("ba")).count() == 0
     }, tests = 5)
   }
+
+  // --- codec laws (no Spark needed: the codecs are pure JVM functions,
+  // and distribution-invariance follows from determinism + mapPartitions) ---
+
+  test("PNG codec law: encode then decode is the identity on any luma plane") {
+    import graft.sources.ImageCodec
+    val dims = Gen.zip(Gen.chooseNum(1, 40), Gen.chooseNum(1, 40))
+    check(Prop.forAll(dims, Gen.long) { case ((w, h), seed) =>
+      val luma = Array.tabulate(w * h) { i =>
+        (scala.util.hashing.MurmurHash3.mix(seed.toInt, i) & 0xff)
+      }
+      val d = ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(w, h, luma)).get
+      d.width == w && d.height == h && d.channels == 1 && d.luma.toSeq == luma.toSeq
+    }, tests = 20)
+  }
+
+  test("WAV codec law: encode then decode is the identity on any PCM16 signal") {
+    import graft.sources.AudioCodec
+    val sig = Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+    check(Prop.forAll(sig) { ss =>
+      val samples = ss.toArray
+      val d = AudioCodec.decodeWav(AudioCodec.encodeWavPcm16(samples)).get
+      d.sampleRate == AudioCodec.SampleRate && d.channels == 1 &&
+        d.samples.toSeq == samples.toSeq
+    }, tests = 20)
+  }
+
+  test("video container law: encode/decode round-trips any frame list; truncation keeps a prefix") {
+    import graft.sources.VideoCodec
+    val frames = Gen.listOf(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    check(Prop.forAll(frames, Gen.chooseNum(0, 64)) { (fs, cut) =>
+      val enc = VideoCodec.encodeContainer(fs)
+      val full = VideoCodec.decodeContainer(enc).map(_.toSeq) == fs.map(_.toSeq)
+      // chopping ANY suffix yields a prefix of the frame list, never a throw
+      val chopped = VideoCodec.decodeContainer(enc.dropRight(cut)).map(_.toSeq)
+      full && fs.map(_.toSeq).startsWith(chopped)
+    }, tests = 20)
+  }
+
+  test("resize law: output pixel (x,y) is exactly the integer-NN source sample") {
+    import graft.sources.ImageCodec
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(1, 24), Gen.chooseNum(1, 24),
+      Gen.chooseNum(1, 24), Gen.chooseNum(1, 24), Gen.long)
+    check(Prop.forAll(gen) { case (w, h, ow, oh, seed) =>
+      val src = ImageCodec.texturedLuma(seed, w, h)
+      val assets = Seq((1L, "image", ImageCodec.encodeGrayPng(w, h, src)))
+        .toDF("asset_id", "modality", "payload")
+        .withColumn("meta", struct(lit("image/png").as("mime"),
+          lit(w).as("width"), lit(h).as("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes")))
+      val out = ImageCodec.resizeImages(assets, ow, oh).collect().head
+      val d = ImageCodec.decodeLuma(out.getAs[Array[Byte]]("payload")).get
+      d.width == ow && d.height == oh && (0 until ow * oh).forall { i =>
+        val x = i % ow; val y = i / ow
+        d.luma(i) == src((y * h / oh) * w + x * w / ow)
+      }
+    }, tests = 10)
+  }
 }
