@@ -55,6 +55,16 @@ object MultimodalOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // Perceptual audio near-dup pairs over planted duplicates (exact
+    // copies + 3/4-volume re-levels): decode → envelope hash → banded
+    // self-join. ✗ rows+spec tier like q_image_dedup; semantics pinned
+    // in MultimodalCodecSpec.
+    "q_audio_dedup" -> ((s, d) => {
+      AudioCodec.perceptualDupPairs(
+        AudioCodec.audioHashes(AudioCodec.dedupAssets(s, d)))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Per-audio amplitude stats off a real javax.sound WAV decode.
     "q_audio_stats" -> ((s, d) => {
       AudioCodec.audioStats(AudioCodec.audioAssets(s, d))

@@ -5,6 +5,7 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import scala.util.control.NonFatal
@@ -80,6 +81,94 @@ object AudioCodec {
       }
       Some(DecodedAudio(fmt.getSampleRate.toInt, fmt.getChannels, out))
     } catch { case NonFatal(_) => None }
+  }
+
+  /** Envelope hash — the audio analogue of ImageCodec.aHash64: mean
+    * |amplitude| over 64 equal time windows, bit w set iff
+    * 64 * cell_w > sum(cells) (multiply-through, no division rounding).
+    * The mean threshold makes the hash invariant under exact volume
+    * scaling (cells and their sum scale together — PropertiesSpec pins
+    * the no-clipping doubling case), which is precisely the "same clip,
+    * different loudness" near-dup a corpus actually contains. Windows
+    * use floor boundaries; empty windows (signal shorter than 64
+    * samples) contribute 0. */
+  def envelopeHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    val cells = new Array[Long](64)
+    var sum = 0L
+    var w = 0
+    while (w < 64) {
+      val i0 = w * n / 64
+      val i1 = (w + 1) * n / 64
+      var acc = 0L
+      var i = i0
+      while (i < i1) { acc += math.abs(samples(i).toLong); i += 1 }
+      val cell = if (i1 == i0) 0L else acc / (i1 - i0)
+      cells(w) = cell
+      sum += cell
+      w += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (64L * cells(j) > sum) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  private val hashSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** Per-asset envelope hash off a real WAV decode — feeds
+    * HashBanding.pairs/probe exactly like the image hashes. */
+  def audioHashes(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(hashSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        decodeWav(r.getAs[Array[Byte]]("payload")) match {
+          case Some(d) => Row(id, envelopeHash64(d.samples), true)
+          case None    => Row(id, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Asset family for audio dedup with planted duplicates, mirroring
+    * ImageCodec.dedupAssets: doc_ids ≡ 0 (mod 5) and their ≡ 4 (mod 5)
+    * partner share a sample-plan KEY — bit-identical clips for even
+    * pair index, and ids ≡ 9 (mod 10) get the SAME clip at 3/4 volume
+    * (integer scaling — the envelope hash's invariance target). All
+    * other docs keep their own plan. */
+  def dedupAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(Multimodal.schema))
+    docs.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val key = if (id % 5 == 4) id - 4 else id
+        val n = (128 + ((key * 13) % 192)).toInt
+        val samples = Array.tabulate(n) { i =>
+          val v = sampleAt(key, i)
+          if (id % 10 == 9) (v * 3 / 4).toShort else v
+        }
+        val wav = encodeWavPcm16(samples)
+        Row(id, "audio", wav, Row("audio/wav", null, null, wav.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Perceptual audio near-dup pairs: decode → envelope hash → banded
+    * self-join (HashBanding) — the "same clip, maybe re-levelled"
+    * detector. Same barrier rationale as the image path. */
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val ok = hashes.where(col("ok")).select("asset_id", "ahash")
+      .localCheckpoint(false)
+    HashBanding.pairs(ok, maxHamming)
   }
 
   /** Synthesize the per-document WAV asset table (Multimodal.schema). */

@@ -376,14 +376,6 @@ object ImageCodec {
     }
   }
 
-  /** 4x16-bit band explosion of a hash column — the shared candidate
-    * structure of the self-join dedup and the persisted-index probe. */
-  private def banded(hashes: DataFrame, idAs: String, hashAs: String): DataFrame =
-    hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (shiftrightunsigned(ahash, b * 16) & 65535))"))
-        .as(Seq("band_idx", "band_val")))
-
   // --- Persisted perceptual-hash index lifecycle (the image analogue of
   // the MinHash text index, DedupOps.writeMinhashIndex ff.): build once
   // over the corpus, probe every ingest batch in O(batch), append the
@@ -433,21 +425,15 @@ object ImageCodec {
     * hamming) at hamming <= maxHamming. */
   def dedupImagesAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16 banding only guarantees recall for Hamming <= 3, got $maxHamming")
     val meta = s.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("bands") == 4 && meta.getAs[Int]("bits") == 16,
+    require(meta.getAs[Int]("bands") == HashBanding.Bands &&
+      meta.getAs[Int]("bits") == HashBanding.BandBits,
       s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")})")
     val bHashes = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
     val stored = Tombstones.applyTo(
       s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
-    banded(bHashes, "batch_id", "b_hash")
-      .join(banded(stored, "corpus_id", "c_hash"), Seq("band_idx", "band_val"))
-      .select(col("batch_id"), col("corpus_id"),
-        expr("bit_count(b_hash ^ c_hash)").cast("long").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    HashBanding.probe(bHashes, stored, maxHamming)
   }
 
   /** Perceptual near-duplicate pairs: band the 64-bit aHash into four
@@ -457,8 +443,6 @@ object ImageCodec {
     * text path (DedupOps) — candidates are band-bucketed, never all-pairs,
     * so the join stays linear in bucket sizes at corpus scale. */
   def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16 banding only guarantees recall for Hamming <= 3, got $maxHamming")
     // Barrier before the self-join: the two join branches project the same
     // hashes to different aliases (a_id/b_id), so their exchanges don't
     // canonicalize equal and ReuseExchange can NOT share them — without
@@ -468,13 +452,6 @@ object ImageCodec {
     // sf0.1, local[32], 3-run median: 3.07 s without -> 2.29 s with.
     val ok = hashes.where(col("ok")).select("asset_id", "ahash")
       .localCheckpoint(false)
-    val l = banded(ok, "a_id", "a_hash")
-    val r = banded(ok, "b_id", "b_hash")
-    l.join(r, Seq("band_idx", "band_val"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        expr("bit_count(a_hash ^ b_hash)").cast("long").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    HashBanding.pairs(ok, maxHamming)
   }
 }

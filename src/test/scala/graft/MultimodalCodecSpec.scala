@@ -292,6 +292,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeLuma(same(0).getAs[Array[Byte]]("payload")).get.luma.toSeq === src.toSeq)
   }
 
+  test("audio dedup output == all pairs with true hamming <= 3; planted re-levels found") {
+    val hashes = AudioCodec.audioHashes(AudioCodec.dedupAssets(spark, sf))
+      .where(col("ok")).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      ham = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
+      if ham <= 3
+    } yield (hashes(i)._1, hashes(j)._1, ham.toLong)).toSet
+    val pairs = SparkEntry.queries("q_audio_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === expected)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // exact copies must pair at hamming 0
+    (0L until nDocs by 10).map(m => (m, m + 4)).filter(_._2 < nDocs).foreach { case (a, b) =>
+      assert(pairs.contains((a, b, 0L)), s"exact planted clip pair ($a, $b) missing")
+    }
+    // 3/4-volume re-levels: envelope threshold is scale-invariant up to
+    // integer floors, so most must land under the hamming cap
+    val near = (5L until nDocs by 10).map(m => (m, m + 4)).filter(_._2 < nDocs)
+    val nearFound = near.count(p => pairs.exists(q => q._1 == p._1 && q._2 == p._2))
+    assert(nearFound >= near.size / 2,
+      s"only $nearFound/${near.size} re-levelled clips found")
+  }
+
   test("image hash index lifecycle: build, probe, append, delete, compact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("imghash").toString + "/idx"
@@ -342,7 +367,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
 
   test("multimodal declared queries return rows at sf0.001") {
     Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats",
-      "q_asset_inventory", "q_video_frames", "q_image_knn")
+      "q_audio_dedup", "q_asset_inventory", "q_video_frames", "q_image_knn")
       .foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q returned no rows")
       }

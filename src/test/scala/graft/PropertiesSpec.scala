@@ -410,6 +410,16 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 20)
   }
 
+  test("envelope hash law: invariant under exact volume doubling (no clipping)") {
+    import graft.sources.AudioCodec
+    val sig = Gen.nonEmptyListOf(Gen.chooseNum(-16384, 16383))
+    check(Prop.forAll(sig) { ss =>
+      val quiet = ss.map(_.toShort).toArray
+      val loud = ss.map(v => (v * 2).toShort).toArray
+      AudioCodec.envelopeHash64(quiet) == AudioCodec.envelopeHash64(loud)
+    }, tests = 20)
+  }
+
   test("resize law: output pixel (x,y) is exactly the integer-NN source sample") {
     import graft.sources.ImageCodec
     import spark.implicits._
