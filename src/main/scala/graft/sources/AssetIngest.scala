@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed multimodal ingest loop — what a production pipeline runs
+  * per crawl snapshot at 100 TB: one REAL decode pass gates the batch,
+  * in-batch near-dups collapse to a min-id keeper, survivors are probed
+  * against the persisted perceptual-hash index (O(batch), never
+  * batch x corpus), novel assets land in the corpus store, and their
+  * hashes append to the index so the NEXT snapshot sees them.
+  *
+  * Cost shape: exactly one codec pass over the batch (the lazy-checkpoint
+  * barrier materializes the annotation once; gate, dedup, probe, landing
+  * all read the barriered frame), two band equi-joins linear in batch
+  * size, zero corpus scans beyond the index's hash table.
+  *
+  * Retry discipline: the index append runs AFTER the landing write. A
+  * retried fully-successful batch is self-healing — every asset now
+  * matches its own stored hash at Hamming 0 and is skipped as a
+  * duplicate. A batch that failed BETWEEN landing and index append will
+  * re-land its files on retry (overwrite by batch partition would make
+  * that idempotent — pair with StreamingOps.idempotentBatchAppend's
+  * dynamic-partition pattern, or gate re-runs with Ledger.step, which is
+  * exactly what BuildPipelineSpec demonstrates for features).
+  */
+object AssetIngest {
+
+  final case class IngestReport(admitted: Long, inBatchDups: Long,
+    corpusDups: Long, undecodable: Long)
+
+  private def storedHashes(s: SparkSession, indexDir: String): DataFrame = {
+    val p = new Path(s"$indexDir/hashes")
+    val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    if (exists) Tombstones.applyTo(s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
+    else {
+      import s.implicits._
+      Seq.empty[(Long, Long)].toDF("asset_id", "ahash")
+    }
+  }
+
+  /** Run one ingest cycle over an image batch (`asset_id`, `payload`).
+    * Lands admitted assets (payload + decoded dims) under `dataDir`,
+    * appends their hashes to `indexDir`, returns the accounting. */
+  def ingestImageBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      dataDir: String, maxHamming: Int = 3,
+      minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
+    require(1 <= minSide && minSide <= maxSide,
+      s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
+    // ONE decode pass, materialized once (see scaladoc)
+    val ann = ImageCodec.annotateWithHash(batch).localCheckpoint(false)
+    val total = ann.count()
+    val valid = ann.where(col("ok") &&
+      col("width").between(minSide, maxSide) &&
+      col("height").between(minSide, maxSide))
+    val hashes = valid.select(col("asset_id"), col("ahash"))
+    // in-batch collapse: greedy min-id keeper — any asset pairing with a
+    // smaller id is dropped (chains collapse toward their least id;
+    // full-cluster semantics would be DedupOps.connectedComponents, which
+    // a snapshot-sized batch rarely needs)
+    val inBatchLosers = HashBanding.pairs(hashes, maxHamming)
+      .select(col("b_id").as("asset_id")).distinct()
+    val keepers = valid.join(inBatchLosers, Seq("asset_id"), "left_anti")
+    // corpus probe: linear in batch, tombstone-aware
+    val corpusDupIds = HashBanding.probe(
+        keepers.select(col("asset_id"), col("ahash")),
+        storedHashes(s, indexDir), maxHamming)
+      .select(col("batch_id").as("asset_id")).distinct()
+    val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
+      .localCheckpoint(false) // landing + index append + count read it once
+    val nNovel = novel.count()
+    novel.select("asset_id", "payload", "width", "height", "channels")
+      .write.mode("append").parquet(s"$dataDir/assets")
+    val metaPath = new Path(s"$indexDir/meta")
+    if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)) {
+      import s.implicits._
+      Seq((HashBanding.Bands, HashBanding.BandBits)).toDF("bands", "bits")
+        .write.mode("overwrite").parquet(s"$indexDir/meta")
+    }
+    novel.select("asset_id", "ahash").write.mode("append").parquet(s"$indexDir/hashes")
+    val nValid = valid.count()
+    val nKeepers = keepers.count()
+    IngestReport(
+      admitted = nNovel,
+      inBatchDups = nValid - nKeepers,
+      corpusDups = nKeepers - nNovel,
+      undecodable = total - nValid)
+  }
+}

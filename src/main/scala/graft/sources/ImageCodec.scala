@@ -289,6 +289,35 @@ object ImageCodec {
     }(enc)
   }
 
+  private val annotatedHashSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("ahash", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** ONE decode pass emitting payload + dimensions + perceptual hash —
+    * the ingest loop's workhorse (decode is the expensive step; gate,
+    * dedup, and landing all read from this single annotation). */
+  def annotateWithHash(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedHashSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeLuma(payload) match {
+          case Some(d) =>
+            Row(id, payload, Int.box(d.width), Int.box(d.height),
+              Int.box(d.channels), Long.box(aHash64(d)), true)
+          case None => Row(id, payload, null, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
   private val hashSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("ahash", LongType, nullable = true),

@@ -365,6 +365,42 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
   }
 
+  test("composed ingest loop: gate, in-batch dedup, corpus probe, land, index append, retry") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    def img(id: Long, key: Long): (Long, Array[Byte]) =
+      (id, ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20)))
+    def df(rows: (Long, Array[Byte])*) = rows.toDF("asset_id", "payload")
+
+    // batch 1: 3 novel, 1 in-batch dup (key 2 twice), 1 corrupt, 1 too small
+    val tiny = (60L, ImageCodec.encodeGrayPng(4, 4, Array.fill(16)(9)))
+    val b1 = df(img(1L, 1L), img(2L, 2L), img(3L, 3L), img(4L, 2L),
+      (5L, Array[Byte](1, 2, 3)), tiny)
+    val r1 = AssetIngest.ingestImageBatch(spark, b1, indexDir, dataDir)
+    assert(r1 === AssetIngest.IngestReport(admitted = 3, inBatchDups = 1,
+      corpusDups = 0, undecodable = 2))
+    val landed1 = spark.read.parquet(s"$dataDir/assets")
+    assert(landed1.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(landed1.where($"width" === 20 && $"height" === 20).count() === 3)
+
+    // batch 2: 1 novel, 2 corpus dups (key 1 again, key 3 again)
+    val r2 = AssetIngest.ingestImageBatch(spark, df(img(10L, 7L), img(11L, 1L), img(12L, 3L)),
+      indexDir, dataDir)
+    assert(r2 === AssetIngest.IngestReport(1, 0, 2, 0))
+
+    // retried fully-successful batch: self-healing — everything a corpus dup
+    val r3 = AssetIngest.ingestImageBatch(spark, df(img(10L, 7L)), indexDir, dataDir)
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+    assert(spark.read.parquet(s"$dataDir/assets").count() === 4)
+
+    // takedown flows through: delete key 3's asset, its copy re-admits
+    ImageCodec.deleteFromImageHashIndex(spark, Seq(3L).toDF("asset_id"), indexDir)
+    val r4 = AssetIngest.ingestImageBatch(spark, df(img(20L, 3L)), indexDir, dataDir)
+    assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
+  }
+
   test("multimodal declared queries return rows at sf0.001") {
     Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats",
       "q_audio_dedup", "q_asset_inventory", "q_video_frames", "q_image_knn")
