@@ -171,6 +171,61 @@ object AudioCodec {
     HashBanding.pairs(ok, maxHamming)
   }
 
+  /** REAL codec for the Multimodal.extractFeatures seam on audio
+    * payloads: the normalized amplitude envelope over `dim` time windows
+    * (mean |amplitude| / 32768), the audio twin of
+    * ImageCodec.ImageFeatureCodec. Undecodable payloads return the
+    * all-zero vector. */
+  object AudioFeatureCodec extends Multimodal.Codec {
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"feature dim must be >= 1, got $dim")
+      decodeWav(payload) match {
+        case Some(d) =>
+          val n = d.samples.length
+          val out = new Array[Float](dim)
+          var w = 0
+          while (w < dim) {
+            val i0 = w * n / dim
+            val i1 = (w + 1) * n / dim
+            var acc = 0L
+            var i = i0
+            while (i < i1) { acc += math.abs(d.samples(i).toLong); i += 1 }
+            out(w) = if (i1 == i0) 0f else (acc.toDouble / (i1 - i0) / 32768.0).toFloat
+            w += 1
+          }
+          out
+        case None => new Array[Float](dim)
+      }
+    }
+  }
+
+  private val annotatedSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** Payload-preserving decode annotation (streaming-gate engine, the
+    * audio twin of ImageCodec.annotateDecoded). */
+  def annotateDecoded(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeWav(payload) match {
+          case Some(d) =>
+            Row(id, payload, Int.box(d.sampleRate), Int.box(d.channels),
+              Int.box(d.samples.length), true)
+          case None => Row(id, payload, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize the per-document WAV asset table (Multimodal.schema). */
   def audioAssets(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "n_chars")

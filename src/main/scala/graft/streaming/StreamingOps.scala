@@ -377,6 +377,19 @@ object StreamingOps {
       .drop("ok")
   }
 
+  /** Streaming audio ingestion gate — imageGateStream's twin: real WAV
+    * decode per micro-batch, admit only PCM16 assets whose sample count
+    * lands inside [minSamples, maxSamples] (duration envelope). Stateless;
+    * corrupt/unsupported payloads become dropped rows. */
+  def audioGateStream(assets: DataFrame, minSamples: Int = 1,
+      maxSamples: Int = 16000 * 60 * 10): DataFrame = {
+    require(1 <= minSamples && minSamples <= maxSamples,
+      s"need 1 <= minSamples <= maxSamples, got ($minSamples, $maxSamples)")
+    graft.sources.AudioCodec.annotateDecoded(assets)
+      .where(col("ok") && col("n_samples").between(minSamples, maxSamples))
+      .drop("ok")
+  }
+
   /** Streaming curation: the CurationPipeline composition on an ingest
     * stream — redact and quality-gate are stateless per-row maps (they
     * run unchanged in a micro-batch), and the dedup stage is the

@@ -365,6 +365,30 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
   }
 
+  test("audioGateStream admits only PCM16 in-envelope clips; AudioFeatureCodec normalizes envelope") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = AudioCodec.encodeWavPcm16(Array.tabulate(500)(i => AudioCodec.sampleAt(1L, i)))
+    val short = AudioCodec.encodeWavPcm16(Array.tabulate(10)(i => AudioCodec.sampleAt(2L, i)))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData((1L, good), (2L, short), (3L, Array[Byte](9, 9)), (4L, null))
+    val gated = graft.streaming.StreamingOps.audioGateStream(
+      mem.toDF.toDF("asset_id", "payload"), minSamples = 100, maxSamples = 1000)
+    val q = gated.writeStream.format("memory").queryName("aud_gate")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("aud_gate").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getInt(out.head.fieldIndex("n_samples")) === 500)
+    // feature codec: constant-amplitude clip → flat envelope at |v|/32768
+    val const = AudioCodec.encodeWavPcm16(Array.fill(256)(8192.toShort))
+    val f = AudioCodec.AudioFeatureCodec.features(const, 8)
+    assert(f.toSeq === Seq.fill(8)(8192f / 32768f))
+    assert(AudioCodec.AudioFeatureCodec.features(Array[Byte](1), 8).forall(_ == 0f))
+  }
+
   test("composed ingest loop: gate, in-batch dedup, corpus probe, land, index append, retry") {
     import graft.sources.AssetIngest
     import spark.implicits._
