@@ -103,12 +103,14 @@ object MultimodalOps {
         .limit(10)
     }),
 
-    // Corpus inventory across all three modalities: per-modality asset
+    // Corpus inventory across all FOUR modalities: per-modality asset
     // count and total DECODED logical bytes (text: payload octets; image:
-    // pixels x channels; audio: 2 bytes per sample) — the numbers a
-    // training-mix planner actually budgets with. Container sizes (PNG
-    // deflate output) are deliberately NOT the metric: they are
-    // codec-version-dependent, logical size is not.
+    // pixels x channels; audio: 2 bytes per sample; video: decoded frame
+    // pixels summed over the container) — the numbers a training-mix
+    // planner actually budgets with. Container sizes (PNG deflate output)
+    // are deliberately NOT the metric: they are codec-version-dependent,
+    // logical size is not. Video counts one asset per container but
+    // decodes every frame for its byte total.
     "q_asset_inventory" -> ((s, d) => {
       val text = Multimodal.assetsFromDocuments(s, d)
         .select(col("modality"), octet_length(col("payload")).cast("long").as("logical_bytes"))
@@ -120,7 +122,11 @@ object MultimodalOps {
         .where(col("ok"))
         .select(lit("audio").as("modality"),
           (col("n_samples") * lit(2L)).as("logical_bytes"))
-      text.unionByName(image).unionByName(audio)
+      val video = VideoCodec.videoFrameStats(VideoCodec.videoAssets(s, d))
+        .groupBy("asset_id")
+        .agg(sum(col("width") * col("height")).as("logical_bytes"))
+        .select(lit("video").as("modality"), col("logical_bytes"))
+      text.unionByName(image).unionByName(audio).unionByName(video)
         .groupBy("modality")
         .agg(count(lit(1)).as("n_assets"), sum("logical_bytes").as("total_bytes"))
         .orderBy("modality")
@@ -210,14 +216,24 @@ object MultimodalOps {
       """WITH img AS (
         |  SELECT (8 + (n_chars % 24)) * (8 + (doc_id % 24)) AS npix FROM documents),
         |aud AS (
-        |  SELECT 64 + ((n_chars * 7 + doc_id) % 192) AS n FROM documents)
+        |  SELECT 64 + ((n_chars * 7 + doc_id) % 192) AS n FROM documents),
+        |vidg AS (
+        |  SELECT doc_id, n_chars,
+        |         unnest(generate_series(0, CAST(2 + (doc_id % 4) - 1 AS BIGINT))) AS f
+        |  FROM documents),
+        |vid AS (
+        |  SELECT doc_id,
+        |         sum((8 + ((n_chars + f) % 24)) * (8 + ((doc_id + f * 1000003) % 24))) AS vbytes
+        |  FROM vidg GROUP BY doc_id)
         |SELECT modality, n_assets, total_bytes FROM (
         |  SELECT 'audio' AS modality, CAST(count(*) AS BIGINT) AS n_assets,
         |         CAST(sum(2 * n) AS BIGINT) AS total_bytes FROM aud
         |  UNION ALL
         |  SELECT 'image', CAST(count(*) AS BIGINT), CAST(sum(npix) AS BIGINT) FROM img
         |  UNION ALL
-        |  SELECT 'text', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM documents)
+        |  SELECT 'text', CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'video', CAST(count(*) AS BIGINT), CAST(sum(vbytes) AS BIGINT) FROM vid)
         |ORDER BY modality""".stripMargin,
   )
 }

@@ -425,6 +425,35 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
 
+  test("decoded image features slot into the existing IVF index lifecycle") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    // textured assets → informative feature vectors (two-tone histograms
+    // would tie everywhere, G17's lesson applied to retrieval)
+    val feats = Multimodal.extractFeatures(
+      ImageCodec.dedupAssets(spark, sf), ImageCodec.ImageFeatureCodec, dim = 16,
+      partitionsOverride = Some(4))
+      .select(col("asset_id").as("vec_id"), col("modality").as("label"),
+        col("features").as("embedding"))
+      .localCheckpoint(false)
+    val (cb, postings) = VectorOps.ivfIndex(feats, cells = 4, iters = 2)
+    val got = VectorOps.ivfSearch(cb, postings, queryId = 1L, nprobe = 2, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size === 10)
+    // brute-force ground truth over the same features
+    val rows = feats.collect().map(r => (r.getLong(0), r.getSeq[Float](2).toArray))
+    val qv = rows.find(_._1 == 1L).get._2
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val exact = rows.filter(_._1 != 1L)
+      .sortBy { case (id, v) => (-dot(v, qv), id) }.take(10).map(_._1).toSet
+    val recall = got.intersect(exact).size / 10.0
+    assert(recall >= 0.5, s"IVF recall over image features $recall < 0.5")
+  }
+
   test("multimodal declared queries return rows at sf0.001") {
     Seq("q_image_stats", "q_image_hist", "q_image_dedup", "q_audio_stats",
       "q_audio_dedup", "q_asset_inventory", "q_video_frames", "q_image_knn")
