@@ -45,10 +45,10 @@ object MultimodalOps {
         .orderBy("bucket")
     }),
 
-    // Perceptual near-dup pairs over planted duplicates: decode → aHash →
-    // 4x16-bit band join → exact popcount verify. ✗ rows+spec tier (the
-    // aHash is an engine hash, same designation as q_dedup_simhash);
-    // semantics pinned in MultimodalCodecSpec.
+    // Perceptual near-dup pairs over planted duplicates: decode → 256-bit
+    // aHash → 16x16-bit band join → exact popcount verify. ✗ rows+spec
+    // tier (the aHash is an engine hash, same designation as
+    // q_dedup_simhash); semantics pinned in MultimodalCodecSpec.
     "q_image_dedup" -> ((s, d) => {
       ImageCodec.perceptualDupPairs(
         ImageCodec.imageHashes(ImageCodec.dedupAssets(s, d)))

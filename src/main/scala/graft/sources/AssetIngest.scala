@@ -33,10 +33,14 @@ object AssetIngest {
   private def storedHashes(s: SparkSession, indexDir: String): DataFrame = {
     val p = new Path(s"$indexDir/hashes")
     val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    if (exists) Tombstones.applyTo(s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
-    else {
+    if (exists) {
+      // same guard as dedupImagesAgainstIndex: probing a differently-banded
+      // index would silently lose the Hamming recall guarantee
+      ImageCodec.requireBandingMeta(s, indexDir)
+      Tombstones.applyTo(s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
+    } else {
       import s.implicits._
-      Seq.empty[(Long, Long)].toDF("asset_id", "ahash")
+      Seq.empty[(Long, Array[Long])].toDF("asset_id", "ahash")
     }
   }
 
@@ -44,7 +48,7 @@ object AssetIngest {
     * Lands admitted assets (payload + decoded dims) under `dataDir`,
     * appends their hashes to `indexDir`, returns the accounting. */
   def ingestImageBatch(s: SparkSession, batch: DataFrame, indexDir: String,
-      dataDir: String, maxHamming: Int = 3,
+      dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
     require(1 <= minSide && minSide <= maxSide,
       s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")

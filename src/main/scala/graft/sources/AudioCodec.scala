@@ -83,23 +83,27 @@ object AudioCodec {
     } catch { case NonFatal(_) => None }
   }
 
-  /** Envelope hash — the audio analogue of ImageCodec.aHash64: mean
-    * |amplitude| over 64 equal time windows, bit w set iff
-    * 64 * cell_w > sum(cells) (multiply-through, no division rounding).
+  /** Envelope hash — the audio analogue of ImageCodec.aHash256: mean
+    * |amplitude| over 256 equal time windows, 256 bits as 4 little-endian
+    * longs (HashBanding's word layout), bit w set iff
+    * 256 * cell_w > sum(cells) (multiply-through, no division rounding).
     * The mean threshold makes the hash invariant under exact volume
-    * scaling (cells and their sum scale together — PropertiesSpec pins
-    * the no-clipping doubling case), which is precisely the "same clip,
-    * different loudness" near-dup a corpus actually contains. Windows
-    * use floor boundaries; empty windows (signal shorter than 64
-    * samples) contribute 0. */
-  def envelopeHash64(samples: Array[Short]): Long = {
+    * scaling: for signals of at most 256 samples every window holds 0 or
+    * 1 samples, cells equal |sample| with NO per-window floor, so a
+    * no-clipping doubling is EXACTLY invariant (PropertiesSpec pins it);
+    * longer signals floor each window mean, so re-levels drift by a few
+    * bits — which is precisely what the banded Hamming threshold absorbs.
+    * Windows use floor boundaries; empty windows contribute 0. 256 bits
+    * rather than r8's 64 for the same banding-entropy reason as the
+    * image hash (see HashBanding's scaladoc). */
+  def envelopeHash256(samples: Array[Short]): Array[Long] = {
     val n = samples.length
-    val cells = new Array[Long](64)
+    val cells = new Array[Long](256)
     var sum = 0L
     var w = 0
-    while (w < 64) {
-      val i0 = w * n / 64
-      val i1 = (w + 1) * n / 64
+    while (w < 256) {
+      val i0 = w * n / 256
+      val i1 = (w + 1) * n / 256
       var acc = 0L
       var i = i0
       while (i < i1) { acc += math.abs(samples(i).toLong); i += 1 }
@@ -108,10 +112,10 @@ object AudioCodec {
       sum += cell
       w += 1
     }
-    var hash = 0L
+    val hash = new Array[Long](HashBanding.Words)
     var j = 0
-    while (j < 64) {
-      if (64L * cells(j) > sum) hash |= (1L << j)
+    while (j < 256) {
+      if (256L * cells(j) > sum) hash(j >> 6) |= (1L << (j & 63))
       j += 1
     }
     hash
@@ -119,7 +123,7 @@ object AudioCodec {
 
   private val hashSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
-    StructField("ahash", LongType, nullable = true),
+    StructField("ahash", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("ok", BooleanType, nullable = false),
   ))
 
@@ -131,7 +135,7 @@ object AudioCodec {
       it.map { r =>
         val id = r.getLong(0)
         decodeWav(r.getAs[Array[Byte]]("payload")) match {
-          case Some(d) => Row(id, envelopeHash64(d.samples), true)
+          case Some(d) => Row(id, envelopeHash256(d.samples), true)
           case None    => Row(id, null, false)
         }
       }
@@ -165,7 +169,8 @@ object AudioCodec {
   /** Perceptual audio near-dup pairs: decode → envelope hash → banded
     * self-join (HashBanding) — the "same clip, maybe re-levelled"
     * detector. Same barrier rationale as the image path. */
-  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualDupPairs(hashes: DataFrame,
+      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
     val ok = hashes.where(col("ok")).select("asset_id", "ahash")
       .localCheckpoint(false)
     HashBanding.pairs(ok, maxHamming)

@@ -120,23 +120,28 @@ object ImageCodec {
     } catch { case NonFatal(_) => None }
   }
 
-  /** Average-hash (aHash) over an 8x8 block-mean downsample of the luma
-    * plane: bit i set iff 64 * cell_i > sum(cells) — the multiply-through
-    * form avoids any division/rounding convention, so the hash is
-    * bit-reproducible everywhere. Blocks use floor boundaries; an empty
-    * block (image smaller than 8x8) contributes 0. [PK: average hash as in
+  /** Average-hash (aHash) over a 16x16 block-mean downsample of the luma
+    * plane, 256 bits as 4 little-endian longs (bit i = word i/64, position
+    * i%64 — HashBanding's word layout): bit i set iff 256 * cell_i >
+    * sum(cells) — the multiply-through form avoids any division/rounding
+    * convention, so the hash is bit-reproducible everywhere. Blocks use
+    * floor boundaries; an empty block (image narrower/shorter than 16)
+    * contributes 0. 256 bits rather than r8's 64 so the banded dedup
+    * join keeps exact recall to Hamming <= 15 AND band values carry
+    * enough entropy that natural corpora spread across buckets (the r8
+    * scale-killer — see HashBanding's scaladoc). [PK: average hash as in
     * the public pHash/dHash family of perceptual image fingerprints.] */
-  def aHash64(d: DecodedImage): Long = {
-    val cells = new Array[Long](64)
+  def aHash256(d: DecodedImage): Array[Long] = {
+    val cells = new Array[Long](256)
     var sum = 0L
     var by = 0
-    while (by < 8) {
-      val y0 = by * d.height / 8
-      val y1 = (by + 1) * d.height / 8
+    while (by < 16) {
+      val y0 = by * d.height / 16
+      val y1 = (by + 1) * d.height / 16
       var bx = 0
-      while (bx < 8) {
-        val x0 = bx * d.width / 8
-        val x1 = (bx + 1) * d.width / 8
+      while (bx < 16) {
+        val x0 = bx * d.width / 16
+        val x1 = (bx + 1) * d.width / 16
         var acc = 0L
         var cnt = 0L
         var y = y0
@@ -146,16 +151,16 @@ object ImageCodec {
           y += 1
         }
         val cell = if (cnt == 0) 0L else acc / cnt
-        cells(by * 8 + bx) = cell
+        cells(by * 16 + bx) = cell
         sum += cell
         bx += 1
       }
       by += 1
     }
-    var hash = 0L
+    val hash = new Array[Long](HashBanding.Words)
     var i = 0
-    while (i < 64) {
-      if (64L * cells(i) > sum) hash |= (1L << i)
+    while (i < 256) {
+      if (256L * cells(i) > sum) hash(i >> 6) |= (1L << (i & 63))
       i += 1
     }
     hash
@@ -295,7 +300,7 @@ object ImageCodec {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("channels", IntegerType, nullable = true),
-    StructField("ahash", LongType, nullable = true),
+    StructField("ahash", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("ok", BooleanType, nullable = false),
   ))
 
@@ -311,7 +316,7 @@ object ImageCodec {
         decodeLuma(payload) match {
           case Some(d) =>
             Row(id, payload, Int.box(d.width), Int.box(d.height),
-              Int.box(d.channels), Long.box(aHash64(d)), true)
+              Int.box(d.channels), aHash256(d), true)
           case None => Row(id, payload, null, null, null, null, false)
         }
       }
@@ -320,20 +325,20 @@ object ImageCodec {
 
   private val hashSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
-    StructField("ahash", LongType, nullable = true),
+    StructField("ahash", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("ok", BooleanType, nullable = false),
   ))
 
-  /** Per-asset perceptual hash (decode + aHash64) — the image analogue of
-    * graft_simhash: one long per asset off the scan, ready for banded
-    * self-join dedup. */
+  /** Per-asset perceptual hash (decode + aHash256) — the image analogue
+    * of graft_simhash: one 4-long array per asset off the scan, ready for
+    * banded self-join dedup. */
   def imageHashes(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(hashSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         decodeLuma(r.getAs[Array[Byte]]("payload")) match {
-          case Some(d) => Row(id, aHash64(d), true)
+          case Some(d) => Row(id, aHash256(d), true)
           case None    => Row(id, null, false)
         }
       }
@@ -419,7 +424,8 @@ object ImageCodec {
     imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
     import s.implicits._
-    Seq((4, 16)).toDF("bands", "bits").write.mode("overwrite").parquet(s"$dir/meta")
+    Seq((HashBanding.Bands, HashBanding.BandBits)).toDF("bands", "bits")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Assign-only append: hash the batch with the same (deterministic)
@@ -427,11 +433,21 @@ object ImageCodec {
     * owns id uniqueness (Ledger discipline; a retried batch duplicates
     * rows — same contract as every other index append). */
   def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
-    val meta = s.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("bands") == 4 && meta.getAs[Int]("bits") == 16,
-      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")})")
+    requireBandingMeta(s, dir)
     imageHashes(batch).where(col("ok")).select("asset_id", "ahash")
       .write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Fail loudly on an index written under different band semantics — a
+    * probe through mismatched banding would silently lose the
+    * Hamming <= 15 recall guarantee. Shared by every reader/appender
+    * (including AssetIngest's probe path). */
+  private[sources] def requireBandingMeta(s: SparkSession, dir: String): Unit = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("bands") == HashBanding.Bands &&
+      meta.getAs[Int]("bits") == HashBanding.BandBits,
+      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")}" +
+        s", this engine is ${HashBanding.Bands}x${HashBanding.BandBits})")
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids
@@ -453,11 +469,8 @@ object ImageCodec {
     * verified with an exact popcount. Returns (batch_id, corpus_id,
     * hamming) at hamming <= maxHamming. */
   def dedupImagesAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val meta = s.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("bands") == HashBanding.Bands &&
-      meta.getAs[Int]("bits") == HashBanding.BandBits,
-      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")})")
+      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+    requireBandingMeta(s, dir)
     val bHashes = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
     val stored = Tombstones.applyTo(
@@ -465,13 +478,15 @@ object ImageCodec {
     HashBanding.probe(bHashes, stored, maxHamming)
   }
 
-  /** Perceptual near-duplicate pairs: band the 64-bit aHash into four
-    * 16-bit keys (pigeonhole: Hamming distance <= 3 guarantees at least
+  /** Perceptual near-duplicate pairs: band the 256-bit aHash into sixteen
+    * 16-bit keys (pigeonhole: Hamming distance <= 15 guarantees at least
     * one identical band), equi-join per band for candidates, then verify
-    * with an exact popcount on the XOR. Identical shape to the SimHash
-    * text path (DedupOps) — candidates are band-bucketed, never all-pairs,
-    * so the join stays linear in bucket sizes at corpus scale. */
-  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * with an exact popcount over the XOR words. Identical shape to the
+    * SimHash text path (DedupOps) — candidates are band-bucketed, never
+    * all-pairs, so the join stays linear in bucket sizes at corpus scale
+    * (and HashBanding's bucket cap fails loudly on degenerate corpora
+    * instead of going quadratic). */
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
     // Barrier before the self-join: the two join branches project the same
     // hashes to different aliases (a_id/b_id), so their exchanges don't
     // canonicalize equal and ReuseExchange can NOT share them — without

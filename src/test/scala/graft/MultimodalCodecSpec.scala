@@ -71,13 +71,15 @@ class MultimodalCodecSpec extends AnyFunSuite {
   }
 
   test("aHash is invariant under re-encode and sensitive to different textures") {
+    import graft.sources.HashBanding
     val luma = ImageCodec.texturedLuma(123L, 24, 24)
-    val h1 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
-    val h2 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
-    assert(h1 === h2)
+    val h1 = ImageCodec.aHash256(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
+    val h2 = ImageCodec.aHash256(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, luma)).get)
+    assert(h1.toSeq === h2.toSeq)
     val other = ImageCodec.texturedLuma(124L, 24, 24)
-    val h3 = ImageCodec.aHash64(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, other)).get)
-    assert(java.lang.Long.bitCount(h1 ^ h3) > 3, "distinct textures must not collide")
+    val h3 = ImageCodec.aHash256(ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(24, 24, other)).get)
+    assert(HashBanding.hamming(h1, h3) > HashBanding.DefaultMaxHamming,
+      "distinct textures must not collide")
   }
 
   // ---- Spark-side: declared queries' engine paths ----
@@ -116,18 +118,22 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("sum_luma")))
   }
 
-  test("perceptual dedup output == all pairs with true hamming <= 3 (banding recall is exact)") {
-    // The engine's contract: 4x16-bit banding + popcount filter returns
-    // EXACTLY the pairs at Hamming distance <= 3 (pigeonhole guarantees
-    // every such pair shares a band). Compute the ground truth locally
-    // from the same deterministic assets and compare as sets.
+  test("perceptual dedup output == all pairs with true hamming <= threshold (banding recall is exact)") {
+    // The engine's contract: 16x16-bit banding + popcount filter returns
+    // EXACTLY the pairs at Hamming distance <= threshold (pigeonhole
+    // guarantees every pair at <= 15 shares a band). Compute the ground
+    // truth locally from the same deterministic assets and compare as
+    // sets.
+    import graft.sources.HashBanding
+    val t = HashBanding.DefaultMaxHamming
     val hashes = ImageCodec.imageHashes(ImageCodec.dedupAssets(spark, sf))
-      .where(col("ok")).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .where(col("ok")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val expected = (for {
       i <- hashes.indices.iterator
       j <- (i + 1) until hashes.length
-      ham = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
-      if ham <= 3
+      ham = HashBanding.hamming(hashes(i)._2, hashes(j)._2)
+      if ham <= t
     } yield (hashes(i)._1, hashes(j)._1, ham.toLong)).toSet
     val pairs = ImageCodec.perceptualDupPairs(
       ImageCodec.imageHashes(ImageCodec.dedupAssets(spark, sf)))
@@ -144,12 +150,38 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val near = (5L until nDocs by 10).map(m => (m, m + 4)).filter(_._2 < nDocs)
     val nearFound = near.count(p => pairs.exists(q => q._1 == p._1 && q._2 == p._2))
     assert(nearFound >= near.size / 2,
-      s"only $nearFound/${near.size} near-dup plantings under hamming 3 — perturbation too strong")
+      s"only $nearFound/${near.size} near-dup plantings under the threshold — perturbation too strong")
     // distinct textures must not collide: no more than a handful of
     // non-planted pairs
     val plantedSet = (exact ++ near).toSet
     val spurious = pairs.filterNot(p => plantedSet.contains((p._1, p._2)))
     assert(spurious.size <= 5, s"${spurious.size} spurious pairs: $spurious")
+  }
+
+  test("banding recall law: every pair within Hamming <= 15 is recovered at its exact distance") {
+    import graft.sources.HashBanding
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 40 planted pairs: a random 256-bit hash and a copy with 0..15
+    // distinct bit flips — pigeonhole (16 bands) must recover every one
+    val planted = (0 until 40).map { i =>
+      val a = Array.fill(HashBanding.Words)(rnd.nextLong())
+      val flips = rnd.shuffle((0 until 256).toList)
+        .take(rnd.nextInt(HashBanding.MaxGuaranteedHamming + 1))
+      val b = a.clone()
+      flips.foreach(p => b(p >> 6) ^= (1L << (p & 63)))
+      (i.toLong, a, b, flips.size.toLong)
+    }
+    val df = planted.flatMap { case (i, a, b, _) => Seq((2 * i, a), (2 * i + 1, b)) }
+      .toDF("asset_id", "ahash")
+    val got = HashBanding.pairs(df, HashBanding.MaxGuaranteedHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    planted.foreach { case (i, _, _, d) =>
+      assert(got.contains((2 * i, 2 * i + 1, d)),
+        s"planted pair at hamming $d not recovered — banding recall broken")
+    }
+    // and nothing else: distinct random 256-bit hashes sit ~128 bits apart
+    assert(got.size === planted.count(_._4 <= HashBanding.MaxGuaranteedHamming))
   }
 
   test("audioStats matches the closed-form sample plan (real decode)") {
@@ -292,14 +324,17 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeLuma(same(0).getAs[Array[Byte]]("payload")).get.luma.toSeq === src.toSeq)
   }
 
-  test("audio dedup output == all pairs with true hamming <= 3; planted re-levels found") {
+  test("audio dedup output == all pairs with true hamming <= threshold; planted re-levels found") {
+    import graft.sources.HashBanding
+    val t = HashBanding.DefaultMaxHamming
     val hashes = AudioCodec.audioHashes(AudioCodec.dedupAssets(spark, sf))
-      .where(col("ok")).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .where(col("ok")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val expected = (for {
       i <- hashes.indices.iterator
       j <- (i + 1) until hashes.length
-      ham = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2)
-      if ham <= 3
+      ham = HashBanding.hamming(hashes(i)._2, hashes(j)._2)
+      if ham <= t
     } yield (hashes(i)._1, hashes(j)._1, ham.toLong)).toSet
     val pairs = SparkEntry.queries("q_audio_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -226,6 +226,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(units === 400 && groups > 2, s"expected >2 (source,chunk) units, got $groups")
   }
 
+  test("perceptual banding: a degenerate low-texture flood trips the loud bucket cap") {
+    // G17's lesson at engine level: two-tone rasters collapse the aHash
+    // into ~one value per split point, so band buckets flood and the
+    // band self-join would go quadratic. The r9 engine must FAIL LOUDLY
+    // at the configured bucket cap instead of silently blowing up.
+    import graft.sources.{HashBanding, ImageCodec}
+    import spark.implicits._
+    val hashes = (0L until 200L).map { i =>
+      val luma = Array.tabulate(256)(p => if (p < 28 + i) 40 else 200)
+      val d = ImageCodec.decodeLuma(ImageCodec.encodeGrayPng(16, 16, luma)).get
+      (i, ImageCodec.aHash256(d))
+    }.toDF("asset_id", "ahash")
+    val ex = intercept[Exception] {
+      HashBanding.pairs(hashes, maxHamming = 8, maxBucket = 50).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(t => t.getMessage != null &&
+      t.getMessage.contains("HashBanding")),
+      s"expected the HashBanding bucket-cap error, got: $ex")
+
+    // a textured corpus of the same size sails through the same cap:
+    // 256-bit hashes spread band values, buckets stay tiny
+    val textured = (0L until 200L).map { i =>
+      val d = ImageCodec.decodeLuma(
+        ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(i, 16, 16))).get
+      (i, ImageCodec.aHash256(d))
+    }.toDF("asset_id", "ahash")
+    val pairs = HashBanding.pairs(textured, maxHamming = 8, maxBucket = 50).collect()
+    assert(pairs.isEmpty, s"distinct textures produced pairs: ${pairs.mkString(",")}")
+  }
+
   test("zone-map skipping: range-sorted layout prunes files, unsorted reads all, answers equal") {
     val sf = "/root/testdata/sf0.01"
     val orders = Tables.orders(spark, sf)
