@@ -36,7 +36,7 @@ object AssetIngest {
     if (exists) {
       // same guard as dedupImagesAgainstIndex: probing a differently-banded
       // index would silently lose the Hamming recall guarantee
-      ImageCodec.requireBandingMeta(s, indexDir)
+      HashBanding.requireMeta(s, indexDir)
       Tombstones.applyTo(s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
     } else {
       import s.implicits._
@@ -77,11 +77,8 @@ object AssetIngest {
     novel.select("asset_id", "payload", "width", "height", "channels")
       .write.mode("append").parquet(s"$dataDir/assets")
     val metaPath = new Path(s"$indexDir/meta")
-    if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)) {
-      import s.implicits._
-      Seq((HashBanding.Bands, HashBanding.BandBits)).toDF("bands", "bits")
-        .write.mode("overwrite").parquet(s"$indexDir/meta")
-    }
+    if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
+      HashBanding.writeMeta(s, indexDir)
     novel.select("asset_id", "ahash").write.mode("append").parquet(s"$indexDir/hashes")
     val nValid = valid.count()
     val nKeepers = keepers.count()

@@ -56,7 +56,13 @@ object AudioCodec {
     out.toByteArray
   }
 
-  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Short])
+  /** `samples` is the raw interleaved 16-bit stream; [[frames]] is the
+    * per-channel sample count — the quantity duration envelopes must use
+    * (for multichannel input, samples.length is `channels` times the
+    * clip duration in samples). */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Short]) {
+    def frames: Int = samples.length / channels
+  }
 
   /** Real decode via AudioSystem. Handles 16-bit signed PCM (either
     * endianness); anything else — or a corrupt container — returns None,
@@ -166,6 +172,59 @@ object AudioCodec {
     }(enc)
   }
 
+  // --- Persisted envelope-hash index lifecycle — the audio twin of
+  // ImageCodec's image-hash index, so a crawl pipeline ingesting audio
+  // snapshots probes the corpus in O(batch) instead of re-hashing it
+  // every cycle. Same stored layout (one array<long> per asset under
+  // `dir/hashes`, banding recomputed at read), same Tombstones deletion
+  // half, same HashBanding.probe engine, same meta guard. Probing an
+  // index built from a BENCHMARK clip set is audio decontamination —
+  // same op, different corpus. ---
+
+  /** Build the index: decode + envelope-hash every clip, store
+    * (asset_id, ahash). */
+  def writeAudioHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+    audioHashes(assets).where(col("ok")).select("asset_id", "ahash")
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    HashBanding.writeMeta(s, dir)
+  }
+
+  /** Assign-only append — deterministic codec path, nothing rewritten.
+    * Caller owns id uniqueness (Ledger discipline; a retried batch
+    * duplicates rows — same contract as every other index append). */
+  def appendToAudioHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    HashBanding.requireMeta(s, dir)
+    audioHashes(batch).where(col("ok")).select("asset_id", "ahash")
+      .write.mode("append").parquet(s"$dir/hashes")
+  }
+
+  /** Takedown path: O(ids) tombstone append; probes exclude the ids
+    * immediately, compaction folds them in later. */
+  def deleteFromAudioHashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into the stored hash table and clear them. */
+  def compactAudioHashIndex(s: SparkSession, dir: String): Unit = {
+    Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
+    Tombstones.clear(s, dir)
+  }
+
+  /** Probe: which batch clips perceptually duplicate an indexed clip?
+    * Batch side is decoded + hashed once behind a barrier; stored side
+    * is a scan + map-side band transform; candidates come from the band
+    * equi-join (linear in batch size, never batch x corpus) and are
+    * verified with an exact popcount. Returns (batch_id, corpus_id,
+    * hamming) at hamming <= maxHamming. */
+  def dedupAudioAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
+      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+    HashBanding.requireMeta(s, dir)
+    val bHashes = audioHashes(batch).where(col("ok"))
+      .select("asset_id", "ahash").localCheckpoint(false)
+    val stored = Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
+    HashBanding.probe(bHashes, stored, maxHamming)
+  }
+
   /** Perceptual audio near-dup pairs: decode → envelope hash → banded
     * self-join (HashBanding) — the "same clip, maybe re-levelled"
     * detector. Same barrier rationale as the image path. */
@@ -214,7 +273,9 @@ object AudioCodec {
   ))
 
   /** Payload-preserving decode annotation (streaming-gate engine, the
-    * audio twin of ImageCodec.annotateDecoded). */
+    * audio twin of ImageCodec.annotateDecoded). `n_samples` is the
+    * PER-CHANNEL frame count, so audioGateStream's duration envelope
+    * holds for multichannel PCM16 too. */
   def annotateDecoded(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
@@ -224,7 +285,7 @@ object AudioCodec {
         decodeWav(payload) match {
           case Some(d) =>
             Row(id, payload, Int.box(d.sampleRate), Int.box(d.channels),
-              Int.box(d.samples.length), true)
+              Int.box(d.frames), true)
           case None => Row(id, payload, null, null, null, false)
         }
       }
@@ -260,7 +321,9 @@ object AudioCodec {
 
   /** Decode every asset and emit exact amplitude statistics. Integer sums
     * only (sum of |sample|, max |sample|) so the oracle comparison never
-    * touches a float rounding convention. */
+    * touches a float rounding convention. `n_samples` is per-channel
+    * frames (= total values for mono, matching the oracle); sum_abs and
+    * peak run over ALL channels' interleaved values. */
   def audioStats(assets: DataFrame): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(statsSchema))
     assets.select("asset_id", "payload").mapPartitions { it =>
@@ -278,7 +341,7 @@ object AudioCodec {
               i += 1
             }
             Row(id, d.sampleRate.toLong, d.channels.toLong,
-              d.samples.length.toLong, sumAbs, peak, true)
+              d.frames.toLong, sumAbs, peak, true)
           case None =>
             Row(id, null, null, null, null, null, false)
         }

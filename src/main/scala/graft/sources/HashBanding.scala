@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Modality-agnostic banded 256-bit perceptual-hash dedup engine — the
@@ -72,6 +72,24 @@ object HashBanding {
     h
   }
 
+  /** Record this engine's band geometry next to a persisted hash index. */
+  def writeMeta(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    Seq((Bands, BandBits)).toDF("bands", "bits")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fail loudly on an index written under different band semantics — a
+    * probe through mismatched banding would silently lose the Hamming
+    * recall guarantee. Shared by every index reader/appender (image,
+    * audio, video; including AssetIngest's probe path). */
+  def requireMeta(s: SparkSession, dir: String): Unit = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("bands") == Bands && meta.getAs[Int]("bits") == BandBits,
+      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")}" +
+        s", this engine is ${Bands}x$BandBits)")
+  }
+
   private val BandsPerWord = 64 / BandBits
 
   // band b = bits [b*BandBits, (b+1)*BandBits) of the 256-bit hash: word
@@ -84,12 +102,26 @@ object HashBanding {
       s"(b % $BandsPerWord) * $BandBits) & ${(1L << BandBits) - 1}))"
 
   // popcount over per-word XORs; <= 256 so the int accumulator is safe
-  private def hammingExpr(a: String, b: String): String =
+  def hammingExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"
 
   private def banded(hashes: DataFrame, idAs: String, hashAs: String): DataFrame =
     hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
       posexplode(expr(bandExpr)).as(Seq("band_idx", "band_val")))
+
+  /** Banded rows with the full per-hash band ARRAY carried alongside the
+    * exploded (band_idx, band_val) join key — the shape a stateless
+    * stream-static band join needs: "does any earlier band also agree"
+    * becomes a pure per-row predicate over the two carried arrays
+    * (`slice` + `zip_with`), so one row per matched pair emits without
+    * any stream state. Same pattern as the MinHash text gate
+    * (StreamingOps.dedupAgainstIndexStream). */
+  def bandRowsCarried(hashes: DataFrame, idAs: String, hashAs: String,
+      bandsAs: String): DataFrame =
+    hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
+      expr(bandExpr).as(bandsAs))
+      .select(col(idAs), col(hashAs), col(bandsAs),
+        posexplode(col(bandsAs)).as(Seq("band_idx", "band_val")))
 
   /** Loud skew guard: joins per-bucket populations back onto the banded
     * rows and raises on any bucket above `maxBucket` (<= 0 disables).

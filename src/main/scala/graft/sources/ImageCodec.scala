@@ -375,9 +375,10 @@ object ImageCodec {
               y += 1
             }
             val png = encodeGrayPng(outW, outH, out)
-            val meta = r.getStruct(3)
+            // the output payload is always gray PNG — a passed-through
+            // source mime (e.g. image/jpeg) would no longer describe it
             Row(r.getLong(0), r.getString(1), png,
-              Row(meta.get(0), Int.box(outW), Int.box(outH), png.length.toLong))
+              Row("image/png", Int.box(outW), Int.box(outH), png.length.toLong))
           case None => Row(r.getLong(0), r.getString(1), payload, r.getStruct(3))
         }
       }
@@ -423,9 +424,7 @@ object ImageCodec {
   def writeImageHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
-    import s.implicits._
-    Seq((HashBanding.Bands, HashBanding.BandBits)).toDF("bands", "bits")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    HashBanding.writeMeta(s, dir)
   }
 
   /** Assign-only append: hash the batch with the same (deterministic)
@@ -433,21 +432,9 @@ object ImageCodec {
     * owns id uniqueness (Ledger discipline; a retried batch duplicates
     * rows — same contract as every other index append). */
   def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
-    requireBandingMeta(s, dir)
+    HashBanding.requireMeta(s, dir)
     imageHashes(batch).where(col("ok")).select("asset_id", "ahash")
       .write.mode("append").parquet(s"$dir/hashes")
-  }
-
-  /** Fail loudly on an index written under different band semantics — a
-    * probe through mismatched banding would silently lose the
-    * Hamming <= 15 recall guarantee. Shared by every reader/appender
-    * (including AssetIngest's probe path). */
-  private[sources] def requireBandingMeta(s: SparkSession, dir: String): Unit = {
-    val meta = s.read.parquet(s"$dir/meta").head()
-    require(meta.getAs[Int]("bands") == HashBanding.Bands &&
-      meta.getAs[Int]("bits") == HashBanding.BandBits,
-      s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")}" +
-        s", this engine is ${HashBanding.Bands}x${HashBanding.BandBits})")
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids
@@ -470,7 +457,7 @@ object ImageCodec {
     * hamming) at hamming <= maxHamming. */
   def dedupImagesAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
-    requireBandingMeta(s, dir)
+    HashBanding.requireMeta(s, dir)
     val bHashes = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
     val stored = Tombstones.applyTo(
