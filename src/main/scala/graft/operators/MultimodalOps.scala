@@ -75,10 +75,22 @@ object MultimodalOps {
     }),
 
     // Per-frame video stats: container parse + real ImageIO decode of
-    // EVERY frame, one row per frame (flatMap-shaped, frames stream).
+    // EVERY frame, one row per frame. r9: parse-then-explode — the
+    // decode fans out per frame row, so one long container can't
+    // straggle a task (see VideoCodec.videoFrameStats).
     "q_video_frames" -> ((s, d) => {
       VideoCodec.videoFrameStats(VideoCodec.videoAssets(s, d))
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // Video-level near-dup pairs over planted re-encodes and truncations:
+    // per-frame aHash256 → frame-granular banded join → best-alignment
+    // vote per video pair (order-aware). ✗ rows+spec tier like the other
+    // perceptual dedups; semantics pinned in MultimodalCodecSpec.
+    "q_video_dedup" -> ((s, d) => {
+      VideoCodec.videoDupPairs(
+        VideoCodec.videoFrameHashes(VideoCodec.dedupAssets(s, d)))
+        .orderBy("a_id", "b_id")
     }),
 
     // Multimodal retrieval composition: decoded-image features (real
@@ -112,8 +124,12 @@ object MultimodalOps {
     // logical size is not. Video counts one asset per container but
     // decodes every frame for its byte total.
     "q_asset_inventory" -> ((s, d) => {
+      // meta.n_bytes is n_chars by construction (assetsFromDocuments), so
+      // this matches the oracle's sum(n_chars) for ANY corpus — an
+      // octet_length(payload) would diverge on non-ASCII text (UTF-8
+      // bytes != chars) and forces the payload to materialize at all
       val text = Multimodal.assetsFromDocuments(s, d)
-        .select(col("modality"), octet_length(col("payload")).cast("long").as("logical_bytes"))
+        .select(col("modality"), col("meta.n_bytes").as("logical_bytes"))
       val image = ImageCodec.imageStats(ImageCodec.imageAssets(s, d))
         .where(col("ok"))
         .select(lit("image").as("modality"),
