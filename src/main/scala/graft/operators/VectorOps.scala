@@ -496,7 +496,11 @@ object VectorOps {
     * Spark's append semantics. Cost is O(batch), independent of the base
     * corpus size; periodic full retrains remain a policy decision above
     * this call (centroid drift is the price of freezing, as in every
-    * production ANN store). */
+    * production ANN store). The caller owns vec_id uniqueness: a retried
+    * batch appends duplicate postings for its ids (searches then return
+    * duplicate candidates) — gate retries through Ledger.missing, the
+    * discipline every index append in this library shares (see
+    * appendToMinhashIndex's scaladoc and BuildPipelineSpec). */
   def appendToIvfIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val cb = s.read.parquet(s"$dir/codebook")
     requireBatchDim(batch, cb.select(size(col("centroid"))).head().getInt(0), "IVF")
@@ -508,7 +512,9 @@ object VectorOps {
   /** Incrementally append to a persisted PQ index: assign-only encode of
     * the batch against the FROZEN residual-free codebooks (subvector
     * length and subspace count read off the stored codebook — the index
-    * stays self-describing), appended to the codes table. No retrain. */
+    * stays self-describing), appended to the codes table. No retrain.
+    * Caller owns vec_id uniqueness (Ledger discipline — see
+    * appendToIvfIndex). */
   def appendToPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val cb = s.read.parquet(s"$dir/codebooks")
     val (m, d) = {
@@ -529,7 +535,8 @@ object VectorOps {
 
   /** Incrementally append to a persisted IVFADC index: frozen coarse
     * assignment, residual against the frozen coarse centroid, frozen
-    * residual-PQ encode, cell-partition append of the codes. */
+    * residual-PQ encode, cell-partition append of the codes. Caller owns
+    * vec_id uniqueness (Ledger discipline — see appendToIvfIndex). */
   def appendToIvfPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val coarse = s.read.parquet(s"$dir/coarse")
     val pqcb = s.read.parquet(s"$dir/pq_codebooks")

@@ -377,6 +377,52 @@ object StreamingOps {
       .drop("ok")
   }
 
+  /** Streaming perceptual near-dup probe: flag images of an incoming
+    * stream that perceptually duplicate anything in a persisted
+    * image-hash index (ImageCodec.writeImageHashIndex) — the online twin
+    * of ImageCodec.dedupImagesAgainstIndex and the admission check a
+    * crawl pipeline runs per image before landing it, with no batch
+    * cycle in the loop. Composes with imageGateStream: gate first
+    * (decode envelope), then probe survivors; the landing sink drops
+    * batch ids that appear here (foreachBatch anti-join — the same
+    * discipline dedupAgainstIndexStream documents for text).
+    *
+    * STATELESS by construction (Append mode, no watermark): the 256-bit
+    * aHash is computed per row by the same deterministic codec path as
+    * the stored index, bands explode to (band_idx, band_val) rows, and
+    * the candidate lookup is a stream-STATIC equi-join against the
+    * stored hash table re-banded at plan time. Exactly ONE row per
+    * (stream image, matched corpus image): both sides carry their full
+    * band array and a row survives only if NO earlier band also agrees
+    * (HashBanding.bandRowsCarried — the band-priority pick), then the
+    * exact popcount filters to hamming <= maxHamming. Tombstoned corpus
+    * images (deleteFromImageHashIndex) are excluded; the tombstone check
+    * resolves when the streaming query is PLANNED, so a takedown lands
+    * in already-running gates at their next restart. */
+  def imageDedupProbeStream(assets: DataFrame, indexDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame = {
+    import graft.sources.{HashBanding, ImageCodec, Tombstones}
+    val s = assets.sparkSession
+    HashBanding.requireMeta(s, indexDir)
+    require(maxHamming >= 0 && maxHamming <= HashBanding.MaxGuaranteedHamming,
+      s"banding only guarantees recall for Hamming <= " +
+        s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
+    val hashed = ImageCodec.annotateWithHash(assets)
+      .where(col("ok")).select("asset_id", "ahash")
+    val streamBands = HashBanding.bandRowsCarried(hashed, "batch_id", "b_hash", "b_bands")
+    val stored = Tombstones.applyTo(
+      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
+    val corpusBands = HashBanding.bandRowsCarried(stored, "corpus_id", "c_hash", "c_bands")
+    streamBands.join(corpusBands, Seq("band_idx", "band_val"))
+      // band-priority pick: drop the row if any EARLIER band also agrees
+      .where(expr("size(filter(zip_with(slice(b_bands, 1, band_idx), " +
+        "slice(c_bands, 1, band_idx), (x, y) -> x = y), v -> v)) = 0"))
+      .withColumn("hamming",
+        expr(HashBanding.hammingExpr("b_hash", "c_hash")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
+  }
+
   /** Streaming audio ingestion gate — imageGateStream's twin: real WAV
     * decode per micro-batch, admit only PCM16 assets whose sample count
     * lands inside [minSamples, maxSamples] (duration envelope). Stateless;

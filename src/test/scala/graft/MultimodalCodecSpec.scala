@@ -58,6 +58,23 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(d.samples.toSeq === samples.toSeq)
   }
 
+  test("multichannel WAV reports per-channel frame count (duration envelope stays honest)") {
+    // stereo PCM16: 100 frames x 2 channels = 400 bytes of sample data;
+    // n_samples must be 100, not 200
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val pcm = Array.tabulate[Byte](400)(i => (i % 64).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val d = AudioCodec.decodeWav(out.toByteArray).get
+    assert(d.channels === 2 && d.samples.length === 200 && d.frames === 100)
+    import spark.implicits._
+    val ann = AudioCodec.annotateDecoded(
+      Seq((1L, out.toByteArray)).toDF("asset_id", "payload")).collect().head
+    assert(ann.getInt(ann.fieldIndex("n_samples")) === 100)
+  }
+
   test("corrupt and non-PCM16 audio payloads decode to None, never throw") {
     assert(AudioCodec.decodeWav(null).isEmpty)
     assert(AudioCodec.decodeWav(Array[Byte](82, 73, 70, 70)).isEmpty)
@@ -258,6 +275,40 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(sampled.length === expected.count(_._2 % 2 == 0))
   }
 
+  test("video dedup: re-encodes pair on all frames, truncations at best alignment, no spurious pairs") {
+    import graft.sources.VideoCodec
+    val pairs = SparkEntry.queries("q_video_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val planted = (0L until nDocs by 5).map(m => (m, m + 4)).filter(_._2 < nDocs).toSet
+    // exact re-encoded copies (even pair index): all 4 frames align
+    planted.filter(_._1 % 10 == 0).foreach { case (a, b) =>
+      val hit = pairs.find(p => p._1 == a && p._2 == b)
+      assert(hit.exists(p => p._3 == 4 && p._4 == 4 && p._5 == 4),
+        s"re-encoded pair ($a, $b) expected 4/4 aligned frames, got $hit")
+    }
+    // truncated copies (odd pair index): 3 of the shorter side's 3 frames
+    // align at delta 0 — full-fraction match of the truncation
+    planted.filter(_._1 % 10 == 5).foreach { case (a, b) =>
+      val hit = pairs.find(p => p._1 == a && p._2 == b)
+      assert(hit.exists(p => p._3 == 3 && Set(p._4, p._5) == Set(3L, 4L)),
+        s"truncated pair ($a, $b) expected 3 aligned of (3, 4) frames, got $hit")
+    }
+    // distinct textures must not pair
+    val spurious = pairs.filterNot(p => planted.contains((p._1, p._2)))
+    assert(spurious.isEmpty, s"spurious video pairs: ${spurious.mkString(",")}")
+  }
+
+  test("videoFrameStats fan-out matches the inline shape; frame hashes are alignment-stable") {
+    import graft.sources.VideoCodec
+    val assets = VideoCodec.dedupAssets(spark, sf)
+    val spread = VideoCodec.videoFrameStats(assets).orderBy("asset_id", "frame_idx").collect()
+    val inline = VideoCodec.videoFrameStats(assets, fanout = false)
+      .orderBy("asset_id", "frame_idx").collect()
+    assert(spread.length === inline.length && spread.length > 0)
+    spread.zip(inline).foreach { case (a, b) => assert(a === b) }
+  }
+
   test("imageGateStream admits only decodable in-envelope assets (MemoryStream)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -400,6 +451,71 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
   }
 
+  test("audio hash index lifecycle: build, probe, append, delete, compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("audhash").toString + "/idx"
+    // seeded-PRNG clips: sampleAt plans are phase shifts of one stride
+    // sequence, so their envelopes genuinely correlate within a few bits
+    // — a dedup-index fixture needs independent clips per key
+    def clipSamples(key: Long): Array[Short] = {
+      val rnd = new scala.util.Random(key)
+      Array.fill(200)((rnd.nextInt(65536) - 32768).toShort)
+    }
+    def clipRow(id: Long, key: Long): (Long, String, Array[Byte]) =
+      (id, "audio", AudioCodec.encodeWavPcm16(clipSamples(key)))
+    def df(rows: (Long, String, Array[Byte])*) = rows.toDF("asset_id", "modality", "payload")
+
+    // corpus: sample plans 1..10 under ids 1..10
+    val corpus = df((1L to 10L).map(k => clipRow(k, k)): _*)
+    AudioCodec.writeAudioHashIndex(spark, corpus, dir)
+
+    // probe: id 100 duplicates plan 3 exactly, id 101 is the same clip at
+    // 3/4 volume (the envelope-invariance near-dup), id 102 is fresh,
+    // id 103 corrupt
+    val relevel = (101L, "audio", AudioCodec.encodeWavPcm16(
+      clipSamples(5L).map(v => (v * 3 / 4).toShort)))
+    val batch = df(clipRow(100L, 3L), relevel, clipRow(102L, 999L))
+      .union(df((103L, "audio", Array[Byte](1, 2))))
+    val hits = AudioCodec.dedupAudioAgainstIndex(spark, batch, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((100L, 3L), (101L, 5L)),
+      s"expected the exact copy and the re-level to flag, got $hits")
+
+    // append the novel clip; a copy of it now flags
+    AudioCodec.appendToAudioHashIndex(spark, df(clipRow(102L, 999L)), dir)
+    val hits2 = AudioCodec.dedupAudioAgainstIndex(spark, df(clipRow(200L, 999L)), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 === Set((200L, 102L)))
+
+    // delete plan 3's clip: its duplicate re-admits (takedown honored)
+    AudioCodec.deleteFromAudioHashIndex(spark, Seq(3L).toDF("asset_id"), dir)
+    assert(AudioCodec.dedupAudioAgainstIndex(spark, df(clipRow(300L, 3L)), dir)
+      .collect().isEmpty, "deleted corpus clip still vetoes")
+
+    // lifecycle law: probe after delete == probe of a from-scratch index
+    // built without the deleted clip; compaction preserves it and clears
+    // the tombstones
+    val fresh = java.nio.file.Files.createTempDirectory("audhash_fresh").toString + "/idx"
+    AudioCodec.writeAudioHashIndex(spark,
+      corpus.where($"asset_id" =!= 3L).union(df(clipRow(102L, 999L))), fresh)
+    val probe = df(clipRow(400L, 3L), clipRow(401L, 999L), clipRow(402L, 7L))
+    def probeSet(d: String) = AudioCodec.dedupAudioAgainstIndex(spark, probe, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaFresh = probeSet(fresh)
+    assert(probeSet(dir) === viaFresh)
+    AudioCodec.compactAudioHashIndex(spark, dir)
+    assert(!graft.sources.Tombstones.exists(spark, dir))
+    assert(probeSet(dir) === viaFresh)
+    assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
+
+    // meta guard: an index stamped with foreign banding refuses to probe
+    Seq((4, 16)).toDF("bands", "bits").write.mode("overwrite").parquet(s"$dir/meta")
+    val ex = intercept[IllegalArgumentException] {
+      AudioCodec.dedupAudioAgainstIndex(spark, probe, dir)
+    }
+    assert(ex.getMessage.contains("unsupported index banding"))
+  }
+
   test("audioGateStream admits only PCM16 in-envelope clips; AudioFeatureCodec normalizes envelope") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -422,6 +538,43 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val f = AudioCodec.AudioFeatureCodec.features(const, 8)
     assert(f.toSeq === Seq.fill(8)(8192f / 32768f))
     assert(AudioCodec.AudioFeatureCodec.features(Array[Byte](1), 8).forall(_ == 0f))
+  }
+
+  test("imageDedupProbeStream flags corpus dups exactly once; tombstoned takedowns re-admit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("imgstream").toString + "/idx"
+    def img(key: Long): Array[Byte] =
+      ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20))
+    val corpus = (1L to 5L).map(k => (k, "image", img(k)))
+      .toDF("asset_id", "modality", "payload")
+    ImageCodec.writeImageHashIndex(spark, corpus, dir)
+
+    def runProbe(rows: (Long, Array[Byte])*): Seq[(Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, Array[Byte])]
+      mem.addData(rows: _*)
+      val name = s"img_probe_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.imageDedupProbeStream(
+        mem.toDF.toDF("asset_id", "payload"), dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    // a planted dup flags EXACTLY ONCE (hamming 0 agrees on all 16 bands
+    // — the band-priority pick must collapse them to one row); novel and
+    // corrupt assets emit nothing (pipeline admits them)
+    val out = runProbe((100L, img(3L)), (101L, img(999L)), (102L, Array[Byte](7, 7)))
+    assert(out === Seq((100L, 3L, 0L)))
+
+    // takedown honored by the next planned query: the deleted corpus
+    // image stops vetoing its copies, the rest still flag
+    ImageCodec.deleteFromImageHashIndex(spark, Seq(3L).toDF("asset_id"), dir)
+    val out2 = runProbe((200L, img(3L)), (201L, img(1L)))
+    assert(out2 === Seq((201L, 1L, 0L)))
   }
 
   test("composed ingest loop: gate, in-batch dedup, corpus probe, land, index append, retry") {

@@ -437,6 +437,58 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 20)
   }
 
+  test("ingest law: two sequential ingests == one combined ingest; a full retry admits zero") {
+    import graft.sources.{AssetIngest, ImageCodec}
+    import spark.implicits._
+    // For random batches of textured images (with planted in-batch and
+    // cross-batch dup keys) and any split point: ingesting batch A then
+    // batch B must leave the SAME admitted landing set and the SAME
+    // index state as design guarantees demand — a batch-B asset is
+    // admitted iff novel vs (corpus ∪ admitted(A)) — and re-ingesting
+    // the full batch afterwards must admit nothing (self-healing retry).
+    val gen = Gen.zip(Gen.chooseNum(2L, 30L), Gen.chooseNum(0, 12), Gen.long)
+    check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // keys drawn from a small pool so duplicates actually occur
+      val keys = Array.fill(n.toInt)(rnd.nextInt(8).toLong + 1000 * (seed % 7))
+      val rows = keys.zipWithIndex.map { case (k, i) =>
+        (i.toLong, ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(k, 20, 20)))
+      }.toSeq
+      // both sub-batches nonempty (an all-empty batch writes no parquet
+      // part files, which is a read-side artifact, not the law's subject)
+      val split = math.max(1, math.min(splitRaw, rows.length - 1))
+      val base = java.nio.file.Files.createTempDirectory("ingest_law").toString
+      def landed(dataDir: String): Set[Long] = {
+        val p = new java.io.File(s"$dataDir/assets")
+        if (!p.exists()) Set.empty
+        else spark.read.parquet(s"$dataDir/assets").select("asset_id")
+          .as[Long].collect().toSet
+      }
+      def indexed(indexDir: String): Set[Long] =
+        spark.read.parquet(s"$indexDir/hashes").select("asset_id").as[Long].collect().toSet
+      // sequential: A then B
+      val r1 = AssetIngest.ingestImageBatch(spark,
+        rows.take(split).toDF("asset_id", "payload"), s"$base/seq/idx", s"$base/seq/data")
+      val r2 = AssetIngest.ingestImageBatch(spark,
+        rows.drop(split).toDF("asset_id", "payload"), s"$base/seq/idx", s"$base/seq/data")
+      // combined in one call
+      val rc = AssetIngest.ingestImageBatch(spark,
+        rows.toDF("asset_id", "payload"), s"$base/one/idx", s"$base/one/data")
+      val seqLanded = landed(s"$base/seq/data")
+      val oneLanded = landed(s"$base/one/data")
+      // the min-id keeper makes admitted sets equal, not just equal-sized:
+      // each key's least id wins in both layouts
+      val admittedEqual = seqLanded == oneLanded && seqLanded == indexed(s"$base/seq/idx") &&
+        oneLanded == indexed(s"$base/one/idx")
+      val countsAdd = r1.admitted + r2.admitted == rc.admitted
+      // full-batch retry: everything now a corpus dup, nothing admitted
+      val rr = AssetIngest.ingestImageBatch(spark,
+        rows.toDF("asset_id", "payload"), s"$base/one/idx", s"$base/one/data")
+      admittedEqual && countsAdd && rr.admitted == 0 &&
+        rr.corpusDups + rr.inBatchDups == rows.length
+    }, tests = 6)
+  }
+
   test("resize law: output pixel (x,y) is exactly the integer-NN source sample") {
     import graft.sources.ImageCodec
     import spark.implicits._

@@ -226,6 +226,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(units === 400 && groups > 2, s"expected >2 (source,chunk) units, got $groups")
   }
 
+  test("video decode fans one multi-frame container out across multiple tasks") {
+    // The r8 straggler magnet: every frame of a container decoded inside
+    // the ONE task holding the asset row, so an hour-long video
+    // serialized its partition. r9's parse-then-explode shape must (a)
+    // put a hash exchange on (asset_id, frame_idx) between parse and
+    // decode, and (b) actually spread one container's frames over >1
+    // partition. (AQE's size-based coalescing is disabled here because a
+    // 64-frame test container is KBs — at real frame sizes the advisory
+    // partition size keeps the spread.)
+    import graft.sources.{ImageCodec, VideoCodec}
+    import spark.implicits._
+    val frames = (0 until 64).map(f =>
+      ImageCodec.encodeGrayPng(8, 8, ImageCodec.texturedLuma(f, 8, 8)))
+    val assets = Seq((1L, "video", VideoCodec.encodeContainer(frames)))
+      .toDF("asset_id", "modality", "payload")
+    val stats = VideoCodec.videoFrameStats(assets)
+    assert(stats.queryExecution.executedPlan.toString.contains("hashpartitioning(asset_id"),
+      "no fan-out exchange between container parse and frame decode")
+    assert(stats.count() === 64)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val pids = VideoCodec.videoFrames(assets)
+        .repartition(col("asset_id"), col("frame_idx"))
+        .select(spark_partition_id()).distinct().count()
+      assert(pids > 1, s"one container's frames decoded in $pids task(s) — straggler shape")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+
   test("perceptual banding: a degenerate low-texture flood trips the loud bucket cap") {
     // G17's lesson at engine level: two-tone rasters collapse the aHash
     // into ~one value per split point, so band buckets flood and the
