@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed multimodal ingest loop — what a production pipeline runs
@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * in-batch near-dups collapse to a min-id keeper, survivors are probed
   * against the persisted perceptual-hash index (O(batch), never
   * batch x corpus), novel assets land in the corpus store, and their
-  * hashes append to the index so the NEXT snapshot sees them.
+  * hashes append to the index so the NEXT snapshot sees them. One loop
+  * per modality ([[ingestImageBatch]], [[ingestAudioBatch]]) over a
+  * shared modality-agnostic core — only the decode annotation, the gate
+  * predicate, and the landed columns differ.
   *
   * Cost shape: exactly one codec pass over the batch (the lazy-checkpoint
   * barrier materializes the annotation once; gate, dedup, probe, landing
@@ -19,11 +22,13 @@ import org.apache.spark.sql.functions._
   * Retry discipline: the index append runs AFTER the landing write. A
   * retried fully-successful batch is self-healing — every asset now
   * matches its own stored hash at Hamming 0 and is skipped as a
-  * duplicate. A batch that failed BETWEEN landing and index append will
-  * re-land its files on retry (overwrite by batch partition would make
-  * that idempotent — pair with StreamingOps.idempotentBatchAppend's
-  * dynamic-partition pattern, or gate re-runs with Ledger.step, which is
-  * exactly what BuildPipelineSpec demonstrates for features).
+  * duplicate (PropertiesSpec's ingest law pins this, along with
+  * sequential-equals-combined ingestion). A batch that failed BETWEEN
+  * landing and index append will re-land its files on retry (overwrite
+  * by batch partition would make that idempotent — pair with
+  * StreamingOps.idempotentBatchAppend's dynamic-partition pattern, or
+  * gate re-runs with Ledger.step, which is exactly what
+  * BuildPipelineSpec demonstrates for features).
   */
 object AssetIngest {
 
@@ -34,7 +39,7 @@ object AssetIngest {
     val p = new Path(s"$indexDir/hashes")
     val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
     if (exists) {
-      // same guard as dedupImagesAgainstIndex: probing a differently-banded
+      // same guard as dedup*AgainstIndex: probing a differently-banded
       // index would silently lose the Hamming recall guarantee
       HashBanding.requireMeta(s, indexDir)
       Tombstones.applyTo(s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
@@ -52,12 +57,39 @@ object AssetIngest {
       minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
     require(1 <= minSide && minSide <= maxSide,
       s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
-    // ONE decode pass, materialized once (see scaladoc)
-    val ann = ImageCodec.annotateWithHash(batch).localCheckpoint(false)
+    ingestCore(s, ImageCodec.annotateWithHash(batch),
+      gate = col("width").between(minSide, maxSide) &&
+        col("height").between(minSide, maxSide),
+      landCols = Seq("asset_id", "payload", "width", "height", "channels"),
+      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming)
+  }
+
+  /** Run one ingest cycle over an audio batch (`asset_id`, `payload`):
+    * real WAV decode gates on the per-channel duration envelope, the
+    * 256-bit envelope hash drives in-batch dedup and the corpus probe
+    * against the persisted audio-hash index (AudioCodec.*AudioHashIndex
+    * lifecycle). Lands payload + decoded format. */
+  def ingestAudioBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minSamples: Int = 1, maxSamples: Int = 16000 * 60 * 10): IngestReport = {
+    require(1 <= minSamples && minSamples <= maxSamples,
+      s"need 1 <= minSamples <= maxSamples, got ($minSamples, $maxSamples)")
+    ingestCore(s, AudioCodec.annotateWithHash(batch),
+      gate = col("n_samples").between(minSamples, maxSamples),
+      landCols = Seq("asset_id", "payload", "sample_rate", "channels", "n_samples"),
+      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming)
+  }
+
+  /** The modality-agnostic loop. `annotated` must carry `asset_id`,
+    * `payload`, `ahash`, `ok` plus whatever `landCols` name; exactly one
+    * codec pass produced it, and the barrier here materializes it once
+    * for every downstream read. */
+  private def ingestCore(s: SparkSession, annotated: DataFrame, gate: Column,
+      landCols: Seq[String], indexDir: String, dataDir: String,
+      maxHamming: Int): IngestReport = {
+    val ann = annotated.localCheckpoint(false)
     val total = ann.count()
-    val valid = ann.where(col("ok") &&
-      col("width").between(minSide, maxSide) &&
-      col("height").between(minSide, maxSide))
+    val valid = ann.where(col("ok") && gate)
     val hashes = valid.select(col("asset_id"), col("ahash"))
     // in-batch collapse: greedy min-id keeper — any asset pairing with a
     // smaller id is dropped (chains collapse toward their least id;
@@ -74,7 +106,7 @@ object AssetIngest {
     val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
       .localCheckpoint(false) // landing + index append + count read it once
     val nNovel = novel.count()
-    novel.select("asset_id", "payload", "width", "height", "channels")
+    novel.select(landCols.head, landCols.tail: _*)
       .write.mode("append").parquet(s"$dataDir/assets")
     val metaPath = new Path(s"$indexDir/meta")
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))

@@ -216,23 +216,25 @@ object AudioCodec {
     * verified with an exact popcount. Returns (batch_id, corpus_id,
     * hamming) at hamming <= maxHamming. */
   def dedupAudioAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
-      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     HashBanding.requireMeta(s, dir)
     val bHashes = audioHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
     val stored = Tombstones.applyTo(
       s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
-    HashBanding.probe(bHashes, stored, maxHamming)
+    HashBanding.probe(bHashes, stored, maxHamming, maxBucket)
   }
 
   /** Perceptual audio near-dup pairs: decode → envelope hash → banded
     * self-join (HashBanding) — the "same clip, maybe re-levelled"
     * detector. Same barrier rationale as the image path. */
   def perceptualDupPairs(hashes: DataFrame,
-      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     val ok = hashes.where(col("ok")).select("asset_id", "ahash")
       .localCheckpoint(false)
-    HashBanding.pairs(ok, maxHamming)
+    HashBanding.pairs(ok, maxHamming, maxBucket)
   }
 
   /** REAL codec for the Multimodal.extractFeatures seam on audio
@@ -287,6 +289,36 @@ object AudioCodec {
             Row(id, payload, Int.box(d.sampleRate), Int.box(d.channels),
               Int.box(d.frames), true)
           case None => Row(id, payload, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  private val annotatedHashSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = true),
+    StructField("ahash", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** ONE decode pass emitting payload + format + envelope hash — the
+    * audio ingest loop's workhorse (decode is the expensive step; gate,
+    * dedup, and landing all read from this single annotation).
+    * `n_samples` is per-channel frames, like annotateDecoded. */
+  def annotateWithHash(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedHashSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        decodeWav(payload) match {
+          case Some(d) =>
+            Row(id, payload, Int.box(d.sampleRate), Int.box(d.channels),
+              Int.box(d.frames), envelopeHash256(d.samples), true)
+          case None => Row(id, payload, null, null, null, null, false)
         }
       }
     }(enc)

@@ -456,13 +456,14 @@ object ImageCodec {
     * verified with an exact popcount. Returns (batch_id, corpus_id,
     * hamming) at hamming <= maxHamming. */
   def dedupImagesAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
-      maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     HashBanding.requireMeta(s, dir)
     val bHashes = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
     val stored = Tombstones.applyTo(
       s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
-    HashBanding.probe(bHashes, stored, maxHamming)
+    HashBanding.probe(bHashes, stored, maxHamming, maxBucket)
   }
 
   /** Perceptual near-duplicate pairs: band the 256-bit aHash into sixteen
@@ -473,7 +474,8 @@ object ImageCodec {
     * all-pairs, so the join stays linear in bucket sizes at corpus scale
     * (and HashBanding's bucket cap fails loudly on degenerate corpora
     * instead of going quadratic). */
-  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming): DataFrame = {
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming,
+      maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     // Barrier before the self-join: the two join branches project the same
     // hashes to different aliases (a_id/b_id), so their exchanges don't
     // canonicalize equal and ReuseExchange can NOT share them — without
@@ -483,6 +485,6 @@ object ImageCodec {
     // sf0.1, local[32], 3-run median: 3.07 s without -> 2.29 s with.
     val ok = hashes.where(col("ok")).select("asset_id", "ahash")
       .localCheckpoint(false)
-    HashBanding.pairs(ok, maxHamming)
+    HashBanding.pairs(ok, maxHamming, maxBucket)
   }
 }

@@ -220,7 +220,7 @@ object VideoCodec {
     * across deltas, so no single alignment accumulates the fraction. A
     * truncated copy concentrates all its matches at delta 0 and passes. */
   def videoDupPairs(frameHashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minFrac: Double = 0.5): DataFrame = {
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
     // ONE codec pass: the barrier sits on the hash frame itself, so the
     // self-join's two banded sides AND the frame-count aggregate all read
@@ -233,7 +233,7 @@ object VideoCodec {
     val uids = hashed
       .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
         col("ahash"))
-    val framePairs = HashBanding.pairs(uids, maxHamming)
+    val framePairs = HashBanding.pairs(uids, maxHamming, maxBucket)
       .select(expr(s"a_id div $MaxFramesPerVideo").as("a_vid"),
         (col("a_id") % MaxFramesPerVideo).as("a_idx"),
         expr(s"b_id div $MaxFramesPerVideo").as("b_vid"),
@@ -254,6 +254,88 @@ object VideoCodec {
       .where(col("aligned_frames") >= least(col("n_a"), col("n_b")) * minFrac)
       .select(col("a_vid").as("a_id"), col("b_vid").as("b_id"),
         col("aligned_frames"), col("n_a"), col("n_b"))
+  }
+
+  // --- Persisted frame-hash index lifecycle — completes the per-modality
+  // parity (image r8, audio r9): a crawl pipeline probes each video
+  // snapshot against the corpus in O(batch frames), never re-hashing the
+  // corpus. Stored layout: `dir/hashes` (asset_id, frame_idx, ahash) and
+  // `dir/counts` (asset_id, n_frames) — counts persist at write/append
+  // time so a probe's alignment vote never needs an O(corpus-frames)
+  // aggregate. Tombstones at video granularity cover both tables. ---
+
+  /** Build the index: decode + hash every frame, persist hashes and
+    * per-video frame counts. */
+  def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+    val hashed = videoFrameHashes(assets).localCheckpoint(false)
+    hashed.write.mode("overwrite").parquet(s"$dir/hashes")
+    hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+      .write.mode("overwrite").parquet(s"$dir/counts")
+    HashBanding.writeMeta(s, dir)
+  }
+
+  /** Assign-only append of a new video batch (hashes + counts). Caller
+    * owns asset_id uniqueness (Ledger discipline — see the image/audio
+    * index appends). */
+  def appendToVideoHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    HashBanding.requireMeta(s, dir)
+    val hashed = videoFrameHashes(batch).localCheckpoint(false)
+    hashed.write.mode("append").parquet(s"$dir/hashes")
+    hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+      .write.mode("append").parquet(s"$dir/counts")
+  }
+
+  /** Takedown: O(ids) tombstone append covering both stored tables. */
+  def deleteFromVideoHashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into BOTH stored tables, then clear them (the
+    * MinHash two-table compaction pattern). */
+  def compactVideoHashIndex(s: SparkSession, dir: String): Unit = {
+    Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
+    Tombstones.foldIntoFlat(s, s"$dir/counts", dir, "asset_id")
+    Tombstones.clear(s, dir)
+  }
+
+  /** Probe: which batch videos near-duplicate an indexed video? Batch
+    * frames are decoded + hashed once behind a barrier; candidates come
+    * from the banded frame-uid probe (linear in batch frames); the same
+    * best-alignment vote as [[videoDupPairs]] decides at video level,
+    * with corpus frame counts read from the persisted counts table.
+    * Returns (batch_id, corpus_id, aligned_frames, n_batch, n_corpus). */
+  def dedupVideosAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
+    HashBanding.requireMeta(s, dir)
+    val hashed = videoFrameHashes(batch).localCheckpoint(false)
+    val batchCounts = hashed.groupBy(col("asset_id").as("batch_id"))
+      .agg(count(lit(1)).as("n_batch"))
+    val batchUids = hashed
+      .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
+        col("ahash"))
+    val stored = Tombstones.applyTo(s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
+    val storedUids = stored
+      .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
+        col("ahash"))
+    val corpusCounts = Tombstones.applyTo(
+        s, s.read.parquet(s"$dir/counts"), dir, "asset_id")
+      .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
+    val aligned = HashBanding.probe(batchUids, storedUids, maxHamming, maxBucket)
+      .select(expr(s"batch_id div $MaxFramesPerVideo").as("b_vid"),
+        (col("batch_id") % MaxFramesPerVideo).as("b_idx"),
+        expr(s"corpus_id div $MaxFramesPerVideo").as("c_vid"),
+        (col("corpus_id") % MaxFramesPerVideo).as("c_idx"))
+      .groupBy(col("b_vid"), col("c_vid"), (col("b_idx") - col("c_idx")).as("delta"))
+      .agg(countDistinct(col("b_idx")).as("matches"))
+      .groupBy(col("b_vid").as("batch_id"), col("c_vid").as("corpus_id"))
+      .agg(max(col("matches")).as("aligned_frames"))
+    aligned
+      .join(batchCounts, Seq("batch_id"))
+      .join(corpusCounts, Seq("corpus_id"))
+      .where(col("aligned_frames") >= least(col("n_batch"), col("n_corpus")) * minFrac)
+      .select(col("batch_id"), col("corpus_id"), col("aligned_frames"),
+        col("n_batch"), col("n_corpus"))
   }
 
   /** Asset family for video dedup with planted duplicates, mirroring the

@@ -400,15 +400,34 @@ object StreamingOps {
     * resolves when the streaming query is PLANNED, so a takedown lands
     * in already-running gates at their next restart. */
   def imageDedupProbeStream(assets: DataFrame, indexDir: String,
-      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame = {
-    import graft.sources.{HashBanding, ImageCodec, Tombstones}
-    val s = assets.sparkSession
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame =
+    hashProbeStream(
+      graft.sources.ImageCodec.annotateWithHash(assets)
+        .where(col("ok")).select("asset_id", "ahash"),
+      indexDir, maxHamming)
+
+  /** Streaming perceptual audio near-dup probe — imageDedupProbeStream's
+    * twin against a persisted audio-hash index
+    * (AudioCodec.writeAudioHashIndex): same stateless band join, same
+    * band-priority pick, same plan-time tombstone semantics; only the
+    * codec differs (real WAV decode → 256-bit envelope hash). */
+  def audioDedupProbeStream(assets: DataFrame, indexDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame =
+    hashProbeStream(
+      graft.sources.AudioCodec.audioHashes(assets)
+        .where(col("ok")).select("asset_id", "ahash"),
+      indexDir, maxHamming)
+
+  /** The modality-agnostic engine under the perceptual probe gates: a
+    * hashed stream frame (asset_id, ahash) against a stored hash index. */
+  private def hashProbeStream(hashed: DataFrame, indexDir: String,
+      maxHamming: Int): DataFrame = {
+    import graft.sources.{HashBanding, Tombstones}
+    val s = hashed.sparkSession
     HashBanding.requireMeta(s, indexDir)
     require(maxHamming >= 0 && maxHamming <= HashBanding.MaxGuaranteedHamming,
       s"banding only guarantees recall for Hamming <= " +
         s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
-    val hashed = ImageCodec.annotateWithHash(assets)
-      .where(col("ok")).select("asset_id", "ahash")
     val streamBands = HashBanding.bandRowsCarried(hashed, "batch_id", "b_hash", "b_bands")
     val stored = Tombstones.applyTo(
       s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")

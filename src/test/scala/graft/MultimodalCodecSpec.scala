@@ -577,6 +577,119 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(out2 === Seq((201L, 1L, 0L)))
   }
 
+  test("audioDedupProbeStream flags corpus dups; tombstoned takedowns re-admit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("audstream").toString + "/idx"
+    def clip(key: Long): Array[Byte] = {
+      val rnd = new scala.util.Random(key)
+      AudioCodec.encodeWavPcm16(Array.fill(200)((rnd.nextInt(65536) - 32768).toShort))
+    }
+    val corpus = (1L to 5L).map(k => (k, "audio", clip(k)))
+      .toDF("asset_id", "modality", "payload")
+    AudioCodec.writeAudioHashIndex(spark, corpus, dir)
+
+    def runProbe(rows: (Long, Array[Byte])*): Seq[(Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, Array[Byte])]
+      mem.addData(rows: _*)
+      val name = s"aud_probe_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.audioDedupProbeStream(
+        mem.toDF.toDF("asset_id", "payload"), dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    val out = runProbe((100L, clip(2L)), (101L, clip(777L)), (102L, Array[Byte](9)))
+    assert(out === Seq((100L, 2L, 0L)))
+    AudioCodec.deleteFromAudioHashIndex(spark, Seq(2L).toDF("asset_id"), dir)
+    val out2 = runProbe((200L, clip(2L)), (201L, clip(4L)))
+    assert(out2 === Seq((201L, 4L, 0L)))
+  }
+
+  test("video hash index lifecycle: build, probe (re-encode + truncation), append, delete, compact") {
+    import graft.sources.VideoCodec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vidhash").toString + "/idx"
+    def vid(key: Long, nf: Int): Array[Byte] =
+      VideoCodec.encodeContainer((0 until nf).map(f =>
+        ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key * 977 + f, 20, 20))))
+    def df(rows: (Long, String, Array[Byte])*) = rows.toDF("asset_id", "modality", "payload")
+
+    val corpus = df((1L to 6L).map(k => (k, "video", vid(k, 4))): _*)
+    VideoCodec.writeVideoHashIndex(spark, corpus, dir)
+
+    // probe: 100 re-encodes video 3 (4/4 frames), 101 is a truncation of
+    // video 5 (3 of its 3 frames align), 102 is novel
+    val batch = df((100L, "video", vid(3L, 4)), (101L, "video", vid(5L, 3)),
+      (102L, "video", vid(999L, 4)))
+    val hits = VideoCodec.dedupVideosAgainstIndex(spark, batch, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(hits === Set((100L, 3L, 4L, 4L, 4L), (101L, 5L, 3L, 3L, 4L)),
+      s"got $hits")
+
+    // append the novel video; its copy now flags
+    VideoCodec.appendToVideoHashIndex(spark, df((102L, "video", vid(999L, 4))), dir)
+    val hits2 = VideoCodec.dedupVideosAgainstIndex(
+      spark, df((200L, "video", vid(999L, 4))), dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 === Set((200L, 102L)))
+
+    // takedown: video 3's copies re-admit; compaction preserves answers
+    VideoCodec.deleteFromVideoHashIndex(spark, Seq(3L).toDF("asset_id"), dir)
+    assert(VideoCodec.dedupVideosAgainstIndex(spark, df((300L, "video", vid(3L, 4))), dir)
+      .collect().isEmpty)
+    val probe = df((400L, "video", vid(3L, 4)), (401L, "video", vid(999L, 4)))
+    def probeSet(d: String) = VideoCodec.dedupVideosAgainstIndex(spark, probe, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = probeSet(dir)
+    VideoCodec.compactVideoHashIndex(spark, dir)
+    assert(!graft.sources.Tombstones.exists(spark, dir))
+    assert(probeSet(dir) === before)
+    assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
+    assert(spark.read.parquet(s"$dir/counts").where($"asset_id" === 3L).count() === 0)
+  }
+
+  test("composed audio ingest loop: gate, in-batch dedup, corpus probe, land, retry") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_aud").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    def clip(id: Long, key: Long): (Long, Array[Byte]) = {
+      val rnd = new scala.util.Random(key)
+      (id, AudioCodec.encodeWavPcm16(Array.fill(300)((rnd.nextInt(65536) - 32768).toShort)))
+    }
+    def df(rows: (Long, Array[Byte])*) = rows.toDF("asset_id", "payload")
+
+    // batch 1: 2 novel, 1 in-batch dup (key 2 twice), 1 corrupt, 1 too short
+    val short = (60L, AudioCodec.encodeWavPcm16(Array.fill(10)(5.toShort)))
+    val r1 = AssetIngest.ingestAudioBatch(spark,
+      df(clip(1L, 1L), clip(2L, 2L), clip(3L, 2L), (4L, Array[Byte](1)), short),
+      indexDir, dataDir, minSamples = 100)
+    assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
+      corpusDups = 0, undecodable = 2))
+    val landed = spark.read.parquet(s"$dataDir/assets")
+    assert(landed.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(landed.where($"n_samples" === 300 && $"channels" === 1).count() === 2)
+
+    // batch 2: corpus dup + novel; retry self-heals
+    val r2 = AssetIngest.ingestAudioBatch(spark, df(clip(10L, 1L), clip(11L, 7L)),
+      indexDir, dataDir, minSamples = 100)
+    assert(r2 === AssetIngest.IngestReport(1, 0, 1, 0))
+    val r3 = AssetIngest.ingestAudioBatch(spark, df(clip(11L, 7L)),
+      indexDir, dataDir, minSamples = 100)
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+
+    // takedown flows through
+    AudioCodec.deleteFromAudioHashIndex(spark, Seq(2L).toDF("asset_id"), indexDir)
+    val r4 = AssetIngest.ingestAudioBatch(spark, df(clip(20L, 2L)),
+      indexDir, dataDir, minSamples = 100)
+    assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
+  }
+
   test("composed ingest loop: gate, in-batch dedup, corpus probe, land, index append, retry") {
     import graft.sources.AssetIngest
     import spark.implicits._
