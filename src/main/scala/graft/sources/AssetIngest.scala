@@ -80,6 +80,65 @@ object AssetIngest {
       indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming)
   }
 
+  /** Run one ingest cycle over a video batch (`asset_id`, `payload`).
+    * Same loop shape at VIDEO granularity: the cheap annotation (parse +
+    * frame-0 decode) gates on frame count and display dims; ONE full
+    * frame-decode pass hashes the survivors; in-batch near-dups collapse
+    * via the alignment vote (min-id keeper); survivors probe the
+    * persisted frame-hash index in O(batch frames); novel videos land
+    * and their frame hashes + counts append. */
+  def ingestVideoBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, minFrames: Int = 1, maxFrames: Int = 1 << 20,
+      minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
+    require(1 <= minFrames && minFrames <= maxFrames,
+      s"need 1 <= minFrames <= maxFrames, got ($minFrames, $maxFrames)")
+    require(1 <= minSide && minSide <= maxSide,
+      s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
+    val ann = VideoCodec.annotateDecoded(batch).localCheckpoint(false)
+    val total = ann.count()
+    val valid = ann.where(col("ok") &&
+      col("n_frames").between(minFrames, maxFrames) &&
+      col("width").between(minSide, maxSide) &&
+      col("height").between(minSide, maxSide))
+    // the one expensive pass: every frame of every valid asset
+    val hashed = VideoCodec.videoFrameHashes(valid.select("asset_id", "payload"))
+      .localCheckpoint(false)
+    val inBatchLosers = VideoCodec.videoDupPairs(hashed, maxHamming, minFrac)
+      .select(col("b_id").as("asset_id")).distinct()
+    val keepers = valid.join(inBatchLosers, Seq("asset_id"), "left_anti")
+    val keeperHashes = hashed
+      .join(keepers.select("asset_id"), Seq("asset_id"), "left_semi")
+    val hashesPath = new Path(s"$indexDir/hashes")
+    val indexExists =
+      hashesPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hashesPath)
+    val corpusDupIds =
+      if (indexExists)
+        VideoCodec.dedupVideoHashesAgainstIndex(s, keeperHashes, indexDir,
+            maxHamming, minFrac)
+          .select(col("batch_id").as("asset_id")).distinct()
+      else keepers.select("asset_id").limit(0)
+    val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
+      .localCheckpoint(false)
+    val nNovel = novel.count()
+    novel.select("asset_id", "payload", "n_frames", "width", "height")
+      .write.mode("append").parquet(s"$dataDir/assets")
+    val metaPath = new Path(s"$indexDir/meta")
+    if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
+      HashBanding.writeMeta(s, indexDir)
+    VideoCodec.appendVideoHashes(s,
+      keeperHashes.join(novel.select("asset_id"), Seq("asset_id"), "left_semi")
+        .localCheckpoint(false),
+      indexDir)
+    val nValid = valid.count()
+    val nKeepers = keepers.count()
+    IngestReport(
+      admitted = nNovel,
+      inBatchDups = nValid - nKeepers,
+      corpusDups = nKeepers - nNovel,
+      undecodable = total - nValid)
+  }
+
   /** The modality-agnostic loop. `annotated` must carry `asset_id`,
     * `payload`, `ahash`, `ok` plus whatever `landCols` name; exactly one
     * codec pass produced it, and the barrier here materializes it once

@@ -256,6 +256,68 @@ object VideoCodec {
         col("aligned_frames"), col("n_a"), col("n_b"))
   }
 
+  private val annotatedSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** Payload-preserving decode annotation (streaming-gate engine, the
+    * video twin of Image/AudioCodec.annotateDecoded): parse the
+    * container, decode FRAME 0 ONLY for the display dimensions — a
+    * gate's job is admission, not a full scan, so cost per asset is one
+    * container parse + one frame decode regardless of length. `ok`
+    * requires a parsable container with >= 1 decodable frame. */
+  def annotateDecoded(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(annotatedSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]]("payload")
+        val frames = decodeContainer(payload)
+        frames.headOption.flatMap(ImageCodec.decodeLuma) match {
+          case Some(d) =>
+            Row(id, payload, Int.box(frames.size), Int.box(d.width), Int.box(d.height), true)
+          case None => Row(id, payload, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL codec for the Multimodal.extractFeatures seam on video
+    * payloads: the mean of per-frame normalized luma histograms over
+    * every `everyN`th frame — a cheap clip-level visual descriptor that
+    * composes with the kNN family like the image/audio feature codecs.
+    * Undecodable containers (or ones with no decodable sampled frame)
+    * return the all-zero quarantine vector. */
+  final case class VideoFeatureCodec(everyN: Int = 1) extends Multimodal.Codec {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(dim >= 1, s"feature dim must be >= 1, got $dim")
+      val acc = new Array[Float](dim)
+      var used = 0
+      decodeContainer(payload).iterator.zipWithIndex
+        .filter(_._2 % everyN == 0)
+        .foreach { case (frame, _) =>
+          ImageCodec.decodeLuma(frame).foreach { d =>
+            val n = d.luma.length.toFloat
+            var i = 0
+            while (i < d.luma.length) { acc(d.luma(i) * dim / 256) += 1f / n; i += 1 }
+            used += 1
+          }
+        }
+      if (used == 0) new Array[Float](dim)
+      else {
+        var j = 0
+        while (j < dim) { acc(j) /= used; j += 1 }
+        acc
+      }
+    }
+  }
+
   // --- Persisted frame-hash index lifecycle — completes the per-modality
   // parity (image r8, audio r9): a crawl pipeline probes each video
   // snapshot against the corpus in O(batch frames), never re-hashing the
@@ -277,10 +339,17 @@ object VideoCodec {
   /** Assign-only append of a new video batch (hashes + counts). Caller
     * owns asset_id uniqueness (Ledger discipline — see the image/audio
     * index appends). */
-  def appendToVideoHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToVideoHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit =
+    appendVideoHashes(s, videoFrameHashes(batch).localCheckpoint(false), dir)
+
+  /** Append PRE-COMPUTED frame hashes (asset_id, frame_idx, ahash) —
+    * the ingest loop's path, where one decode pass feeds gate, dedup,
+    * probe, and this append. `hashed` must be materialized (barriered)
+    * by the caller. */
+  def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    val hashed = videoFrameHashes(batch).localCheckpoint(false)
-    hashed.write.mode("append").parquet(s"$dir/hashes")
+    hashed.select("asset_id", "frame_idx", "ahash")
+      .write.mode("append").parquet(s"$dir/hashes")
     hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .write.mode("append").parquet(s"$dir/counts")
   }
@@ -305,10 +374,17 @@ object VideoCodec {
     * Returns (batch_id, corpus_id, aligned_frames, n_batch, n_corpus). */
   def dedupVideosAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame =
+    dedupVideoHashesAgainstIndex(s, videoFrameHashes(batch).localCheckpoint(false),
+      dir, maxHamming, minFrac, maxBucket)
+
+  /** Probe from PRE-COMPUTED batch frame hashes (must be barriered by
+    * the caller — the ingest loop's single-decode path). */
+  def dedupVideoHashesAgainstIndex(s: SparkSession, hashed: DataFrame, dir: String,
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
     HashBanding.requireMeta(s, dir)
-    val hashed = videoFrameHashes(batch).localCheckpoint(false)
     val batchCounts = hashed.groupBy(col("asset_id").as("batch_id"))
       .agg(count(lit(1)).as("n_batch"))
     val batchUids = hashed

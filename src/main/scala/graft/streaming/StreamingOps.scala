@@ -455,6 +455,26 @@ object StreamingOps {
       .drop("ok")
   }
 
+  /** Streaming video ingestion gate — the image/audio gates' twin:
+    * container parse + FRAME-0 decode per micro-batch (admission needs
+    * one frame, not a full scan), admit only parsable containers whose
+    * frame count lands in [minFrames, maxFrames] and whose display
+    * dimensions fit the envelope. Stateless; corrupt containers become
+    * dropped rows. */
+  def videoGateStream(assets: DataFrame, minFrames: Int = 1,
+      maxFrames: Int = 1 << 20, minSide: Int = 8, maxSide: Int = 4096): DataFrame = {
+    require(1 <= minFrames && minFrames <= maxFrames,
+      s"need 1 <= minFrames <= maxFrames, got ($minFrames, $maxFrames)")
+    require(1 <= minSide && minSide <= maxSide,
+      s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
+    graft.sources.VideoCodec.annotateDecoded(assets)
+      .where(col("ok") &&
+        col("n_frames").between(minFrames, maxFrames) &&
+        col("width").between(minSide, maxSide) &&
+        col("height").between(minSide, maxSide))
+      .drop("ok")
+  }
+
   /** Streaming curation: the CurationPipeline composition on an ingest
     * stream — redact and quality-gate are stateless per-row maps (they
     * run unchanged in a micro-batch), and the dedup stage is the

@@ -577,6 +577,42 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(out2 === Seq((201L, 1L, 0L)))
   }
 
+  test("videoGateStream admits parsable in-envelope containers; VideoFeatureCodec averages frame histograms") {
+    import graft.sources.VideoCodec
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def frame(tone: Int) = ImageCodec.encodeGrayPng(16, 16, Array.fill(256)(tone))
+    val good = VideoCodec.encodeContainer(Seq(frame(100), frame(200)))
+    val tooLong = VideoCodec.encodeContainer((0 until 5).map(_ => frame(50)))
+    val tiny = VideoCodec.encodeContainer(Seq(ImageCodec.encodeGrayPng(4, 4, Array.fill(16)(9))))
+    val corrupt = Array[Byte](1, 2, 3, 4)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData((1L, good), (2L, tooLong), (3L, tiny), (4L, corrupt), (5L, null))
+    val gated = graft.streaming.StreamingOps.videoGateStream(
+      mem.toDF.toDF("asset_id", "payload"), minFrames = 1, maxFrames = 3, minSide = 8)
+    val q = gated.writeStream.format("memory").queryName("vid_gate")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("vid_gate").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getInt(out.head.fieldIndex("n_frames")) === 2)
+    assert(out.head.getInt(out.head.fieldIndex("width")) === 16)
+
+    // feature codec: two flat frames at tones 100 and 200 → the mean
+    // histogram puts 0.5 in each tone's bucket
+    val f = VideoCodec.VideoFeatureCodec().features(good, 8)
+    assert(math.abs(f(100 * 8 / 256) - 0.5f) < 1e-6f)
+    assert(math.abs(f(200 * 8 / 256) - 0.5f) < 1e-6f)
+    assert(f.sum > 0.999f && f.sum < 1.001f)
+    // everyN sampling keeps frame 0 only → all mass at tone 100's bucket
+    val f2 = VideoCodec.VideoFeatureCodec(everyN = 2).features(good, 8)
+    assert(math.abs(f2(100 * 8 / 256) - 1.0f) < 1e-6f)
+    // quarantine on corrupt
+    assert(VideoCodec.VideoFeatureCodec().features(corrupt, 8).forall(_ == 0f))
+  }
+
   test("audioDedupProbeStream flags corpus dups; tombstoned takedowns re-admit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -687,6 +723,47 @@ class MultimodalCodecSpec extends AnyFunSuite {
     AudioCodec.deleteFromAudioHashIndex(spark, Seq(2L).toDF("asset_id"), indexDir)
     val r4 = AssetIngest.ingestAudioBatch(spark, df(clip(20L, 2L)),
       indexDir, dataDir, minSamples = 100)
+    assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
+  }
+
+  test("composed video ingest loop: gate, in-batch alignment dedup, corpus probe, land, retry") {
+    import graft.sources.{AssetIngest, VideoCodec}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_vid").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    def vid(key: Long, nf: Int): Array[Byte] =
+      VideoCodec.encodeContainer((0 until nf).map(f =>
+        ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key * 5077 + f, 20, 20))))
+    def df(rows: (Long, Array[Byte])*) = rows.toDF("asset_id", "payload")
+
+    // batch 1: 2 novel, 1 in-batch dup (a TRUNCATION of key 2's video),
+    // 1 corrupt, 1 over the frame cap
+    val long = (60L, vid(9L, 8))
+    val r1 = AssetIngest.ingestVideoBatch(spark,
+      df((1L, vid(1L, 4)), (2L, vid(2L, 4)), (3L, vid(2L, 3)), (4L, Array[Byte](3)), long),
+      indexDir, dataDir, maxFrames = 6)
+    assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
+      corpusDups = 0, undecodable = 2))
+    val landed = spark.read.parquet(s"$dataDir/assets")
+    assert(landed.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(landed.where($"n_frames" === 4 && $"width" === 20).count() === 2)
+    // index state matches: hashes for 2 videos x 4 frames, counts rows 2
+    assert(spark.read.parquet(s"$indexDir/hashes").count() === 8)
+    assert(spark.read.parquet(s"$indexDir/counts").count() === 2)
+
+    // batch 2: a re-encode of corpus video 1 (corpus dup) + novel; retry
+    // of the novel self-heals
+    val r2 = AssetIngest.ingestVideoBatch(spark,
+      df((10L, vid(1L, 4)), (11L, vid(7L, 4))), indexDir, dataDir, maxFrames = 6)
+    assert(r2 === AssetIngest.IngestReport(1, 0, 1, 0))
+    val r3 = AssetIngest.ingestVideoBatch(spark,
+      df((12L, vid(7L, 4))), indexDir, dataDir, maxFrames = 6)
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+
+    // takedown flows through
+    VideoCodec.deleteFromVideoHashIndex(spark, Seq(2L).toDF("asset_id"), indexDir)
+    val r4 = AssetIngest.ingestVideoBatch(spark,
+      df((20L, vid(2L, 4))), indexDir, dataDir, maxFrames = 6)
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
 
