@@ -116,29 +116,33 @@ object MultimodalOps {
     }),
 
     // Corpus inventory across all FOUR modalities: per-modality asset
-    // count and total DECODED logical bytes (text: payload octets; image:
-    // pixels x channels; audio: 2 bytes per sample; video: decoded frame
-    // pixels summed over the container) — the numbers a training-mix
-    // planner actually budgets with. Container sizes (PNG deflate output)
-    // are deliberately NOT the metric: they are codec-version-dependent,
-    // logical size is not. Video counts one asset per container but
-    // decodes every frame for its byte total.
+    // count and total DECODED logical bytes (text: chars; image: pixels x
+    // channels; audio: 2 bytes per sample; video: frame pixels summed
+    // over the container) — the numbers a training-mix planner actually
+    // budgets with. Container sizes (PNG deflate output) are deliberately
+    // NOT the metric: they are codec-version-dependent, logical size is
+    // not.
+    //
+    // Scale shape (r9): this is a METADATA pass, not a decode pass —
+    // every number comes from codec HEADERS (ImageCodec.peekDims /
+    // AudioCodec.peekFormat / VideoCodec.videoFrameDims), so the job
+    // reads a few hundred bytes per asset instead of inflating the
+    // corpus. At 100 TB that is the whole job. (Measured at sf0.1:
+    // 6.2 s full-decode -> header-only, see BASELINE.) Text reads
+    // meta.n_bytes (defined as n_chars), which matches the oracle for
+    // any corpus where octet_length(payload) would diverge on non-ASCII.
     "q_asset_inventory" -> ((s, d) => {
-      // meta.n_bytes is n_chars by construction (assetsFromDocuments), so
-      // this matches the oracle's sum(n_chars) for ANY corpus — an
-      // octet_length(payload) would diverge on non-ASCII text (UTF-8
-      // bytes != chars) and forces the payload to materialize at all
       val text = Multimodal.assetsFromDocuments(s, d)
         .select(col("modality"), col("meta.n_bytes").as("logical_bytes"))
-      val image = ImageCodec.imageStats(ImageCodec.imageAssets(s, d))
+      val image = ImageCodec.imageMeta(ImageCodec.imageAssets(s, d))
         .where(col("ok"))
         .select(lit("image").as("modality"),
-          (col("n_pixels") * col("channels")).as("logical_bytes"))
-      val audio = AudioCodec.audioStats(AudioCodec.audioAssets(s, d))
+          (col("width") * col("height") * col("channels")).as("logical_bytes"))
+      val audio = AudioCodec.audioMeta(AudioCodec.audioAssets(s, d))
         .where(col("ok"))
         .select(lit("audio").as("modality"),
-          (col("n_samples") * lit(2L)).as("logical_bytes"))
-      val video = VideoCodec.videoFrameStats(VideoCodec.videoAssets(s, d))
+          (col("n_samples") * col("channels") * lit(2L)).as("logical_bytes"))
+      val video = VideoCodec.videoFrameDims(VideoCodec.videoAssets(s, d))
         .groupBy("asset_id")
         .agg(sum(col("width") * col("height")).as("logical_bytes"))
         .select(lit("video").as("modality"), col("logical_bytes"))

@@ -64,6 +64,23 @@ object AudioCodec {
     def frames: Int = samples.length / channels
   }
 
+  /** HEADER-ONLY metadata peek: (sample_rate, channels, frames) from the
+    * container header via `AudioSystem.getAudioFileFormat` — no sample
+    * data is read. The inventory-pass twin of ImageCodec.peekDims.
+    * Returns None on corrupt/unrecognized payloads or unknown lengths. */
+  def peekFormat(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload == null) return None
+    try {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return None
+      val frames = aff.getFrameLength
+      if (frames < 0) return None // unspecified in header
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, frames.toLong))
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Real decode via AudioSystem. Handles 16-bit signed PCM (either
     * endianness); anything else — or a corrupt container — returns None,
     * never throws. */
@@ -337,6 +354,30 @@ object AudioCodec {
         val wav = encodeWavPcm16(samples)
         Row(id, "audio", wav,
           Row("audio/wav", null, null, wav.length.toLong))
+      }
+    }(enc)
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** HEADER-ONLY per-asset metadata (peekFormat over the scan) — the
+    * inventory/accounting pass; `n_samples` is per-channel frames, as
+    * everywhere. No sample data is read. */
+  def audioMeta(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(metaSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        peekFormat(r.getAs[Array[Byte]]("payload")) match {
+          case Some((rate, ch, frames)) => Row(id, rate.toLong, ch.toLong, frames, true)
+          case None                     => Row(id, null, null, null, false)
+        }
       }
     }(enc)
   }

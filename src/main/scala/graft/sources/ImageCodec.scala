@@ -120,6 +120,33 @@ object ImageCodec {
     } catch { case NonFatal(_) => None }
   }
 
+  /** HEADER-ONLY metadata peek: width/height/channels from the image
+    * header via ImageIO's reader API (`getWidth`/`getHeight`/
+    * `getImageTypes` parse the header, not the pixel data). This is what
+    * inventory/accounting passes should use — at corpus scale the
+    * difference between reading headers and inflating every payload is
+    * the whole job. Returns None on corrupt/unrecognized payloads. */
+  def peekDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val types = reader.getImageTypes(0)
+          val channels =
+            if (types.hasNext) types.next().getNumComponents else 1
+          Some((w, h, channels))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Average-hash (aHash) over a 16x16 block-mean downsample of the luma
     * plane, 256 bits as 4 little-endian longs (bit i = word i/64, position
     * i%64 — HashBanding's word layout): bit i set iff 256 * cell_i >
@@ -223,6 +250,31 @@ object ImageCodec {
         }
         val png = encodeGrayPng(w, h, luma)
         Row(id, "image", png, Row("image/png", Int.box(w), Int.box(h), png.length.toLong))
+      }
+    }(enc)
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("ok", BooleanType, nullable = false),
+  ))
+
+  /** HEADER-ONLY per-asset metadata (peekDims over the scan) — the
+    * inventory/accounting pass. No pixel data is inflated; at corpus
+    * scale this touches a few hundred bytes per asset instead of the
+    * payload. */
+  def imageMeta(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(metaSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        peekDims(r.getAs[Array[Byte]]("payload")) match {
+          case Some((w, h, c)) => Row(id, w.toLong, h.toLong, c.toLong, true)
+          case None            => Row(id, null, null, null, false)
+        }
       }
     }(enc)
   }

@@ -124,6 +124,28 @@ object VideoCodec {
     }(enc)
   }
 
+  private val frameDimsSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+  ))
+
+  /** HEADER-ONLY per-frame dimensions: container parse + image-header
+    * peek per frame, NO pixel inflation — the inventory/accounting pass
+    * (ImageCodec.peekDims per frame). Cheap enough that no decode
+    * fan-out is needed; frames whose headers fail to parse are skipped. */
+  def videoFrameDims(assets: DataFrame, everyN: Int = 1): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameDimsSchema))
+    videoFrames(assets, everyN).mapPartitions { it =>
+      it.flatMap { r =>
+        ImageCodec.peekDims(r.getAs[Array[Byte]](2)).map { case (w, h, _) =>
+          Row(r.getLong(0), r.getLong(1), w.toLong, h.toLong)
+        }
+      }
+    }(enc)
+  }
+
   private val frameStatsSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),

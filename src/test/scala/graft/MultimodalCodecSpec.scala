@@ -58,6 +58,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(d.samples.toSeq === samples.toSeq)
   }
 
+  test("header peeks agree with full decode and never inflate pixels/samples") {
+    // image: gray and RGB headers
+    val p = ImageCodec.pattern(7L, 99L)
+    val png = ImageCodec.encodeGrayPng(p.w, p.h, ImageCodec.render(p))
+    assert(ImageCodec.peekDims(png) === Some((p.w, p.h, 1)))
+    val rgb = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos)
+    assert(ImageCodec.peekDims(bos.toByteArray) === Some((5, 3, 3)))
+    assert(ImageCodec.peekDims(Array[Byte](1, 2)) === None)
+    assert(ImageCodec.peekDims(null) === None)
+    // audio: header frame count equals decoded per-channel frames
+    val wav = AudioCodec.encodeWavPcm16(Array.tabulate(321)(i => AudioCodec.sampleAt(3L, i)))
+    assert(AudioCodec.peekFormat(wav) === Some((16000, 1, 321L)))
+    assert(AudioCodec.peekFormat(Array[Byte](82, 73)) === None)
+    // video: per-frame dims off headers equal the decoded stats' dims
+    import graft.sources.VideoCodec
+    val assets = VideoCodec.videoAssets(spark, sf)
+    val dims = VideoCodec.videoFrameDims(assets)
+      .orderBy("asset_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stats = VideoCodec.videoFrameStats(assets)
+      .orderBy("asset_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(dims.toSeq === stats.toSeq)
+  }
+
   test("multichannel WAV reports per-channel frame count (duration envelope stays honest)") {
     // stereo PCM16: 100 frames x 2 channels = 400 bytes of sample data;
     // n_samples must be 100, not 200
