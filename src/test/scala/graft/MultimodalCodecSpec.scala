@@ -228,6 +228,32 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(got.size === planted.count(_._4 <= HashBanding.MaxGuaranteedHamming))
   }
 
+  test("image dedup clusters: planted pairs share a cluster, distinct textures are singletons") {
+    val rows = SparkEntry.queries("q_image_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byAsset = rows.map(r => r._1 -> r).toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length === nDocs)
+    // every planted (5m, 5m+4) pair that the pairwise query finds must
+    // sit in one cluster whose id is the least member
+    val pairs = SparkEntry.queries("q_image_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(byAsset(a)._2 === byAsset(b)._2, s"pair ($a, $b) split across clusters")
+      assert(byAsset(a)._2 <= a, "cluster id must be the least member")
+    }
+    // assets in no pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filterNot(r => paired.contains(r._1)).foreach { r =>
+      assert(r._2 === r._1 && r._3 === 1L, s"unpaired asset ${r._1} not a singleton: $r")
+    }
+    // and cluster member counts agree with the grouping
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.forall(_._3 === members.length.toLong),
+        s"cluster $comp member-count mismatch")
+    }
+  }
+
   test("audioStats matches the closed-form sample plan (real decode)") {
     val stats = AudioCodec.audioStats(AudioCodec.audioAssets(spark, sf))
       .orderBy("asset_id").collect()
