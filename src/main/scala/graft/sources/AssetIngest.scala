@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * all read the barriered frame), two band equi-joins linear in batch
   * size, zero corpus scans beyond the index's hash table.
   *
+  * Streaming composition note (operations): the per-modality streaming
+  * probes (StreamingOps.image/audioDedupProbeStream) resolve the index's
+  * hash table and tombstones when the streaming query is PLANNED — a
+  * batch append or takedown made here lands in an already-running gate
+  * at its next restart, not mid-query. Pipelines that interleave this
+  * batch loop with streaming admission should restart the gates after
+  * each ingest cycle (micro-batch ingest via foreachBatch over this
+  * loop gets the refresh for free).
+  *
   * Retry discipline: the index append runs AFTER the landing write. A
   * retried fully-successful batch is self-healing — every asset now
   * matches its own stored hash at Hamming 0 and is skipped as a

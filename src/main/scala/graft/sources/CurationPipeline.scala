@@ -120,4 +120,45 @@ object CurationPipeline {
   def writeShards(layout: DataFrame, path: String): Unit =
     layout.repartition(col("shard")).sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** MULTIMODAL pair curation — the aligned (text, image) training-pair
+    * corpus a vision-language run consumes, composed from the same
+    * engines as the declared operators:
+    *
+    *   text: [[curate]] (redact → quality gate → exact dedup → split) —
+    *   image: ONE real decode pass (ImageCodec.annotateWithHash gives
+    *   gate fields AND the perceptual hash together) → dimension
+    *   envelope → perceptual min-id keeper (banded pairs; never
+    *   all-pairs, loud bucket cap on degenerate corpora) —
+    *   alignment: inner join on doc id, so a pair survives only when
+    *   BOTH sides were kept; the text side's split carries over, which
+    *   keeps a document's text and its image in the SAME split (no
+    *   train/test leakage through the paired modality).
+    *
+    * `assets` is the caller's image table (asset_id aligned to doc_id,
+    * payload binary) — the seam where a real corpus's asset store plugs
+    * in. Scale shape: one codec pass, one banded self-join, one keyed
+    * equi-join; no driver collection. Output: (doc_id, split, text,
+    * n_tok, score, image, width, height). */
+  def curateImagePairs(spark: SparkSession, sfDir: String, assets: DataFrame,
+      minScore: Double = 0.3,
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minSide: Int = 8, maxSide: Int = 4096): DataFrame = {
+    require(1 <= minSide && minSide <= maxSide,
+      s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
+    val text = curate(spark, sfDir, minScore)
+    val ann = ImageCodec.annotateWithHash(assets).localCheckpoint(false)
+    val valid = ann.where(col("ok") &&
+      col("width").between(minSide, maxSide) &&
+      col("height").between(minSide, maxSide))
+    val losers = HashBanding.pairs(
+        valid.select(col("asset_id"), col("ahash")), maxHamming)
+      .select(col("b_id").as("asset_id")).distinct()
+    val unique = valid.join(losers, Seq("asset_id"), "left_anti")
+    text.join(
+        unique.select(col("asset_id").as("doc_id"), col("payload").as("image"),
+          col("width"), col("height")),
+        Seq("doc_id"))
+      .select("doc_id", "split", "text", "n_tok", "score", "image", "width", "height")
+  }
 }

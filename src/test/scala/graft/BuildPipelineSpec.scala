@@ -48,6 +48,38 @@ class BuildPipelineSpec extends AnyFunSuite {
     assert(train.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("multimodal pair curation: both sides gated, dup images collapsed, splits leak-free") {
+    import graft.sources.{CurationPipeline, ImageCodec}
+    val sf = "/root/testdata/sf0.001"
+    // textured assets with planted perceptual dups (the dedup fixture)
+    val assets = ImageCodec.dedupAssets(spark, sf)
+    val pairs = CurationPipeline.curateImagePairs(spark, sf, assets)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    val curatedIds = CurationPipeline.curate(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // alignment: every pair's text side survived text curation, and its
+    // split matches the text side's (no leakage through the image)
+    assert(rows.forall(r => curatedIds.contains(r.getAs[Long]("doc_id"))))
+    val splitByDoc = CurationPipeline.curate(spark, sf)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.forall(r => splitByDoc(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+    // perceptual dedup: planted dup partners (larger id of each pair)
+    // are collapsed — at most one of (5m, 5m+4) appears
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val dupPairs = SparkEntry.queries("q_image_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    dupPairs.foreach { case (a, b) =>
+      assert(!(ids.contains(a) && ids.contains(b)),
+        s"near-dup images $a and $b both survived pair curation")
+    }
+    // every landed image decodes and sits in the envelope
+    rows.take(20).foreach { r =>
+      val d = ImageCodec.decodeLuma(r.getAs[Array[Byte]]("image"))
+      assert(d.isDefined && d.get.width >= 8 && d.get.height >= 8)
+    }
+  }
+
   test("pretraining layout: mixture rates, salted shard scatter, dense reproducible order") {
     import graft.sources.CurationPipeline
     val sf = "/root/testdata/sf0.001"
