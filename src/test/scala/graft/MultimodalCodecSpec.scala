@@ -820,6 +820,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
 
+  test("degenerate first batches: all-undecodable ingest accounts cleanly and leaves a usable store") {
+    import graft.sources.{AssetIngest, VideoCodec}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_deg").toString
+    // batch 1: nothing decodes — report all-undecodable, no crash
+    val junk = Seq((1L, Array[Byte](9, 9)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    val r1 = AssetIngest.ingestVideoBatch(spark, junk, s"$base/idx", s"$base/data")
+    assert(r1 === AssetIngest.IngestReport(0, 0, 0, 2))
+    // batch 2 into the same (possibly empty-file) store works normally
+    def vid(key: Long): Array[Byte] =
+      VideoCodec.encodeContainer((0 until 3).map(f =>
+        ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key * 211 + f, 16, 16))))
+    val r2 = AssetIngest.ingestVideoBatch(spark,
+      Seq((10L, vid(5L))).toDF("asset_id", "payload"), s"$base/idx", s"$base/data")
+    assert(r2 === AssetIngest.IngestReport(1, 0, 0, 0))
+    // and a dup of the landed video now flags against the young index
+    val r3 = AssetIngest.ingestVideoBatch(spark,
+      Seq((11L, vid(5L))).toDF("asset_id", "payload"), s"$base/idx", s"$base/data")
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+    // same degenerate shape through the image loop's shared core
+    val ri = AssetIngest.ingestImageBatch(spark, junk, s"$base/iidx", s"$base/idata")
+    assert(ri === AssetIngest.IngestReport(0, 0, 0, 2))
+  }
+
   test("composed ingest loop: gate, in-batch dedup, corpus probe, land, index append, retry") {
     import graft.sources.AssetIngest
     import spark.implicits._

@@ -284,6 +284,16 @@ class ScaleSpec extends AnyFunSuite {
     }.toDF("asset_id", "ahash")
     val pairs = HashBanding.pairs(textured, maxHamming = 8, maxBucket = 50).collect()
     assert(pairs.isEmpty, s"distinct textures produced pairs: ${pairs.mkString(",")}")
+
+    // the PROBE path guards its corpus side the same way: a small clean
+    // batch probed against the flooded corpus must also fail loudly
+    val batch = textured.limit(3)
+    val ex2 = intercept[Exception] {
+      HashBanding.probe(batch, hashes, maxHamming = 8, maxBucket = 50).count()
+    }
+    assert(chain(ex2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("HashBanding")),
+      s"probe against flooded corpus did not trip the cap: $ex2")
   }
 
   test("zone-map skipping: range-sorted layout prunes files, unsorted reads all, answers equal") {
