@@ -67,20 +67,15 @@ object MultimodalOps {
 
     // Image near-dup CLUSTERS: the keep-one-per-cluster view a curation
     // pipeline actually acts on (pairs are evidence; clusters are the
-    // decision). Banded pairs → pointer-doubling connected components
-    // (DedupOps' fixpoint engine — one scalar per round to the driver) →
-    // (asset, cluster id = min member, member count). ✗ rows+spec tier
-    // like q_image_dedup; semantics pinned in MultimodalCodecSpec.
+    // decision). HashBanding.clusters = banded pairs → pointer-doubling
+    // connected components → (asset, cluster = min member, members); the
+    // same call works on any (asset_id, ahash) frame — audio envelope
+    // hashes included. ✗ rows+spec tier like q_image_dedup; semantics
+    // pinned in MultimodalCodecSpec.
     "q_image_dedup_clusters" -> ((s, d) => {
       val hashes = ImageCodec.imageHashes(ImageCodec.dedupAssets(s, d))
         .where(col("ok")).select("asset_id", "ahash").localCheckpoint(false)
-      val edges = graft.sources.HashBanding.pairs(hashes, graft.sources.HashBanding.DefaultMaxHamming)
-        .select(col("a_id").as("da"), col("b_id").as("db"))
-      DedupOps.connectedComponents(hashes.select(col("asset_id").as("node")), edges)
-        .withColumn("members",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("comp")))
-        .select(col("node").as("asset_id"), col("comp").as("cluster"), col("members"))
-        .orderBy("asset_id")
+      graft.sources.HashBanding.clusters(hashes).orderBy("asset_id")
     }),
 
     // Per-audio amplitude stats off a real javax.sound WAV decode.

@@ -160,6 +160,25 @@ object HashBanding {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS over a hash frame: [[pairs]] edges fed through
+    * the pointer-doubling connected-components fixpoint (DedupOps'
+    * engine — one scalar per round to the driver), yielding one row per
+    * asset: (asset_id, cluster = least member id, members). This is the
+    * keep-one-per-cluster view curation acts on, shared by every
+    * modality that produces (asset_id, ahash) — image aHash, audio
+    * envelope (video-level clustering goes through videoDupPairs'
+    * alignment vote instead, since its edges are not plain hash pairs). */
+  def clusters(hashes: DataFrame, maxHamming: Int = DefaultMaxHamming,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val edges = pairs(hashes, maxHamming, maxBucket)
+      .select(col("a_id").as("da"), col("b_id").as("db"))
+    graft.operators.DedupOps.connectedComponents(
+        hashes.select(col("asset_id").as("node")), edges)
+      .withColumn("members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      .select(col("node").as("asset_id"), col("comp").as("cluster"), col("members"))
+  }
+
   /** Batch-vs-corpus probe: (batch_id, corpus_id, hamming) at
     * Hamming <= maxHamming — linear in batch size. The cap guards the
     * corpus side (where skew accumulates over appends). */

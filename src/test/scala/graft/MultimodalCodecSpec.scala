@@ -820,6 +820,40 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
 
+  test("streaming crawl -> foreachBatch ingest loop: dups drop across micro-batches, store grows once") {
+    // the documented composition for continuous ingest: each micro-batch
+    // runs the batch loop, so index appends are visible to the NEXT
+    // micro-batch with no gate restarts
+    import graft.sources.AssetIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    def img(key: Long): Array[Byte] =
+      ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val reports = scala.collection.mutable.ArrayBuffer.empty[AssetIngest.IngestReport]
+    val q = mem.toDF.toDF("asset_id", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        reports += AssetIngest.ingestImageBatch(
+          spark, batch, s"$base/idx", s"$base/data")
+        ()
+      }
+      .start()
+    try {
+      mem.addData((1L, img(1L)), (2L, img(2L)))
+      q.processAllAvailable()
+      // second micro-batch: one cross-micro-batch dup, one novel
+      mem.addData((3L, img(1L)), (4L, img(3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(_.admitted).toSeq === Seq(2, 1))
+    assert(reports.map(_.corpusDups).toSeq === Seq(0, 1),
+      s"cross-micro-batch dup not caught by the young index: $reports")
+    assert(spark.read.parquet(s"$base/data/assets").select("asset_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("degenerate first batches: all-undecodable ingest accounts cleanly and leaves a usable store") {
     import graft.sources.{AssetIngest, VideoCodec}
     import spark.implicits._
