@@ -373,7 +373,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val corrupt = Array[Byte](1, 2, 3)
     mem.addData((1L, good), (2L, tiny), (3L, corrupt), (4L, null))
     val gated = graft.streaming.StreamingOps.imageGateStream(
-      mem.toDF.toDF("asset_id", "payload"), minSide = 8, maxSide = 64)
+      mem.toDF().toDF("asset_id", "payload"), minSide = 8, maxSide = 64)
     val q = gated.writeStream.format("memory").queryName("img_gate")
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
@@ -579,7 +579,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, Array[Byte])]
     mem.addData((1L, good), (2L, short), (3L, Array[Byte](9, 9)), (4L, null))
     val gated = graft.streaming.StreamingOps.audioGateStream(
-      mem.toDF.toDF("asset_id", "payload"), minSamples = 100, maxSamples = 1000)
+      mem.toDF().toDF("asset_id", "payload"), minSamples = 100, maxSamples = 1000)
     val q = gated.writeStream.format("memory").queryName("aud_gate")
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
@@ -610,7 +610,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
       mem.addData(rows: _*)
       val name = s"img_probe_${System.nanoTime()}"
       val q = graft.streaming.StreamingOps.imageDedupProbeStream(
-        mem.toDF.toDF("asset_id", "payload"), dir)
+        mem.toDF().toDF("asset_id", "payload"), dir)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
@@ -644,7 +644,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, Array[Byte])]
     mem.addData((1L, good), (2L, tooLong), (3L, tiny), (4L, corrupt), (5L, null))
     val gated = graft.streaming.StreamingOps.videoGateStream(
-      mem.toDF.toDF("asset_id", "payload"), minFrames = 1, maxFrames = 3, minSide = 8)
+      mem.toDF().toDF("asset_id", "payload"), minFrames = 1, maxFrames = 3, minSide = 8)
     val q = gated.writeStream.format("memory").queryName("vid_gate")
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally q.stop()
@@ -685,7 +685,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
       mem.addData(rows: _*)
       val name = s"aud_probe_${System.nanoTime()}"
       val q = graft.streaming.StreamingOps.audioDedupProbeStream(
-        mem.toDF.toDF("asset_id", "payload"), dir)
+        mem.toDF().toDF("asset_id", "payload"), dir)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
@@ -833,7 +833,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
       ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20))
     val mem = MemoryStream[(Long, Array[Byte])]
     val reports = scala.collection.mutable.ArrayBuffer.empty[AssetIngest.IngestReport]
-    val q = mem.toDF.toDF("asset_id", "payload").writeStream
+    val q = mem.toDF().toDF("asset_id", "payload").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         reports += AssetIngest.ingestImageBatch(
           spark, batch, s"$base/idx", s"$base/data")
