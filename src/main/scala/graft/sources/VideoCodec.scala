@@ -228,19 +228,37 @@ object VideoCodec {
     * frame granularity; 2^20 frames per video is ~9.7 h at 30 fps. */
   private val MaxFramesPerVideo = 1L << 20
 
+  /** Collapse a frame-level hash frame to one row per DISTINCT
+    * (video, hash): the first frame index anchors the temporal
+    * alignment, the multiplicity weights the vote. This is the video
+    * engine's quadratic-killer: a STATIC video (one frame repeated F
+    * times — screencasts, title cards) contributes ONE banded row
+    * instead of F, so a pair of static videos costs 1 candidate rather
+    * than F^2, and identical-frame floods collapse before they can
+    * swamp a band bucket. */
+  private def collapseFrames(frameHashes: DataFrame): DataFrame =
+    frameHashes.groupBy("asset_id", "ahash")
+      .agg(min("frame_idx").as("first_idx"), count(lit(1)).as("cnt"))
+
   /** Video near-dup pairs (a_id < b_id): two videos pair when, at the
     * best single temporal alignment, at least `minFrac` of the shorter
     * video's hashed frames match a frame of the other within
-    * `maxHamming`. Plan shape: frame uids through HashBanding.pairs
-    * (banded candidates + exact popcount + the skew cap), decode uids
-    * back, count matches per (pair, alignment delta), keep each pair's
-    * best delta, then one broadcast-sized join against per-video frame
-    * counts. Output: (a_id, b_id, aligned_frames, n_a, n_b).
+    * `maxHamming`. Plan shape: collapse repeated frames per video
+    * ([[collapseFrames]] — bounded candidates even on static videos),
+    * band the distinct (video, hash) rows through HashBanding.pairs
+    * (exact popcount + the skew cap), then the alignment vote: one
+    * weighted vote per a-side anchor per delta (weight = min of the two
+    * multiplicities, max'd over competing b-matches so one anchor never
+    * votes twice), summed per delta, best delta wins; finally one
+    * broadcast-sized join against per-video frame counts.
+    * Output: (a_id, b_id, aligned_frames, n_a, n_b).
     *
     * The alignment vote is what makes this ORDER-AWARE: a shuffled
     * playlist of the same frames shares frame matches but scatters them
     * across deltas, so no single alignment accumulates the fraction. A
-    * truncated copy concentrates all its matches at delta 0 and passes. */
+    * truncated copy concentrates all its matches at delta 0 and passes;
+    * a static-video pair concentrates min(F_a, F_b) weight at its
+    * anchor delta and passes — with ONE candidate row, not F^2. */
   def videoDupPairs(frameHashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
@@ -252,22 +270,27 @@ object VideoCodec {
     val hashed = frameHashes.localCheckpoint(false)
     val counts = hashed.groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"))
-    val uids = hashed
-      .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
+    val collapsed = collapseFrames(hashed)
+    val uids = collapsed
+      .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
+    val cntByUid = collapsed.select(
+      (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("uid"), col("cnt"))
     val framePairs = HashBanding.pairs(uids, maxHamming, maxBucket)
+      .join(cntByUid.select(col("uid").as("a_id"), col("cnt").as("cnt_a")), Seq("a_id"))
+      .join(cntByUid.select(col("uid").as("b_id"), col("cnt").as("cnt_b")), Seq("b_id"))
       .select(expr(s"a_id div $MaxFramesPerVideo").as("a_vid"),
         (col("a_id") % MaxFramesPerVideo).as("a_idx"),
         expr(s"b_id div $MaxFramesPerVideo").as("b_vid"),
-        (col("b_id") % MaxFramesPerVideo).as("b_idx"))
+        (col("b_id") % MaxFramesPerVideo).as("b_idx"),
+        col("cnt_a"), col("cnt_b"))
       .where(col("a_vid") < col("b_vid"))
-    // best single alignment per pair: matches grouped by frame-index
-    // delta; max_by keeps the winning delta's count. A frame may match
-    // several frames of the partner — count DISTINCT a-frames so one
-    // repeated frame can't vote twice at one delta.
     val aligned = framePairs
-      .groupBy(col("a_vid"), col("b_vid"), (col("a_idx") - col("b_idx")).as("delta"))
-      .agg(countDistinct(col("a_idx")).as("matches"))
+      .groupBy(col("a_vid"), col("b_vid"),
+        (col("a_idx") - col("b_idx")).as("delta"), col("a_idx"))
+      .agg(max(least(col("cnt_a"), col("cnt_b"))).as("w"))
+      .groupBy(col("a_vid"), col("b_vid"), col("delta"))
+      .agg(sum(col("w")).as("matches"))
       .groupBy(col("a_vid"), col("b_vid"))
       .agg(max(col("matches")).as("aligned_frames"))
     aligned
@@ -343,16 +366,18 @@ object VideoCodec {
   // --- Persisted frame-hash index lifecycle — completes the per-modality
   // parity (image r8, audio r9): a crawl pipeline probes each video
   // snapshot against the corpus in O(batch frames), never re-hashing the
-  // corpus. Stored layout: `dir/hashes` (asset_id, frame_idx, ahash) and
+  // corpus. Stored layout: `dir/hashes` holds the COLLAPSED form
+  // (asset_id, first_idx, cnt, ahash — one row per distinct frame hash
+  // per video, see collapseFrames: static videos store 1 row, not F) and
   // `dir/counts` (asset_id, n_frames) — counts persist at write/append
   // time so a probe's alignment vote never needs an O(corpus-frames)
   // aggregate. Tombstones at video granularity cover both tables. ---
 
-  /** Build the index: decode + hash every frame, persist hashes and
-    * per-video frame counts. */
+  /** Build the index: decode + hash every frame, persist the collapsed
+    * hash rows and per-video frame counts. */
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
-    hashed.write.mode("overwrite").parquet(s"$dir/hashes")
+    collapseFrames(hashed).write.mode("overwrite").parquet(s"$dir/hashes")
     hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .write.mode("overwrite").parquet(s"$dir/counts")
     HashBanding.writeMeta(s, dir)
@@ -367,10 +392,10 @@ object VideoCodec {
   /** Append PRE-COMPUTED frame hashes (asset_id, frame_idx, ahash) —
     * the ingest loop's path, where one decode pass feeds gate, dedup,
     * probe, and this append. `hashed` must be materialized (barriered)
-    * by the caller. */
+    * by the caller; rows are collapsed before storage. */
   def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    hashed.select("asset_id", "frame_idx", "ahash")
+    collapseFrames(hashed.select("asset_id", "frame_idx", "ahash"))
       .write.mode("append").parquet(s"$dir/hashes")
     hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .write.mode("append").parquet(s"$dir/counts")
@@ -401,7 +426,8 @@ object VideoCodec {
       dir, maxHamming, minFrac, maxBucket)
 
   /** Probe from PRE-COMPUTED batch frame hashes (must be barriered by
-    * the caller — the ingest loop's single-decode path). */
+    * the caller — the ingest loop's single-decode path). Batch side is
+    * collapsed here; the stored side is collapsed at write/append time. */
   def dedupVideoHashesAgainstIndex(s: SparkSession, hashed: DataFrame, dir: String,
       maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
@@ -409,23 +435,38 @@ object VideoCodec {
     HashBanding.requireMeta(s, dir)
     val batchCounts = hashed.groupBy(col("asset_id").as("batch_id"))
       .agg(count(lit(1)).as("n_batch"))
-    val batchUids = hashed
-      .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
+    // batch side collapsed here; the stored side is collapsed by
+    // construction (write/append). Same weighted vote as videoDupPairs.
+    val bCollapsed = collapseFrames(hashed)
+    val batchUids = bCollapsed
+      .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
+    val bCnt = bCollapsed.select(
+      (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("batch_id"),
+      col("cnt").as("cnt_b"))
     val stored = Tombstones.applyTo(s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
     val storedUids = stored
-      .select((col("asset_id") * MaxFramesPerVideo + col("frame_idx")).as("asset_id"),
+      .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
+    val cCnt = stored.select(
+      (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("corpus_id"),
+      col("cnt").as("cnt_c"))
     val corpusCounts = Tombstones.applyTo(
         s, s.read.parquet(s"$dir/counts"), dir, "asset_id")
       .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
     val aligned = HashBanding.probe(batchUids, storedUids, maxHamming, maxBucket)
+      .join(bCnt, Seq("batch_id"))
+      .join(cCnt, Seq("corpus_id"))
       .select(expr(s"batch_id div $MaxFramesPerVideo").as("b_vid"),
         (col("batch_id") % MaxFramesPerVideo).as("b_idx"),
         expr(s"corpus_id div $MaxFramesPerVideo").as("c_vid"),
-        (col("corpus_id") % MaxFramesPerVideo).as("c_idx"))
-      .groupBy(col("b_vid"), col("c_vid"), (col("b_idx") - col("c_idx")).as("delta"))
-      .agg(countDistinct(col("b_idx")).as("matches"))
+        (col("corpus_id") % MaxFramesPerVideo).as("c_idx"),
+        col("cnt_b"), col("cnt_c"))
+      .groupBy(col("b_vid"), col("c_vid"),
+        (col("b_idx") - col("c_idx")).as("delta"), col("b_idx"))
+      .agg(max(least(col("cnt_b"), col("cnt_c"))).as("w"))
+      .groupBy(col("b_vid"), col("c_vid"), col("delta"))
+      .agg(sum(col("w")).as("matches"))
       .groupBy(col("b_vid").as("batch_id"), col("c_vid").as("corpus_id"))
       .agg(max(col("matches")).as("aligned_frames"))
     aligned

@@ -352,6 +352,40 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(spurious.isEmpty, s"spurious video pairs: ${spurious.mkString(",")}")
   }
 
+  test("static videos pair at full fraction with ONE banded row per video (no frame^2 blowup)") {
+    import graft.sources.VideoCodec
+    import spark.implicits._
+    // screencast shape: one frame repeated 64 times. A pair of these
+    // must be found as a full-fraction dup — and the collapsed engine
+    // must band ONE row per video, not 64. maxBucket = 3 is the proof:
+    // an uncollapsed engine would put 128 identical-hash rows in one
+    // bucket and trip the cap; the collapsed engine's buckets hold at
+    // most the two videos sharing the texture.
+    def static(key: Long, n: Int): Array[Byte] = {
+      val f = ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key, 16, 16))
+      VideoCodec.encodeContainer(Seq.fill(n)(f))
+    }
+    val assets = Seq(
+      (1L, "video", static(7L, 64)), (2L, "video", static(7L, 64)),
+      (3L, "video", static(8L, 64))).toDF("asset_id", "modality", "payload")
+    val pairs = VideoCodec.videoDupPairs(
+        VideoCodec.videoFrameHashes(assets), maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(pairs.toSet === Set((1L, 2L, 64L, 64L, 64L)),
+      s"static pair not detected at full weight: ${pairs.mkString(",")}")
+    // and the persisted index stores the collapsed form: 1 row per video
+    val dir = java.nio.file.Files.createTempDirectory("vidstatic").toString + "/idx"
+    VideoCodec.writeVideoHashIndex(spark, assets, dir)
+    assert(spark.read.parquet(s"$dir/hashes").count() === 3)
+    val hits = VideoCodec.dedupVideosAgainstIndex(
+        spark, Seq((10L, "video", static(7L, 32))).toDF("asset_id", "modality", "payload"),
+        dir, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a 32-frame cut of the static video matches both stored copies at
+    // weight min(32, 64) = 32 — full fraction of the shorter side
+    assert(hits === Set((10L, 1L, 32L), (10L, 2L, 32L)), s"got $hits")
+  }
+
   test("videoFrameStats fan-out matches the inline shape; frame hashes are alignment-stable") {
     import graft.sources.VideoCodec
     val assets = VideoCodec.dedupAssets(spark, sf)
