@@ -144,6 +144,10 @@ object MultimodalOps {
     // 6.2 s full-decode -> header-only, see BASELINE.) Text reads
     // meta.n_bytes (defined as n_chars), which matches the oracle for
     // any corpus where octet_length(payload) would diverge on non-ASCII.
+    // Image channel counts follow peekDims' HEADER convention (stored
+    // components, not decoded raster channels — palette formats count 1,
+    // see ImageCodec.peekDims scaladoc), so totals are "as-stored
+    // logical bytes" and stable across codec paths.
     "q_asset_inventory" -> ((s, d) => {
       val text = Multimodal.assetsFromDocuments(s, d)
         .select(col("modality"), col("meta.n_bytes").as("logical_bytes"))

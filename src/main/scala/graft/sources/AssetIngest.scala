@@ -41,8 +41,14 @@ import org.apache.spark.sql.functions._
   */
 object AssetIngest {
 
+  /** Per-batch accounting. `undecodable` counts assets whose payload the
+    * codec could not decode at all (`ok = false`); `gated` counts assets
+    * that decoded fine but failed the admission envelope (dims / sample
+    * count / frame count) — the two are different operational signals
+    * (corrupt crawl data vs a mis-tuned gate), so they are reported
+    * separately rather than folded into one "rejected" number. */
   final case class IngestReport(admitted: Long, inBatchDups: Long,
-    corpusDups: Long, undecodable: Long)
+    corpusDups: Long, undecodable: Long, gated: Long = 0L)
 
   private def storedHashes(s: SparkSession, indexDir: String): DataFrame = {
     val p = new Path(s"$indexDir/hashes")
@@ -106,6 +112,7 @@ object AssetIngest {
       s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
     val ann = VideoCodec.annotateDecoded(batch).localCheckpoint(false)
     val total = ann.count()
+    val nOk = ann.where(col("ok")).count()
     val valid = ann.where(col("ok") &&
       col("n_frames").between(minFrames, maxFrames) &&
       col("width").between(minSide, maxSide) &&
@@ -145,7 +152,8 @@ object AssetIngest {
       admitted = nNovel,
       inBatchDups = nValid - nKeepers,
       corpusDups = nKeepers - nNovel,
-      undecodable = total - nValid)
+      undecodable = total - nOk,
+      gated = nOk - nValid)
   }
 
   /** The modality-agnostic loop. `annotated` must carry `asset_id`,
@@ -157,6 +165,7 @@ object AssetIngest {
       maxHamming: Int): IngestReport = {
     val ann = annotated.localCheckpoint(false)
     val total = ann.count()
+    val nOk = ann.where(col("ok")).count()
     val valid = ann.where(col("ok") && gate)
     val hashes = valid.select(col("asset_id"), col("ahash"))
     // in-batch collapse: greedy min-id keeper — any asset pairing with a
@@ -186,6 +195,7 @@ object AssetIngest {
       admitted = nNovel,
       inBatchDups = nValid - nKeepers,
       corpusDups = nKeepers - nNovel,
-      undecodable = total - nValid)
+      undecodable = total - nOk,
+      gated = nOk - nValid)
   }
 }

@@ -125,7 +125,18 @@ object ImageCodec {
     * `getImageTypes` parse the header, not the pixel data). This is what
     * inventory/accounting passes should use — at corpus scale the
     * difference between reading headers and inflating every payload is
-    * the whole job. Returns None on corrupt/unrecognized payloads. */
+    * the whole job. Returns None on corrupt/unrecognized payloads.
+    *
+    * CHANNEL CONVENTION (documented, deliberate): `channels` is the
+    * first ImageTypeSpecifier's `getNumComponents` — the STORAGE
+    * component count the header declares, which for palette/indexed
+    * formats can differ from the channel count a full decode's raster
+    * would report (an indexed PNG is 1 stored component that expands to
+    * 3 on decode). Inventory totals built on this peek are therefore
+    * "as-stored logical bytes", stable across codec paths and versions;
+    * the gray/RGB fixtures this repo synthesizes agree between header
+    * and decode (pinned in MultimodalCodecSpec), and q_asset_inventory's
+    * scaladoc states the convention for palette corpora. */
   def peekDims(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload == null) return None
     try {

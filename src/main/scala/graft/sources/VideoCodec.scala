@@ -228,6 +228,33 @@ object VideoCodec {
     * frame granularity; 2^20 frames per video is ~9.7 h at 30 fps. */
   private val MaxFramesPerVideo = 1L << 20
 
+  /** Largest asset id the uid packing can carry without overflowing into
+    * the sign bit: uid = asset_id * 2^20 + frame_idx must stay a
+    * non-negative Long. */
+  private val MaxAssetId = Long.MaxValue / MaxFramesPerVideo
+
+  /** Fail LOUDLY on any collapsed row whose (asset_id, first_idx) cannot
+    * pack into a frame uid without aliasing — a frame index >= 2^20
+    * (a >9.7 h video at 30 fps with everyN = 1; everyN keeps ORIGINAL
+    * indices, so sampling does not shrink them) or an asset id outside
+    * [0, 2^43) would silently land its frames in another video's id
+    * space and misattribute dup pairs and index probes. Same fail-loud
+    * philosophy as HashBanding's maxBucket cap: the degenerate input
+    * raises with a remedy, never corrupts the answer. Applied at EVERY
+    * uid construction site (pairs, probe both sides, index write/append)
+    * so a pre-existing index with out-of-range rows is caught at probe
+    * time too. */
+  private def requireUidRange(collapsed: DataFrame): DataFrame =
+    collapsed.where(
+      when(col("asset_id").between(0, MaxAssetId - 1) &&
+          col("first_idx").between(0, MaxFramesPerVideo - 1), lit(true))
+        .otherwise(raise_error(concat(
+          lit("VideoCodec: frame uid out of range (asset_id "), col("asset_id"),
+          lit(", frame_idx "), col("first_idx"),
+          lit(s") — asset_id must be in [0, $MaxAssetId) and frame index < " +
+            s"$MaxFramesPerVideo (~9.7 h at 30 fps); re-key asset ids into " +
+            "range, split over-long videos, or re-index frames before dedup")))))
+
   /** Collapse a frame-level hash frame to one row per DISTINCT
     * (video, hash): the first frame index anchors the temporal
     * alignment, the multiplicity weights the vote. This is the video
@@ -258,10 +285,25 @@ object VideoCodec {
     * across deltas, so no single alignment accumulates the fraction. A
     * truncated copy concentrates all its matches at delta 0 and passes;
     * a static-video pair concentrates min(F_a, F_b) weight at its
-    * anchor delta and passes — with ONE candidate row, not F^2. */
+    * anchor delta and passes — with ONE candidate row, not F^2.
+    *
+    * Vote semantics (`symmetric`, `minMatchedFrames`): the DEFAULT
+    * (`symmetric = false`) thresholds on the SHORTER side's fraction —
+    * CONTAINMENT semantics, so a clip cut from a long video pairs with
+    * it at full strength (the right default for a crawl pipeline, where
+    * a contained re-upload is still a duplicate; q_video_dedup uses
+    * this mode, and its planted truncations depend on it).
+    * `symmetric = true` thresholds on the LONGER side's fraction
+    * instead — "near-duplicate videos" in the sense most users expect:
+    * both videos must be mostly the same content, so a 3-frame clip
+    * inside a 200-frame video no longer pairs. `minMatchedFrames` adds
+    * an absolute floor on aligned frames in either mode (containment's
+    * guard against trivially-short overlaps). */
   def videoDupPairs(frameHashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
+    require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
     // ONE codec pass: the barrier sits on the hash frame itself, so the
     // self-join's two banded sides AND the frame-count aggregate all read
     // the materialized hashes (the perceptualDupPairs barrier rationale —
@@ -270,7 +312,7 @@ object VideoCodec {
     val hashed = frameHashes.localCheckpoint(false)
     val counts = hashed.groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"))
-    val collapsed = collapseFrames(hashed)
+    val collapsed = requireUidRange(collapseFrames(hashed))
     val uids = collapsed
       .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
@@ -293,10 +335,13 @@ object VideoCodec {
       .agg(sum(col("w")).as("matches"))
       .groupBy(col("a_vid"), col("b_vid"))
       .agg(max(col("matches")).as("aligned_frames"))
+    val denom =
+      if (symmetric) greatest(col("n_a"), col("n_b")) else least(col("n_a"), col("n_b"))
     aligned
       .join(counts.select(col("asset_id").as("a_vid"), col("n_frames").as("n_a")), Seq("a_vid"))
       .join(counts.select(col("asset_id").as("b_vid"), col("n_frames").as("n_b")), Seq("b_vid"))
-      .where(col("aligned_frames") >= least(col("n_a"), col("n_b")) * minFrac)
+      .where(col("aligned_frames") >= denom * minFrac &&
+        col("aligned_frames") >= minMatchedFrames)
       .select(col("a_vid").as("a_id"), col("b_vid").as("b_id"),
         col("aligned_frames"), col("n_a"), col("n_b"))
   }
@@ -377,7 +422,7 @@ object VideoCodec {
     * hash rows and per-video frame counts. */
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
-    collapseFrames(hashed).write.mode("overwrite").parquet(s"$dir/hashes")
+    requireUidRange(collapseFrames(hashed)).write.mode("overwrite").parquet(s"$dir/hashes")
     hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .write.mode("overwrite").parquet(s"$dir/counts")
     HashBanding.writeMeta(s, dir)
@@ -395,7 +440,7 @@ object VideoCodec {
     * by the caller; rows are collapsed before storage. */
   def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    collapseFrames(hashed.select("asset_id", "frame_idx", "ahash"))
+    requireUidRange(collapseFrames(hashed.select("asset_id", "frame_idx", "ahash")))
       .write.mode("append").parquet(s"$dir/hashes")
     hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
       .write.mode("append").parquet(s"$dir/counts")
@@ -421,30 +466,34 @@ object VideoCodec {
     * Returns (batch_id, corpus_id, aligned_frames, n_batch, n_corpus). */
   def dedupVideosAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame =
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame =
     dedupVideoHashesAgainstIndex(s, videoFrameHashes(batch).localCheckpoint(false),
-      dir, maxHamming, minFrac, maxBucket)
+      dir, maxHamming, minFrac, maxBucket, symmetric, minMatchedFrames)
 
   /** Probe from PRE-COMPUTED batch frame hashes (must be barriered by
     * the caller — the ingest loop's single-decode path). Batch side is
     * collapsed here; the stored side is collapsed at write/append time. */
   def dedupVideoHashesAgainstIndex(s: SparkSession, hashed: DataFrame, dir: String,
       maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket): DataFrame = {
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
+    require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
     HashBanding.requireMeta(s, dir)
     val batchCounts = hashed.groupBy(col("asset_id").as("batch_id"))
       .agg(count(lit(1)).as("n_batch"))
     // batch side collapsed here; the stored side is collapsed by
     // construction (write/append). Same weighted vote as videoDupPairs.
-    val bCollapsed = collapseFrames(hashed)
+    val bCollapsed = requireUidRange(collapseFrames(hashed))
     val batchUids = bCollapsed
       .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
     val bCnt = bCollapsed.select(
       (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("batch_id"),
       col("cnt").as("cnt_b"))
-    val stored = Tombstones.applyTo(s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
+    val stored = requireUidRange(
+      Tombstones.applyTo(s, s.read.parquet(s"$dir/hashes"), dir, "asset_id"))
     val storedUids = stored
       .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
@@ -469,10 +518,14 @@ object VideoCodec {
       .agg(sum(col("w")).as("matches"))
       .groupBy(col("b_vid").as("batch_id"), col("c_vid").as("corpus_id"))
       .agg(max(col("matches")).as("aligned_frames"))
+    val denom =
+      if (symmetric) greatest(col("n_batch"), col("n_corpus"))
+      else least(col("n_batch"), col("n_corpus"))
     aligned
       .join(batchCounts, Seq("batch_id"))
       .join(corpusCounts, Seq("corpus_id"))
-      .where(col("aligned_frames") >= least(col("n_batch"), col("n_corpus")) * minFrac)
+      .where(col("aligned_frames") >= denom * minFrac &&
+        col("aligned_frames") >= minMatchedFrames)
       .select(col("batch_id"), col("corpus_id"), col("aligned_frames"),
         col("n_batch"), col("n_corpus"))
   }

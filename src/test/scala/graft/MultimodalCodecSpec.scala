@@ -386,6 +386,76 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(hits === Set((10L, 1L, 32L), (10L, 2L, 32L)), s"got $hits")
   }
 
+  test("video dedup vote semantics: containment pairs a contained clip, symmetric mode does not") {
+    import graft.sources.VideoCodec
+    import spark.implicits._
+    // a 40-frame video and the 3-frame clip cut from its head (distinct
+    // textures per frame, so only the planted overlap matches)
+    def frame(f: Int): Array[Byte] =
+      ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(f * 5077L + 3, 16, 16))
+    val long = VideoCodec.encodeContainer((0 until 40).map(frame))
+    val clip = VideoCodec.encodeContainer((0 until 3).map(frame))
+    val assets = Seq((1L, "video", clip), (2L, "video", long))
+      .toDF("asset_id", "modality", "payload")
+    val hashes = VideoCodec.videoFrameHashes(assets).localCheckpoint(false)
+    def run(symmetric: Boolean, minMatched: Long = 0L) =
+      VideoCodec.videoDupPairs(hashes, symmetric = symmetric,
+          minMatchedFrames = minMatched)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // CONTAINMENT (default): 3 aligned >= least(3, 40) * 0.5 — pairs
+    assert(run(symmetric = false) === Set((1L, 2L, 3L)))
+    // SYMMETRIC: 3 aligned < greatest(3, 40) * 0.5 = 20 — no pair
+    assert(run(symmetric = true) === Set.empty)
+    // absolute floor: containment mode but the 3-frame overlap is below
+    // minMatchedFrames — no pair
+    assert(run(symmetric = false, minMatched = 4L) === Set.empty)
+    // the index probe honors the same dial
+    val dir = java.nio.file.Files.createTempDirectory("vidsym").toString + "/idx"
+    VideoCodec.writeVideoHashIndex(spark,
+      Seq((2L, "video", long)).toDF("asset_id", "modality", "payload"), dir)
+    val probe = Seq((1L, "video", clip)).toDF("asset_id", "modality", "payload")
+    assert(VideoCodec.dedupVideosAgainstIndex(spark, probe, dir).count() === 1)
+    assert(VideoCodec.dedupVideosAgainstIndex(spark, probe, dir,
+      symmetric = true).count() === 0)
+  }
+
+  test("frame-uid packing fails loudly on out-of-range frame index or asset id") {
+    import graft.sources.VideoCodec
+    import spark.implicits._
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    def assertRaises(hashed: org.apache.spark.sql.DataFrame): Unit = {
+      val ex = intercept[Exception] { VideoCodec.videoDupPairs(hashed).count() }
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.contains("frame uid out of range")),
+        s"expected the uid-range error, got: $ex")
+    }
+    val hash = Array.fill(4)(0x5a5a5a5a5a5a5a5aL)
+    // a frame index at 2^20 (a >9.7h video under everyN's original
+    // indices) would alias into asset_id + 1's uid space
+    assertRaises(Seq((1L, 1L << 20, hash), (2L, 0L, hash))
+      .toDF("asset_id", "frame_idx", "ahash"))
+    // a negative asset id would pack into a negative uid
+    assertRaises(Seq((-1L, 0L, hash), (2L, 0L, hash))
+      .toDF("asset_id", "frame_idx", "ahash"))
+    // an asset id past 2^43 overflows the packing
+    assertRaises(Seq((Long.MaxValue / (1L << 20) + 1L, 0L, hash), (2L, 0L, hash))
+      .toDF("asset_id", "frame_idx", "ahash"))
+    // the append path guards stored rows the same way
+    val dir = java.nio.file.Files.createTempDirectory("viduid").toString + "/idx"
+    graft.sources.HashBanding.writeMeta(spark, dir)
+    val exApp = intercept[Exception] {
+      VideoCodec.appendVideoHashes(spark,
+        Seq((1L, 1L << 20, hash)).toDF("asset_id", "frame_idx", "ahash"), dir)
+    }
+    assert(chain(exApp).exists(t => t.getMessage != null &&
+      t.getMessage.contains("frame uid out of range")))
+    // in-range ids on the same paths still work
+    assert(VideoCodec.videoDupPairs(
+      Seq((1L, (1L << 20) - 1, hash), (2L, 0L, hash))
+        .toDF("asset_id", "frame_idx", "ahash")).count() === 1)
+  }
+
   test("videoFrameStats fan-out matches the inline shape; frame hashes are alignment-stable") {
     import graft.sources.VideoCodec
     val assets = VideoCodec.dedupAssets(spark, sf)
@@ -792,8 +862,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val r1 = AssetIngest.ingestAudioBatch(spark,
       df(clip(1L, 1L), clip(2L, 2L), clip(3L, 2L), (4L, Array[Byte](1)), short),
       indexDir, dataDir, minSamples = 100)
+    // the corrupt payload is undecodable; the too-short clip DECODES but
+    // fails the duration gate — split accounting, not one lumped count
     assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
-      corpusDups = 0, undecodable = 2))
+      corpusDups = 0, undecodable = 1, gated = 1))
     val landed = spark.read.parquet(s"$dataDir/assets")
     assert(landed.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     assert(landed.where($"n_samples" === 300 && $"channels" === 1).count() === 2)
@@ -829,8 +901,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val r1 = AssetIngest.ingestVideoBatch(spark,
       df((1L, vid(1L, 4)), (2L, vid(2L, 4)), (3L, vid(2L, 3)), (4L, Array[Byte](3)), long),
       indexDir, dataDir, maxFrames = 6)
+    // corrupt container = undecodable; the 8-frame video parses fine but
+    // exceeds maxFrames = gated
     assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
-      corpusDups = 0, undecodable = 2))
+      corpusDups = 0, undecodable = 1, gated = 1))
     val landed = spark.read.parquet(s"$dataDir/assets")
     assert(landed.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     assert(landed.where($"n_frames" === 4 && $"width" === 20).count() === 2)
@@ -927,8 +1001,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val b1 = df(img(1L, 1L), img(2L, 2L), img(3L, 3L), img(4L, 2L),
       (5L, Array[Byte](1, 2, 3)), tiny)
     val r1 = AssetIngest.ingestImageBatch(spark, b1, indexDir, dataDir)
+    // corrupt bytes = undecodable; the 4x4 image decodes but fails the
+    // minSide envelope = gated
     assert(r1 === AssetIngest.IngestReport(admitted = 3, inBatchDups = 1,
-      corpusDups = 0, undecodable = 2))
+      corpusDups = 0, undecodable = 1, gated = 1))
     val landed1 = spark.read.parquet(s"$dataDir/assets")
     assert(landed1.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
     assert(landed1.where($"width" === 20 && $"height" === 20).count() === 3)
