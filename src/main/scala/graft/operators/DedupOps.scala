@@ -85,41 +85,59 @@ object DedupOps {
     * number of bounded jobs at construction time. */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 64): DataFrame = {
-    // materialize the (possibly expensive) edge derivation ONCE — every
-    // round's hop join re-reads it (round-5 advice: the quadratic pair
-    // join re-executed in all 8 rounds)
-    val sym = edges.select(col("da"), col("db"))
-      .unionByName(edges.select(col("db").as("da"), col("da").as("db")))
-      .distinct()
-      .localCheckpoint(false)
-    var comp = nodes.select(col("node"), col("node").as("comp"))
-      .localCheckpoint(false)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val viaNeighbor = sym.join(comp, col("da") === col("node"))
-        .select(col("db").as("node"), col("comp"))
-      val hopped = comp.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("comp").as("comp"))
-      // pointer doubling: follow the label one more level. Every label is
-      // some node's id, so the left lookup always hits; coalesce guards
-      // the (impossible by construction) miss rather than nulling comps.
-      val ptr = hopped.select(col("node").as("p_node"), col("comp").as("p_comp"))
-      val next = hopped.join(ptr, col("comp") === col("p_node"), "left")
-        .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
+    // Constraint propagation is OFF for the fixpoint's analysis: each
+    // round unions localCheckpoint'ed lineages, and the checkpoint's
+    // preserved origin constraints can (for some edge-plan shapes — seen
+    // live with videoDupPairs' alignment-vote edges) slip a pruned
+    // attribute past Catalyst's union constraint rewrite, which then
+    // dies with `NoSuchElementException: key not found: <attr>`.
+    // Constraints optimize nothing here — every round reads materialized
+    // checkpoints — so the dial costs nothing and is restored after the
+    // loop; the returned frame is itself a constraint-free checkpoint.
+    val spark = nodes.sparkSession
+    val propKey = "spark.sql.constraintPropagation.enabled"
+    val prevProp = spark.conf.getOption(propKey)
+    spark.conf.set(propKey, "false")
+    try {
+      // materialize the (possibly expensive) edge derivation ONCE — every
+      // round's hop join re-reads it (round-5 advice: the quadratic pair
+      // join re-executed in all 8 rounds)
+      val sym = edges.select(col("da"), col("db"))
+        .unionByName(edges.select(col("db").as("da"), col("da").as("db")))
+        .distinct()
         .localCheckpoint(false)
-      // one scalar per round; labels only decrease, so inequality == change
-      changed = next.join(comp.withColumnRenamed("comp", "old"), "node")
-        .where(col("comp") =!= col("old")).count()
-      comp = next
-      rounds += 1
+      var comp = nodes.select(col("node"), col("node").as("comp"))
+        .localCheckpoint(false)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        val viaNeighbor = sym.join(comp, col("da") === col("node"))
+          .select(col("db").as("node"), col("comp"))
+        val hopped = comp.unionByName(viaNeighbor)
+          .groupBy("node").agg(min("comp").as("comp"))
+        // pointer doubling: follow the label one more level. Every label is
+        // some node's id, so the left lookup always hits; coalesce guards
+        // the (impossible by construction) miss rather than nulling comps.
+        val ptr = hopped.select(col("node").as("p_node"), col("comp").as("p_comp"))
+        val next = hopped.join(ptr, col("comp") === col("p_node"), "left")
+          .select(col("node"), coalesce(col("p_comp"), col("comp")).as("comp"))
+          .localCheckpoint(false)
+        // one scalar per round; labels only decrease, so inequality == change
+        changed = next.join(comp.withColumnRenamed("comp", "old"), "node")
+          .where(col("comp") =!= col("old")).count()
+        comp = next
+        rounds += 1
+      }
+      // With doubling the cap means diameter 2^64 — unreachable — but if it
+      // ever WERE hit, returning silently would hand back split components
+      // (the exact bug this function replaced). Fail loudly instead.
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxRounds rounds ($changed labels still moving)")
+      comp
+    } finally prevProp match {
+      case Some(v) => spark.conf.set(propKey, v)
+      case None    => spark.conf.unset(propKey)
     }
-    // With doubling the cap means diameter 2^64 — unreachable — but if it
-    // ever WERE hit, returning silently would hand back split components
-    // (the exact bug this function replaced). Fail loudly instead.
-    require(changed == 0,
-      s"connectedComponents did not converge within $maxRounds rounds ($changed labels still moving)")
-    comp
   }
 
   /** (doc_id, source, sig): 32-bit SimHash per document of the derived

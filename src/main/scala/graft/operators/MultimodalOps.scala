@@ -78,6 +78,30 @@ object MultimodalOps {
       graft.sources.HashBanding.clusters(hashes).orderBy("asset_id")
     }),
 
+    // Audio near-dup CLUSTERS — the audio twin of q_image_dedup_clusters
+    // over the same modality-agnostic HashBanding.clusters engine (the
+    // envelope hash is just another (asset_id, ahash) frame). Completes
+    // the keep-one-per-cluster curation view for the audio modality:
+    // q_audio_dedup's pairs are the evidence, this is the decision. ✗
+    // rows+spec tier; cluster law (components == union-find over the
+    // pair graph) pinned in MultimodalCodecSpec.
+    "q_audio_dedup_clusters" -> ((s, d) => {
+      val hashes = AudioCodec.audioHashes(AudioCodec.dedupAssets(s, d))
+        .where(col("ok")).select("asset_id", "ahash").localCheckpoint(false)
+      graft.sources.HashBanding.clusters(hashes).orderBy("asset_id")
+    }),
+
+    // Video near-dup CLUSTERS through the alignment-vote pair graph
+    // (VideoCodec.videoDupClusters — HashBanding.clusters cannot serve
+    // video because its edges are per-pair votes, not plain hash pairs).
+    // Containment vote semantics, matching q_video_dedup. ✗ rows+spec
+    // tier; cluster law pinned in MultimodalCodecSpec.
+    "q_video_dedup_clusters" -> ((s, d) => {
+      VideoCodec.videoDupClusters(
+        VideoCodec.videoFrameHashes(VideoCodec.dedupAssets(s, d)))
+        .orderBy("asset_id")
+    }),
+
     // Per-audio amplitude stats off a real javax.sound WAV decode.
     "q_audio_stats" -> ((s, d) => {
       AudioCodec.audioStats(AudioCodec.audioAssets(s, d))

@@ -926,39 +926,27 @@ object VectorOps {
     // plants a genuine non-identical near-dup.
     "q_dedup_embed" -> ((s, d) => {
       GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      val u = e.select(col("label"), col("vec_id"), col("embedding"))
-        .unionByName(e.select(col("label"), (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      // Fixed-seed Gaussian hyperplanes, folded into the plan as a literal
-      // (computed once on the driver, constant across partitions/runs).
-      val planes: Seq[Seq[Double]] = {
-        val r = new scala.util.Random(42)
-        Seq.fill(32)(Seq.fill(64)(r.nextGaussian()))
-      }
-      val sig = u.withColumn("sig",
-        transform(typedlit(planes), pl =>
-          when(aggregate(
-            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
-      // band bucket = the band's 8 sign bits packed into an int
-      val bands = sig.select(col("label"), col("vec_id"),
-          explode(expr("transform(sequence(0, 3), b -> named_struct(" +
-            "'band', b, 'bucket', aggregate(slice(sig, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x)))")).as("bb"))
-        .select(col("label"), col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      val a = bands.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
-      val b = bands.select(col("label").as("label_b"), col("vec_id").as("vb"),
-        col("band").as("band_b"), col("bucket").as("bucket_b"))
-      val cands = a.join(b,
-          col("label") === col("label_b") && col("band") === col("band_b") &&
-            col("bucket") === col("bucket_b") && col("va") < col("vb"))
-        .select("va", "vb").distinct()
-      cands
-        .join(u.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
-        .join(u.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
-        .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
-        .where(col("sim") >= 0.99)
-        .select("va", "vb", "sim")
-        .orderBy("va", "vb")
+      embedDupPairs(embedDupCorpus(Tables.embeddings(s, d))).orderBy("va", "vb")
+    }),
+
+    // Embedding near-dup CLUSTERS: q_dedup_embed's LSH+refine pair graph
+    // fed through the pointer-doubling connected-components fixpoint —
+    // the keep-one-per-cluster view for the VECTOR modality, completing
+    // the per-modality parity (text q_dedup_clusters, image/audio/video
+    // dedup clusters). Cluster = least member vec_id; planted copies
+    // (vec_id + 1e6) land in their original's cluster. Rows-only tier
+    // like q_dedup_embed (LSH candidates have no SQL twin); cluster law
+    // (components == union-find over the pair graph) pinned in
+    // LlmOpsSpec.
+    "q_embed_dedup_clusters" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val u = embedDupCorpus(Tables.embeddings(s, d))
+      val edges = embedDupPairs(u).select(col("va").as("da"), col("vb").as("db"))
+      DedupOps.connectedComponents(u.select(col("vec_id").as("node")), edges)
+        .withColumn("members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+        .select(col("node").as("vec_id"), col("comp").as("cluster"), col("members"))
+        .orderBy("vec_id")
     }),
 
     // IVF-style ANN: per-label centroids as the coarse codebook; each
@@ -1125,4 +1113,49 @@ object VectorOps {
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
   )
+
+  /** The q_dedup_embed corpus: embeddings unioned with planted exact
+    * copies at vec_id + 1_000_000 (the fixture the in-test exact
+    * all-pairs comparison relies on — see the oracle-map demotion note). */
+  private[graft] def embedDupCorpus(e: DataFrame): DataFrame =
+    e.select(col("label"), col("vec_id"), col("embedding"))
+      .unionByName(e.select(col("label"), (col("vec_id") + 1000000).as("vec_id"),
+        col("embedding")))
+
+  /** q_dedup_embed's engine, reusable by the cluster view: candidates
+    * from 32 fixed random-hyperplane sign bits banded 4 x 8 within a
+    * label block — NEVER all-pairs — then exact `graft_dot` refine at
+    * cosine >= 0.99. Returns (va, vb, sim) with va < vb. See the
+    * q_dedup_embed entry's scaladoc for the recall arithmetic. */
+  private[graft] def embedDupPairs(u: DataFrame): DataFrame = {
+    // Fixed-seed Gaussian hyperplanes, folded into the plan as a literal
+    // (computed once on the driver, constant across partitions/runs).
+    val planes: Seq[Seq[Double]] = {
+      val r = new scala.util.Random(42)
+      Seq.fill(32)(Seq.fill(64)(r.nextGaussian()))
+    }
+    val sig = u.withColumn("sig",
+      transform(typedlit(planes), pl =>
+        when(aggregate(
+          zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
+    // band bucket = the band's 8 sign bits packed into an int
+    val bands = sig.select(col("label"), col("vec_id"),
+        explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+          "'band', b, 'bucket', aggregate(slice(sig, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x)))")).as("bb"))
+      .select(col("label"), col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = bands.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
+    val b = bands.select(col("label").as("label_b"), col("vec_id").as("vb"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    val cands = a.join(b,
+        col("label") === col("label_b") && col("band") === col("band_b") &&
+          col("bucket") === col("bucket_b") && col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    cands
+      .join(u.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(u.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
+      .where(col("sim") >= 0.99)
+      .select("va", "vb", "sim")
+  }
 }

@@ -109,6 +109,21 @@ object HashBanding {
     hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
       posexplode(expr(bandExpr)).as(Seq("band_idx", "band_val")))
 
+  /** SQL snippet: the DISTINCT band keys of an array-of-collapsed-frames
+    * column (`array<struct<..., ahash: array<long>>>`), each key packed
+    * into one long as `band_idx * 2^BandBits + band_val`. This is the
+    * frame-granular join-key set for a stateless stream-static video
+    * probe: a single-long key keeps the "no earlier common key" pick a
+    * plain `array_intersect` over longs (see
+    * StreamingOps.videoDedupProbeStream), and `array_distinct` bounds
+    * the explode at Bands x distinct-frames per video. */
+  def packedFrameBandKeysExpr(framesCol: String): String =
+    s"array_distinct(flatten(transform($framesCol, f -> " +
+      s"transform(sequence(0, ${Bands - 1}), b -> " +
+      s"CAST(b AS BIGINT) * ${1L << BandBits} + " +
+      s"(shiftrightunsigned(element_at(f.ahash, CAST(b div $BandsPerWord AS INT) + 1), " +
+      s"(b % $BandsPerWord) * $BandBits) & ${(1L << BandBits) - 1})))))"
+
   /** Banded rows with the full per-hash band ARRAY carried alongside the
     * exploded (band_idx, band_val) join key — the shape a stateless
     * stream-static band join needs: "does any earlier band also agree"

@@ -346,6 +346,81 @@ object VideoCodec {
         col("aligned_frames"), col("n_a"), col("n_b"))
   }
 
+  private val frameHashesRowSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("fhashes", ArrayType(StructType(Seq(
+      StructField("first_idx", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("ahash", ArrayType(LongType, containsNull = false), nullable = false),
+    )), containsNull = false), nullable = true),
+  ))
+
+  /** ONE ROW PER VIDEO carrying its COLLAPSED frame hashes as an array —
+    * the shape a STATELESS streaming probe needs: all per-video
+    * aggregation (collapse by hash, frame count) happens inside the row,
+    * so the stream side never needs a streaming groupBy. `ok` = at least
+    * one decodable frame; `n_frames` counts decoded frames; `fhashes`
+    * is the same collapsed (first_idx, cnt, ahash) form the persisted
+    * index stores (see [[collapseFrames]] — static videos carry ONE
+    * entry). Memory note: one row holds one video's distinct-frame
+    * hashes (36 bytes each) — a 10⁵-distinct-frame video costs ~4 MB
+    * transient row state, far below the decode pass's own footprint. */
+  def annotateWithFrameHashes(assets: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(frameHashesRowSchema))
+    assets.select("asset_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val frames = decodeContainer(r.getAs[Array[Byte]]("payload"))
+        val byHash = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], (Long, Long)]
+        var n = 0L
+        frames.iterator.zipWithIndex.foreach { case (f, idx) =>
+          ImageCodec.decodeLuma(f).foreach { d =>
+            val h = ImageCodec.aHash256(d).toSeq
+            byHash.get(h) match {
+              case Some((fi, c)) => byHash(h) = (fi, c + 1)
+              case None          => byHash(h) = (idx.toLong, 1L)
+            }
+            n += 1
+          }
+        }
+        if (n == 0) Row(id, false, 0L, null)
+        else Row(id, true, n,
+          byHash.toSeq.map { case (h, (fi, c)) => Row(fi, c, h) })
+      }
+    }(enc)
+  }
+
+  /** Video near-dup CLUSTERS: [[videoDupPairs]] edges fed through the
+    * pointer-doubling connected-components fixpoint (DedupOps' engine),
+    * one row per hashed video: (asset_id, cluster = least member id,
+    * members) — the keep-one-per-cluster view a curator acts on, the
+    * video twin of HashBanding.clusters (which serves image/audio; video
+    * cannot use it directly because its edges come from the alignment
+    * vote, not plain hash pairs). Same vote dials as [[videoDupPairs]].
+    * Executes bounded fixpoint jobs at construction (see
+    * connectedComponents' scaladoc). */
+  def videoDupClusters(frameHashes: DataFrame,
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
+    // one codec pass: the barrier feeds the node set, and videoDupPairs'
+    // own barrier re-reads the materialized hashes rather than re-decoding
+    val hashed = frameHashes.localCheckpoint(false)
+    val edges = videoDupPairs(hashed, maxHamming, minFrac, maxBucket,
+        symmetric, minMatchedFrames)
+      .select(col("a_id").as("da"), col("b_id").as("db"))
+    // nodes need no explicit distinct: the fixpoint's first groupBy(node)
+    // dedupes the per-frame repetition (and a distinct here trips a
+    // Catalyst union-constraint rewrite on the checkpointed lineage)
+    graft.operators.DedupOps.connectedComponents(
+        hashed.select(col("asset_id").as("node")), edges)
+      .withColumn("members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      .select(col("node").as("asset_id"), col("comp").as("cluster"), col("members"))
+  }
+
   private val annotatedSchema = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = true),

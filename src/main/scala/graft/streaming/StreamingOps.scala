@@ -418,6 +418,100 @@ object StreamingOps {
         .where(col("ok")).select("asset_id", "ahash"),
       indexDir, maxHamming)
 
+  /** Streaming VIDEO near-dup probe — the frame-granular member of the
+    * perceptual probe family, closing the per-modality parity with
+    * image/audio: flag stream videos that near-duplicate anything in a
+    * persisted video-hash index (VideoCodec.writeVideoHashIndex), with
+    * the SAME multiplicity-weighted best-alignment vote as the batch
+    * probe (VideoCodec.dedupVideosAgainstIndex) and the same
+    * containment/symmetric/minMatchedFrames dials.
+    *
+    * STATELESS by construction (Append mode, no watermark), which is the
+    * hard part the per-asset twins never faced — the vote aggregates
+    * ACROSS frames of a video pair, and a streaming groupBy would need
+    * state. Three moves make it per-row instead:
+    *  1. the stream side carries each video as ONE ROW with its collapsed
+    *     (first_idx, cnt, ahash) frame array and frame count
+    *     (VideoCodec.annotateWithFrameHashes — all per-video aggregation
+    *     happens inside the row);
+    *  2. the static side regroups the stored collapsed rows to one array
+    *     per corpus video (a static setup aggregation over the index,
+    *     recomputed at plan time like dedupAgainstIndexStream's band
+    *     regroup) joined with the persisted counts;
+    *  3. candidates come from a stream-static equi-join on PACKED frame
+    *     band keys (band_idx * 2^16 + band_val, distinct per video —
+    *     HashBanding.packedFrameBandKeysExpr), deduplicated to EXACTLY
+    *     one row per (stream video, corpus video) by the first-common-key
+    *     pick: a row survives only if no smaller packed key is common to
+    *     both carried key arrays — a pure per-row `array_intersect` over
+    *     longs, no stream state.
+    * The surviving row then computes the ENTIRE alignment vote per row
+    * with HOFs over the two carried arrays: frame pairs within
+    * `maxHamming` (exactly the banded candidate set — maxHamming <= 15
+    * sits inside the pigeonhole recall bound, so all-pairs-within-H
+    * equals the banded candidates), one weighted vote per (anchor,
+    * delta) — at most one corpus frame per (anchor, delta) since
+    * first_idx is unique per video — summed per delta, best delta wins.
+    * Per-candidate cost is O(|A| x |C|) 4-word popcounts over COLLAPSED
+    * frames; static videos are 1 entry each, so the screencast flood
+    * case stays O(1) per pair exactly as in the batch engine.
+    *
+    * Tombstoned corpus videos (deleteFromVideoHashIndex) are excluded
+    * from hashes AND counts at PLAN time — a takedown lands in running
+    * gates at their next restart, matching the other probe streams. */
+  def videoDedupProbeStream(assets: DataFrame, indexDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, symmetric: Boolean = false,
+      minMatchedFrames: Long = 0L): DataFrame = {
+    import graft.sources.{HashBanding, Tombstones, VideoCodec}
+    val s = assets.sparkSession
+    HashBanding.requireMeta(s, indexDir)
+    require(maxHamming >= 0 && maxHamming <= HashBanding.MaxGuaranteedHamming,
+      s"banding only guarantees recall for Hamming <= " +
+        s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
+    require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
+    val streamRows = VideoCodec.annotateWithFrameHashes(assets)
+      .where(col("ok"))
+      .select(col("asset_id").as("batch_id"), col("n_frames").as("n_batch"),
+        col("fhashes").as("bhashes"))
+      .withColumn("b_keys", expr(HashBanding.packedFrameBandKeysExpr("bhashes")))
+      .select(col("batch_id"), col("n_batch"), col("bhashes"), col("b_keys"),
+        explode(col("b_keys")).as("band_key"))
+    val stored = Tombstones.applyTo(
+      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
+    val counts = Tombstones.applyTo(
+      s, s.read.parquet(s"$indexDir/counts"), indexDir, "asset_id")
+    val corpusRows = stored.groupBy("asset_id")
+      .agg(collect_list(struct(col("first_idx"), col("cnt"), col("ahash"))).as("chashes"))
+      .join(counts, Seq("asset_id"))
+      .select(col("asset_id").as("corpus_id"), col("chashes"),
+        col("n_frames").as("n_corpus"))
+      .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes")))
+      .select(col("corpus_id"), col("n_corpus"), col("chashes"), col("c_keys"),
+        explode(col("c_keys")).as("band_key"))
+    val ham = HashBanding.hammingExpr("a.ahash", "c.ahash")
+    val denom =
+      if (symmetric) greatest(col("n_batch"), col("n_corpus"))
+      else least(col("n_batch"), col("n_corpus"))
+    streamRows.join(corpusRows, Seq("band_key"))
+      // first-common-key pick: exactly one surviving row per pair
+      .where(expr("size(array_intersect(filter(b_keys, k -> k < band_key), c_keys)) = 0"))
+      .withColumn("matches", expr(
+        s"flatten(transform(bhashes, a -> transform(" +
+          s"filter(chashes, c -> ($ham) <= $maxHamming), " +
+          "c -> named_struct('delta', a.first_idx - c.first_idx, " +
+          "'w', least(a.cnt, c.cnt)))))"))
+      .withColumn("aligned_frames", expr(
+        "array_max(transform(array_distinct(transform(matches, m -> m.delta)), " +
+          "d -> aggregate(filter(matches, m -> m.delta = d), CAST(0 AS BIGINT), " +
+          "(acc, m) -> acc + m.w)))"))
+      .where(col("aligned_frames") >= denom * minFrac &&
+        col("aligned_frames") >= minMatchedFrames)
+      .select(col("batch_id"), col("corpus_id"), col("aligned_frames"),
+        col("n_batch"), col("n_corpus"))
+  }
+
   /** The modality-agnostic engine under the perceptual probe gates: a
     * hashed stream frame (asset_id, ahash) against a stored hash index. */
   private def hashProbeStream(hashed: DataFrame, indexDir: String,

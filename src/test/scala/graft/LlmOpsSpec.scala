@@ -701,6 +701,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_embed_dedup_clusters equals union-find over q_dedup_embed's pair graph") {
+    graft.functions.GraftFunctions.register(spark)
+    val rows = SparkEntry.queries("q_embed_dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = SparkEntry.queries("q_dedup_embed")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && edges.nonEmpty)
+    // union-find with min-root union: each component's root is its least
+    // member — the cluster-id convention the view promises
+    val parent = scala.collection.mutable.Map.empty[Long, Long] ++ rows.map(r => r._1 -> r._1)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = rows.map(r => r._1 -> find(r._1)).toMap
+    val sizes = roots.values.toSeq.groupBy(identity).map { case (k, v) => k -> v.length }
+    rows.foreach { case (id, cluster, members) =>
+      assert(cluster === roots(id), s"vec $id in cluster $cluster, union-find says ${roots(id)}")
+      assert(members === sizes(roots(id)).toLong)
+    }
+    // the planted +1e6 copies must land in their original's cluster, and
+    // every corpus vector (original + copy) must appear exactly once
+    assert(rows.exists(r => r._1 >= 1000000L && r._2 < 1000000L),
+      "no planted copy clustered with its original")
+    assert(rows.length === 2 * Tables.embeddings(spark, sf).count())
+  }
+
   test("IVF top-10 has positive recall against exact brute-force top-10") {
     val exact = SparkEntry.queries("q_knn_cosine")(spark, sf)
       .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet

@@ -254,6 +254,42 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Union-find ground truth with min-root union, so each component's
+    * root is its least member — the cluster-id convention the declared
+    * cluster views promise. */
+  private def unionFindRoots(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long] ++ nodes.map(n => n -> n)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("audio and video dedup clusters equal union-find over their declared pair graphs") {
+    // cluster law: each declared cluster view must partition EXACTLY as
+    // union-find over the corresponding declared pair query — same
+    // components, least-member cluster ids, matching member counts
+    def law(clusterQ: String, pairQ: String): Unit = {
+      val rows = SparkEntry.queries(clusterQ)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val edges = SparkEntry.queries(pairQ)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty && edges.nonEmpty, s"$clusterQ/$pairQ law vacuous")
+      val roots = unionFindRoots(rows.map(_._1).toIndexedSeq, edges.toIndexedSeq)
+      val sizes = roots.values.toSeq.groupBy(identity).map { case (k, v) => k -> v.length }
+      rows.foreach { case (id, cluster, members) =>
+        assert(cluster === roots(id),
+          s"$clusterQ: $id in cluster $cluster, union-find says ${roots(id)}")
+        assert(members === sizes(roots(id)).toLong,
+          s"$clusterQ: $id members $members, union-find says ${sizes(roots(id))}")
+      }
+    }
+    law("q_audio_dedup_clusters", "q_audio_dedup")
+    law("q_video_dedup_clusters", "q_video_dedup")
+  }
+
   test("audioStats matches the closed-form sample plan (real decode)") {
     val stats = AudioCodec.audioStats(AudioCodec.audioAssets(spark, sf))
       .orderBy("asset_id").collect()
@@ -801,6 +837,57 @@ class MultimodalCodecSpec extends AnyFunSuite {
     AudioCodec.deleteFromAudioHashIndex(spark, Seq(2L).toDF("asset_id"), dir)
     val out2 = runProbe((200L, clip(2L)), (201L, clip(4L)))
     assert(out2 === Seq((201L, 4L, 0L)))
+  }
+
+  test("videoDedupProbeStream: alignment vote on the stream, one row per pair, takedowns re-admit") {
+    import graft.sources.VideoCodec
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def vid(key: Long, nf: Int): Array[Byte] =
+      VideoCodec.encodeContainer((0 until nf).map(f =>
+        ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key * 7717 + f, 20, 20))))
+    val dir = java.nio.file.Files.createTempDirectory("vidprobe_stream").toString + "/idx"
+    VideoCodec.writeVideoHashIndex(spark,
+      Seq((1L, "video", vid(5L, 4)), (2L, "video", vid(6L, 4)))
+        .toDF("asset_id", "modality", "payload"), dir)
+
+    def runProbe(symmetric: Boolean, rows: (Long, Array[Byte])*): Seq[(Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, Array[Byte])]
+      mem.addData(rows: _*)
+      val name = s"vid_probe_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.videoDedupProbeStream(
+        mem.toDF().toDF("asset_id", "payload"), dir, symmetric = symmetric)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    }
+
+    // 100: bit-identical re-encode of corpus video 1 (4/4 frames align);
+    // 101: 3-frame truncation of corpus video 2 (containment: 3 of
+    // least(3, 4) align at delta 0); 102: novel textures; 103: corrupt
+    val hits = runProbe(symmetric = false,
+      (100L, vid(5L, 4)), (101L, vid(6L, 3)), (102L, vid(9L, 4)), (103L, Array[Byte](1, 2)))
+    assert(hits.toSet === Set((100L, 1L, 4L, 4L, 4L), (101L, 2L, 3L, 3L, 4L)), s"got $hits")
+    // band-key pick: 64 agreeing frame-band keys for the re-encode must
+    // still emit exactly ONE row per pair
+    assert(hits.size === hits.toSet.size, s"duplicate pair rows: $hits")
+    // symmetric dial on the stream: a 1-frame clip of corpus video 2
+    // fails greatest(1, 4) * 0.5 = 2, so only the full re-encode pairs
+    val symHits = runProbe(symmetric = true,
+      (110L, vid(5L, 4)), (111L, vid(6L, 1)))
+    assert(symHits.toSet === Set((110L, 1L, 4L, 4L, 4L)), s"got $symHits")
+    // containment mode WOULD pair the 1-frame clip (1 >= least(1,4)*0.5)
+    val containHits = runProbe(symmetric = false, (120L, vid(6L, 1)))
+    assert(containHits.toSet === Set((120L, 2L, 1L, 1L, 4L)), s"got $containHits")
+    // takedown: tombstoned corpus video re-admits its re-encode at the
+    // next plan; the other corpus video still flags
+    VideoCodec.deleteFromVideoHashIndex(spark, Seq(1L).toDF("asset_id"), dir)
+    val hits2 = runProbe(symmetric = false, (200L, vid(5L, 4)), (201L, vid(6L, 4)))
+    assert(hits2.toSet === Set((201L, 2L, 4L, 4L, 4L)), s"got $hits2")
   }
 
   test("video hash index lifecycle: build, probe (re-encode + truncation), append, delete, compact") {
