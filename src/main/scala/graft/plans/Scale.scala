@@ -195,40 +195,52 @@ object Scale {
     * `fileStats` scan when none exists), read ONLY the files whose
     * [lo, hi] intersects [from, to], then apply the exact predicate. On
     * a range-sorted layout this skips all but O(range fraction) of the
-    * files BEFORE any data I/O — the driver-side file list is the only
-    * full enumeration, mirroring how a table format's manifest pruning
-    * works. Falls back gracefully twice over: no manifest → live stats
-    * scan; unsorted layout → every file intersects and the scan
-    * degrades to a full read with the same answer (correctness never
-    * depends on layout or manifest freshness-to-SORT — but a manifest
-    * must be rewritten after files are REPLACED, see writeManifest). */
+    * files BEFORE any data I/O, mirroring how a table format's manifest
+    * pruning works. Falls back gracefully twice over: no manifest →
+    * live stats scan; unsorted layout → every file intersects and the
+    * scan degrades to a full read with the same answer (correctness
+    * never depends on layout or manifest freshness-to-SORT — but a
+    * manifest must be rewritten after files are REPLACED, see
+    * writeManifest).
+    *
+    * Driver posture (r10, closes the r9 advisory): the manifest is
+    * filtered DISTRIBUTED — the driver never materializes a
+    * non-surviving file's row, so nothing here scales with TOTAL file
+    * count (an O(10⁶)-file table costs the driver only its kept set).
+    * The surviving paths must reach the driver to parameterize the scan
+    * (Spark's own FileIndex holds exactly this list for any scan), and
+    * `maxKeptFiles` bounds that explicitly: when more files survive
+    * than the cap — low selectivity, where a path-list scan buys little
+    * anyway — the function returns the plain full-path read and lets
+    * parquet row-group pushdown do the skipping, reporting
+    * kept == total. The interval compare runs in Spark with the same
+    * type coercion as the exact predicate (the old driver-side compare
+    * needed hand-rolled exact-integer cases to avoid 2^53 double
+    * round-trips; pushing it into the engine removes that class of bug
+    * by construction). */
   def pruneByStats(spark: SparkSession, path: String, key: String,
-      from: Any, to: Any): (DataFrame, Int, Int) = {
+      from: Any, to: Any, maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
+    require(maxKeptFiles >= 0, s"maxKeptFiles must be >= 0, got $maxKeptFiles")
     val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
     val hasManifest = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    // lazy barrier: the count and the kept-path collect both read one
+    // materialization (for the live-stats fallback that scan is the
+    // expensive part; the manifest case is one tiny file either way)
     val stats =
       (if (hasManifest) spark.read.parquet(manifestPath(path))
-       else fileStats(spark, path, key)).collect()
-    val keep = stats.filter(r =>
-      cmp(r.get(1), to) <= 0 && cmp(from, r.get(2)) <= 0).map(_.getString(0))
-    val pruned =
-      if (keep.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    (pruned.where(col(key) >= lit(from) && col(key) <= lit(to)),
-      keep.length, stats.length)
-  }
-
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    // exact integral compare first: a double round-trip above 2^53 could
-    // silently EXCLUDE a file that holds matching rows
-    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
-    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-    case (x: Number, y: Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: String, y: String) => x.compareTo(y)
-    case (x: Comparable[_], y) =>
-      x.asInstanceOf[Comparable[Any]].compareTo(y)
-    case _ => throw new IllegalArgumentException(
-      s"pruneByStats: uncomparable stat types ${a.getClass} / ${b.getClass}")
+       else fileStats(spark, path, key)).localCheckpoint(false)
+    val total = stats.count().toInt
+    val keep = stats
+      .where(col("lo") <= lit(to) && lit(from) <= col("hi"))
+      .select("file")
+      .limit(maxKeptFiles + 1) // bound the driver list BEFORE collecting
+      .collect().map(_.getString(0))
+    val exact = col(key) >= lit(from) && col(key) <= lit(to)
+    if (keep.length > maxKeptFiles)
+      (spark.read.parquet(path).where(exact), total, total)
+    else if (keep.isEmpty)
+      (spark.read.parquet(path).limit(0).where(exact), 0, total)
+    else
+      (spark.read.parquet(keep.toIndexedSeq: _*).where(exact), keep.length, total)
   }
 }

@@ -332,6 +332,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept0 === 0 && emptyDf.count() === 0)
   }
 
+  test("pruneByStats prune path is distributed: capped driver list with full-read fallback") {
+    // r10 de-drivering (r9 advisory): the manifest filter runs in Spark
+    // and the driver list is bounded by maxKeptFiles — never by total
+    // file count. The code path enforces this with a limit(maxKeptFiles
+    // + 1) BEFORE collect (no full-stats collect exists on the prune
+    // path anymore); this test pins the observable contract around it.
+    val sf = "/root/testdata/sf0.01"
+    val orders = Tables.orders(spark, sf)
+    val sorted = Files.createTempDirectory("zm_dist").toString + "/o"
+    Scale.writeRangeSorted(orders, sorted, "o_totalprice", partitions = 8)
+    val (lo, hi) = (50000.0, 80000.0)
+    val expected = orders
+      .where(col("o_totalprice") >= lo && col("o_totalprice") <= hi)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    // default cap: genuine pruning, bounded path list
+    val (df1, kept1, total1) = Scale.pruneByStats(spark, sorted, "o_totalprice", lo, hi)
+    assert(kept1 > 0 && kept1 < total1)
+    assert(df1.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq === expected)
+    // cap below the surviving count: the scan must FALL BACK to the
+    // plain full-path read (kept == total reports that no path list was
+    // constructed) and the answer must not change — low selectivity
+    // degrades to parquet row-group pushdown, never to a giant driver
+    // list
+    val (df2, kept2, total2) = Scale.pruneByStats(spark, sorted, "o_totalprice", lo, hi,
+      maxKeptFiles = 0)
+    assert(kept2 === total2 && total2 === total1)
+    assert(df2.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq === expected)
+    // the full-read fallback still pushes the exact predicate into the
+    // parquet scan (row-group skipping does the work the path list no
+    // longer does)
+    val scan = df2.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"),
+      s"exact predicate not pushed in fallback scan:\n$scan")
+  }
+
   test("compact handles an empty dataset without failing") {
     import spark.implicits._
     val src = Files.createTempDirectory("emptyc").toString + "/t"
