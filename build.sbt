@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// graft.simd.SimdKernels compiles against the incubator Vector API
+// (present in this JDK 17); at runtime graft.simd.SimdBridge degrades to
+// a scalar loop if the module flag is missing, so only the javac flag is
+// load-bearing for the build.
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

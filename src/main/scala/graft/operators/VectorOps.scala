@@ -32,6 +32,36 @@ object VectorOps {
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** Brute-force cosine top-k as a public scale-path API: the same
+    * single-scan + 1-row-broadcast + TakeOrderedAndProject shape as
+    * `q_knn_cosine`, with opt-in SIMD scoring.
+    *
+    * `simd = true` swaps the scoring expression for `graft_dot_simd`
+    * (functions/SimdDot.scala) — measured 1.7x end-to-end at 1M×dim64 and
+    * 2.7x at 60k×dim1024 on this box (ABSimd, numbers in BASELINE.md r10),
+    * because the sequential double fold in `graft_dot` is a loop-carried
+    * dependency the JIT cannot vectorize. The price is a reassociated sum:
+    * value-close (|Δ| ≲ 1e-6 on unit vectors, CustomFunctionsSpec pins the
+    * bound) but not bit-identical, so the DECLARED queries keep
+    * `graft_dot` — their DuckDB oracles mirror its fold exactly (SURVEY §2
+    * rule 5) — and near-ties inside the tolerance may order differently
+    * (LlmOpsSpec pins that any top-k membership difference sits within
+    * 1e-5 of the boundary score). At 100 TB the scan is the whole job and
+    * the swap is free capacity; on a JVM without the incubator module the
+    * function silently runs the identical scalar fold (SimdBridge). */
+  def knnBruteForce(e: DataFrame, queryId: Long = 0, k: Int = 20,
+      simd: Boolean = false): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val fn = if (simd) "graft_dot_simd" else "graft_dot"
+    val q = e.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    e.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("sim", expr(s"$fn(embedding, qv)"))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label centroids: posexplode → avg per (label, pos) → reassemble
     * in position order. One shuffle; centroid table is tiny (labels × dim)
     * and broadcast into whatever joins it. */

@@ -258,4 +258,57 @@ class CustomFunctionsSpec extends AnyFunSuite {
     val df = Tables.documents(spark, sf).selectExpr("graft_nfc(text) AS n", "text")
     assert(df.where(col("n") =!= col("text")).count() === 0L)
   }
+
+  test("graft_dot_simd: Panama kernel live in this JVM, value-close to graft_dot corpus-wide") {
+    GraftFunctions.register(spark)
+    // build.sbt forks tests with --add-modules jdk.incubator.vector, so
+    // the probe must have taken the vector path here — if this fails the
+    // A/B below silently measured scalar-vs-scalar
+    assert(graft.simd.SimdBridge.simdActive())
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        expr("graft_dot(embedding, qv)").as("seq"),
+        expr("graft_dot_simd(embedding, qv)").as("simd"))
+    // reassociation bound: unit vectors, dim 64 — lane sums differ from
+    // the sequential fold only in f32 rounding, |Δ| well under 1e-5
+    assert(both.where(abs(col("seq") - col("simd")) > 1e-5).count() === 0L)
+    // and NOT necessarily bit-identical — that's why the oracle tier
+    // keeps graft_dot (no assertion either way; the contract is the bound)
+  }
+
+  test("graft_dot_simd: lane boundaries, tails, empty, length mismatch, null") {
+    GraftFunctions.register(spark)
+    import graft.simd.SimdBridge
+    // every alignment regime of the 256-bit/8-lane kernel: below one
+    // lane, exactly one lane, between lanes, the 2x-unroll boundary (16),
+    // beyond it, and a large odd size
+    for (n <- Seq(0, 1, 7, 8, 9, 15, 16, 17, 24, 31, 64, 257)) {
+      val a = Array.tabulate(n)(i => ((i * 37 % 19) - 9) / 7.0f)
+      val b = Array.tabulate(n)(i => ((i * 53 % 17) - 8) / 5.0f)
+      val seq = SimdBridge.scalarDot(a, b)
+      val simd = SimdBridge.dot(a, b)
+      assert(math.abs(seq - simd) <= 1e-5 * (1.0 + math.abs(seq)), s"n=$n")
+    }
+    // min-length semantics match graft_dot; nulls propagate
+    val r = spark.sql(
+      "SELECT graft_dot_simd(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT))) AS mis, " +
+        "graft_dot_simd(array(CAST(1.0 AS FLOAT)), CAST(NULL AS ARRAY<FLOAT>)) AS n, " +
+        "graft_dot_simd(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS empty").head()
+    assert(r.getDouble(0) === 2.0)
+    assert(r.isNullAt(1))
+    assert(r.getDouble(2) === 0.0)
+    // deterministic across invocations (pinned species — the cross-host
+    // determinism argument needs at least same-host repeatability)
+    val a = Array.tabulate(1000)(i => math.sin(i.toDouble).toFloat)
+    assert(SimdBridge.dot(a, a) === SimdBridge.dot(a, a))
+    // the fallback fold is bit-identical to graft_dot's sequential
+    // accumulation (same arithmetic, proven against the SQL engine)
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT)), " +
+        "array(CAST(0.4 AS FLOAT), CAST(0.5 AS FLOAT), CAST(0.6 AS FLOAT)))").head().getDouble(0)
+    assert(SimdBridge.scalarDot(Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)) === viaSql)
+  }
 }

@@ -863,4 +863,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(!idOrdered, "hash order degenerated to doc_id order")
   }
+
+  test("knnBruteForce: simd scan retrieves the scalar top-k up to 1e-5 near-ties") {
+    import graft.operators.VectorOps
+    val e = Tables.embeddings(spark, sf)
+    val k = 20
+    val scalar = VectorOps.knnBruteForce(e, queryId = 0, k = k).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val simd = VectorOps.knnBruteForce(e, queryId = 0, k = k, simd = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(scalar.length === k && simd.length === k)
+    // membership may differ ONLY where the reassociated sum reorders a
+    // near-tie: every id in the symmetric difference must score within
+    // 1e-5 of the scalar boundary (k-th) score
+    val boundary = scalar.last._2
+    val scalarIds = scalar.map(_._1).toSet
+    val simdIds = simd.map(_._1).toSet
+    val diff = (scalarIds diff simdIds) union (simdIds diff scalarIds)
+    if (diff.nonEmpty) {
+      val sims = e.where(col("vec_id").isin(diff.toSeq: _*))
+        .crossJoin(broadcast(e.where(col("vec_id") === 0).select(col("embedding").as("qv"))))
+        .selectExpr("vec_id", "graft_dot(embedding, qv) AS s").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      diff.foreach { id =>
+        assert(math.abs(sims(id) - boundary) < 1e-5,
+          s"vec $id left/entered top-$k but is ${math.abs(sims(id) - boundary)} from the boundary")
+      }
+    }
+    // scores for shared members agree to the reassociation bound
+    val simdById = simd.toMap
+    scalar.filter(p => simdIds(p._1)).foreach { case (id, s) =>
+      assert(math.abs(s - simdById(id)) <= 1e-5, s"vec $id score drift")
+    }
+  }
 }
