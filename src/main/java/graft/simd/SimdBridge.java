@@ -49,4 +49,25 @@ public final class SimdBridge {
     }
     return acc;
   }
+
+  /** int8×int8 dot — EXACT under any association (integer arithmetic), so
+   *  SIMD and fallback return bit-identical doubles; both match
+   *  graft_dot's bothByte long fold. A/B-record only: the explicit kernel
+   *  measured SLOWER than the auto-vectorized scalar loop at every dim
+   *  (see SimdKernels.dotI8 scaladoc) — no query path calls this. */
+  public static double dotI8(byte[] a, byte[] b) {
+    if (SIMD) {
+      return SimdKernels.dotI8(a, b);
+    }
+    return scalarDotI8(a, b);
+  }
+
+  public static double scalarDotI8(byte[] a, byte[] b) {
+    int n = Math.min(a.length, b.length);
+    long acc = 0L;
+    for (int i = 0; i < n; i++) {
+      acc += (long) a[i] * b[i];
+    }
+    return (double) acc;
+  }
 }

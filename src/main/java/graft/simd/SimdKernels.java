@@ -1,6 +1,9 @@
 package graft.simd;
 
+import jdk.incubator.vector.ByteVector;
 import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.IntVector;
+import jdk.incubator.vector.ShortVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
 
@@ -57,5 +60,63 @@ public final class SimdKernels {
       s += (double) a[i] * (double) b[i];
     }
     return s;
+  }
+
+  private static final VectorSpecies<Byte> B128 = ByteVector.SPECIES_128;
+  private static final VectorSpecies<Short> S256 = ShortVector.SPECIES_256;
+  private static final VectorSpecies<Integer> I256 = IntVector.SPECIES_256;
+
+  /**
+   * int8×int8 dot product, EXACT — integer addition is associative, so
+   * unlike {@link #dotF32} this is bit-identical to the scalar long fold
+   * for any lane order.
+   *
+   * MEASURED AND REJECTED for the query path (kept only so the ABSimd
+   * record stays reproducible — nothing in graft calls this): at every
+   * dim it LOSES to the plain byte loop (0.30x at d64, 0.47x at d1024,
+   * BASELINE.md r10). Integer accumulation has no FP ordering constraint,
+   * so C2 auto-vectorizes graft_dot's scalar fold already, and the
+   * explicit widen chain below (B2S → mul → 2×S2I → add; the Vector API
+   * exposes no VPMADDUBSW-style fused byte-multiply-accumulate) only adds
+   * shuffle-port pressure. The SQ8 scan keeps graft_dot's inline loop.
+   *
+   * Per 16-byte block: widen b→s (products fit: 127² = 16129 < 2¹⁵),
+   * multiply in short, widen the 16 products to two int vectors, add into
+   * an int accumulator. The int accumulator is exact while
+   * n · 127² < 2³¹, i.e. n ≤ ~133k lanes per accumulator slot — far past
+   * any embedding dim; the caller-facing guard is the {@code n <= 1<<20}
+   * ceiling below, beyond which we take the scalar long fold instead of
+   * silently wrapping.
+   */
+  public static double dotI8(byte[] a, byte[] b) {
+    int n = Math.min(a.length, b.length);
+    if (n > (1 << 20)) {
+      return scalarI8(a, b, n);
+    }
+    IntVector acc = IntVector.zero(I256);
+    int i = 0;
+    int vectored = n - n % B128.length();
+    for (; i < vectored; i += B128.length()) {
+      ShortVector sa = (ShortVector) ByteVector.fromArray(B128, a, i)
+          .convertShape(VectorOperators.B2S, S256, 0);
+      ShortVector sb = (ShortVector) ByteVector.fromArray(B128, b, i)
+          .convertShape(VectorOperators.B2S, S256, 0);
+      ShortVector prod = sa.mul(sb);
+      acc = acc.add((IntVector) prod.convertShape(VectorOperators.S2I, I256, 0));
+      acc = acc.add((IntVector) prod.convertShape(VectorOperators.S2I, I256, 1));
+    }
+    long s = acc.reduceLanesToLong(VectorOperators.ADD);
+    for (; i < n; i++) {
+      s += (long) a[i] * b[i];
+    }
+    return (double) s;
+  }
+
+  private static double scalarI8(byte[] a, byte[] b, int n) {
+    long acc = 0L;
+    for (int i = 0; i < n; i++) {
+      acc += (long) a[i] * b[i];
+    }
+    return (double) acc;
   }
 }

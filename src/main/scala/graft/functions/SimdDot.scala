@@ -26,6 +26,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * that don't carry our javaOptions still run, just unvectorized. The
   * species is pinned 256-bit for cross-host determinism (see
   * SimdKernels scaladoc); A/B numbers vs graft_dot live in BASELINE.md.
+  *
+  * Deliberately FLOAT-ONLY: an explicit int8 kernel was built and
+  * measured (SimdKernels.dotI8, ABSimd) and LOST to graft_dot's plain
+  * byte loop at every dim (0.30x at d64, 0.47x at d1024) — integer
+  * accumulation is associative, so C2 already auto-vectorizes the scalar
+  * fold and the explicit convertShape chain only adds overhead. The SQ8
+  * scan keeps graft_dot.
   */
 case class SimdDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -48,6 +48,29 @@ object ABSimd {
     print("  simd:  "); val mSimd = timeKernel(graft.simd.SimdBridge.dot)
     println(f"  kernel speedup ${mSimd / mScalar}%.2fx")
 
+    // int8 variant (the SQ8 scan's arithmetic — exact, so also a
+    // correctness cross-check against the scalar long fold)
+    val bvecs = vecs.map(_.map(f => (f * 127f).toByte))
+    val bq = q.map(f => (f * 127f).toByte)
+    def timeKernelI8(f: (Array[Byte], Array[Byte]) => Double): Double = {
+      var sink = 0.0
+      val reps = 2000
+      for (_ <- 0 until 3; v <- bvecs) sink += f(v, bq)
+      val t0 = System.nanoTime()
+      for (_ <- 0 until reps; v <- bvecs) sink += f(v, bq)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dots = reps.toLong * bvecs.length
+      println(f"  ${dots / sec / 1e6}%.1f Mdot/s (sink=$sink%.1f)")
+      dots / sec / 1e6
+    }
+    assert(bvecs.forall(v =>
+      graft.simd.SimdBridge.dotI8(v, bq) == graft.simd.SimdBridge.scalarDotI8(v, bq)),
+      "int8 SIMD must be bit-identical to the scalar long fold")
+    println(s"kernel microbench int8 dim=$dim")
+    print("  scalar:"); val mScalarI8 = timeKernelI8(graft.simd.SimdBridge.scalarDotI8)
+    print("  simd:  "); val mSimdI8 = timeKernelI8(graft.simd.SimdBridge.dotI8)
+    println(f"  kernel speedup ${mSimdI8 / mScalarI8}%.2fx")
+
     // --- 2. query-path A/B ------------------------------------------
     val spark = SparkSession.builder()
       .appName("ab-simd").master("local[32]")

@@ -310,5 +310,13 @@ class CustomFunctionsSpec extends AnyFunSuite {
       "SELECT graft_dot(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT)), " +
         "array(CAST(0.4 AS FLOAT), CAST(0.5 AS FLOAT), CAST(0.6 AS FLOAT)))").head().getDouble(0)
     assert(SimdBridge.scalarDot(Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f)) === viaSql)
+    // the A/B-record int8 kernel is bit-identical to the scalar long fold
+    // (integer addition is associative — the property that made its
+    // rejection purely a performance call, see SimdKernels scaladoc)
+    for (n <- Seq(0, 5, 16, 17, 64, 300)) {
+      val ba = Array.tabulate(n)(i => ((i * 89 % 255) - 127).toByte)
+      val bb = Array.tabulate(n)(i => ((i * 31 % 255) - 127).toByte)
+      assert(SimdBridge.dotI8(ba, bb) === SimdBridge.scalarDotI8(ba, bb), s"int8 n=$n")
+    }
   }
 }
