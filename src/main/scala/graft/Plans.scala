@@ -47,6 +47,7 @@ object Plans {
   private val intentionalNestedLoop = Map(
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
+    "q_knn_simd"        -> "1-row query-vector broadcast (q_knn_cosine shape, SIMD-kernel scoring)",
     "q_image_knn"       -> "1-row query-image-features broadcast (q_knn_cosine shape over decoded features)",
     "q_knn_filtered"    -> "1-row query-vector broadcast; filter pre-applied in the same scan pass",
     "q_knn_mmr"         -> "1-row query-vector broadcast; greedy rerank runs on one bounded candidate row",

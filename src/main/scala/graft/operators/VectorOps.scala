@@ -821,6 +821,21 @@ object VectorOps {
         .limit(20)
     }),
 
+    // The SAME brute-force scan through the Panama SIMD kernel
+    // (knnBruteForce(simd = true) → graft_dot_simd) — declared so the
+    // driver gate exercises the kernel + module probe + scalar fallback
+    // inside ITS forked JVM, not just under scalatest. ✗ rows+spec tier
+    // by necessity: the reassociated lane sum is value-close but not
+    // bit-identical to the sequential fold the DuckDB oracle mirrors
+    // (BASELINE.md r10 A/B: 1.7-2.75x at scale); LlmOpsSpec pins top-k
+    // agreement with q_knn_cosine's exact scan up to 1e-5 near-ties.
+    "q_knn_simd" -> ((s, d) =>
+      knnBruteForce(Tables.embeddings(s, d), queryId = 0, k = 20, simd = true)
+        .withColumn("sim", round(col("sim"), 6))
+        // re-assert the total order on the ROUNDED key so the plan ends
+        // in the §2 determinism shape (rule 1) after the projection
+        .orderBy(col("sim").desc, col("vec_id").asc)),
+
     // FILTERED vector search: exact top-10 under a metadata predicate
     // (label differs from the query's) — the filter+similarity shape
     // every vector store serves. Filtering makes ANN *harder* (post-

@@ -509,4 +509,29 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }, tests = 10)
   }
+
+  test("simd dot: reassociation error bounded, symmetric, deterministic on random vectors") {
+    import graft.simd.SimdBridge
+    // values in [-1, 1], lengths spanning every lane regime including the
+    // 2x-unroll boundary; the error bound is the standard sequential-vs-
+    // pairwise f32 summation bound scaled by the sum of |a_i * b_i|
+    val vec = for {
+      n <- Gen.chooseNum(0, 300)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 1000.0f))
+    } yield xs.toArray
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val seq = SimdBridge.scalarDot(a, b)
+      val simd = SimdBridge.dot(a, b)
+      val magnitude = (0 until n).map(i => math.abs(a(i).toDouble * b(i))).sum
+      // ~n/8 fma roundings per lane, each bounded by eps_f32 * magnitude;
+      // 1e-7 * n absorbs the lane count with slack (eps_f32 ≈ 6e-8)
+      val bound = 1e-7 * (n + 1) * (1.0 + magnitude)
+      math.abs(seq - simd) <= bound &&
+        // pinned species → same-host determinism
+        simd == SimdBridge.dot(a, b) &&
+        // dot is symmetric for both kernels
+        simd == SimdBridge.dot(b, a) && seq == SimdBridge.scalarDot(b, a)
+    }, tests = 50)
+  }
 }
