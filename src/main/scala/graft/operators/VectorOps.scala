@@ -1172,23 +1172,41 @@ object VectorOps {
     * label block — NEVER all-pairs — then exact `graft_dot` refine at
     * cosine >= 0.99. Returns (va, vb, sim) with va < vb. See the
     * q_dedup_embed entry's scaladoc for the recall arithmetic. */
+  /** Fixed-seed Gaussian hyperplanes for the sign-bit LSH family —
+    * computed once on the driver and folded into every plan as a
+    * literal, so any two frames signed with the same (nPlanes, dim,
+    * seed) are band-join-compatible by construction (the property the
+    * persisted index's meta row pins). */
+  private[graft] def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** (vec_id, label, band, bucket) LSH band rows of a (vec_id, label,
+    * embedding) frame: nPlanes sign bits banded `bands` ways, each
+    * band's bits packed into a BIGINT bucket. The shared signature stage
+    * of the in-query near-dup engine (embedDupPairs) and the persisted
+    * embedding-LSH index — the vector twin of DedupOps.minhashBandsOf. */
+  private[graft] def lshBandRowsOf(u: DataFrame, nPlanes: Int, bands: Int,
+      dim: Int, seed: Long): DataFrame = {
+    require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
+    val r = nPlanes / bands
+    require(r <= 62, s"band width $r overflows the BIGINT bucket")
+    u.withColumn("sig",
+        transform(typedlit(lshPlanes(nPlanes, dim, seed)), pl =>
+          when(aggregate(
+            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
+      .select(col("vec_id"), col("label"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+          s"'band', b, 'bucket', aggregate(slice(sig, b * $r + 1, $r), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x)))")).as("bb"))
+      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
   private[graft] def embedDupPairs(u: DataFrame): DataFrame = {
-    // Fixed-seed Gaussian hyperplanes, folded into the plan as a literal
-    // (computed once on the driver, constant across partitions/runs).
-    val planes: Seq[Seq[Double]] = {
-      val r = new scala.util.Random(42)
-      Seq.fill(32)(Seq.fill(64)(r.nextGaussian()))
-    }
-    val sig = u.withColumn("sig",
-      transform(typedlit(planes), pl =>
-        when(aggregate(
-          zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
-    // band bucket = the band's 8 sign bits packed into an int
-    val bands = sig.select(col("label"), col("vec_id"),
-        explode(expr("transform(sequence(0, 3), b -> named_struct(" +
-          "'band', b, 'bucket', aggregate(slice(sig, b * 8 + 1, 8), 0, (acc, x) -> acc * 2 + x)))")).as("bb"))
-      .select(col("label"), col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bands = lshBandRowsOf(u, nPlanes = 32, bands = 4, dim = 64, seed = 42L)
     val a = bands.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
     val b = bands.select(col("label").as("label_b"), col("vec_id").as("vb"),
       col("band").as("band_b"), col("bucket").as("bucket_b"))
@@ -1202,5 +1220,112 @@ object VectorOps {
       .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
       .where(col("sim") >= 0.99)
       .select("va", "vb", "sim")
+  }
+
+  // --------------------------------------------------------------------
+  // Persisted embedding-LSH near-dup index — the VECTOR member of the
+  // per-modality index/probe family (text: writeMinhashIndex, image/
+  // audio/video: the perceptual hash indexes). A crawl-scale pipeline
+  // builds it once over the corpus, then every new embedding batch
+  // probes in O(batch) — batch-vs-corpus, never corpus-vs-corpus again.
+  // Layout: `bands` (the candidate join key rows), `embeddings` (the
+  // exact-refine tier), `meta` (one row pinning nPlanes/bands/dim/seed
+  // so appends and probes sign identically — the LSH twin of the frozen
+  // ANN codebook discipline). `label` is the blocking key, matching the
+  // in-query engine; corpora without a natural block pass a constant.
+  // --------------------------------------------------------------------
+
+  /** Build + persist the index over a (vec_id, label, embedding) corpus.
+    * The dimension is read from the first corpus row (one tiny job) and
+    * frozen in meta; mismatched later batches fail loudly. */
+  def writeEmbedLshIndex(s: SparkSession, corpus: DataFrame, dir: String,
+      nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): Unit = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    lshBandRowsOf(corpus, nPlanes, bands, dim, seed)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    corpus.select("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings")
+    import s.implicits._
+    Seq((nPlanes, bands, dim, seed)).toDF("n_planes", "bands", "dim", "seed")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append a batch — signed with the STORED (nPlanes, bands, dim, seed),
+    * so appended rows are band-compatible with the base; O(batch), no
+    * corpus re-signing. Caller owns vec_id uniqueness (gate retries
+    * through Ledger.missing, as with every other index family). */
+  def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
+    lshBandRowsOf(batch, meta.getAs[Int]("n_planes"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+      .write.mode("append").parquet(s"$dir/bands")
+    batch.select("vec_id", "label", "embedding")
+      .write.mode("append").parquet(s"$dir/embeddings")
+  }
+
+  /** Takedown/removal: O(ids) tombstone append; probes exclude the ids
+    * immediately, compaction folds them in later. */
+  def deleteFromEmbedLshIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    graft.sources.Tombstones.append(s, ids, dir)
+
+  /** Fold tombstones into the stored tables (both flat — full rewrite)
+    * and clear them. */
+  def compactEmbedLshIndex(s: SparkSession, dir: String): Unit = {
+    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/bands", dir, "vec_id")
+    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/embeddings", dir, "vec_id")
+    graft.sources.Tombstones.clear(s, dir)
+  }
+
+  /** INCREMENTAL embedding near-dup: flag batch vectors that
+    * near-duplicate anything stored — the vector twin of
+    * DedupOps.dedupAgainstIndex. Candidates come from the (label, band,
+    * bucket) equi-join (linear in batch size); every candidate is
+    * refined with the exact codegen'd dot against the stored embeddings.
+    * Returns (batch_id, corpus_id, sim) at sim >= threshold; anti-join
+    * the distinct batch_ids to keep the batch's novel vectors.
+    *
+    * `maxBucket` is the loud-flood guard (the HashBanding lesson): a
+    * degenerate corpus (mass-identical embeddings) piles one bucket high
+    * and would turn every probe into a scan of that pile — the guard
+    * raises with the offending (band, bucket) instead of silently going
+    * quadratic. <= 0 disables. */
+  def dedupEmbedAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.99, maxBucket: Int = 1 << 17): DataFrame = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
+    val bBands = lshBandRowsOf(batch, meta.getAs[Int]("n_planes"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val stored0 = graft.sources.Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/bands"), dir, "vec_id")
+    val stored =
+      if (maxBucket <= 0) stored0
+      else stored0
+        .withColumn("bucket_pop", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("label", "band", "bucket")))
+        .where(when(col("bucket_pop") <= maxBucket, lit(true)).otherwise(
+          raise_error(concat(
+            lit(s"embed-lsh: stored band bucket exceeds cap $maxBucket (band "),
+            col("band").cast("string"), lit(", bucket "), col("bucket").cast("string"),
+            lit(") — degenerate embedding flood; dedup exact duplicates first " +
+              "or raise maxBucket knowingly")))))
+        .drop("bucket_pop")
+    val cands = bBands.select(col("vec_id").as("batch_id"), col("label"),
+        col("band"), col("bucket"))
+      .join(stored.select(col("vec_id").as("corpus_id"), col("label").as("label_c"),
+          col("band").as("band_c"), col("bucket").as("bucket_c")),
+        col("label") === col("label_c") && col("band") === col("band_c") &&
+          col("bucket") === col("bucket_c"))
+      .select("batch_id", "corpus_id").distinct()
+    val storedEmb = graft.sources.Tombstones.applyTo(
+      s, s.read.parquet(s"$dir/embeddings"), dir, "vec_id")
+    GraftFunctions.register(s)
+    cands
+      .join(batch.select(col("vec_id").as("batch_id"), col("embedding").as("eb")), "batch_id")
+      .join(storedEmb.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")), "corpus_id")
+      .withColumn("sim", round(expr("graft_dot(eb, ec)"), 6))
+      .where(col("sim") >= threshold)
+      .select("batch_id", "corpus_id", "sim")
+      .orderBy("batch_id", "corpus_id")
   }
 }

@@ -18,6 +18,10 @@ case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
 /** Query-vector event for the streaming kNN scorer. */
 case class QVec(qid: Long, ts: java.sql.Timestamp, qv: Seq[Float])
 
+/** Labeled embedding event for the streaming embed-LSH probe. */
+case class LVec(vec_id: Long, ts: java.sql.Timestamp, label: String,
+    embedding: Seq[Float])
+
 /** Input row for the streaming mixture gate. */
 case class SrcDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
@@ -510,6 +514,74 @@ object StreamingOps {
         col("aligned_frames") >= minMatchedFrames)
       .select(col("batch_id"), col("corpus_id"), col("aligned_frames"),
         col("n_batch"), col("n_corpus"))
+  }
+
+  /** Streaming EMBEDDING near-dup probe — the VECTOR member of the probe
+    * family, completing per-modality parity (text
+    * dedupAgainstIndexStream, image/audio hashProbeStream twins, video
+    * videoDedupProbeStream): flag stream vectors that near-duplicate
+    * anything in a persisted embedding-LSH index
+    * (VectorOps.writeEmbedLshIndex). STATELESS (Append, no watermark):
+    * the stream side computes its nPlanes sign bits and banded BIGINT
+    * buckets per row with pure HOFs against the meta-pinned plane
+    * literals; candidates come from the stream-static (label, band,
+    * bucket) equi-join; the band-priority pick (drop the row if any
+    * EARLIER band also agrees — both sides carry their ordered bucket
+    * arrays) yields exactly one row per (stream vector, corpus vector)
+    * before the exact `graft_dot` refine against the stored embeddings.
+    * Tombstoned corpus vectors (deleteFromEmbedLshIndex) resolve at PLAN
+    * time — a takedown lands in running gates at their next restart,
+    * matching every other probe stream. */
+  def embedDedupProbeStream(vecs: DataFrame, indexDir: String,
+      threshold: Double = 0.99): DataFrame = {
+    import graft.operators.VectorOps
+    import graft.sources.Tombstones
+    val s = vecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val nPlanes = meta.getAs[Int]("n_planes")
+    val bands = meta.getAs[Int]("bands")
+    val dim = meta.getAs[Int]("dim")
+    val seed = meta.getAs[Long]("seed")
+    // writeEmbedLshIndex validates at write time; corrupt meta must fail
+    // loudly, not silently band-truncate (quietly reduced recall)
+    require(nPlanes % bands == 0,
+      s"index meta: bands ($bands) must divide n_planes ($nPlanes)")
+    val r = nPlanes / bands
+    val sig = vecs
+      .withColumn("sig",
+        transform(typedlit(VectorOps.lshPlanes(nPlanes, dim, seed)), pl =>
+          when(aggregate(
+            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
+      .withColumn("sbuckets", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> aggregate(" +
+          s"slice(sig, b * $r + 1, $r), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))"))
+    val bandRows = sig.select(col("vec_id").as("batch_id"), col("label"),
+      col("embedding").as("eb"), col("sbuckets"),
+      posexplode(col("sbuckets")).as(Seq("band", "bucket")))
+    // static side: stored band rows regrouped to one ordered bucket array
+    // per corpus vector — a plan-time setup aggregation, not stream state
+    val idx = Tombstones.applyTo(
+        s, s.read.parquet(s"$indexDir/bands"), indexDir, "vec_id")
+      .groupBy(col("vec_id").as("corpus_id"), col("label").as("label_c"))
+      .agg(expr("transform(array_sort(collect_list(struct(band, bucket))), x -> x.bucket)")
+        .as("cbuckets"))
+      .select(col("corpus_id"), col("label_c"), col("cbuckets"),
+        posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
+    val cemb = Tombstones.applyTo(
+        s, s.read.parquet(s"$indexDir/embeddings"), indexDir, "vec_id")
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ec"))
+    bandRows
+      .join(idx, col("label") === col("label_c") && col("band") === col("band_c") &&
+        col("bucket") === col("bucket_c"))
+      // band-priority pick: drop the row if any EARLIER band also agrees
+      .where(expr("size(filter(zip_with(slice(sbuckets, 1, band), " +
+        "slice(cbuckets, 1, band), (x, y) -> x = y), v -> v)) = 0"))
+      .join(cemb, "corpus_id")
+      .withColumn("sim", round(expr("graft_dot(eb, ec)"), 6))
+      .where(col("sim") >= threshold)
+      .select(col("batch_id"), col("label"), col("corpus_id"), col("sim"))
   }
 
   /** The modality-agnostic engine under the perceptual probe gates: a

@@ -211,4 +211,74 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(DedupOps.dedupAgainstIndex(spark, b4, dir).count() > 0,
       "compaction lost a live corpus doc")
   }
+
+  test("Embed-LSH index: probe flags copies, full lifecycle, dim guard, flood cap") {
+    import graft.operators.VectorOps
+    import graft.sources.Tombstones
+    import spark.implicits._
+    val corpus = clusteredCorpus() // dim 16, labels "0".."7"
+    val dir = java.nio.file.Files.createTempDirectory("elsh").toString
+    VectorOps.writeEmbedLshIndex(spark, corpus, dir)
+    // batch: an exact copy of corpus vec 5 + a genuinely novel vector in
+    // the same label block (cos >= 0.99 with anything stored is
+    // astronomically unlikely at dim 16; the fixed seed makes it pinned)
+    val v5 = corpus.where(col("vec_id") === 5L)
+      .select("label", "embedding").head()
+    val rnd = new scala.util.Random(99)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val novel = unit(Array.fill(16)(rnd.nextGaussian())).map(_.toFloat)
+    val batch = Seq(
+      (1005L, v5.getString(0), v5.getSeq[Float](1).toArray),
+      (1006L, v5.getString(0), novel)).toDF("vec_id", "label", "embedding")
+    val hits = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._1 == 1005L && h._2 == 5L && h._3 >= 0.999999),
+      s"planted exact copy not flagged: ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 1006L), s"novel vector falsely flagged: ${hits.toSeq}")
+    // append grows the corpus; a copy of the appended vector is now caught
+    VectorOps.appendToEmbedLshIndex(spark, batch, dir)
+    val probe2 = Seq((2006L, v5.getString(0), novel)).toDF("vec_id", "label", "embedding")
+    assert(VectorOps.dedupEmbedAgainstIndex(spark, probe2, dir)
+      .where(col("corpus_id") === 1006L).count() === 1,
+      "appended vector not probed")
+    // delete vec 5: it stops vetoing, but its appended copy (1005) still does
+    VectorOps.deleteFromEmbedLshIndex(spark, Seq(5L).toDF("vec_id"), dir)
+    val afterDel = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!afterDel.contains((1005L, 5L)), "a deleted corpus vector still vetoed")
+    assert(afterDel.contains((1005L, 1005L)), "delete of 5 also hid its live copy 1005")
+    // compaction folds the tombstone into both stored tables
+    VectorOps.compactEmbedLshIndex(spark, dir)
+    assert(!Tombstones.exists(spark, dir))
+    assert(spark.read.parquet(s"$dir/bands").where(col("vec_id") === 5L).count() === 0)
+    assert(spark.read.parquet(s"$dir/embeddings").where(col("vec_id") === 5L).count() === 0)
+    val afterCompact = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(afterCompact.toSet === afterDel.toSet,
+      "compaction changed probe results")
+    // dim guard: a mis-wired batch fails loudly, not silently garbage-signs
+    val dim8 = Seq((3001L, "5", Array.fill(8)(0.5f))).toDF("vec_id", "label", "embedding")
+    val exDim = intercept[IllegalArgumentException] {
+      VectorOps.dedupEmbedAgainstIndex(spark, dim8, dir)
+    }
+    assert(exDim.getMessage.contains("dimension"))
+    // flood cap: a degenerate mass-identical corpus raises loudly at
+    // probe time instead of silently scanning the pile per probe row
+    val same = unit(Array.fill(16)(rnd.nextGaussian())).map(_.toFloat)
+    val degenerate = (0L until 100L).map(i => (i, "x", same))
+      .toDF("vec_id", "label", "embedding")
+    val dir2 = java.nio.file.Files.createTempDirectory("elsh_flood").toString
+    VectorOps.writeEmbedLshIndex(spark, degenerate, dir2)
+    val probeOne = Seq((500L, "x", same)).toDF("vec_id", "label", "embedding")
+    val exCap = intercept[Exception] {
+      VectorOps.dedupEmbedAgainstIndex(spark, probeOne, dir2, maxBucket = 50).count()
+    }
+    assert(exCap.getMessage.contains("exceeds cap") ||
+      Option(exCap.getCause).exists(_.getMessage.contains("exceeds cap")))
+    // <= 0 disables the guard knowingly; all 100 copies then flag
+    assert(VectorOps.dedupEmbedAgainstIndex(spark, probeOne, dir2, maxBucket = 0)
+      .count() === 100)
+  }
 }

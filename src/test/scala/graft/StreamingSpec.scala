@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{DocEv, Ev, QVec, SrcDoc, StreamingOps}
+import graft.streaming.{DocEv, Ev, LVec, QVec, SrcDoc, StreamingOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -463,6 +463,52 @@ class StreamingSpec extends AnyFunSuite {
       // stateless: exactly k rows per query, nothing accretes
       assert(spark.table("knn_stream_out").count() === 4)
     } finally q.stop()
+  }
+
+  test("streaming embed-LSH probe flags stored near-dups once per pair; tombstoned ids re-admit") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    // small labeled unit-vector corpus, indexed once
+    def unit(v: Array[Double]) = { val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s) }
+    val rnd = new scala.util.Random(31)
+    val corpusVecs = (0L until 20L).map(i =>
+      (i, (i % 4).toString, unit(Array.fill(8)(rnd.nextGaussian())).map(_.toFloat)))
+    val corpus = corpusVecs.toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("elsh_stream").toString
+    VectorOps.writeEmbedLshIndex(spark, corpus, dir)
+    val in = MemoryStream[LVec](16, spark, None)
+    val q = StreamingOps.embedDedupProbeStream(in.toDF(), dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("elsh_probe_out").start()
+    try {
+      val (_, lbl7, emb7) = corpusVecs(7)
+      in.addData(
+        // exact copy of corpus vec 7 — agrees in ALL bands, so the
+        // band-priority pick is what bounds emission to one row
+        LVec(107L, ts("10:00"), lbl7, emb7.toSeq),
+        // genuinely novel vector in the same label block
+        LVec(108L, ts("10:01"), lbl7,
+          unit(Array.fill(8)(rnd.nextGaussian())).map(_.toFloat).toSeq))
+      q.processAllAvailable()
+      val pairs = spark.table("elsh_probe_out")
+        .select("batch_id", "corpus_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.length === 1 && (pairs.head._1, pairs.head._2) === ((107L, 7L)),
+        s"expected exactly ONE row for the planted (107, 7) match, got ${pairs.toSeq}")
+      assert(pairs.head._3 >= 0.999999)
+    } finally q.stop()
+    // takedown: tombstone vec 7, restart the gate — its copy passes clean
+    VectorOps.deleteFromEmbedLshIndex(spark, Seq(7L).toDF("vec_id"), dir)
+    val in2 = MemoryStream[LVec](17, spark, None)
+    val q2 = StreamingOps.embedDedupProbeStream(in2.toDF(), dir)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("elsh_probe_out2").start()
+    try {
+      in2.addData(LVec(109L, ts("10:05"), corpusVecs(7)._2, corpusVecs(7)._3.toSeq))
+      q2.processAllAvailable()
+      assert(spark.table("elsh_probe_out2").count() === 0,
+        "a copy of a DELETED corpus vector was still flagged")
+    } finally q2.stop()
   }
 
   test("stream-stream attribution join matches purchases to in-horizon clicks only") {
