@@ -1205,10 +1205,21 @@ object VectorOps {
         col("bb.bucket").as("bucket"))
   }
 
-  private[graft] def embedDupPairs(u: DataFrame): DataFrame = {
-    val bands = lshBandRowsOf(u, nPlanes = 32, bands = 4, dim = 64, seed = 42L)
-    val a = bands.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
-    val b = bands.select(col("label").as("label_b"), col("vec_id").as("vb"),
+  private[graft] def embedDupPairs(u: DataFrame): DataFrame =
+    embedPairsWith(u, nPlanes = 32, bands = 4, dim = 64, seed = 42L,
+      threshold = 0.99)
+
+  /** The banded self-join near-dup engine parameterized by the plane
+    * family — shared by the declared in-query path (fixed defaults
+    * above) and the ingest loop's in-batch collapse (which signs with
+    * the persisted index's meta so in-batch and batch-vs-corpus
+    * candidates come from the SAME family). */
+  private[graft] def embedPairsWith(u: DataFrame, nPlanes: Int, bands: Int,
+      dim: Int, seed: Long, threshold: Double): DataFrame = {
+    GraftFunctions.register(u.sparkSession)
+    val bandRows = lshBandRowsOf(u, nPlanes, bands, dim, seed)
+    val a = bandRows.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
+    val b = bandRows.select(col("label").as("label_b"), col("vec_id").as("vb"),
       col("band").as("band_b"), col("bucket").as("bucket_b"))
     val cands = a.join(b,
         col("label") === col("label_b") && col("band") === col("band_b") &&
@@ -1218,7 +1229,7 @@ object VectorOps {
       .join(u.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
       .join(u.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
       .withColumn("sim", round(expr("graft_dot(ea, eb)"), 6))
-      .where(col("sim") >= 0.99)
+      .where(col("sim") >= threshold)
       .select("va", "vb", "sim")
   }
 

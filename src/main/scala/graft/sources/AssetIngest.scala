@@ -156,6 +156,67 @@ object AssetIngest {
       gated = nOk - nValid)
   }
 
+  /** Run one ingest cycle over an EMBEDDING batch (`vec_id`, `label`,
+    * `embedding`) — the vector member of the loop family, against the
+    * persisted embedding-LSH index (VectorOps.writeEmbedLshIndex
+    * lifecycle). Same shape, no codec: the "decode" tier is a null/empty
+    * check (undecodable), the admission gate is the stored index's
+    * frozen dimension (gated — a mis-wired encoder emits the wrong
+    * width, the operational signal the split accounting exists for),
+    * in-batch near-dups collapse via the banded pair graph signed with
+    * the INDEX's plane family (min-id keeper), survivors probe the
+    * corpus in O(batch), novel vectors land under `dataDir/vectors` and
+    * append to the index. A first batch (no index yet) bootstraps it
+    * with the default plane family, taking the dimension from the batch.
+    * Landing before index append keeps retries self-healing: a re-sent
+    * fully-ingested batch matches its own stored copies at sim 1.0 and
+    * admits nothing. */
+  def ingestEmbedBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      dataDir: String, threshold: Double = 0.99,
+      maxBucket: Int = 1 << 17): IngestReport = {
+    import graft.operators.VectorOps
+    val ann = batch.select("vec_id", "label", "embedding").localCheckpoint(false)
+    val total = ann.count()
+    val okF = col("embedding").isNotNull && size(col("embedding")) > 0
+    val nOk = ann.where(okF).count()
+    if (nOk == 0L)
+      return IngestReport(0L, 0L, 0L, undecodable = total, gated = 0L)
+    val metaPath = new Path(s"$indexDir/meta")
+    val indexExists =
+      metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)
+    val (nPlanes, bands, dim, seed) =
+      if (indexExists) {
+        val m = s.read.parquet(s"$indexDir/meta").head()
+        (m.getAs[Int]("n_planes"), m.getAs[Int]("bands"),
+          m.getAs[Int]("dim"), m.getAs[Long]("seed"))
+      } else
+        (32, 4, ann.where(okF).select(size(col("embedding"))).head().getInt(0), 42L)
+    val valid = ann.where(okF && size(col("embedding")) === dim)
+    val inBatchLosers = VectorOps
+      .embedPairsWith(valid, nPlanes, bands, dim, seed, threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    val keepers = valid.join(inBatchLosers, Seq("vec_id"), "left_anti")
+    val corpusDupIds =
+      if (indexExists)
+        VectorOps.dedupEmbedAgainstIndex(s, keepers, indexDir, threshold, maxBucket)
+          .select(col("batch_id").as("vec_id")).distinct()
+      else keepers.select("vec_id").limit(0)
+    val novel = keepers.join(corpusDupIds, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false) // landing + index append + count read it once
+    val nNovel = novel.count()
+    novel.write.mode("append").parquet(s"$dataDir/vectors")
+    if (indexExists) VectorOps.appendToEmbedLshIndex(s, novel, indexDir)
+    else VectorOps.writeEmbedLshIndex(s, novel, indexDir, nPlanes, bands, seed)
+    val nValid = valid.count()
+    val nKeepers = keepers.count()
+    IngestReport(
+      admitted = nNovel,
+      inBatchDups = nValid - nKeepers,
+      corpusDups = nKeepers - nNovel,
+      undecodable = total - nOk,
+      gated = nOk - nValid)
+  }
+
   /** The modality-agnostic loop. `annotated` must carry `asset_id`,
     * `payload`, `ahash`, `ok` plus whatever `landCols` name; exactly one
     * codec pass produced it, and the barrier here materializes it once

@@ -281,4 +281,47 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(VectorOps.dedupEmbedAgainstIndex(spark, probeOne, dir2, maxBucket = 0)
       .count() === 100)
   }
+
+  test("composed embedding ingest loop: bootstrap, gate, in-batch dedup, corpus probe, retry") {
+    import graft.operators.VectorOps
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_emb").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val v1 = unit(); val v2 = unit(); val v7 = unit()
+    def df(rows: (Long, String, Array[Float])*) =
+      rows.toDF("vec_id", "label", "embedding")
+
+    // batch 1 BOOTSTRAPS the index: 2 novel, 1 in-batch copy of vec 2,
+    // 1 null embedding (undecodable), 1 wrong-width vector (gated — the
+    // batch's first valid row fixes dim 16)
+    val r1 = AssetIngest.ingestEmbedBatch(spark,
+      df((1L, "x", v1), (2L, "x", v2), (3L, "x", v2),
+        (4L, "x", null), (5L, "x", Array.fill(8)(0.5f))),
+      indexDir, dataDir)
+    assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
+      corpusDups = 0, undecodable = 1, gated = 1))
+    assert(spark.read.parquet(s"$dataDir/vectors")
+      .select("vec_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the bootstrap wrote a real index: meta pins dim 16, 2 vecs x 4 bands
+    assert(spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("dim") === 16)
+    assert(spark.read.parquet(s"$indexDir/bands").count() === 8)
+
+    // batch 2: corpus dup of vec 1 + a novel vector; retry self-heals
+    val r2 = AssetIngest.ingestEmbedBatch(spark,
+      df((10L, "x", v1), (11L, "x", v7)), indexDir, dataDir)
+    assert(r2 === AssetIngest.IngestReport(1, 0, 1, 0))
+    val r3 = AssetIngest.ingestEmbedBatch(spark, df((11L, "x", v7)), indexDir, dataDir)
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+
+    // takedown flows through: a copy of the deleted vector re-admits
+    VectorOps.deleteFromEmbedLshIndex(spark, Seq(2L).toDF("vec_id"), indexDir)
+    val r4 = AssetIngest.ingestEmbedBatch(spark, df((20L, "x", v2)), indexDir, dataDir)
+    assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
+  }
 }
