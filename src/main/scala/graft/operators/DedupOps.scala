@@ -54,7 +54,7 @@ object DedupOps {
     * round(i/u, 4) leaves each engine's round() convention in play at
     * exact 4dp halves, e.g. 7/32). u = 0 yields NULL in both engines
     * (Spark `div` and DuckDB `//` both return NULL on zero). */
-  private def jaccard(a: String, b: String) =
+  private[graft] def jaccard(a: String, b: String) =
     expr(s"CAST((CAST(size(array_intersect($a, $b)) AS BIGINT) * 20000" +
       s" + size(array_union($a, $b))) div" +
       s" (2 * CAST(size(array_union($a, $b)) AS BIGINT)) AS DOUBLE) / 10000.0")

@@ -217,6 +217,95 @@ object AssetIngest {
       gated = nOk - nValid)
   }
 
+  /** Run one ingest cycle over a TEXT batch (`doc_id`, `source`,
+    * `text`) — the text member of the loop family, against the persisted
+    * MinHash index (DedupOps.writeMinhashIndex lifecycle). Same shape:
+    * null/blank text is undecodable; the admission gate is the
+    * CurationPipeline.curate quality score (stop-word ratio + length,
+    * same arithmetic) at `minScore`; in-batch near-dups collapse via the
+    * banded MinHash pair graph signed with the INDEX's stored (k, bands)
+    * and refined with true shingle Jaccard (min-id keeper); survivors
+    * probe the corpus in O(batch); novel docs land under `dataDir/docs`
+    * and append to the index. A first batch bootstraps the index with
+    * the default (16, 4) banding. Landing before index append keeps
+    * retries self-healing: a re-sent batch matches its own stored
+    * shingles at Jaccard 1.0 and admits nothing. */
+  def ingestTextBatch(s: SparkSession, batch: DataFrame, indexDir: String,
+      dataDir: String, minScore: Double = 0.3,
+      threshold: Double = 0.5): IngestReport = {
+    import graft.operators.DedupOps
+    val ann = batch.select("doc_id", "source", "text").localCheckpoint(false)
+    val total = ann.count()
+    val okF = col("text").isNotNull && length(trim(col("text"))) > 0
+    val nOk = ann.where(okF).count()
+    if (nOk == 0L)
+      return IngestReport(0L, 0L, 0L, undecodable = total, gated = 0L)
+    // CurationPipeline.curate's score, verbatim — the gate and the
+    // curation pipeline must agree on what "quality" means
+    val scored = ann.where(okF)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("stop_ratio",
+        expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))")
+          .cast("double") / col("n_tok"))
+      .withColumn("score",
+        col("stop_ratio") * 0.3 +
+          least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+    val valid = scored.where(col("score") >= minScore)
+    val metaPath = new Path(s"$indexDir/meta")
+    val indexExists =
+      metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)
+    val (k, bands) =
+      if (indexExists) {
+        val m = s.read.parquet(s"$indexDir/meta").head()
+        (m.getAs[Int]("k"), m.getAs[Int]("bands"))
+      } else (16, 4)
+    // in-batch collapse: banded candidates + true-Jaccard refine,
+    // greedy min-id keeper (the ingestCore convention)
+    val bandRows = DedupOps.minhashBandsOf(s,
+      valid.select(col("doc_id"), col("toks")), k, bands)
+    val cands = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
+      .join(bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
+          col("bucket").as("bucket_b")),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("da") < col("db"))
+      .select("da", "db").distinct()
+    val shs = valid.select(col("doc_id"),
+        expr(DedupOps.shingleExpr(0)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val inBatchLosers = cands
+      .join(shs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(shs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .where(DedupOps.jaccard("sha", "shb") >= threshold)
+      .select(col("db").as("doc_id")).distinct()
+    val keepers = valid.join(inBatchLosers, Seq("doc_id"), "left_anti")
+    val corpusDupIds =
+      if (indexExists)
+        DedupOps.dedupAgainstIndex(s,
+            keepers.select("doc_id", "source", "text"), indexDir, threshold)
+          .select(col("batch_id").as("doc_id")).distinct()
+      else keepers.select("doc_id").limit(0)
+    val novel = keepers.join(corpusDupIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // landing + index append + count read it once
+    val nNovel = novel.count()
+    novel.select("doc_id", "source", "text", "n_tok", "score")
+      .write.mode("append").parquet(s"$dataDir/docs")
+    if (indexExists)
+      DedupOps.appendToMinhashIndex(s,
+        novel.select("doc_id", "source", "text"), indexDir)
+    else
+      DedupOps.writeMinhashIndex(s,
+        novel.select("doc_id", "source", "text"), indexDir, k, bands)
+    val nValid = valid.count()
+    val nKeepers = keepers.count()
+    IngestReport(
+      admitted = nNovel,
+      inBatchDups = nValid - nKeepers,
+      corpusDups = nKeepers - nNovel,
+      undecodable = total - nOk,
+      gated = nOk - nValid)
+  }
+
   /** The modality-agnostic loop. `annotated` must carry `asset_id`,
     * `payload`, `ahash`, `ok` plus whatever `landCols` name; exactly one
     * codec pass produced it, and the barrier here materializes it once

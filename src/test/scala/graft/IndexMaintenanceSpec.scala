@@ -324,4 +324,45 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val r4 = AssetIngest.ingestEmbedBatch(spark, df((20L, "x", v2)), indexDir, dataDir)
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
+
+  test("composed text ingest loop: bootstrap, quality gate, in-batch dedup, corpus probe, retry") {
+    import graft.operators.DedupOps
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_txt").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    // 60 disjoint tokens per doc: quality score = 0 * 0.3 + 60/100-capped
+    // length term = 0.42 >= the 0.3 default gate
+    val mk = (i: Int) => (1 to 60).map(t => s"w${i}_$t").mkString(" ")
+    def cut(i: Int, keep: Int) = (1 to keep).map(t => s"w${i}_$t").mkString(" ")
+    def df(rows: (Long, String, String)*) = rows.toDF("doc_id", "source", "text")
+
+    // batch 1 BOOTSTRAPS the index: 2 novel, 1 in-batch near-dup of doc 2
+    // (5 tokens cut), 1 null text (undecodable), 1 three-token doc whose
+    // score (~0.12) fails the quality gate
+    val r1 = AssetIngest.ingestTextBatch(spark,
+      df((1L, "a", mk(1)), (2L, "a", mk(2)), (3L, "a", cut(2, 55)),
+        (4L, "a", null), (5L, "a", "q r s")),
+      indexDir, dataDir)
+    assert(r1 === AssetIngest.IngestReport(admitted = 2, inBatchDups = 1,
+      corpusDups = 0, undecodable = 1, gated = 1))
+    val landed = spark.read.parquet(s"$dataDir/docs")
+    assert(landed.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(landed.where($"n_tok" === 60 && $"score" >= 0.3).count() === 2)
+    // the bootstrap wrote a real MinHash index with the default banding
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    assert(meta.getAs[Int]("k") === 16 && meta.getAs[Int]("bands") === 4)
+
+    // batch 2: corpus near-dup of doc 1 + a novel doc; retry self-heals
+    val r2 = AssetIngest.ingestTextBatch(spark,
+      df((10L, "a", cut(1, 55)), (11L, "a", mk(7))), indexDir, dataDir)
+    assert(r2 === AssetIngest.IngestReport(1, 0, 1, 0))
+    val r3 = AssetIngest.ingestTextBatch(spark, df((11L, "a", mk(7))), indexDir, dataDir)
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+
+    // takedown flows through: a near-dup of the deleted doc re-admits
+    DedupOps.deleteFromMinhashIndex(spark, Seq(2L).toDF("doc_id"), indexDir)
+    val r4 = AssetIngest.ingestTextBatch(spark, df((20L, "a", cut(2, 55))), indexDir, dataDir)
+    assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
+  }
 }
