@@ -489,6 +489,96 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 6)
   }
 
+  test("ingest law holds for the embedding loop: sequential == combined, retry admits zero") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    // same law as the image loop, over the codec-free vector member:
+    // duplicate keys produce IDENTICAL embeddings (sim 1.0 near-dups),
+    // so the min-id keeper must leave the same landed + indexed sets for
+    // any split point, and a full retry self-heals to zero admits
+    val gen = Gen.zip(Gen.chooseNum(2L, 24L), Gen.chooseNum(0, 10), Gen.long)
+    check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val keys = Array.fill(n.toInt)(rnd.nextInt(6).toLong)
+      def unitOf(key: Long): Array[Float] = {
+        val r2 = new scala.util.Random(key * 7919 + 13)
+        val v = Array.fill(12)(r2.nextGaussian())
+        val nm = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / nm).toFloat)
+      }
+      val rows = keys.zipWithIndex.map { case (k, i) =>
+        (i.toLong, (k % 3).toString, unitOf(k))
+      }.toSeq
+      val split = math.max(1, math.min(splitRaw, rows.length - 1))
+      val base = java.nio.file.Files.createTempDirectory("ingest_law_e").toString
+      def landed(dataDir: String): Set[Long] = {
+        val p = new java.io.File(s"$dataDir/vectors")
+        if (!p.exists()) Set.empty
+        else spark.read.parquet(s"$dataDir/vectors").select("vec_id")
+          .as[Long].collect().toSet
+      }
+      def indexed(indexDir: String): Set[Long] =
+        spark.read.parquet(s"$indexDir/embeddings").select("vec_id")
+          .as[Long].collect().toSet
+      def df(rs: Seq[(Long, String, Array[Float])]) =
+        rs.toDF("vec_id", "label", "embedding")
+      val r1 = AssetIngest.ingestEmbedBatch(spark, df(rows.take(split)),
+        s"$base/seq/idx", s"$base/seq/data")
+      val r2 = AssetIngest.ingestEmbedBatch(spark, df(rows.drop(split)),
+        s"$base/seq/idx", s"$base/seq/data")
+      val rc = AssetIngest.ingestEmbedBatch(spark, df(rows),
+        s"$base/one/idx", s"$base/one/data")
+      val seqLanded = landed(s"$base/seq/data")
+      val oneLanded = landed(s"$base/one/data")
+      val admittedEqual = seqLanded == oneLanded &&
+        seqLanded == indexed(s"$base/seq/idx") &&
+        oneLanded == indexed(s"$base/one/idx")
+      val countsAdd = r1.admitted + r2.admitted == rc.admitted
+      val rr = AssetIngest.ingestEmbedBatch(spark, df(rows),
+        s"$base/one/idx", s"$base/one/data")
+      admittedEqual && countsAdd && rr.admitted == 0 &&
+        rr.corpusDups + rr.inBatchDups == rows.length
+    }, tests = 5)
+  }
+
+  test("ingest law holds for the text loop: sequential == combined, retry admits zero") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    // the text member: duplicate keys produce identical documents
+    // (Jaccard 1.0); same sequential/combined/retry law
+    val gen = Gen.zip(Gen.chooseNum(2L, 12L), Gen.chooseNum(0, 6), Gen.long)
+    check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val keys = Array.fill(n.toInt)(rnd.nextInt(5).toLong)
+      // 60 tokens → quality score 0.42, safely above the 0.3 gate (40
+      // tokens would score 0.28 and silently gate the whole batch — the
+      // shrunk counterexample that caught this law's first draft)
+      val rows = keys.zipWithIndex.map { case (k, i) =>
+        (i.toLong, "s", (1 to 60).map(t => s"k${k}_$t").mkString(" "))
+      }.toSeq
+      val split = math.max(1, math.min(splitRaw, rows.length - 1))
+      val base = java.nio.file.Files.createTempDirectory("ingest_law_t").toString
+      def landed(dataDir: String): Set[Long] = {
+        val p = new java.io.File(s"$dataDir/docs")
+        if (!p.exists()) Set.empty
+        else spark.read.parquet(s"$dataDir/docs").select("doc_id")
+          .as[Long].collect().toSet
+      }
+      def df(rs: Seq[(Long, String, String)]) = rs.toDF("doc_id", "source", "text")
+      val r1 = AssetIngest.ingestTextBatch(spark, df(rows.take(split)),
+        s"$base/seq/idx", s"$base/seq/data")
+      val r2 = AssetIngest.ingestTextBatch(spark, df(rows.drop(split)),
+        s"$base/seq/idx", s"$base/seq/data")
+      val rc = AssetIngest.ingestTextBatch(spark, df(rows),
+        s"$base/one/idx", s"$base/one/data")
+      val admittedEqual = landed(s"$base/seq/data") == landed(s"$base/one/data")
+      val countsAdd = r1.admitted + r2.admitted == rc.admitted
+      val rr = AssetIngest.ingestTextBatch(spark, df(rows),
+        s"$base/one/idx", s"$base/one/data")
+      admittedEqual && countsAdd && rr.admitted == 0 &&
+        rr.corpusDups + rr.inBatchDups == rows.length
+    }, tests = 3)
+  }
+
   test("resize law: output pixel (x,y) is exactly the integer-NN source sample") {
     import graft.sources.ImageCodec
     import spark.implicits._
