@@ -297,6 +297,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     def df(rows: (Long, String, Array[Float])*) =
       rows.toDF("vec_id", "label", "embedding")
 
+    // degenerate FIRST batch: nothing valid — clean accounting, no index
+    // or store created, the next batch still bootstraps normally
+    val r0 = AssetIngest.ingestEmbedBatch(spark,
+      df((99L, "x", null)), indexDir, dataDir)
+    assert(r0 === AssetIngest.IngestReport(0, 0, 0, 1))
+
     // batch 1 BOOTSTRAPS the index: 2 novel, 1 in-batch copy of vec 2,
     // 1 null embedding (undecodable), 1 wrong-width vector (gated — the
     // batch's first valid row fixes dim 16)
@@ -336,6 +342,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val mk = (i: Int) => (1 to 60).map(t => s"w${i}_$t").mkString(" ")
     def cut(i: Int, keep: Int) = (1 to keep).map(t => s"w${i}_$t").mkString(" ")
     def df(rows: (Long, String, String)*) = rows.toDF("doc_id", "source", "text")
+
+    // degenerate FIRST batch: all blank — clean accounting, no index or
+    // store created, the next batch still bootstraps normally
+    val r0 = AssetIngest.ingestTextBatch(spark,
+      df((98L, "a", null), (99L, "a", "   ")), indexDir, dataDir)
+    assert(r0 === AssetIngest.IngestReport(0, 0, 0, 2))
 
     // batch 1 BOOTSTRAPS the index: 2 novel, 1 in-batch near-dup of doc 2
     // (5 tokens cut), 1 null text (undecodable), 1 three-token doc whose
