@@ -1309,9 +1309,18 @@ object VectorOps {
       meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     val stored0 = graft.sources.Tombstones.applyTo(
       s, s.read.parquet(s"$dir/bands"), dir, "vec_id")
+    // Restrict the stored side to the buckets this batch actually probes
+    // BEFORE anything corpus-wide happens: the semi-join prunes to
+    // O(batch buckets x occupancy) rows, which keeps both the flood
+    // guard below and the candidate join O(batch) — a cap window over
+    // the FULL band table would itself be a corpus-sized shuffle per
+    // probe, exactly the cost the probe exists to avoid.
+    val probed = stored0.join(
+      bBands.select("label", "band", "bucket").distinct(),
+      Seq("label", "band", "bucket"), "left_semi")
     val stored =
-      if (maxBucket <= 0) stored0
-      else stored0
+      if (maxBucket <= 0) probed
+      else probed
         .withColumn("bucket_pop", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("label", "band", "bucket")))
         .where(when(col("bucket_pop") <= maxBucket, lit(true)).otherwise(
