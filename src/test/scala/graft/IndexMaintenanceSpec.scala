@@ -280,6 +280,15 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // <= 0 disables the guard knowingly; all 100 copies then flag
     assert(VectorOps.dedupEmbedAgainstIndex(spark, probeOne, dir2, maxBucket = 0)
       .count() === 100)
+    // the guard inspects ONLY probed buckets: a probe that never touches
+    // the flooded bucket (different label block) completes clean — this
+    // is the behavioral face of the O(batch) shape, where the stored
+    // side is pruned to the batch's buckets BEFORE any corpus-wide work
+    val probeOther = Seq((501L, "y", unit(Array.fill(16)(rnd.nextGaussian())).map(_.toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    assert(VectorOps.dedupEmbedAgainstIndex(spark, probeOther, dir2, maxBucket = 50)
+      .count() === 0,
+      "a probe of untouched buckets must not trip the unrelated flood cap")
   }
 
   test("composed embedding ingest loop: bootstrap, gate, in-batch dedup, corpus probe, retry") {
