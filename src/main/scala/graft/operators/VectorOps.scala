@@ -1294,7 +1294,11 @@ object VectorOps {
     * bucket) equi-join (linear in batch size); every candidate is
     * refined with the exact codegen'd dot against the stored embeddings.
     * Returns (batch_id, corpus_id, sim) at sim >= threshold; anti-join
-    * the distinct batch_ids to keep the batch's novel vectors.
+    * the distinct batch_ids to keep the batch's novel vectors. Pointed
+    * at an index built over a BENCHMARK/eval embedding set, this same
+    * call is SEMANTIC decontamination (the embedding-space twin of
+    * q_contamination's n-gram gate — catches paraphrased eval leakage
+    * n-grams miss), matching the image/audio indexes' dual use.
     *
     * `maxBucket` is the loud-flood guard (the HashBanding lesson): a
     * degenerate corpus (mass-identical embeddings) piles one bucket high

@@ -511,6 +511,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming embeddings -> foreachBatch ingest: dups drop across micro-batches") {
+    // the continuous-ingest composition for the vector loop: each
+    // micro-batch runs ingestEmbedBatch, so index appends are visible to
+    // the NEXT micro-batch with no gate restarts — mirrors the image
+    // loop's foreachBatch proof
+    import spark.implicits._
+    import graft.sources.AssetIngest
+    val base = java.nio.file.Files.createTempDirectory("stream_ingest_e").toString
+    def unit(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(10)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat).toSeq
+    }
+    val mem = MemoryStream[LVec](18, spark, None)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[AssetIngest.IngestReport]
+    val q = mem.toDF().select("vec_id", "label", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        reports += AssetIngest.ingestEmbedBatch(spark, batch, s"$base/idx", s"$base/data")
+        ()
+      }
+      .start()
+    try {
+      mem.addData(LVec(1L, ts("10:00"), "a", unit(1)), LVec(2L, ts("10:00"), "a", unit(2)))
+      q.processAllAvailable()
+      // second micro-batch: one cross-micro-batch dup, one novel
+      mem.addData(LVec(3L, ts("10:01"), "a", unit(1)), LVec(4L, ts("10:01"), "a", unit(3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(_.admitted).toSeq === Seq(2, 1))
+    assert(reports.map(_.corpusDups).toSeq === Seq(0, 1),
+      s"cross-micro-batch dup not caught by the young index: $reports")
+    assert(spark.read.parquet(s"$base/data/vectors").select("vec_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("stream-stream attribution join matches purchases to in-horizon clicks only") {
     import spark.implicits._
     val in = MemoryStream[Ev](16, spark, None)
