@@ -80,17 +80,18 @@ public final class SimdKernels {
    * exposes no VPMADDUBSW-style fused byte-multiply-accumulate) only adds
    * shuffle-port pressure. The SQ8 scan keeps graft_dot's inline loop.
    *
-   * Per 16-byte block: widen b→s (products fit: 127² = 16129 < 2¹⁵),
-   * multiply in short, widen the 16 products to two int vectors, add into
-   * an int accumulator. The int accumulator is exact while
-   * n · 127² < 2³¹, i.e. n ≤ ~133k lanes per accumulator slot — far past
-   * any embedding dim; the caller-facing guard is the {@code n <= 1<<20}
-   * ceiling below, beyond which we take the scalar long fold instead of
-   * silently wrapping.
+   * Per 16-byte block: widen b→s (products fit: (-128)·(-128) = 16384 =
+   * 2¹⁴ < 2¹⁵), multiply in short, widen the 16 products to two int
+   * vectors, add into an int accumulator. Worst case each of the 8 int
+   * accumulator slots receives n/8 products of magnitude ≤ 2¹⁴, so the
+   * slot is exact while (n/8)·2¹⁴ < 2³¹, i.e. n < 2²⁰ — at n = 2²⁰
+   * exactly a slot can reach exactly 2³¹ and wrap, hence the guard below
+   * is strict ({@code n < 1<<20}); at or beyond it we take the scalar
+   * long fold instead of silently wrapping.
    */
   public static double dotI8(byte[] a, byte[] b) {
     int n = Math.min(a.length, b.length);
-    if (n > (1 << 20)) {
+    if (n >= (1 << 20)) {
       return scalarI8(a, b, n);
     }
     IntVector acc = IntVector.zero(I256);

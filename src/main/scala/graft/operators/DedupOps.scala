@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.{GraftFunctions, MinHashAgg}
+import graft.sources.IdBuckets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -198,14 +199,18 @@ object DedupOps {
       .orderBy("da", "db")
   }
 
-  /** (doc_id, band, bucket) LSH band rows of a (doc_id, toks) frame:
-    * shingle Generator → k-hash MinHash UDAF → banded bucket ids. The
-    * shared signature stage of minhashPairs and the persisted MinHash
-    * index. MinHash "training" is just the fixed salt family, so unlike
-    * the ANN codebooks there is nothing to freeze — any two frames
-    * signed with the same (k, bands) are join-compatible by
-    * construction. */
-  private[graft] def minhashBandsOf(s: SparkSession, toks: DataFrame,
+  /** (doc_id, cbuckets) — ONE ROW PER DOC carrying its banded signature
+    * as an ordered array of `bands` BIGINT bucket ids: shingle Generator
+    * → k-hash MinHash UDAF → per-band xxhash64 buckets. This is the
+    * CANONICAL signature form: band rows derive from it per-row
+    * ([[bandRowsOfBuckets]] — a posexplode, no aggregation), and the
+    * persisted index stores exactly this shape so probe static sides are
+    * projection-only scans (the streaming gate's 100 TB requirement —
+    * see StreamingOps.dedupAgainstIndexStream). MinHash "training" is
+    * just the fixed salt family, so unlike the ANN codebooks there is
+    * nothing to freeze — any two frames signed with the same (k, bands)
+    * are join-compatible by construction. */
+  private[graft] def minhashBucketsOf(s: SparkSession, toks: DataFrame,
       k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
@@ -216,26 +221,44 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(minhash(col("shingle")).as("sig"))
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          "named_struct('band', b, 'bucket', xxhash64(concat_ws(',', " +
-          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING))))))")).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))")
+          .as("cbuckets"))
   }
 
+  /** Exploded (doc_id, band, bucket) rows of a (doc_id, cbuckets) frame —
+    * a pure per-row generate (no shuffle, no aggregate), usable on a
+    * parquet scan of the persisted `cbuckets` table as-is. */
+  private[graft] def bandRowsOfBuckets(buckets: DataFrame): DataFrame =
+    buckets.select(col("doc_id"),
+      posexplode(col("cbuckets")).as(Seq("band", "bucket")))
+
+  /** (doc_id, band, bucket) LSH band rows of a (doc_id, toks) frame —
+    * the in-query signature stage of minhashPairs and the ingest loop's
+    * in-batch collapse. */
+  private[graft] def minhashBandsOf(s: SparkSession, toks: DataFrame,
+      k: Int, bands: Int): DataFrame =
+    bandRowsOfBuckets(minhashBucketsOf(s, toks, k, bands))
+
   /** Persist a MinHash/LSH near-dup index for a (doc_id, source, text)
-    * corpus under `dir`: band-bucket rows (the candidate join key),
-    * shingle sets (the refine tier), and a 1-row meta table pinning
-    * (k, bands) so appends and probes sign new documents identically.
-    * The dedup lifecycle twin of writeIvfIndex/writePqIndex — built
-    * once over the corpus, then every new crawl batch probes and
-    * appends in O(batch). */
+    * corpus under `dir`: `cbuckets` (one row per doc — its ordered
+    * banded signature array, the GROUPED probe form: batch probes
+    * posexplode it per-row into candidate join keys, and the streaming
+    * gate's static side is a projection-only scan of it, never a
+    * corpus-wide re-aggregation per micro-batch), `shingles` (the
+    * refine tier), and a 1-row meta table pinning (k, bands) so appends
+    * and probes sign new documents identically. Both tables are
+    * id-hash-bucketed (IdBuckets) so compaction rewrites only the
+    * partitions holding tombstoned ids. The dedup lifecycle twin of
+    * writeIvfIndex/writePqIndex — built once over the corpus, then
+    * every new crawl batch probes and appends in O(batch). */
   def writeMinhashIndex(s: SparkSession, docs: DataFrame, dir: String,
       k: Int = 16, bands: Int = 4): Unit = {
     val toks = docs.withColumn("toks", split(col("text"), " "))
-    minhashBandsOf(s, toks.select(col("doc_id"), col("toks")), k, bands)
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
+    IdBuckets.write(minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")), k, bands),
+      "doc_id", s"$dir/cbuckets", "overwrite")
+    IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
+      "doc_id", s"$dir/shingles", "overwrite")
     import s.implicits._
     Seq((k, bands)).toDF("k", "bands").write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -243,19 +266,19 @@ object DedupOps {
   /** Append a new batch to a persisted MinHash index — signatures use
     * the stored (k, bands), so appended rows are band-compatible with
     * the base; O(batch) cost, no corpus re-signing. The caller owns
-    * doc_id uniqueness: a re-sent batch duplicates band/shingle rows for
-    * its ids (harmless to candidate CORRECTNESS — candidates are
-    * distinct-ed — but it doubles their probe cost); gate retried
+    * doc_id uniqueness: a re-sent batch duplicates signature/shingle
+    * rows for its ids (harmless to candidate CORRECTNESS — candidates
+    * are distinct-ed — but it doubles their probe cost); gate retried
     * batches through Ledger.missing as the LlmOpsSpec resume test
     * shows. */
   def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = s.read.parquet(s"$dir/meta").head()
     val toks = batch.withColumn("toks", split(col("text"), " "))
-    minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
-        meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
-      .write.mode("append").parquet(s"$dir/bands")
-    toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh"))
-      .write.mode("append").parquet(s"$dir/shingles")
+    IdBuckets.write(minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands")),
+      "doc_id", s"$dir/cbuckets", "append")
+    IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
+      "doc_id", s"$dir/shingles", "append")
   }
 
   /** Delete documents from a persisted MinHash index (takedowns, dedup
@@ -266,11 +289,13 @@ object DedupOps {
   def deleteFromMinhashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
     graft.sources.Tombstones.append(s, ids, dir)
 
-  /** Fold tombstones into the stored MinHash tables (bands + shingles
-    * are flat — full rewrite each) and clear them. */
+  /** Fold tombstones into the stored MinHash tables and clear them —
+    * id-bucketed layout, so only the partitions holding tombstoned ids
+    * are rewritten (IndexMaintenanceSpec pins untouched partitions
+    * byte-identical). */
   def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
-    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/bands", dir, "doc_id")
-    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/shingles", dir, "doc_id")
+    IdBuckets.foldIntoBucketed(s, s"$dir/cbuckets", dir, "doc_id")
+    IdBuckets.foldIntoBucketed(s, s"$dir/shingles", dir, "doc_id")
     graft.sources.Tombstones.clear(s, dir)
   }
 
@@ -293,11 +318,13 @@ object DedupOps {
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     // deleted corpus docs (tombstones, see deleteFromMinhashIndex) must
     // not veto new batches: apply the delete-aware view of both stored
-    // tiers before the candidate join / refine
-    val storedBands = graft.sources.Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/bands"), dir, "doc_id")
+    // tiers before the candidate join / refine. Band rows derive from
+    // the grouped cbuckets table per-row (posexplode after the anti-join
+    // — cheapest order, the join sees one row per doc).
+    val storedBands = bandRowsOfBuckets(graft.sources.Tombstones.applyTo(
+      s, IdBuckets.read(s, s"$dir/cbuckets"), dir, "doc_id"))
     val storedSh = graft.sources.Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/shingles"), dir, "doc_id")
+      s, IdBuckets.read(s, s"$dir/shingles"), dir, "doc_id")
     val cands = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
       .join(storedBands.select(col("doc_id").as("corpus_id"),
           col("band").as("band_c"), col("bucket").as("bucket_c")),

@@ -378,15 +378,38 @@ object VectorOps {
     * top-`nprobe` cells against the postings — with a cell-partitioned
     * postings table the cell predicate prunes to the probed directories
     * — and exact-score the survivors with `graft_dot`. Mirrors
-    * `knnIvfOn`'s plan with the training replaced by two table reads. */
+    * `knnIvfOn`'s plan with the training replaced by two table reads.
+    *
+    * `simd = true` is the scale path (BASELINE.md's SIMD adoption
+    * guidance wired into the index family): the probed-cell scan — the
+    * cost of this search at any real corpus size — scores with
+    * `graft_dot_simd` (1.7–2.75x measured, reassociated sum) to select a
+    * `rerank`-sized pool, and the pool is re-scored EXACTLY with
+    * `graft_dot` before the final top-k, so the reassociation can only
+    * perturb membership at the POOL boundary (rank `rerank`, default
+    * 8x k), never the answer's k boundary — LlmOpsSpec pins
+    * equality-after-rerank against the exact path. The default stays the
+    * exact single-pass scan: the declared queries' oracles mirror
+    * graft_dot's fold bit-for-bit. */
   def ivfSearch(cb: DataFrame, postings: DataFrame, queryId: Long = 0,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, simd: Boolean = false,
+      rerank: Int = 0): DataFrame = {
     val qCells = rankCells(postings.where(col("vec_id") === queryId)
         .select(col("vec_id"), col("label"), col("embedding")), cb)
       .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"), col("embedding").as("qv"))
       .select(col("pc.cl").as("q_cell"), col("qv"))
-    postings.where(col("vec_id") =!= queryId)
+    val cands = postings.where(col("vec_id") =!= queryId)
       .join(broadcast(qCells), col("cell") === col("q_cell"))
+    val scored =
+      if (!simd) cands
+      else {
+        val pool = math.max(if (rerank > 0) rerank else 8 * k, k)
+        cands
+          .withColumn("asim", expr("graft_dot_simd(embedding, qv)"))
+          .orderBy(col("asim").desc, col("vec_id").asc)
+          .limit(pool)
+      }
+    scored
       .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -505,17 +528,39 @@ object VectorOps {
 
   /** Fail loudly when an append batch's vector dimension disagrees with
     * the stored index (a mis-wired pipeline would otherwise encode
-    * garbage silently). One-row metadata probe; empty batches pass (the
-    * append is then a no-op). The OTHER corruption an append can't
-    * detect is a re-sent id: duplicate postings/codes for it would
-    * surface in every search. Caller owns id uniqueness — gate retried
-    * batches through Ledger.missing (the LlmOpsSpec resume test shows
-    * the discipline). */
-  private def requireBatchDim(batch: DataFrame, dim: Int, family: String): Unit =
-    batch.select(size(col("embedding"))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == dim,
-        s"$family append: batch dimension ${r.getInt(0)} != stored index dimension $dim")
-    }
+    * garbage silently — zip_with against a shorter/longer plane row
+    * null-pads, so a wrong-dim vector gets a quietly wrong signature,
+    * not an error). Checks EVERY row, not a one-row sample: the check is
+    * a distinct over a single int column, which map-side-combines to a
+    * handful of rows regardless of batch size — one cheap extra job per
+    * append, O(batch) scan, tiny shuffle. Empty batches pass (the append
+    * is then a no-op). The OTHER corruption an append can't detect is a
+    * re-sent id: duplicate postings/codes for it would surface in every
+    * search. Caller owns id uniqueness — gate retried batches through
+    * Ledger.missing (the LlmOpsSpec resume test shows the discipline). */
+  private def requireBatchDim(batch: DataFrame, dim: Int, family: String): Unit = {
+    val bad = batch.select(size(col("embedding")).as("d")).where(col("d") =!= dim)
+      .distinct().limit(4).collect().map(_.getInt(0))
+    require(bad.isEmpty,
+      s"$family append: batch contains embedding dimension(s) ${bad.sorted.mkString(", ")} " +
+        s"!= stored index dimension $dim")
+  }
+
+  /** Resolve + validate the dimension of a corpus at index-BUILD time:
+    * every row must agree (same silent-null-padding hazard as appends,
+    * see requireBatchDim) and an empty corpus is a loud error rather
+    * than a bare NoSuchElementException from head(). Same cheap
+    * distinct-over-one-int-column job as requireBatchDim. */
+  private def requireCorpusDim(corpus: DataFrame, family: String): Int = {
+    val dims = corpus.select(size(col("embedding")).as("d")).distinct()
+      .limit(4).collect().map(_.getInt(0))
+    require(dims.nonEmpty,
+      s"$family build: corpus is empty — an index needs at least one embedding row")
+    require(dims.length == 1,
+      s"$family build: corpus has mixed embedding dimensions ${dims.sorted.mkString(", ")} — " +
+        "fix the upstream pipeline; an index must be built over a single dimension")
+    dims.head
+  }
 
   /** Incrementally append a new vector batch to a persisted IVF index —
     * the lifecycle a growing corpus actually runs: the coarse codebook is
@@ -1182,12 +1227,15 @@ object VectorOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
   }
 
-  /** (vec_id, label, band, bucket) LSH band rows of a (vec_id, label,
-    * embedding) frame: nPlanes sign bits banded `bands` ways, each
-    * band's bits packed into a BIGINT bucket. The shared signature stage
-    * of the in-query near-dup engine (embedDupPairs) and the persisted
-    * embedding-LSH index — the vector twin of DedupOps.minhashBandsOf. */
-  private[graft] def lshBandRowsOf(u: DataFrame, nPlanes: Int, bands: Int,
+  /** (vec_id, label, cbuckets) — ONE ROW PER VECTOR carrying its banded
+    * LSH signature as an ordered array of `bands` BIGINT buckets:
+    * nPlanes sign bits banded `bands` ways, each band's bits packed into
+    * one bucket. The CANONICAL signature form (pure per-row compute, no
+    * aggregation anywhere): band rows derive via [[bandRowsOfLshBuckets]]
+    * (a posexplode), and the persisted index stores exactly this shape
+    * so probe static sides are projection-only scans — the vector twin
+    * of DedupOps.minhashBucketsOf. */
+  private[graft] def lshBucketsOf(u: DataFrame, nPlanes: Int, bands: Int,
       dim: Int, seed: Long): DataFrame = {
     require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
     val r = nPlanes / bands
@@ -1198,12 +1246,24 @@ object VectorOps {
             zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
             lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
       .select(col("vec_id"), col("label"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-          s"'band', b, 'bucket', aggregate(slice(sig, b * $r + 1, $r), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x)))")).as("bb"))
-      .select(col("vec_id"), col("label"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"aggregate(slice(sig, b * $r + 1, $r), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))").as("cbuckets"))
   }
+
+  /** Exploded (vec_id, label, band, bucket) rows of a (vec_id, label,
+    * cbuckets) frame — a pure per-row generate, usable directly on a
+    * parquet scan of the persisted `cbuckets` table. */
+  private[graft] def bandRowsOfLshBuckets(buckets: DataFrame): DataFrame =
+    buckets.select(col("vec_id"), col("label"),
+      posexplode(col("cbuckets")).as(Seq("band", "bucket")))
+
+  /** (vec_id, label, band, bucket) LSH band rows of a (vec_id, label,
+    * embedding) frame — the in-query signature stage of the near-dup
+    * engine (embedDupPairs) and the ingest loop's in-batch collapse. */
+  private[graft] def lshBandRowsOf(u: DataFrame, nPlanes: Int, bands: Int,
+      dim: Int, seed: Long): DataFrame =
+    bandRowsOfLshBuckets(lshBucketsOf(u, nPlanes, bands, dim, seed))
 
   private[graft] def embedDupPairs(u: DataFrame): DataFrame =
     embedPairsWith(u, nPlanes = 32, bands = 4, dim = 64, seed = 42L,
@@ -1239,23 +1299,30 @@ object VectorOps {
   // audio/video: the perceptual hash indexes). A crawl-scale pipeline
   // builds it once over the corpus, then every new embedding batch
   // probes in O(batch) — batch-vs-corpus, never corpus-vs-corpus again.
-  // Layout: `bands` (the candidate join key rows), `embeddings` (the
-  // exact-refine tier), `meta` (one row pinning nPlanes/bands/dim/seed
-  // so appends and probes sign identically — the LSH twin of the frozen
-  // ANN codebook discipline). `label` is the blocking key, matching the
-  // in-query engine; corpora without a natural block pass a constant.
+  // Layout: `cbuckets` (one row per vector — its ordered banded
+  // signature array, the GROUPED probe form: batch probes posexplode it
+  // per-row, and the streaming probe's static side is a projection-only
+  // scan, never a per-micro-batch corpus re-aggregation), `embeddings`
+  // (the exact-refine tier), `meta` (one row pinning nPlanes/bands/dim/
+  // seed so appends and probes sign identically — the LSH twin of the
+  // frozen ANN codebook discipline). Both tables are id-hash-bucketed
+  // (IdBuckets) so compaction rewrites only partitions holding
+  // tombstoned ids. `label` is the blocking key, matching the in-query
+  // engine; corpora without a natural block pass a constant.
   // --------------------------------------------------------------------
 
   /** Build + persist the index over a (vec_id, label, embedding) corpus.
-    * The dimension is read from the first corpus row (one tiny job) and
-    * frozen in meta; mismatched later batches fail loudly. */
+    * The dimension is validated across ALL corpus rows (mixed dims would
+    * otherwise null-pad through zip_with into quietly-wrong signatures;
+    * empty corpora error with a clear message) and frozen in meta;
+    * mismatched later batches fail loudly. */
   def writeEmbedLshIndex(s: SparkSession, corpus: DataFrame, dir: String,
       nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): Unit = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    lshBandRowsOf(corpus, nPlanes, bands, dim, seed)
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    corpus.select("vec_id", "label", "embedding")
-      .write.mode("overwrite").parquet(s"$dir/embeddings")
+    val dim = requireCorpusDim(corpus, "embed-lsh")
+    graft.sources.IdBuckets.write(lshBucketsOf(corpus, nPlanes, bands, dim, seed),
+      "vec_id", s"$dir/cbuckets", "overwrite")
+    graft.sources.IdBuckets.write(corpus.select("vec_id", "label", "embedding"),
+      "vec_id", s"$dir/embeddings", "overwrite")
     import s.implicits._
     Seq((nPlanes, bands, dim, seed)).toDF("n_planes", "bands", "dim", "seed")
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -1268,11 +1335,12 @@ object VectorOps {
   def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = s.read.parquet(s"$dir/meta").head()
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
-    lshBandRowsOf(batch, meta.getAs[Int]("n_planes"), meta.getAs[Int]("bands"),
-        meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-      .write.mode("append").parquet(s"$dir/bands")
-    batch.select("vec_id", "label", "embedding")
-      .write.mode("append").parquet(s"$dir/embeddings")
+    graft.sources.IdBuckets.write(
+      lshBucketsOf(batch, meta.getAs[Int]("n_planes"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("dim"), meta.getAs[Long]("seed")),
+      "vec_id", s"$dir/cbuckets", "append")
+    graft.sources.IdBuckets.write(batch.select("vec_id", "label", "embedding"),
+      "vec_id", s"$dir/embeddings", "append")
   }
 
   /** Takedown/removal: O(ids) tombstone append; probes exclude the ids
@@ -1280,11 +1348,13 @@ object VectorOps {
   def deleteFromEmbedLshIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
     graft.sources.Tombstones.append(s, ids, dir)
 
-  /** Fold tombstones into the stored tables (both flat — full rewrite)
-    * and clear them. */
+  /** Fold tombstones into the stored tables and clear them —
+    * id-bucketed, so only the partitions holding tombstoned ids are
+    * rewritten (the flat-table twin of IVF's affected-cell
+    * compaction). */
   def compactEmbedLshIndex(s: SparkSession, dir: String): Unit = {
-    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/bands", dir, "vec_id")
-    graft.sources.Tombstones.foldIntoFlat(s, s"$dir/embeddings", dir, "vec_id")
+    graft.sources.IdBuckets.foldIntoBucketed(s, s"$dir/cbuckets", dir, "vec_id")
+    graft.sources.IdBuckets.foldIntoBucketed(s, s"$dir/embeddings", dir, "vec_id")
     graft.sources.Tombstones.clear(s, dir)
   }
 
@@ -1311,8 +1381,11 @@ object VectorOps {
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
     val bBands = lshBandRowsOf(batch, meta.getAs[Int]("n_planes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-    val stored0 = graft.sources.Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/bands"), dir, "vec_id")
+    // band rows derive from the grouped cbuckets table per-row
+    // (posexplode after the tombstone anti-join — one row per vector
+    // through the join, bands x rows only after)
+    val stored0 = bandRowsOfLshBuckets(graft.sources.Tombstones.applyTo(
+      s, graft.sources.IdBuckets.read(s, s"$dir/cbuckets"), dir, "vec_id"))
     // Restrict the stored side to the buckets this batch actually probes
     // BEFORE anything corpus-wide happens: the semi-join prunes to
     // O(batch buckets x occupancy) rows, which keeps both the flood
@@ -1342,7 +1415,7 @@ object VectorOps {
           col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
     val storedEmb = graft.sources.Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/embeddings"), dir, "vec_id")
+      s, graft.sources.IdBuckets.read(s, s"$dir/embeddings"), dir, "vec_id")
     GraftFunctions.register(s)
     cands
       .join(batch.select(col("vec_id").as("batch_id"), col("embedding").as("eb")), "batch_id")

@@ -125,9 +125,9 @@ object AssetIngest {
     val keepers = valid.join(inBatchLosers, Seq("asset_id"), "left_anti")
     val keeperHashes = hashed
       .join(keepers.select("asset_id"), Seq("asset_id"), "left_semi")
-    val hashesPath = new Path(s"$indexDir/hashes")
+    val groupedPath = new Path(s"$indexDir/grouped")
     val indexExists =
-      hashesPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hashesPath)
+      groupedPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(groupedPath)
     val corpusDupIds =
       if (indexExists)
         VideoCodec.dedupVideoHashesAgainstIndex(s, keeperHashes, indexDir,

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed layout for the flat persisted-index tables (MinHash
+  * cbuckets/shingles, embed-LSH cbuckets/embeddings, video grouped): rows
+  * are partitioned by `id_bucket = pmod(xxhash64(id), NumBuckets)` so a
+  * tombstone compaction can rewrite ONLY the partitions that actually
+  * contain deleted ids — the flat-table twin of the IVF families'
+  * affected-cell-only compaction (VectorOps.compactCellPartitioned).
+  *
+  * What the bound buys, stated honestly: ids hash uniformly, so a
+  * tombstone set of t ids touches at most min(t, NumBuckets) partitions —
+  * the win is the common takedown case (a handful of ids → a handful of
+  * 1/NumBuckets-sized rewrites instead of a full-table rewrite). A mass
+  * deletion spanning every bucket still rewrites the whole table, as it
+  * must. NumBuckets is a library-wide layout constant, not per-index
+  * metadata: every reader/writer/compactor agrees by construction, and
+  * changing it requires an index rebuild (64 keeps small-corpus file
+  * counts sane; a 100 TB deployment that wants tighter compaction bounds
+  * raises it and rebuilds).
+  *
+  * The partition column is an internal layout detail: [[read]] drops it,
+  * so consumers see exactly the logical schema they wrote.
+  */
+object IdBuckets {
+
+  val NumBuckets = 64
+  val Col = "id_bucket"
+
+  def bucketOf(id: Column): Column = pmod(xxhash64(id), lit(NumBuckets)).cast("int")
+
+  /** Write `df` under `path` partitioned by the id hash bucket.
+    *
+    * Empty-table semantics: a zero-row write of a PARTITIONED table
+    * leaves no part files (only _SUCCESS) — unreadable, since there is
+    * no footer to infer a schema from (the flat layout this replaced
+    * wrote a schema-bearing empty file). So "empty table" is normalized
+    * to "no table": if the write leaves no partition directories, the
+    * husk is removed and existence checks / bootstrap logic behave as if
+    * nothing was written — the first NON-empty batch creates the table.
+    * A zero-row append to an EXISTING table keeps its partitions and is
+    * a true no-op. The check is one directory listing, not a job. */
+  def write(df: DataFrame, idCol: String, path: String, mode: String): Unit = {
+    df.withColumn(Col, bucketOf(col(idCol)))
+      .write.mode(mode).partitionBy(Col).parquet(path)
+    dropIfPartless(df.sparkSession, path)
+  }
+
+  private def dropIfPartless(s: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p) &&
+        !hfs.listStatus(p).exists(_.getPath.getName.startsWith(s"$Col="))) {
+      hfs.delete(p, true)
+      ()
+    }
+  }
+
+  /** The logical view of a bucketed table (partition column dropped). */
+  def read(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).drop(Col)
+
+  /** Fold `dir`'s tombstones into a bucketed table, rewriting ONLY the
+    * affected bucket partitions; untouched partitions' files are not
+    * opened, let alone rewritten (IndexMaintenanceSpec pins them
+    * byte-identical). Same swap discipline as Tombstones.foldIntoFlat:
+    * survivors land in a temp dir first, then partition dirs swap in; a
+    * bucket whose rows all died is simply removed. Does NOT clear the
+    * tombstones — the caller clears once every table of the index is
+    * folded. */
+  def foldIntoBucketed(s: SparkSession, tablePath: String, dir: String,
+      idCol: String): Unit =
+    Tombstones.read(s, dir).foreach { t =>
+      // bounded driver list: at most NumBuckets values
+      val affected = t.select(bucketOf(col("id")).as("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (affected.nonEmpty) {
+        val tmp = s"${tablePath}__compact_tmp"
+        s.read.parquet(tablePath)
+          .where(col(Col).isin(affected.map(Integer.valueOf).toSeq: _*))
+          .join(broadcast(t), col(idCol) === t("id"), "left_anti")
+          .write.mode("overwrite").partitionBy(Col).parquet(tmp)
+        val hfs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
+        affected.foreach { b =>
+          val dst = new Path(s"$tablePath/$Col=$b")
+          hfs.delete(dst, true)
+          val src = new Path(s"$tmp/$Col=$b")
+          if (hfs.exists(src)) { hfs.rename(src, dst); () }
+        }
+        hfs.delete(new Path(tmp), true)
+        // a fold that deleted every row leaves the same unreadable husk
+        // as an empty write — normalize it away (see write's scaladoc)
+        dropIfPartless(s, tablePath)
+      }
+    }
+}

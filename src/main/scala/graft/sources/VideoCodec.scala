@@ -486,50 +486,68 @@ object VideoCodec {
   // --- Persisted frame-hash index lifecycle — completes the per-modality
   // parity (image r8, audio r9): a crawl pipeline probes each video
   // snapshot against the corpus in O(batch frames), never re-hashing the
-  // corpus. Stored layout: `dir/hashes` holds the COLLAPSED form
-  // (asset_id, first_idx, cnt, ahash — one row per distinct frame hash
-  // per video, see collapseFrames: static videos store 1 row, not F) and
-  // `dir/counts` (asset_id, n_frames) — counts persist at write/append
-  // time so a probe's alignment vote never needs an O(corpus-frames)
-  // aggregate. Tombstones at video granularity cover both tables. ---
+  // corpus. Stored layout: ONE table, `dir/grouped`, holding one row per
+  // video: `chashes` (the COLLAPSED frame-hash array — one entry per
+  // distinct frame hash, see collapseFrames: static videos store 1
+  // entry, not F) and `n_frames`. This is the GROUPED probe form
+  // directly: the streaming probe's static side is a projection-only
+  // scan of it (no per-micro-batch corpus re-aggregation), the batch
+  // probe derives the per-frame rows with a per-row explode, and the
+  // alignment vote's denominators read n_frames off the same row — no
+  // separate counts table, no O(corpus-frames) aggregate anywhere at
+  // probe time. Rows are id-hash-bucketed (IdBuckets) so compaction
+  // rewrites only the partitions holding tombstoned videos. ---
 
-  /** Build the index: decode + hash every frame, persist the collapsed
-    * hash rows and per-video frame counts. */
+  /** One row per video: collapsed frame-hash array + decoded frame
+    * count (n_frames = sum of multiplicities = frames decoded) — the
+    * grouped form the index persists. */
+  private def groupedVideoRows(hashed: DataFrame): DataFrame =
+    requireUidRange(collapseFrames(hashed))
+      .groupBy("asset_id")
+      .agg(collect_list(struct(col("first_idx"), col("cnt"), col("ahash"))).as("chashes"),
+        sum(col("cnt")).as("n_frames"))
+
+  /** The per-frame collapsed view of the stored grouped table — a pure
+    * per-row explode (no shuffle), feeding the batch probe's banded
+    * frame-uid join. */
+  private def collapsedRowsOfGrouped(grouped: DataFrame): DataFrame =
+    grouped.select(col("asset_id"), explode(col("chashes")).as("f"))
+      .select(col("asset_id"), col("f.first_idx").as("first_idx"),
+        col("f.cnt").as("cnt"), col("f.ahash").as("ahash"))
+
+  /** Build the index: decode + hash every frame, persist the grouped
+    * per-video rows. */
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
-    requireUidRange(collapseFrames(hashed)).write.mode("overwrite").parquet(s"$dir/hashes")
-    hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
-      .write.mode("overwrite").parquet(s"$dir/counts")
+    IdBuckets.write(groupedVideoRows(hashed), "asset_id", s"$dir/grouped", "overwrite")
     HashBanding.writeMeta(s, dir)
   }
 
-  /** Assign-only append of a new video batch (hashes + counts). Caller
-    * owns asset_id uniqueness (Ledger discipline — see the image/audio
-    * index appends). */
+  /** Assign-only append of a new video batch. Caller owns asset_id
+    * uniqueness (Ledger discipline — see the image/audio index
+    * appends). */
   def appendToVideoHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit =
     appendVideoHashes(s, videoFrameHashes(batch).localCheckpoint(false), dir)
 
   /** Append PRE-COMPUTED frame hashes (asset_id, frame_idx, ahash) —
     * the ingest loop's path, where one decode pass feeds gate, dedup,
     * probe, and this append. `hashed` must be materialized (barriered)
-    * by the caller; rows are collapsed before storage. */
+    * by the caller; rows are collapsed + grouped before storage. */
   def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    requireUidRange(collapseFrames(hashed.select("asset_id", "frame_idx", "ahash")))
-      .write.mode("append").parquet(s"$dir/hashes")
-    hashed.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
-      .write.mode("append").parquet(s"$dir/counts")
+    IdBuckets.write(groupedVideoRows(hashed.select("asset_id", "frame_idx", "ahash")),
+      "asset_id", s"$dir/grouped", "append")
   }
 
-  /** Takedown: O(ids) tombstone append covering both stored tables. */
+  /** Takedown: O(ids) tombstone append. */
   def deleteFromVideoHashIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
     Tombstones.append(s, ids, dir)
 
-  /** Fold tombstones into BOTH stored tables, then clear them (the
-    * MinHash two-table compaction pattern). */
+  /** Fold tombstones into the grouped table, then clear them —
+    * id-bucketed, so only the partitions holding tombstoned videos are
+    * rewritten. */
   def compactVideoHashIndex(s: SparkSession, dir: String): Unit = {
-    Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
-    Tombstones.foldIntoFlat(s, s"$dir/counts", dir, "asset_id")
+    IdBuckets.foldIntoBucketed(s, s"$dir/grouped", dir, "asset_id")
     Tombstones.clear(s, dir)
   }
 
@@ -567,16 +585,16 @@ object VideoCodec {
     val bCnt = bCollapsed.select(
       (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("batch_id"),
       col("cnt").as("cnt_b"))
-    val stored = requireUidRange(
-      Tombstones.applyTo(s, s.read.parquet(s"$dir/hashes"), dir, "asset_id"))
+    val grouped = Tombstones.applyTo(
+      s, IdBuckets.read(s, s"$dir/grouped"), dir, "asset_id")
+    val stored = requireUidRange(collapsedRowsOfGrouped(grouped))
     val storedUids = stored
       .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
         col("ahash"))
     val cCnt = stored.select(
       (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("corpus_id"),
       col("cnt").as("cnt_c"))
-    val corpusCounts = Tombstones.applyTo(
-        s, s.read.parquet(s"$dir/counts"), dir, "asset_id")
+    val corpusCounts = grouped
       .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
     val aligned = HashBanding.probe(batchUids, storedUids, maxHamming, maxBucket)
       .join(bCnt, Seq("batch_id"))

@@ -119,18 +119,20 @@ object StreamingOps {
           s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))"))
     val bandRows = sig.select(col("doc_id").as("batch_id"), col("ts"), col("shb"),
         col("sbuckets"), posexplode(col("sbuckets")).as(Seq("band", "bucket")))
-    // static side: the stored band rows regrouped to one bucket array per
-    // corpus doc (ordered by band), re-exploded with the array carried —
-    // a static setup aggregation over the index, not stream state
+    // static side: a PROJECTION-ONLY scan of the persisted grouped
+    // signature table (`cbuckets` — one ordered bucket array per corpus
+    // doc, written at index write/append time), re-exploded per row with
+    // the array carried. Structured Streaming re-executes the static
+    // side every micro-batch, so it must cost a scan + generate, never a
+    // corpus-wide aggregation — the grouped form is persisted in the
+    // index layout for exactly this reason (ProbeStreamPlanSpec pins the
+    // static subtree Aggregate/ShuffleExchange-free).
     val idx = graft.sources.Tombstones.applyTo(
-        s, s.read.parquet(s"$indexDir/bands"), indexDir, "doc_id")
-      .groupBy(col("doc_id").as("corpus_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(band, bucket))), x -> x.bucket)")
-        .as("cbuckets"))
-      .select(col("corpus_id"), col("cbuckets"),
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id")
+      .select(col("doc_id").as("corpus_id"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
     val csh = graft.sources.Tombstones.applyTo(
-        s, s.read.parquet(s"$indexDir/shingles"), indexDir, "doc_id")
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/shingles"), indexDir, "doc_id")
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
       .where(size(col("shc")) > 0)
     bandRows
@@ -438,10 +440,11 @@ object StreamingOps {
     *     (first_idx, cnt, ahash) frame array and frame count
     *     (VideoCodec.annotateWithFrameHashes — all per-video aggregation
     *     happens inside the row);
-    *  2. the static side regroups the stored collapsed rows to one array
-    *     per corpus video (a static setup aggregation over the index,
-    *     recomputed at plan time like dedupAgainstIndexStream's band
-    *     regroup) joined with the persisted counts;
+    *  2. the static side reads the persisted GROUPED table as-is (one
+    *     row per corpus video with its collapsed frame array + count —
+    *     the index stores this form at write/append time), so each
+    *     micro-batch's static cost is a projection scan, never a corpus
+    *     aggregation;
     *  3. candidates come from a stream-static equi-join on PACKED frame
     *     band keys (band_idx * 2^16 + band_val, distinct per video —
     *     HashBanding.packedFrameBandKeysExpr), deduplicated to EXACTLY
@@ -482,13 +485,14 @@ object StreamingOps {
       .withColumn("b_keys", expr(HashBanding.packedFrameBandKeysExpr("bhashes")))
       .select(col("batch_id"), col("n_batch"), col("bhashes"), col("b_keys"),
         explode(col("b_keys")).as("band_key"))
-    val stored = Tombstones.applyTo(
-      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
-    val counts = Tombstones.applyTo(
-      s, s.read.parquet(s"$indexDir/counts"), indexDir, "asset_id")
-    val corpusRows = stored.groupBy("asset_id")
-      .agg(collect_list(struct(col("first_idx"), col("cnt"), col("ahash"))).as("chashes"))
-      .join(counts, Seq("asset_id"))
+    // static side: a PROJECTION-ONLY scan of the persisted grouped table
+    // (one row per corpus video with its collapsed frame array + count,
+    // written at index write/append time) — the band keys and the
+    // explode are per-row compute, so the per-micro-batch static cost is
+    // a scan + generate, never a corpus-wide aggregation
+    // (ProbeStreamPlanSpec pins the static subtree).
+    val corpusRows = Tombstones.applyTo(
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/grouped"), indexDir, "asset_id")
       .select(col("asset_id").as("corpus_id"), col("chashes"),
         col("n_frames").as("n_corpus"))
       .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes")))
@@ -560,17 +564,17 @@ object StreamingOps {
     val bandRows = sig.select(col("vec_id").as("batch_id"), col("label"),
       col("embedding").as("eb"), col("sbuckets"),
       posexplode(col("sbuckets")).as(Seq("band", "bucket")))
-    // static side: stored band rows regrouped to one ordered bucket array
-    // per corpus vector — a plan-time setup aggregation, not stream state
+    // static side: a PROJECTION-ONLY scan of the persisted grouped
+    // signature table (`cbuckets` — one ordered bucket array per corpus
+    // vector, written at index write/append time), re-exploded per row —
+    // never a per-micro-batch corpus re-aggregation
+    // (ProbeStreamPlanSpec pins the static subtree).
     val idx = Tombstones.applyTo(
-        s, s.read.parquet(s"$indexDir/bands"), indexDir, "vec_id")
-      .groupBy(col("vec_id").as("corpus_id"), col("label").as("label_c"))
-      .agg(expr("transform(array_sort(collect_list(struct(band, bucket))), x -> x.bucket)")
-        .as("cbuckets"))
-      .select(col("corpus_id"), col("label_c"), col("cbuckets"),
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id")
+      .select(col("vec_id").as("corpus_id"), col("label").as("label_c"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
     val cemb = Tombstones.applyTo(
-        s, s.read.parquet(s"$indexDir/embeddings"), indexDir, "vec_id")
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/embeddings"), indexDir, "vec_id")
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ec"))
     bandRows
       .join(idx, col("label") === col("label_c") && col("band") === col("band_c") &&

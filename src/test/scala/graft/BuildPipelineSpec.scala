@@ -20,6 +20,153 @@ class BuildPipelineSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("five-modality crawl cycle: ingest loops + Ledger resume + curation + shards, idempotent") {
+    // The engine's headline story in one scenario: a crawl arrives as
+    // per-modality batches; a Ledger-gated driver loop runs each batch
+    // through its ingest loop (gate → in-batch dedup → corpus probe →
+    // land → index append); the driver DIES mid-crawl; a resumed pass
+    // completes exactly the missing batches; the landed text corpus then
+    // flows through curation into the shard layout. Asserts: resume
+    // correctness (ledger covers every batch exactly once, nothing
+    // re-ran), content correctness (every modality landed exactly its
+    // unique content keys, duplicates collapsed within AND across
+    // batches), idempotence (a third pass does nothing; re-ingesting a
+    // done batch admits zero), and layout reproducibility (re-running
+    // the shard layout yields identical rows).
+    import graft.sources.{AssetIngest, AudioCodec, CurationPipeline, ImageCodec, Ledger, VideoCodec}
+    import spark.implicits._
+    val base = Files.createTempDirectory("crawl5").toString
+    val ledgerPath = s"$base/ledger"
+
+    // content synthesis per modality, keyed so equal keys mean duplicate
+    // content; 60 disjoint tokens pass the text quality gate. Texts are
+    // DIGIT-FREE (digits spelled as letters): curation's redaction maps
+    // every digit run to <NUM>, and digit-keyed tokens would collapse
+    // all documents into one identical post-redaction text
+    def alpha(n: Long): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    def text(key: Long) = (1 to 60).map(t => s"k${alpha(key)}q${alpha(t.toLong)}").mkString(" ")
+    def image(key: Long) = ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20))
+    def audio(key: Long) = {
+      val rnd = new scala.util.Random(key)
+      AudioCodec.encodeWavPcm16(Array.fill(300)((rnd.nextInt(65536) - 32768).toShort))
+    }
+    def video(key: Long) = VideoCodec.encodeContainer((0 until 3).map(f =>
+      ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key * 131 + f, 16, 16))))
+    def embed(key: Long) = {
+      val rnd = new scala.util.Random(key * 7919 + 13)
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // batch plan shared by all modalities: batch 1 plants an in-batch
+    // dup (key 2 twice), batch 2 a cross-batch dup (key 1 again), batch
+    // 3 is novel — unique content keys {1, 2, 3, 4}, so each modality
+    // must land exactly 4 assets
+    val batchKeys = Map(1 -> Seq(1L, 2L, 2L), 2 -> Seq(1L, 3L), 3 -> Seq(4L))
+    val uniqueKeys = 4
+    def ids(modality: String, bno: Int): Seq[Long] = {
+      val off = Seq("audio", "embed", "image", "text", "video").indexOf(modality) * 1000L
+      batchKeys(bno).zipWithIndex.map { case (_, i) => off + bno * 10L + i }
+    }
+    def runBatch(modality: String, bno: Int): Unit = {
+      val keyed = ids(modality, bno).zip(batchKeys(bno))
+      modality match {
+        case "text" => AssetIngest.ingestTextBatch(spark,
+          keyed.map { case (id, k) => (id, "a", text(k)) }.toDF("doc_id", "source", "text"),
+          s"$base/text/idx", s"$base/text/data")
+        case "image" => AssetIngest.ingestImageBatch(spark,
+          keyed.map { case (id, k) => (id, image(k)) }.toDF("asset_id", "payload"),
+          s"$base/image/idx", s"$base/image/data")
+        case "audio" => AssetIngest.ingestAudioBatch(spark,
+          keyed.map { case (id, k) => (id, audio(k)) }.toDF("asset_id", "payload"),
+          s"$base/audio/idx", s"$base/audio/data", minSamples = 100)
+        case "video" => AssetIngest.ingestVideoBatch(spark,
+          keyed.map { case (id, k) => (id, video(k)) }.toDF("asset_id", "payload"),
+          s"$base/video/idx", s"$base/video/data")
+        case "embed" => AssetIngest.ingestEmbedBatch(spark,
+          keyed.map { case (id, k) => (id, "x", embed(k)) }.toDF("vec_id", "label", "embedding"),
+          s"$base/embed/idx", s"$base/embed/data")
+      }
+      ()
+    }
+    val modalities = Seq("audio", "embed", "image", "text", "video")
+    val target = modalities.flatMap(m => (1 to 3).map(m -> _)).toDF("modality", "bno")
+    final case class PlantedDeath() extends RuntimeException("driver died mid-crawl")
+    // one batch per Ledger step, deterministic order, optional planted death
+    def driverPass(passId: String, dieAt: Option[(String, Int)]): Long = {
+      var total = 0L
+      var n = 1L
+      while (n > 0) {
+        n = Ledger.step(spark, target, Seq("modality", "bno"), ledgerPath, passId) { todo =>
+          val next = todo.orderBy("modality", "bno").limit(1).collect()
+          next.foreach { r =>
+            val key = (r.getString(0), r.getInt(1))
+            if (dieAt.contains(key)) throw PlantedDeath()
+            runBatch(key._1, key._2)
+          }
+          next.map(r => (r.getString(0), r.getInt(1))).toSeq.toDF("modality", "bno")
+        }
+        total += n
+      }
+      total
+    }
+    // pass 1 dies at (video, 2) — alphabetical order means 13 of 15
+    // batches complete first
+    intercept[PlantedDeath] { driverPass("pass1", dieAt = Some(("video", 2))) }
+    val afterCrash = spark.read.parquet(ledgerPath)
+    assert(afterCrash.count() === 13, "crashed pass recorded the wrong batch count")
+    assert(afterCrash.where($"modality" === "video" && $"bno" >= 2).count() === 0,
+      "the dying step must not reach the ledger")
+    // pass 2 resumes: exactly the 2 missing batches run, nothing re-runs
+    assert(driverPass("pass2", dieAt = None) === 2)
+    val ledger = spark.read.parquet(ledgerPath)
+    assert(ledger.count() === 15)
+    assert(ledger.select("modality", "bno").distinct().count() === 15,
+      "a batch was recorded twice — resume re-ran completed work")
+    // pass 3 is a no-op — the build is complete
+    assert(driverPass("pass3", dieAt = None) === 0)
+    // every modality landed EXACTLY its unique content keys
+    def landedIds(path: String, idCol: String): Set[Long] =
+      spark.read.parquet(path).select(idCol).as[Long].collect().toSet
+    val landed = Map(
+      "text" -> landedIds(s"$base/text/data/docs", "doc_id"),
+      "image" -> landedIds(s"$base/image/data/assets", "asset_id"),
+      "audio" -> landedIds(s"$base/audio/data/assets", "asset_id"),
+      "video" -> landedIds(s"$base/video/data/assets", "asset_id"),
+      "embed" -> landedIds(s"$base/embed/data/vectors", "vec_id"))
+    landed.foreach { case (m, s) =>
+      assert(s.size === uniqueKeys, s"$m landed ${s.size} assets, expected $uniqueKeys: $s")
+    }
+    // content-level idempotence: re-ingesting a completed batch admits 0
+    val retry = AssetIngest.ingestTextBatch(spark,
+      ids("text", 1).zip(batchKeys(1)).map { case (id, k) => (id, "a", text(k)) }
+        .toDF("doc_id", "source", "text"),
+      s"$base/text/idx", s"$base/text/data")
+    assert(retry.admitted === 0 && retry.corpusDups + retry.inBatchDups === 3)
+    // last mile: landed text corpus → curation → reproducible shard layout
+    val sfDir = s"$base/cursf"
+    spark.read.parquet(s"$base/text/data/docs")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+      .write.parquet(s"$sfDir/documents.parquet")
+    val layout = CurationPipeline.pretrainingLayout(spark, sfDir,
+      rates = Map("a" -> 2.0), shards = 4)
+    val shardsPath = s"$base/shards"
+    CurationPipeline.writeShards(layout, shardsPath)
+    // partition-column inference reads `shard` back as int — cast to the
+    // layout's bigint so the row comparison is type-honest
+    val readBack = spark.read.parquet(shardsPath)
+      .select(col("shard").cast("long"), col("pos"), col("doc_id"), col("epoch"))
+      .orderBy("shard", "pos").collect().toSeq
+    assert(readBack.nonEmpty)
+    // rate 2.0 — every curated doc appears exactly twice across shards
+    assert(readBack.length === landed("text").size * 2)
+    val again = CurationPipeline.pretrainingLayout(spark, sfDir,
+      rates = Map("a" -> 2.0), shards = 4)
+      .select("shard", "pos", "doc_id", "epoch").orderBy("shard", "pos")
+      .collect().toSeq
+    assert(readBack === again, "shard layout not reproducible across runs")
+  }
+
   test("curation pipeline: redact, gate, dedup, split compose end to end") {
     import graft.sources.CurationPipeline
     val sf = "/root/testdata/sf0.001"

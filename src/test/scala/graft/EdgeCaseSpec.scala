@@ -215,6 +215,37 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(stale.getMessage.contains("rebuild"))
   }
 
+  test("embed-LSH build validates the WHOLE corpus: empty and mixed-dim corpora fail loudly") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("elsh_guard").toString
+    // empty corpus: a clear message, not a bare NoSuchElementException
+    val empty = Seq.empty[(Long, String, Array[Float])].toDF("vec_id", "label", "embedding")
+    val exEmpty = intercept[IllegalArgumentException] {
+      VectorOps.writeEmbedLshIndex(spark, empty, s"$dir/a")
+    }
+    assert(exEmpty.getMessage.contains("empty"))
+    // mixed dims ANYWHERE in the corpus (not just the first row): the
+    // null-padded zip_with would otherwise sign the odd row into a
+    // quietly-wrong bucket — the build must refuse
+    val mixed = Seq(
+      (1L, "x", Array.fill(16)(0.25f)),
+      (2L, "x", Array.fill(16)(0.25f)),
+      (3L, "x", Array.fill(8)(0.35f))).toDF("vec_id", "label", "embedding")
+    val exMixed = intercept[IllegalArgumentException] {
+      VectorOps.writeEmbedLshIndex(spark, mixed, s"$dir/b")
+    }
+    assert(exMixed.getMessage.contains("mixed"))
+    // an append with a wrong-dim row buried mid-batch fails too (the
+    // one-row sample of earlier rounds would have passed it through)
+    VectorOps.writeEmbedLshIndex(spark,
+      Seq((1L, "x", Array.fill(16)(0.25f))).toDF("vec_id", "label", "embedding"), s"$dir/c")
+    val exApp = intercept[IllegalArgumentException] {
+      VectorOps.appendToEmbedLshIndex(spark, mixed, s"$dir/c")
+    }
+    assert(exApp.getMessage.contains("dimension"))
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation

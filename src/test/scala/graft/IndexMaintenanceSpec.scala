@@ -204,7 +204,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "appended-after-delete corpus doc not probed")
     DedupOps.compactMinhashIndex(spark, dir)
     assert(!Tombstones.exists(spark, dir))
-    assert(spark.read.parquet(s"$dir/bands").where(col("doc_id") === 1L).count() === 0)
+    assert(spark.read.parquet(s"$dir/cbuckets").where(col("doc_id") === 1L).count() === 0)
     assert(spark.read.parquet(s"$dir/shingles").where(col("doc_id") === 1L).count() === 0)
     assert(DedupOps.dedupAgainstIndex(spark, batch, dir).count() === 0,
       "compaction resurrected a deleted corpus doc")
@@ -252,7 +252,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // compaction folds the tombstone into both stored tables
     VectorOps.compactEmbedLshIndex(spark, dir)
     assert(!Tombstones.exists(spark, dir))
-    assert(spark.read.parquet(s"$dir/bands").where(col("vec_id") === 5L).count() === 0)
+    assert(spark.read.parquet(s"$dir/cbuckets").where(col("vec_id") === 5L).count() === 0)
     assert(spark.read.parquet(s"$dir/embeddings").where(col("vec_id") === 5L).count() === 0)
     val afterCompact = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -291,6 +291,78 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "a probe of untouched buckets must not trip the unrelated flood cap")
   }
 
+  test("bucketed compaction: minhash + embed-LSH rewrite ONLY the partitions holding tombstoned ids") {
+    import graft.operators.{DedupOps, VectorOps}
+    import graft.sources.{IdBuckets, Tombstones}
+    import spark.implicits._
+    def partDirs(table: String): Set[String] = {
+      val d = new java.io.File(table)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith(s"${IdBuckets.Col}="))
+        .map(_.getName).toSet
+    }
+    def snapshot(table: String): Map[String, Set[(String, Long, Long)]] =
+      partDirs(table).map(p => p -> files(s"$table/$p")).toMap
+
+    // ---- MinHash: 30 docs spread across id buckets, delete one ----
+    val mk = (i: Int) => (1 to 12).map(t => s"v${i}_$t").mkString(" ")
+    val corpus = (1 to 30).map(i => (i.toLong, "a", mk(i))).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_bucketed").toString
+    DedupOps.writeMinhashIndex(spark, corpus, dir)
+    DedupOps.deleteFromMinhashIndex(spark, Seq(7L).toDF("doc_id"), dir)
+    val tables = Seq(s"$dir/cbuckets", s"$dir/shingles")
+    def affectedOf(table: String): Set[String] =
+      spark.read.parquet(table).where(col("doc_id") === 7L)
+        .select(input_file_name()).distinct().collect()
+        .map(r => s"${IdBuckets.Col}=[^/]+".r.findFirstIn(r.getString(0)).get).toSet
+    val mhAffected = tables.map(t => t -> affectedOf(t)).toMap
+    val mhUntouched = tables.map(t => t -> (partDirs(t) -- mhAffected(t))).toMap
+    tables.foreach { t =>
+      assert(mhAffected(t).nonEmpty && mhUntouched(t).nonEmpty,
+        s"fixture defect at $t: affected=${mhAffected(t)} untouched=${mhUntouched(t).size}")
+    }
+    val mhBefore = tables.map(t => t -> snapshot(t)).toMap
+    DedupOps.compactMinhashIndex(spark, dir)
+    assert(!Tombstones.exists(spark, dir))
+    tables.foreach { t =>
+      mhUntouched(t).foreach { p =>
+        assert(files(s"$t/$p") === mhBefore(t)(p),
+          s"compaction rewrote files of unaffected partition $t/$p")
+      }
+      assert(spark.read.parquet(t).where(col("doc_id") === 7L).count() === 0,
+        s"compaction left the deleted id in $t")
+    }
+    assert(spark.read.parquet(s"$dir/cbuckets").count() === 29)
+
+    // ---- embed-LSH: the clustered corpus, delete one vector ----
+    val e = clusteredCorpus()
+    val edir = java.nio.file.Files.createTempDirectory("elsh_bucketed").toString
+    VectorOps.writeEmbedLshIndex(spark, e, edir)
+    VectorOps.deleteFromEmbedLshIndex(spark, Seq(5L).toDF("vec_id"), edir)
+    val table = s"$edir/cbuckets"
+    val affected = spark.read.parquet(table).where(col("vec_id") === 5L)
+      .select(input_file_name()).distinct().collect()
+      .map(r => s"${IdBuckets.Col}=[^/]+".r.findFirstIn(r.getString(0)).get).toSet
+    val untouched = partDirs(table) -- affected
+    assert(affected.nonEmpty && untouched.nonEmpty)
+    val before = snapshot(table)
+    val beforeEmb = snapshot(s"$edir/embeddings")
+    VectorOps.compactEmbedLshIndex(spark, edir)
+    assert(!Tombstones.exists(spark, edir))
+    untouched.foreach { p =>
+      assert(files(s"$table/$p") === before(p),
+        s"compaction rewrote files of unaffected partition $table/$p")
+    }
+    // embeddings table buckets by the same id hash — same affected set
+    (beforeEmb.keySet -- affected).foreach { p =>
+      assert(files(s"$edir/embeddings/$p") === beforeEmb(p),
+        s"compaction rewrote files of unaffected partition embeddings/$p")
+    }
+    assert(spark.read.parquet(table).where(col("vec_id") === 5L).count() === 0)
+    assert(spark.read.parquet(s"$edir/embeddings").where(col("vec_id") === 5L).count() === 0)
+    assert(spark.read.parquet(s"$edir/embeddings").count() === e.count() - 1)
+  }
+
   test("composed embedding ingest loop: bootstrap, gate, in-batch dedup, corpus probe, retry") {
     import graft.operators.VectorOps
     import graft.sources.AssetIngest
@@ -323,9 +395,12 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       corpusDups = 0, undecodable = 1, gated = 1))
     assert(spark.read.parquet(s"$dataDir/vectors")
       .select("vec_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
-    // the bootstrap wrote a real index: meta pins dim 16, 2 vecs x 4 bands
+    // the bootstrap wrote a real index: meta pins dim 16, 2 grouped
+    // signature rows of 4 band buckets each
     assert(spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("dim") === 16)
-    assert(spark.read.parquet(s"$indexDir/bands").count() === 8)
+    val sigs = spark.read.parquet(s"$indexDir/cbuckets")
+    assert(sigs.count() === 2)
+    assert(sigs.select(size(col("cbuckets"))).as[Int].collect().toSeq === Seq(4, 4))
 
     // batch 2: corpus dup of vec 1 + a novel vector; retry self-heals
     val r2 = AssetIngest.ingestEmbedBatch(spark,

@@ -896,4 +896,29 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(s - simdById(id)) <= 1e-5, s"vec $id score drift")
     }
   }
+
+  test("ivfSearch simd: equality after exact rerank — identical rows to the exact scan") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_simd").toString
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val exact = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10))
+    // the simd path's reassociated scores only SELECT the rerank pool
+    // (8x k deep); the pool is re-scored with the exact fold, so the
+    // final top-k must be row-identical — the equality-after-rerank law
+    // that makes the kernel safe to adopt on the index scan path
+    val viaSimd = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2,
+      k = 10, simd = true))
+    assert(viaSimd === exact,
+      s"simd-selected + exact-reranked IVF search diverged: $viaSimd vs $exact")
+    // the probed-cell pruning survives the two-phase shape
+    val plan = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2,
+      k = 10, simd = true).queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "simd two-phase postings scan lost dynamic partition pruning:\n" + plan.take(2000))
+  }
 }

@@ -409,10 +409,13 @@ class MultimodalCodecSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(pairs.toSet === Set((1L, 2L, 64L, 64L, 64L)),
       s"static pair not detected at full weight: ${pairs.mkString(",")}")
-    // and the persisted index stores the collapsed form: 1 row per video
+    // and the persisted index stores the collapsed form: 1 grouped row
+    // per video, each carrying ONE collapsed frame entry (not 64)
     val dir = java.nio.file.Files.createTempDirectory("vidstatic").toString + "/idx"
     VideoCodec.writeVideoHashIndex(spark, assets, dir)
-    assert(spark.read.parquet(s"$dir/hashes").count() === 3)
+    val g = spark.read.parquet(s"$dir/grouped")
+    assert(g.count() === 3)
+    assert(g.select(size(col("chashes"))).as[Int].collect().toSeq === Seq(1, 1, 1))
     val hits = VideoCodec.dedupVideosAgainstIndex(
         spark, Seq((10L, "video", static(7L, 32))).toDF("asset_id", "modality", "payload"),
         dir, maxBucket = 3)
@@ -929,8 +932,7 @@ class MultimodalCodecSpec extends AnyFunSuite {
     VideoCodec.compactVideoHashIndex(spark, dir)
     assert(!graft.sources.Tombstones.exists(spark, dir))
     assert(probeSet(dir) === before)
-    assert(spark.read.parquet(s"$dir/hashes").where($"asset_id" === 3L).count() === 0)
-    assert(spark.read.parquet(s"$dir/counts").where($"asset_id" === 3L).count() === 0)
+    assert(spark.read.parquet(s"$dir/grouped").where($"asset_id" === 3L).count() === 0)
   }
 
   test("composed audio ingest loop: gate, in-batch dedup, corpus probe, land, retry") {
@@ -995,9 +997,11 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val landed = spark.read.parquet(s"$dataDir/assets")
     assert(landed.select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     assert(landed.where($"n_frames" === 4 && $"width" === 20).count() === 2)
-    // index state matches: hashes for 2 videos x 4 frames, counts rows 2
-    assert(spark.read.parquet(s"$indexDir/hashes").count() === 8)
-    assert(spark.read.parquet(s"$indexDir/counts").count() === 2)
+    // index state matches: 2 grouped rows, 4 collapsed frames + count 4 each
+    val grouped = spark.read.parquet(s"$indexDir/grouped")
+    assert(grouped.count() === 2)
+    assert(grouped.select(size($"chashes")).as[Int].collect().toSeq === Seq(4, 4))
+    assert(grouped.select($"n_frames").as[Long].collect().toSeq === Seq(4L, 4L))
 
     // batch 2: a re-encode of corpus video 1 (corpus dup) + novel; retry
     // of the novel self-heals

@@ -448,9 +448,11 @@ class PropertiesSpec extends AnyFunSuite {
     // the full batch afterwards must admit nothing (self-healing retry).
     val gen = Gen.zip(Gen.chooseNum(2L, 30L), Gen.chooseNum(0, 12), Gen.long)
     check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      // clamp inside the body — shrinking ignores chooseNum bounds
+      val nn = math.max(2, n.toInt)
       val rnd = new scala.util.Random(seed)
       // keys drawn from a small pool so duplicates actually occur
-      val keys = Array.fill(n.toInt)(rnd.nextInt(8).toLong + 1000 * (seed % 7))
+      val keys = Array.fill(nn)(rnd.nextInt(8).toLong + 1000 * (seed % 7))
       val rows = keys.zipWithIndex.map { case (k, i) =>
         (i.toLong, ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(k, 20, 20)))
       }.toSeq
@@ -498,8 +500,12 @@ class PropertiesSpec extends AnyFunSuite {
     // any split point, and a full retry self-heals to zero admits
     val gen = Gen.zip(Gen.chooseNum(2L, 24L), Gen.chooseNum(0, 10), Gen.long)
     check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      // clamp inside the body: shrinking ignores chooseNum bounds, and a
+      // shrunk n < 2 would crash Array.fill/landed() and mask the real
+      // counterexample (the repo-wide clamp convention)
+      val nn = math.max(2, n.toInt)
       val rnd = new scala.util.Random(seed)
-      val keys = Array.fill(n.toInt)(rnd.nextInt(6).toLong)
+      val keys = Array.fill(nn)(rnd.nextInt(6).toLong)
       def unitOf(key: Long): Array[Float] = {
         val r2 = new scala.util.Random(key * 7919 + 13)
         val v = Array.fill(12)(r2.nextGaussian())
@@ -547,8 +553,10 @@ class PropertiesSpec extends AnyFunSuite {
     // (Jaccard 1.0); same sequential/combined/retry law
     val gen = Gen.zip(Gen.chooseNum(2L, 12L), Gen.chooseNum(0, 6), Gen.long)
     check(Prop.forAll(gen) { case (n, splitRaw, seed) =>
+      // clamp inside the body — same shrink hazard as the embedding loop
+      val nn = math.max(2, n.toInt)
       val rnd = new scala.util.Random(seed)
-      val keys = Array.fill(n.toInt)(rnd.nextInt(5).toLong)
+      val keys = Array.fill(nn)(rnd.nextInt(5).toLong)
       // 60 tokens → quality score 0.42, safely above the 0.3 gate (40
       // tokens would score 0.28 and silently gate the whole batch — the
       // shrunk counterexample that caught this law's first draft)

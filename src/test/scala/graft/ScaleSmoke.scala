@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-scope 100 TB-posture smoke harness — converts the plan audit's
+  * scale ARGUMENTS for the banded/bucketed paths into MEASUREMENTS
+  * (BASELINE.md's "scale smoke" table):
+  *
+  *   Test/runMain graft.ScaleSmoke corpus <sfDir> <factor>
+  *     — upsample the LLM-pipeline tables `factor`x (Scale.upsampleCorpus:
+  *       replica-disjoint, so correct output scales exactly linearly), then
+  *       run the banded dedup paths (MinHash text near-dup, embed-LSH
+  *       near-dup, image perceptual dedup) and the persisted-IVF
+  *       build + search end-to-end, printing rows / wall-seconds /
+  *       nested-loop-join counts per item. A quadratic candidate stage or
+  *       a lost pushdown shows up as a superlinear time or a plan delta.
+  *
+  *   Test/runMain graft.ScaleSmoke ivf-simd <n> <dim> [runs]
+  *     — the SIMD adoption A/B through the INDEX machinery (BASELINE r10
+  *       measured the kernel on a raw scan; this measures it where the
+  *       index family actually runs it): synthesize n unit vectors, build
+  *       a persisted IVF index (sampled codebook + assign-only append),
+  *       then time full-probe `ivfSearch` exact vs `simd = true`
+  *       (reassociated scan + exact rerank), asserting row equality.
+  *
+  * ScaleSpec's Slow test drives [[runSmoke]] at 10x sf0.01 in-suite; the
+  * big-factor numbers in BASELINE.md come from the runMain entry on an
+  * idle box.
+  */
+object ScaleSmoke {
+
+  final case class SmokeResult(name: String, rows: Long, secs: Double, bnlj: Int)
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def bnljOf(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).length +
+      "CartesianProduct".r.findAllIn(plan).length
+  }
+
+  /** Run the smoke set over one sf directory. IVF sizing follows the
+    * posting-list rule (cells ~ n / 500, floor 8) so the probe cost the
+    * index exists for stays bounded as n grows. */
+  def runSmoke(s: SparkSession, dir: String): Seq[SmokeResult] = {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SmokeResult]
+    def run(name: String, df: => DataFrame): Unit = {
+      val frame = df
+      val (rows, secs) = timed(frame.count())
+      out += SmokeResult(name, rows, secs, bnljOf(frame))
+    }
+    run("q_dedup_minhash", SparkEntry.queries("q_dedup_minhash")(s, dir))
+    run("q_dedup_embed", SparkEntry.queries("q_dedup_embed")(s, dir))
+    run("q_image_dedup", SparkEntry.queries("q_image_dedup")(s, dir))
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    val cells = math.max(8, (n / 500).toInt)
+    val idx = java.nio.file.Files.createTempDirectory("smoke_ivf").toString
+    val (_, buildSecs) = timed(VectorOps.writeIvfIndex(e, cells, idx, iters = 1))
+    out += SmokeResult("ivf_build", n, buildSecs, 0)
+    val (cb, postings) = VectorOps.readIvfIndex(s, idx)
+    val exact = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10)
+    val (exactRows, exactSecs) = timed(exact.collect())
+    out += SmokeResult("ivf_search", exactRows.length.toLong, exactSecs, bnljOf(exact))
+    val simd = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10,
+      simd = true)
+    val (simdRows, simdSecs) = timed(simd.collect())
+    out += SmokeResult("ivf_search_simd", simdRows.length.toLong, simdSecs, bnljOf(simd))
+    // equality-after-rerank, asserted wherever the smoke runs
+    val a = exactRows.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = simdRows.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    require(a == b, s"ivfSearch simd diverged from exact after rerank: $a vs $b")
+    out.toSeq
+  }
+
+  /** Deterministic unit vectors: per-component hash noise, normalized. */
+  private def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
+    s.range(n).select(col("id").as("vec_id"),
+        (col("id") % 8).cast("string").as("label"))
+      .withColumn("raw", expr(
+        s"transform(sequence(1, $dim), j -> CAST(pmod(xxhash64(concat(" +
+          "CAST(vec_id AS STRING), '_', CAST(j AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)"))
+      .withColumn("nrm", expr("sqrt(aggregate(raw, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder()
+      .appName("scale-smoke").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    args(0) match {
+      case "corpus" =>
+        val src = args(1)
+        val factor = args(2).toInt
+        val blown = java.nio.file.Files.createTempDirectory("smoke_corpus").toString
+        val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+        println(f"SMOKE upsample factor=$factor secs=$upSecs%.1f")
+        runSmoke(s, blown).foreach { r =>
+          println(f"SMOKE ${r.name} rows=${r.rows} secs=${r.secs}%.2f bnlj=${r.bnlj}")
+        }
+      case "ivf-simd" =>
+        import graft.operators.VectorOps
+        graft.functions.GraftFunctions.register(s)
+        val n = args(1).toLong
+        val dim = args(2).toInt
+        val runs = if (args.length > 3) args(3).toInt else 3
+        val dir = java.nio.file.Files.createTempDirectory("simd_ivf").toString
+        val e = synthVectors(s, n, dim).localCheckpoint(false)
+        // sampled-codebook build + assign-only append: the incremental
+        // path a real deployment uses, and it keeps build time linear
+        val cells = 16
+        val cb = VectorOps.trainCodebook(e.limit(20000), cells, iters = 1)
+        cb.write.mode("overwrite").parquet(s"$dir/codebook")
+        val (_, appendSecs) = timed(VectorOps.appendToIvfIndex(s, e, dir))
+        println(f"SMOKE ivf_append n=$n dim=$dim secs=$appendSecs%.1f")
+        val (cbr, postings) = VectorOps.readIvfIndex(s, dir)
+        // full probe (nprobe = cells): the scan IS the cost, which is
+        // what the kernel accelerates; k deep enough that rerank is real
+        def once(simd: Boolean) = timed(VectorOps.ivfSearch(
+          cbr, postings, queryId = 0, nprobe = cells, k = 100, simd = simd).collect())
+        val (ex0, _) = once(simd = false) // warm-up + reference rows
+        val (sd0, _) = once(simd = true)
+        require(ex0.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+          sd0.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+          "ivf-simd A/B: results diverged after exact rerank")
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+        val exT = med((1 to runs).map(_ => once(simd = false)._2))
+        val sdT = med((1 to runs).map(_ => once(simd = true)._2))
+        println(f"SMOKE ivf_search_full n=$n dim=$dim exact=$exT%.3f simd=$sdT%.3f " +
+          f"speedup=${exT / sdT}%.2fx")
+      case other => sys.error(s"unknown mode $other (corpus | ivf-simd)")
+    }
+    s.stop()
+  }
+}

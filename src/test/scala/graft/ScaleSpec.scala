@@ -152,6 +152,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("scale smoke engine: banded dedup + persisted IVF stay plan-stable at 10x", Slow) {
+    // the in-suite face of BASELINE.md's "scale smoke" table (the
+    // big-factor numbers come from Test/runMain graft.ScaleSmoke on an
+    // idle box): same engine, factor 10 over sf0.01, asserting rows > 0,
+    // NO nested-loop/cartesian growth, the ivfSearch simd==exact law
+    // (checked inside runSmoke), and a generous wall bound per item
+    val base = "/root/testdata/sf0.01"
+    val blown = Files.createTempDirectory("smoke10x").toString
+    Scale.upsampleCorpus(spark, base, blown, 10)
+    val b = ScaleSmoke.runSmoke(spark, base).map(r => r.name -> r).toMap
+    val x = ScaleSmoke.runSmoke(spark, blown)
+    assert(x.map(_.name).toSet === b.keys.toSet)
+    x.foreach { r =>
+      assert(r.rows > 0, s"${r.name} returned no rows at 10x")
+      assert(r.bnlj <= b(r.name).bnlj,
+        s"${r.name} grew a nested-loop/cartesian join at 10x: ${b(r.name).bnlj} -> ${r.bnlj}")
+      assert(r.secs < 300.0, s"${r.name} took ${r.secs}s at 10x")
+    }
+  }
+
   test("ANN sim-join: candidates hard-capped, probe cost linear when cells scale with n") {
     import spark.implicits._
     import graft.operators.VectorOps
