@@ -380,37 +380,31 @@ object VectorOps {
     * — and exact-score the survivors with `graft_dot`. Mirrors
     * `knnIvfOn`'s plan with the training replaced by two table reads.
     *
-    * `simd = true` is the scale path (BASELINE.md's SIMD adoption
-    * guidance wired into the index family): the probed-cell scan — the
-    * cost of this search at any real corpus size — scores with
-    * `graft_dot_simd` (1.7–2.75x measured, reassociated sum) to select a
-    * `rerank`-sized pool, and the pool is re-scored EXACTLY with
-    * `graft_dot` before the final top-k, so the reassociation can only
-    * perturb membership at the POOL boundary (rank `rerank`, default
-    * 8x k), never the answer's k boundary — LlmOpsSpec pins
-    * equality-after-rerank against the exact path. The default stays the
-    * exact single-pass scan: the declared queries' oracles mirror
-    * graft_dot's fold bit-for-bit. */
+    * `simd = true` scores the probed-cell scan with `graft_dot_simd` in
+    * the SAME single-pass shape (simd dot straight into the narrow
+    * terminal top-k) — knnBruteForce's contract: value-close
+    * (|Δ| ≲ 1e-6) but reassociated scores, so near-ties within that
+    * tolerance may order differently; LlmOpsSpec pins the membership
+    * bound and that DPP survives. Measured ~1.2x at 60k×d1024 full-probe
+    * on this box, growing with dimension (the scan trends
+    * arithmetic-bound). Two-phase EXACT-RERANK shapes were measured and
+    * REJECTED (BASELINE.md r11 A/B): any shape that keeps `embedding`
+    * alive past the sort either builds embedding-sized output rows per
+    * scanned vector (carry-through: 0.6–1.0x) or scans the fat column
+    * twice (join-back: 0.6x) — the rerank costs more than the kernel
+    * saves at every dimension tried, so the simd path does NOT rerank.
+    * The default stays the exact fold: the declared queries' oracles
+    * mirror graft_dot's sequential arithmetic bit-for-bit. */
   def ivfSearch(cb: DataFrame, postings: DataFrame, queryId: Long = 0,
-      nprobe: Int = 2, k: Int = 10, simd: Boolean = false,
-      rerank: Int = 0): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, simd: Boolean = false): DataFrame = {
     val qCells = rankCells(postings.where(col("vec_id") === queryId)
         .select(col("vec_id"), col("label"), col("embedding")), cb)
       .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"), col("embedding").as("qv"))
       .select(col("pc.cl").as("q_cell"), col("qv"))
-    val cands = postings.where(col("vec_id") =!= queryId)
+    val fn = if (simd) "graft_dot_simd" else "graft_dot"
+    postings.where(col("vec_id") =!= queryId)
       .join(broadcast(qCells), col("cell") === col("q_cell"))
-    val scored =
-      if (!simd) cands
-      else {
-        val pool = math.max(if (rerank > 0) rerank else 8 * k, k)
-        cands
-          .withColumn("asim", expr("graft_dot_simd(embedding, qv)"))
-          .orderBy(col("asim").desc, col("vec_id").asc)
-          .limit(pool)
-      }
-    scored
-      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .withColumn("sim", round(expr(s"$fn(embedding, qv)"), 6))
       .select("vec_id", "label", "sim")
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)

@@ -120,7 +120,7 @@ object AssetIngest {
     // the one expensive pass: every frame of every valid asset
     val hashed = VideoCodec.videoFrameHashes(valid.select("asset_id", "payload"))
       .localCheckpoint(false)
-    val inBatchLosers = VideoCodec.videoDupPairs(hashed, maxHamming, minFrac)
+    val inBatchLosers = VideoCodec.videoDupPairsOn(hashed, maxHamming, minFrac)
       .select(col("b_id").as("asset_id")).distinct()
     val keepers = valid.join(inBatchLosers, Seq("asset_id"), "left_anti")
     val keeperHashes = hashed

@@ -301,15 +301,31 @@ object VideoCodec {
     * guard against trivially-short overlaps). */
   def videoDupPairs(frameHashes: DataFrame, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
-      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
-    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
-    require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame =
     // ONE codec pass: the barrier sits on the hash frame itself, so the
     // self-join's two banded sides AND the frame-count aggregate all read
     // the materialized hashes (the perceptualDupPairs barrier rationale —
     // without it the counts aggregate re-decodes the whole corpus;
     // measured at sf0.1: 11.6 s -> 7.1 s)
-    val hashed = frameHashes.localCheckpoint(false)
+    videoDupPairsOn(frameHashes.localCheckpoint(false), maxHamming, minFrac,
+      maxBucket, symmetric, minMatchedFrames)
+
+  /** [[videoDupPairs]] over an ALREADY-MATERIALIZED hash frame — the
+    * shared-barrier entry for callers that barrier the hashes themselves
+    * and feed several consumers from one decode pass (videoDupClusters'
+    * node set + edges, the ingest loop's gate + dedup + probe + append).
+    * Calling videoDupPairs there would stack a second checkpoint on the
+    * first: NO re-decode either way (the copy reads the first barrier's
+    * blocks — profiled for the r10 G16 suspicion, negative), but one
+    * extra materialization job and a duplicate block-manager copy of the
+    * hash frame per call. Noise-level at sf0.1 (~2k collapsed rows);
+    * pure waste at scale, where the hash frame is millions of rows. */
+  private[sources] def videoDupPairsOn(hashed: DataFrame,
+      maxHamming: Int = HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
+      symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
+    require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
+    require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
     val counts = hashed.groupBy("asset_id")
       .agg(count(lit(1)).as("n_frames"))
     val collapsed = requireUidRange(collapseFrames(hashed))
@@ -405,10 +421,10 @@ object VideoCodec {
       maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, maxBucket: Int = HashBanding.DefaultMaxBucket,
       symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
-    // one codec pass: the barrier feeds the node set, and videoDupPairs'
-    // own barrier re-reads the materialized hashes rather than re-decoding
+    // one codec pass AND one barrier: the checkpoint feeds the node set
+    // and the pair engine (videoDupPairsOn — no second stacked barrier)
     val hashed = frameHashes.localCheckpoint(false)
-    val edges = videoDupPairs(hashed, maxHamming, minFrac, maxBucket,
+    val edges = videoDupPairsOn(hashed, maxHamming, minFrac, maxBucket,
         symmetric, minMatchedFrames)
       .select(col("a_id").as("da"), col("b_id").as("db"))
     // nodes need no explicit distinct: the fixpoint's first groupBy(node)

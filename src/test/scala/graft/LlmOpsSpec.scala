@@ -897,7 +897,7 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("ivfSearch simd: equality after exact rerank — identical rows to the exact scan") {
+  test("ivfSearch simd: same single-pass contract as knnBruteForce, DPP preserved") {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf)
@@ -905,20 +905,30 @@ class LlmOpsSpec extends AnyFunSuite {
     VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
     val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
     def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
-    val exact = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10))
-    // the simd path's reassociated scores only SELECT the rerank pool
-    // (8x k deep); the pool is re-scored with the exact fold, so the
-    // final top-k must be row-identical — the equality-after-rerank law
-    // that makes the kernel safe to adopt on the index scan path
+      df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val k = 10
+    val exact = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = k))
+    // single-pass simd scoring (exact-rerank shapes measured SLOWER than
+    // the plain exact scan and rejected — BASELINE r11): membership may
+    // differ only at near-ties within the reassociation bound, the same
+    // law knnBruteForce pins
     val viaSimd = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2,
-      k = 10, simd = true))
-    assert(viaSimd === exact,
-      s"simd-selected + exact-reranked IVF search diverged: $viaSimd vs $exact")
-    // the probed-cell pruning survives the two-phase shape
+      k = k, simd = true))
+    assert(exact.length === k && viaSimd.length === k)
+    val boundary = exact.last._2
+    val diff = (exact.map(_._1).toSet diff viaSimd.map(_._1).toSet) union
+      (viaSimd.map(_._1).toSet diff exact.map(_._1).toSet)
+    val exactAll = rows(VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2,
+      k = 1000)).toMap
+    diff.foreach { id =>
+      assert(math.abs(exactAll(id) - boundary) <= 1e-5,
+        s"vec $id left/entered the simd top-$k but is ${math.abs(exactAll(id) - boundary)} " +
+          "from the boundary — beyond the reassociation near-tie bound")
+    }
+    // the probed-cell pruning survives the simd expression swap
     val plan = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2,
-      k = 10, simd = true).queryExecution.executedPlan.toString
+      k = k, simd = true).queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
-      "simd two-phase postings scan lost dynamic partition pruning:\n" + plan.take(2000))
+      "simd postings scan lost dynamic partition pruning:\n" + plan.take(2000))
   }
 }
