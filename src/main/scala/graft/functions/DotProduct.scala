@@ -130,6 +130,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets", exprs => LshBuckets(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_buckets",
+      exprs => MinHashBuckets(exprs.head, exprs(1), exprs(2), exprs(3)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => {
         val n = exprs(1).eval(null) match {
           case i: Int => i

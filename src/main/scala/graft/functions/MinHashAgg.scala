@@ -19,6 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly the `xxhash64(concat(cast(i AS STRING), t))` recipe inside
   * q_dedup_minhash, so signatures from this aggregator and from the HOF
   * pipeline are interchangeable (asserted by CustomFunctionsSpec).
+  *
+  * r11 role: the batch pipelines now sign PER ROW with the
+  * graft_minhash_buckets expression (map-only — no explode, no
+  * groupBy exchange; same arithmetic, see MinHashBuckets). This
+  * aggregator remains the associative-merge REFERENCE the equivalence
+  * law pins against (the dotI8 discipline: the alternative stays
+  * in-tree so the A/B is reproducible), and the right tool when
+  * signatures must fold across pre-exploded shingle ROWS rather than a
+  * per-doc array.
   */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.{GraftFunctions, MinHashAgg}
+import graft.functions.GraftFunctions
 import graft.sources.IdBuckets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -174,15 +174,20 @@ object DedupOps {
     val toksU = base.select(col("doc_id"), col("toks"))
       .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
         expr("slice(toks, 1, greatest(size(toks) - 3, 0))").as("toks")))
-    // NO corpus barrier here, deliberately (round-7 A/B): unlike
-    // q_dedup_ngram_jaccard, every duplicated subplan in this query
-    // reaches its consumers through IDENTICAL exchanges (both candidate
-    // sides partition the band rows the same way; both refine sides
-    // hash-partition the shingle frame by doc_id), so ReuseExchange
-    // already computes each pipeline once — adding localCheckpoint
-    // barriers measured a wash (4.95 s vs 4.93 s at sf0.1) and would
-    // blind the plan audit's pushdown view for nothing.
-    val bandRows = minhashBandsOf(s, toksU, k, bands)
+    // NO corpus barrier here, deliberately (round-7 A/B): every
+    // duplicated subplan reaches its consumers through IDENTICAL
+    // exchanges, so ReuseExchange computes each pipeline once — a
+    // localCheckpoint would blind the plan audit's pushdown view for
+    // nothing. r11 note: the pre-r11 signing carried its own
+    // groupBy(doc_id) exchange, which is what ReuseExchange latched onto;
+    // the native per-row signing is map-only, so WITHOUT an exchange the
+    // expensive signing subtree would re-execute under BOTH self-join
+    // sides (measured 2.3x at the 50x smoke). The explicit
+    // repartition(doc_id) restores exactly the old exchange shape: one
+    // signing pass materialized into a reused exchange, both sides and
+    // the banding read its output.
+    val bandRows = bandRowsOfBuckets(
+      minhashBucketsOf(s, toksU, k, bands).repartition(col("doc_id")))
     val a = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
     val b = bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
@@ -200,29 +205,41 @@ object DedupOps {
   }
 
   /** (doc_id, cbuckets) — ONE ROW PER DOC carrying its banded signature
-    * as an ordered array of `bands` BIGINT bucket ids: shingle Generator
-    * → k-hash MinHash UDAF → per-band xxhash64 buckets. This is the
-    * CANONICAL signature form: band rows derive from it per-row
-    * ([[bandRowsOfBuckets]] — a posexplode, no aggregation), and the
-    * persisted index stores exactly this shape so probe static sides are
-    * projection-only scans (the streaming gate's 100 TB requirement —
-    * see StreamingOps.dedupAgainstIndexStream). MinHash "training" is
-    * just the fixed salt family, so unlike the ANN codebooks there is
-    * nothing to freeze — any two frames signed with the same (k, bands)
-    * are join-compatible by construction. */
+    * as an ordered array of `bands` BIGINT bucket ids, signed PER ROW by
+    * the native graft_minhash_buckets expression (map-only — no explode,
+    * no groupBy exchange; bit-identical to the retired
+    * generator → MinHashAgg → bucket-hash pipeline, CustomFunctionsSpec).
+    * This is the CANONICAL signature form: band rows derive from it
+    * per-row ([[bandRowsOfBuckets]] — a posexplode, no aggregation), and
+    * the persisted index stores exactly this shape so probe static sides
+    * are projection-only scans (the streaming gate's 100 TB requirement —
+    * see StreamingOps.dedupAgainstIndexStream). Self-join consumers must
+    * add their own repartition(doc_id) so ReuseExchange computes the
+    * signing once (see minhashPairs' r11 note) — single-consumer paths
+    * (index write/append, batch probe) want exactly this exchange-free
+    * shape. MinHash "training" is just the fixed salt family, so unlike
+    * the ANN codebooks there is nothing to freeze — any two frames
+    * signed with the same (k, bands) are join-compatible by
+    * construction. */
   private[graft] def minhashBucketsOf(s: SparkSession, toks: DataFrame,
       k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val r = k / bands
     GraftFunctions.register(s)
-    val minhash = udaf(new MinHashAgg(k))
+    // r11: per-row native signing straight from the token array
+    // (functions/MinHashBuckets.scala — shingling happens inside the
+    // kernel) — bit-identical buckets to the
+    // explode → MinHashAgg → bucket-hash pipeline it replaces
+    // (CustomFunctionsSpec pins it; `min` ignores shingle multiplicity),
+    // but the signing stage is now a map-only projection with NO
+    // exchange: the old shape shuffled a groupBy(doc_id) even though
+    // map-side combine kept it k longs per doc. Shingle-less docs
+    // (< 3 tokens) are filtered exactly as the groupBy path dropped them
+    // (no generator rows → no group) — signing them would give every
+    // empty doc the same degenerate signature and a band-bucket flood.
     toks
-      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
-      .groupBy("doc_id")
-      .agg(minhash(col("shingle")).as("sig"))
+      .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
-          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))")
+        call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands))
           .as("cbuckets"))
   }
 
@@ -503,14 +520,15 @@ object DedupOps {
     // true shingle Jaccard. No DuckDB oracle (engine-specific hash) —
     // rows-only check + scalatest (known near-dups must be found).
     //
-    // Execution path is the native Catalyst surface (SURVEY §7.1 P3): the
-    // `shingles` Generator streams one row per 3-gram (no per-document
-    // intermediate array), and the typed MinHashAgg aggregator folds them
-    // into a k=16 signature with map-side partial merge — the shuffle
-    // carries 16 longs per document regardless of document size. The
-    // aggregator salts exactly like xxhash64(concat(cast(i AS STRING), t)),
-    // so signatures are interchangeable with the HOF recipe, which remains
-    // as the equivalence oracle in CustomFunctionsSpec.
+    // Execution path is the native Catalyst surface (SURVEY §7.1 P3),
+    // r11 shape: the graft_minhash_buckets expression signs each doc
+    // PER ROW straight from its token array (shingling inside the
+    // kernel — no generator rows, no aggregation), and one explicit
+    // repartition(doc_id) turns the signing into a reused exchange
+    // across the candidate self-join's two sides. The kernel salts
+    // exactly like xxhash64(concat(cast(i AS STRING), t)); the retired
+    // generator+MinHashAgg pipeline remains the equivalence oracle in
+    // CustomFunctionsSpec.
     "q_dedup_minhash" -> ((s, d) => minhashPairs(s, d, k = 16, bands = 4)),
 
     // SimHash: 32-bit signature from token-hash bit votes; near-dups =

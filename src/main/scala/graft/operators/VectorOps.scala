@@ -1234,15 +1234,15 @@ object VectorOps {
     require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
     val r = nPlanes / bands
     require(r <= 62, s"band width $r overflows the BIGINT bucket")
-    u.withColumn("sig",
-        transform(typedlit(lshPlanes(nPlanes, dim, seed)), pl =>
-          when(aggregate(
-            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
-      .select(col("vec_id"), col("label"),
-        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"aggregate(slice(sig, b * $r + 1, $r), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))").as("cbuckets"))
+    GraftFunctions.register(u.sparkSession)
+    // native codegen'd signing (functions/LshBuckets.scala) — arithmetic
+    // identical to the transform/zip_with/aggregate HOF recipe it
+    // replaced (CustomFunctionsSpec pins the equivalence), at primitive-
+    // loop speed: the signature stage was the dominant cost of
+    // q_dedup_embed at the 50x smoke scale
+    u.select(col("vec_id"), col("label"),
+      call_function("graft_lsh_buckets", col("embedding"),
+        typedlit(lshPlanes(nPlanes, dim, seed)), lit(bands)).as("cbuckets"))
   }
 
   /** Exploded (vec_id, label, band, bucket) rows of a (vec_id, label,

@@ -261,9 +261,12 @@ object AssetIngest {
         (m.getAs[Int]("k"), m.getAs[Int]("bands"))
       } else (16, 4)
     // in-batch collapse: banded candidates + true-Jaccard refine,
-    // greedy min-id keeper (the ingestCore convention)
-    val bandRows = DedupOps.minhashBandsOf(s,
-      valid.select(col("doc_id"), col("toks")), k, bands)
+    // greedy min-id keeper (the ingestCore convention). The
+    // repartition(doc_id) makes the signing a reused exchange across the
+    // self-join's two sides (the minhashPairs r11 discipline).
+    val bandRows = DedupOps.bandRowsOfBuckets(
+      DedupOps.minhashBucketsOf(s, valid.select(col("doc_id"), col("toks")), k, bands)
+        .repartition(col("doc_id")))
     val cands = bandRows.select(col("doc_id").as("da"), col("band"), col("bucket"))
       .join(bandRows.select(col("doc_id").as("db"), col("band").as("band_b"),
           col("bucket").as("bucket_b")),

@@ -107,16 +107,16 @@ object StreamingOps {
     // corrupt meta row must fail loudly, not silently truncate the last
     // hashes out of the banding (quietly reduced recall)
     require(k % bands == 0, s"index meta: bands ($bands) must divide k ($k)")
-    val r = k / bands
+    graft.functions.GraftFunctions.register(s)
+    // r11: per-row native signing from the token array — the same
+    // codegen'd kernel the index writer uses (bit-identical buckets by
+    // construction), in place of the k x shingles HOF recipe; the
+    // distinct shingle array stays materialized for the Jaccard refine
     val sig = docs.withColumn("toks", split(col("text"), " "))
       .withColumn("shb", expr(graft.operators.DedupOps.shingleExpr(0)))
       .where(size(col("shb")) > 0)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${k - 1}), i -> " +
-          "array_min(transform(shb, t -> xxhash64(concat(cast(i AS STRING), t)))))"))
-      .withColumn("sbuckets", expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
-          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))"))
+      .withColumn("sbuckets",
+        call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands)))
     val bandRows = sig.select(col("doc_id").as("batch_id"), col("ts"), col("shb"),
         col("sbuckets"), posexplode(col("sbuckets")).as(Seq("band", "bucket")))
     // static side: a PROJECTION-ONLY scan of the persisted grouped
@@ -551,16 +551,14 @@ object StreamingOps {
     // loudly, not silently band-truncate (quietly reduced recall)
     require(nPlanes % bands == 0,
       s"index meta: bands ($bands) must divide n_planes ($nPlanes)")
-    val r = nPlanes / bands
-    val sig = vecs
-      .withColumn("sig",
-        transform(typedlit(VectorOps.lshPlanes(nPlanes, dim, seed)), pl =>
-          when(aggregate(
-            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
-      .withColumn("sbuckets", expr(
-        s"transform(sequence(0, ${bands - 1}), b -> aggregate(" +
-          s"slice(sig, b * $r + 1, $r), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))"))
+    require(nPlanes / bands <= 62,
+      s"index meta: band width ${nPlanes / bands} overflows the BIGINT bucket")
+    // per-row native signing with the meta-pinned plane family — the same
+    // codegen'd expression the index writer uses, so stream signatures
+    // are bit-compatible with the stored cbuckets by construction
+    val sig = vecs.withColumn("sbuckets",
+      call_function("graft_lsh_buckets", col("embedding"),
+        typedlit(VectorOps.lshPlanes(nPlanes, dim, seed)), lit(bands)))
     val bandRows = sig.select(col("vec_id").as("batch_id"), col("label"),
       col("embedding").as("eb"), col("sbuckets"),
       posexplode(col("sbuckets")).as(Seq("band", "bucket")))

@@ -319,4 +319,96 @@ class CustomFunctionsSpec extends AnyFunSuite {
       assert(SimdBridge.dotI8(ba, bb) === SimdBridge.scalarDotI8(ba, bb), s"int8 n=$n")
     }
   }
+
+  test("graft_lsh_buckets is bit-identical to the HOF signing recipe, degenerate inputs included") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val nPlanes = 32; val bands = 4; val dim = 16; val seed = 42L
+    val planes = VectorOps.lshPlanes(nPlanes, dim, seed)
+    val r = nPlanes / bands
+    val rnd = new scala.util.Random(17)
+    // random vectors (unnormalized on purpose) + the HOF's degenerate
+    // algebra cases: short, long, empty, and null embeddings
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat))) ++
+        Seq((900L, Array.fill(dim - 3)(0.5f)), (901L, Array.fill(dim + 2)(0.5f)),
+          (902L, Array.empty[Float]), (903L, null))
+    val df = rows.toDF("vec_id", "embedding")
+    // the exact recipe lshBucketsOf used before the native expression
+    val hof = df
+      .withColumn("sig",
+        transform(typedlit(planes), pl =>
+          when(aggregate(
+            zip_with(col("embedding"), pl, (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v) >= 0, 1).otherwise(0)))
+      .withColumn("hof", expr(
+        s"transform(sequence(0, ${bands - 1}), b -> aggregate(" +
+          s"slice(sig, b * $r + 1, $r), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x))"))
+    val both = hof.withColumn("native",
+      call_function("graft_lsh_buckets", col("embedding"), typedlit(planes), lit(bands)))
+    // bit-identical wherever the embedding is non-null (valid AND
+    // wrong-dim rows — the all-zero-bucket algebra included)
+    assert(both.where(col("embedding").isNotNull &&
+      not(col("native") <=> col("hof"))).count() === 0,
+      both.where(not(col("native") <=> col("hof"))).select("vec_id").collect().mkString(","))
+    val byId = both.select("vec_id", "native").collect()
+      .map(r2 => r2.getLong(0) -> Option(r2.getSeq[Long](1))).toMap
+    // the ONE deliberate divergence: the HOF signed a NULL embedding into
+    // all-zero buckets (its transform runs over the non-null planes
+    // literal) — a bug-shaped algebra where nulls band-match each other;
+    // the native expression propagates NULL like every other graft
+    // function, and probe explodes then drop the row
+    assert(byId(903L).isEmpty)
+    Seq(900L, 901L, 902L).foreach { id =>
+      assert(byId(id).get === Seq.fill(bands)(0L), s"vec $id")
+    }
+  }
+
+  test("graft_minhash_buckets is bit-identical to the explode+MinHashAgg+bucket-hash pipeline") {
+    GraftFunctions.register(spark)
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val k = 16; val bands = 4; val r = k / bands
+    // real corpus text + handcrafted docs: repeated shingles (multiplicity
+    // must not matter to min), unicode tokens, a short doc at the 3-token
+    // shingle boundary
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .where(col("doc_id") < 60)
+      .unionByName(Seq(
+        (9001L, "a b c a b c a b c"),
+        (9002L, "\u00e9t\u00e9 caf\u00e9 na\u00efve \u00e9t\u00e9 caf\u00e9 jalape\u00f1o"),
+        (9003L, "x y z")).toDF("doc_id", "text"))
+      .withColumn("toks", split(col("text"), " "))
+    // the pre-r11 pipeline, verbatim: shingle generator -> MinHashAgg ->
+    // per-band xxhash64 bucket ids
+    val minhash = udaf(new MinHashAgg(k))
+    val old = docs
+      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhash(col("shingle")).as("sig"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))")
+          .as("old_buckets"))
+    val native = docs
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands))
+          .as("native_buckets"))
+    val joined = old.join(native, Seq("doc_id"), "full_outer")
+    // same doc coverage (shingle-less docs absent from BOTH paths: the
+    // generator emits no group, the native path filters size(sh) > 0)
+    assert(joined.where(col("old_buckets").isNull || col("native_buckets").isNull)
+      .count() === 0,
+      joined.where(col("old_buckets").isNull || col("native_buckets").isNull)
+        .collect().mkString(" | "))
+    assert(joined.where(not(col("old_buckets") <=> col("native_buckets"))).count() === 0,
+      joined.where(not(col("old_buckets") <=> col("native_buckets")))
+        .select("doc_id").collect().mkString(","))
+    // null array propagates
+    val nr = Seq((1L, null.asInstanceOf[Array[String]])).toDF("doc_id", "toks")
+      .select(call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands)))
+      .head()
+    assert(nr.isNullAt(0))
+  }
 }
