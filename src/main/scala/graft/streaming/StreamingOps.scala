@@ -77,12 +77,13 @@ object StreamingOps {
     * pipeline runs per document before keeping it.
     *
     * STATELESS by construction (Append mode, no watermark needed): the
-    * k-hash signature is computed PER ROW by the HOF recipe
-    * (CustomFunctionsSpec pins it identical to MinHashAgg's salted
-    * hashes, so stream signatures band-match the stored index), bands
-    * explode to (band, bucket) rows, and both the candidate lookup and
-    * the shingle refine are stream-STATIC equi-joins against the stored
-    * index tables.
+    * banded signature is computed PER ROW by the same native
+    * graft_minhash_buckets kernel the index writer uses (bit-identical
+    * buckets by construction — CustomFunctionsSpec pins the kernel
+    * against the retired MinHashAgg pipeline), bands explode to
+    * (band, bucket) rows, and both the candidate lookup and the shingle
+    * refine are stream-STATIC equi-joins against the stored index
+    * tables.
     *
     * Exactly ONE row per (stream doc, matched corpus doc) pair — the
     * BAND-PRIORITY PICK: both sides carry their full per-doc bucket
@@ -526,9 +527,10 @@ object StreamingOps {
     * videoDedupProbeStream): flag stream vectors that near-duplicate
     * anything in a persisted embedding-LSH index
     * (VectorOps.writeEmbedLshIndex). STATELESS (Append, no watermark):
-    * the stream side computes its nPlanes sign bits and banded BIGINT
-    * buckets per row with pure HOFs against the meta-pinned plane
-    * literals; candidates come from the stream-static (label, band,
+    * the stream side computes its banded BIGINT buckets per row with the
+    * native graft_lsh_buckets kernel against the meta-pinned plane
+    * family (the index writer's own expression — bit-compatible by
+    * construction); candidates come from the stream-static (label, band,
     * bucket) equi-join; the band-priority pick (drop the row if any
     * EARLIER band also agrees — both sides carry their ordered bucket
     * arrays) yields exactly one row per (stream vector, corpus vector)
