@@ -195,16 +195,29 @@ object HashBanding {
   }
 
   /** Batch-vs-corpus probe: (batch_id, corpus_id, hamming) at
-    * Hamming <= maxHamming — linear in batch size. The cap guards the
-    * corpus side (where skew accumulates over appends). */
+    * Hamming <= maxHamming — linear in batch size, structurally (r11):
+    * the stored side is restricted to the buckets this batch actually
+    * probes BEFORE the flood guard and the candidate join (the embed-LSH
+    * discipline, VectorOps.dedupEmbedAgainstIndex). The batch's distinct
+    * band keys ride as a broadcast semi join, so the corpus band rows
+    * are scanned but never shuffled corpus-wide, the cap guard prices
+    * only probed buckets, and probe work stays
+    * O(batch keys × occupancy) at any corpus size — previously every
+    * probe paid a corpus-wide population aggregate. Consequence, pinned
+    * in ScaleSpec: a flood in an UNPROBED bucket no longer fails a clean
+    * batch's probe (it cannot affect that probe's cost; it raises the
+    * moment anything probes the flooded bucket — the same behavioral
+    * face the embed probe declares). */
   def probe(batch: DataFrame, stored: DataFrame, maxHamming: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"${Bands}x$BandBits banding only guarantees recall for Hamming <= " +
         s"$MaxGuaranteedHamming, got $maxHamming")
-    banded(batch, "batch_id", "b_hash")
-      .join(capGuard(banded(stored, "corpus_id", "c_hash"), maxBucket, "corpus"),
-        Seq("band_idx", "band_val"))
+    val b = banded(batch, "batch_id", "b_hash")
+    val probedKeys = b.select("band_idx", "band_val").distinct()
+    val c = banded(stored, "corpus_id", "c_hash")
+      .join(broadcast(probedKeys), Seq("band_idx", "band_val"), "left_semi")
+    b.join(capGuard(c, maxBucket, "corpus"), Seq("band_idx", "band_val"))
       .select(col("batch_id"), col("corpus_id"),
         expr(hammingExpr("b_hash", "c_hash")).cast("long").as("hamming"))
       .distinct()

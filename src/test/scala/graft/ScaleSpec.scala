@@ -305,15 +305,24 @@ class ScaleSpec extends AnyFunSuite {
     val pairs = HashBanding.pairs(textured, maxHamming = 8, maxBucket = 50).collect()
     assert(pairs.isEmpty, s"distinct textures produced pairs: ${pairs.mkString(",")}")
 
-    // the PROBE path guards its corpus side the same way: a small clean
-    // batch probed against the flooded corpus must also fail loudly
+    // the PROBE path guards ONLY the buckets a batch actually probes
+    // (r11 — the embed-LSH discipline): a clean textured batch never
+    // touches the flooded two-tone buckets, so its probe completes
+    // CLEAN — the behavioral face of the O(batch) shape, where the
+    // stored side is pruned to the batch's band keys before any
+    // corpus-wide work
     val batch = textured.limit(3)
+    assert(HashBanding.probe(batch, hashes, maxHamming = 8, maxBucket = 50)
+      .count() === 0,
+      "a clean batch's probe must not trip an unprobed bucket's flood cap")
+    // ...while a batch that DOES probe the flooded buckets fails loudly
+    // before any quadratic candidate work
     val ex2 = intercept[Exception] {
-      HashBanding.probe(batch, hashes, maxHamming = 8, maxBucket = 50).count()
+      HashBanding.probe(hashes.limit(3), hashes, maxHamming = 8, maxBucket = 50).count()
     }
     assert(chain(ex2).exists(t => t.getMessage != null &&
       t.getMessage.contains("HashBanding")),
-      s"probe against flooded corpus did not trip the cap: $ex2")
+      s"probe INTO flooded buckets did not trip the cap: $ex2")
   }
 
   test("zone-map skipping: range-sorted layout prunes files, unsorted reads all, answers equal") {
