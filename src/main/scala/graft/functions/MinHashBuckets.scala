@@ -33,16 +33,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * recipes (`min` ignores shingle multiplicity, so signing every window
   * equals signing the distinct set); per band b, bucket_b =
   * xxhash64(concat_ws(',', [cast(sig AS STRING)...])) — identical to the
-  * pre-r11 banding hash. Null TOKENS are skipped exactly as concat_ws
-  * skips null arguments. Indexes written before and after r11 are
-  * therefore probe-compatible bit-for-bit.
+  * pre-r11 banding hash. A window holding a NULL token is skipped whole,
+  * exactly as ShingleGenerator emits no row for it (r12: an earlier
+  * draft hashed the window's non-null remainder concat_ws-style — a
+  * divergence CustomFunctionsSpec's null-token case now forbids). The
+  * bit-compatibility claim is scoped to SIGNATURE BITS: any two frames
+  * signed with the same (k, bands) — by this kernel, by the retired
+  * generator/UDAF pipeline, before or after r11 — carry identical
+  * bucket values and are join-compatible. It says nothing about STORED
+  * index layout, which changed in r11 (flat bands/hashes →
+  * grouped cbuckets); layout compatibility is governed by the `layout`
+  * stamp in each index's meta (IndexMeta.requireLayout), not by this
+  * kernel.
   *
   * Shingle-less docs (< n tokens) are the CALLER's job to filter (every
   * call site guards on token count, matching the old pipeline where a
   * generator-less doc simply had no group): signing one here would give
   * every such doc the same degenerate all-MaxValue signature — a
-  * band-bucket flood of mutual false candidates. A NULL token array
-  * yields NULL.
+  * band-bucket flood of mutual false candidates. The same degenerate
+  * signature falls out of a doc whose every window holds a null token
+  * (zero shingles survive); unreachable via split(text, ' ') tokens,
+  * which are never null, but public-SQL callers passing hand-built
+  * arrays should filter such rows like any other shingle-less doc. A
+  * NULL token ARRAY yields NULL.
   */
 case class MinHashBuckets(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
@@ -135,14 +148,17 @@ object MinHashBuckets {
     var arr = scratch.get()
     var w = 0
     while (w + n <= nToks) {
-      // assemble concat_ws(' ', toks[w..w+n)) at offset maxP, skipping
-      // null tokens the way concat_ws skips null arguments
+      // assemble ' '-joined toks[w..w+n) at offset maxP; a window holding
+      // a null token is skipped whole — ShingleGenerator semantics (it
+      // emits no row for such a window), pinned by CustomFunctionsSpec's
+      // null-token case
       var len = 0
       var j = 0
-      var first = true
-      while (j < n) {
+      var hasNull = false
+      while (j < n && !hasNull) {
         val tb = tokBytes(w + j)
-        if (tb != null) {
+        if (tb == null) hasNull = true
+        else {
           val need = maxP + len + tb.length + 1
           if (arr.length < need) {
             val bigger = new Array[Byte](math.max(need, arr.length * 2))
@@ -150,21 +166,22 @@ object MinHashBuckets {
             arr = bigger
             scratch.set(arr)
           }
-          if (!first) { arr(maxP + len) = ' '; len += 1 }
+          if (j > 0) { arr(maxP + len) = ' '; len += 1 }
           System.arraycopy(tb, 0, arr, maxP + len, tb.length)
           len += tb.length
-          first = false
         }
         j += 1
       }
-      var i = 0
-      while (i < k) {
-        val p = prefixes(i)
-        System.arraycopy(p, 0, arr, maxP - p.length, p.length)
-        val h = XxHash64Function.hash(
-          UTF8String.fromBytes(arr, maxP - p.length, p.length + len), StringType, 42L)
-        if (h < sig(i)) sig(i) = h
-        i += 1
+      if (!hasNull) {
+        var i = 0
+        while (i < k) {
+          val p = prefixes(i)
+          System.arraycopy(p, 0, arr, maxP - p.length, p.length)
+          val h = XxHash64Function.hash(
+            UTF8String.fromBytes(arr, maxP - p.length, p.length + len), StringType, 42L)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
       }
       w += 1
     }

@@ -277,7 +277,9 @@ object DedupOps {
     IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
       "doc_id", s"$dir/shingles", "overwrite")
     import s.implicits._
-    Seq((k, bands)).toDF("k", "bands").write.mode("overwrite").parquet(s"$dir/meta")
+    Seq((k, bands, graft.sources.IndexMeta.GroupedLayout))
+      .toDF("k", "bands", "layout")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Append a new batch to a persisted MinHash index — signatures use
@@ -288,8 +290,23 @@ object DedupOps {
     * are distinct-ed — but it doubles their probe cost); gate retried
     * batches through Ledger.missing as the LlmOpsSpec resume test
     * shows. */
-  def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  /** Read + validate a MinHash index's meta row: layout stamp first
+    * (IndexMeta — a pre-r11 flat-layout index must fail with a rebuild
+    * message, not a path-not-found or a silently skipped probe), then
+    * the banding sanity the signing kernel assumes. Shared by every
+    * reader of the index (append, batch probe, streaming gate, ingest
+    * loop). */
+  private[graft] def requireMinhashMeta(s: SparkSession,
+      dir: String): org.apache.spark.sql.Row = {
     val meta = s.read.parquet(s"$dir/meta").head()
+    graft.sources.IndexMeta.requireLayout(meta,
+      graft.sources.IndexMeta.GroupedLayout, "minhash",
+      "DedupOps.writeMinhashIndex")
+    meta
+  }
+
+  def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
     IdBuckets.write(minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
         meta.getAs[Int]("k"), meta.getAs[Int]("bands")),
@@ -329,7 +346,7 @@ object DedupOps {
     * novel documents. */
   def dedupAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val meta = s.read.parquet(s"$dir/meta").head()
+    val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
     val bBands = minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))

@@ -1271,7 +1271,13 @@ object VectorOps {
   private[graft] def embedPairsWith(u: DataFrame, nPlanes: Int, bands: Int,
       dim: Int, seed: Long, threshold: Double): DataFrame = {
     GraftFunctions.register(u.sparkSession)
-    val bandRows = lshBandRowsOf(u, nPlanes, bands, dim, seed)
+    // The native signing is map-only, so without an exchange the signing
+    // subtree (and the upstream scan) would re-execute under BOTH
+    // self-join sides; the explicit repartition(vec_id) gives
+    // ReuseExchange one materialized signing pass to share — the same
+    // discipline as minhashPairs (see its r11 note).
+    val bandRows = bandRowsOfLshBuckets(
+      lshBucketsOf(u, nPlanes, bands, dim, seed).repartition(col("vec_id")))
     val a = bandRows.select(col("label"), col("vec_id").as("va"), col("band"), col("bucket"))
     val b = bandRows.select(col("label").as("label_b"), col("vec_id").as("vb"),
       col("band").as("band_b"), col("bucket").as("bucket_b"))
@@ -1318,8 +1324,22 @@ object VectorOps {
     graft.sources.IdBuckets.write(corpus.select("vec_id", "label", "embedding"),
       "vec_id", s"$dir/embeddings", "overwrite")
     import s.implicits._
-    Seq((nPlanes, bands, dim, seed)).toDF("n_planes", "bands", "dim", "seed")
+    Seq((nPlanes, bands, dim, seed, graft.sources.IndexMeta.GroupedLayout))
+      .toDF("n_planes", "bands", "dim", "seed", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Read + validate an embed-LSH index's meta row: layout stamp first
+    * (IndexMeta — a pre-r11 flat-layout index fails with a rebuild
+    * message, not a path-not-found), shared by every reader of the
+    * index (append, batch probe, streaming gate, ingest loop). */
+  private[graft] def requireEmbedLshMeta(s: SparkSession,
+      dir: String): org.apache.spark.sql.Row = {
+    val meta = s.read.parquet(s"$dir/meta").head()
+    graft.sources.IndexMeta.requireLayout(meta,
+      graft.sources.IndexMeta.GroupedLayout, "embed-lsh",
+      "VectorOps.writeEmbedLshIndex")
+    meta
   }
 
   /** Append a batch — signed with the STORED (nPlanes, bands, dim, seed),
@@ -1327,7 +1347,7 @@ object VectorOps {
     * corpus re-signing. Caller owns vec_id uniqueness (gate retries
     * through Ledger.missing, as with every other index family). */
   def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
-    val meta = s.read.parquet(s"$dir/meta").head()
+    val meta = requireEmbedLshMeta(s, dir)
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
     graft.sources.IdBuckets.write(
       lshBucketsOf(batch, meta.getAs[Int]("n_planes"), meta.getAs[Int]("bands"),
@@ -1371,7 +1391,7 @@ object VectorOps {
     * quadratic. <= 0 disables. */
   def dedupEmbedAgainstIndex(s: SparkSession, batch: DataFrame, dir: String,
       threshold: Double = 0.99, maxBucket: Int = 1 << 17): DataFrame = {
-    val meta = s.read.parquet(s"$dir/meta").head()
+    val meta = requireEmbedLshMeta(s, dir)
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
     val bBands = lshBandRowsOf(batch, meta.getAs[Int]("n_planes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))

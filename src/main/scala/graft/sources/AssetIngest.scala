@@ -141,7 +141,7 @@ object AssetIngest {
       .write.mode("append").parquet(s"$dataDir/assets")
     val metaPath = new Path(s"$indexDir/meta")
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
-      HashBanding.writeMeta(s, indexDir)
+      HashBanding.writeMeta(s, indexDir, IndexMeta.GroupedLayout)
     VideoCodec.appendVideoHashes(s,
       keeperHashes.join(novel.select("asset_id"), Seq("asset_id"), "left_semi")
         .localCheckpoint(false),
@@ -181,12 +181,20 @@ object AssetIngest {
     val nOk = ann.where(okF).count()
     if (nOk == 0L)
       return IngestReport(0L, 0L, 0L, undecodable = total, gated = 0L)
-    val metaPath = new Path(s"$indexDir/meta")
-    val indexExists =
-      metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)
+    // existence is two-tier (the r12 husk rule, shared with the text
+    // loop): meta governs the SIGNING PARAMETERS (and carries the layout
+    // stamp — requireEmbedLshMeta fails loudly on a pre-r11 index instead
+    // of bootstrapping over it), while the cbuckets DATA dir governs
+    // whether there is a corpus to probe/append to. The two can diverge:
+    // an all-gated first batch writes meta but IdBuckets normalizes the
+    // empty bucketed table away, leaving a meta-only husk — probing it
+    // must read as "empty corpus", not crash on a missing path.
+    val hfs = new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val metaExists = hfs.exists(new Path(s"$indexDir/meta"))
+    val corpusExists = metaExists && hfs.exists(new Path(s"$indexDir/cbuckets"))
     val (nPlanes, bands, dim, seed) =
-      if (indexExists) {
-        val m = s.read.parquet(s"$indexDir/meta").head()
+      if (metaExists) {
+        val m = VectorOps.requireEmbedLshMeta(s, indexDir)
         (m.getAs[Int]("n_planes"), m.getAs[Int]("bands"),
           m.getAs[Int]("dim"), m.getAs[Long]("seed"))
       } else
@@ -197,7 +205,7 @@ object AssetIngest {
       .select(col("vb").as("vec_id")).distinct()
     val keepers = valid.join(inBatchLosers, Seq("vec_id"), "left_anti")
     val corpusDupIds =
-      if (indexExists)
+      if (corpusExists)
         VectorOps.dedupEmbedAgainstIndex(s, keepers, indexDir, threshold, maxBucket)
           .select(col("batch_id").as("vec_id")).distinct()
       else keepers.select("vec_id").limit(0)
@@ -205,8 +213,12 @@ object AssetIngest {
       .localCheckpoint(false) // landing + index append + count read it once
     val nNovel = novel.count()
     novel.write.mode("append").parquet(s"$dataDir/vectors")
-    if (indexExists) VectorOps.appendToEmbedLshIndex(s, novel, indexDir)
-    else VectorOps.writeEmbedLshIndex(s, novel, indexDir, nPlanes, bands, seed)
+    // an empty novel set appends nothing and must not BOOTSTRAP either:
+    // writing a zero-row index would just re-create the meta-only husk
+    // (and writeEmbedLshIndex rightly refuses an empty corpus)
+    if (corpusExists) VectorOps.appendToEmbedLshIndex(s, novel, indexDir)
+    else if (nNovel > 0)
+      VectorOps.writeEmbedLshIndex(s, novel, indexDir, nPlanes, bands, seed)
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -252,12 +264,22 @@ object AssetIngest {
         col("stop_ratio") * 0.3 +
           least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
     val valid = scored.where(col("score") >= minScore)
-    val metaPath = new Path(s"$indexDir/meta")
-    val indexExists =
-      metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath)
+    // two-tier existence, matching the embed loop: meta carries the
+    // signing parameters + layout stamp (requireMinhashMeta fails loudly
+    // on a pre-r11 index — bootstrapping over one would silently orphan
+    // its corpus); the cbuckets DATA dir says whether there is a corpus
+    // to probe/append to. An all-quality-gated first batch used to
+    // strand a meta-only husk (IdBuckets normalizes an empty bucketed
+    // write away) that crashed the NEXT batch's probe on a missing
+    // path — now the husk reads as "empty corpus" and the first
+    // non-empty batch (re)builds the data tables with the meta's
+    // parameters.
+    val hfs = new Path(indexDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val metaExists = hfs.exists(new Path(s"$indexDir/meta"))
+    val corpusExists = metaExists && hfs.exists(new Path(s"$indexDir/cbuckets"))
     val (k, bands) =
-      if (indexExists) {
-        val m = s.read.parquet(s"$indexDir/meta").head()
+      if (metaExists) {
+        val m = DedupOps.requireMinhashMeta(s, indexDir)
         (m.getAs[Int]("k"), m.getAs[Int]("bands"))
       } else (16, 4)
     // in-batch collapse: banded candidates + true-Jaccard refine,
@@ -283,7 +305,7 @@ object AssetIngest {
       .select(col("db").as("doc_id")).distinct()
     val keepers = valid.join(inBatchLosers, Seq("doc_id"), "left_anti")
     val corpusDupIds =
-      if (indexExists)
+      if (corpusExists)
         DedupOps.dedupAgainstIndex(s,
             keepers.select("doc_id", "source", "text"), indexDir, threshold)
           .select(col("batch_id").as("doc_id")).distinct()
@@ -293,10 +315,13 @@ object AssetIngest {
     val nNovel = novel.count()
     novel.select("doc_id", "source", "text", "n_tok", "score")
       .write.mode("append").parquet(s"$dataDir/docs")
-    if (indexExists)
+    // an empty novel set appends nothing and must not bootstrap either —
+    // a zero-row writeMinhashIndex would just re-create the meta-only
+    // husk this block exists to survive
+    if (corpusExists)
       DedupOps.appendToMinhashIndex(s,
         novel.select("doc_id", "source", "text"), indexDir)
-    else
+    else if (nNovel > 0)
       DedupOps.writeMinhashIndex(s,
         novel.select("doc_id", "source", "text"), indexDir, k, bands)
     val nValid = valid.count()

@@ -72,22 +72,35 @@ object HashBanding {
     h
   }
 
-  /** Record this engine's band geometry next to a persisted hash index. */
-  def writeMeta(s: SparkSession, dir: String): Unit = {
+  /** Record this engine's band geometry (and the index's on-disk layout
+    * generation, IndexMeta) next to a persisted hash index. Image/audio
+    * keep the default flat layout — their physical shape never changed;
+    * the video index passes [[IndexMeta.GroupedLayout]] for its r11
+    * one-table grouped form. */
+  def writeMeta(s: SparkSession, dir: String,
+      layout: Int = IndexMeta.FlatLayout): Unit = {
     import s.implicits._
-    Seq((Bands, BandBits)).toDF("bands", "bits")
+    Seq((Bands, BandBits, layout)).toDF("bands", "bits", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Fail loudly on an index written under different band semantics — a
     * probe through mismatched banding would silently lose the Hamming
-    * recall guarantee. Shared by every index reader/appender (image,
-    * audio, video; including AssetIngest's probe path). */
-  def requireMeta(s: SparkSession, dir: String): Unit = {
+    * recall guarantee — or under a different on-disk layout (`rebuild`
+    * names the writer to re-run; a pre-stamping meta row reads as
+    * [[IndexMeta.FlatLayout]], so old image/audio indexes stay readable
+    * and old grouped-family indexes fail with the rebuild message
+    * instead of a path-not-found). Shared by every index
+    * reader/appender (image, audio, video; including AssetIngest's
+    * probe path). */
+  def requireMeta(s: SparkSession, dir: String,
+      layout: Int = IndexMeta.FlatLayout,
+      rebuild: String = "the index writer"): Unit = {
     val meta = s.read.parquet(s"$dir/meta").head()
     require(meta.getAs[Int]("bands") == Bands && meta.getAs[Int]("bits") == BandBits,
       s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")}" +
         s", this engine is ${Bands}x$BandBits)")
+    IndexMeta.requireLayout(meta, layout, "perceptual-hash", rebuild)
   }
 
   private val BandsPerWord = 64 / BandBits

@@ -531,12 +531,21 @@ object VideoCodec {
       .select(col("asset_id"), col("f.first_idx").as("first_idx"),
         col("f.cnt").as("cnt"), col("f.ahash").as("ahash"))
 
+  /** The video index's meta check: band geometry + the r11 grouped
+    * layout stamp — a pre-r11 hashes+counts index fails with a rebuild
+    * message instead of being silently treated as absent (the hazard:
+    * an existence check keyed on `grouped` alone would skip corpus
+    * dedup over a perfectly real old index and admit duplicates). */
+  private[graft] def requireVideoMeta(s: SparkSession, dir: String): Unit =
+    HashBanding.requireMeta(s, dir, IndexMeta.GroupedLayout,
+      "VideoCodec.writeVideoHashIndex")
+
   /** Build the index: decode + hash every frame, persist the grouped
     * per-video rows. */
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
     IdBuckets.write(groupedVideoRows(hashed), "asset_id", s"$dir/grouped", "overwrite")
-    HashBanding.writeMeta(s, dir)
+    HashBanding.writeMeta(s, dir, IndexMeta.GroupedLayout)
   }
 
   /** Assign-only append of a new video batch. Caller owns asset_id
@@ -550,7 +559,7 @@ object VideoCodec {
     * probe, and this append. `hashed` must be materialized (barriered)
     * by the caller; rows are collapsed + grouped before storage. */
   def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
-    HashBanding.requireMeta(s, dir)
+    requireVideoMeta(s, dir)
     IdBuckets.write(groupedVideoRows(hashed.select("asset_id", "frame_idx", "ahash")),
       "asset_id", s"$dir/grouped", "append")
   }
@@ -589,7 +598,7 @@ object VideoCodec {
       symmetric: Boolean = false, minMatchedFrames: Long = 0L): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, s"minFrac must be in (0, 1], got $minFrac")
     require(minMatchedFrames >= 0L, s"minMatchedFrames must be >= 0, got $minMatchedFrames")
-    HashBanding.requireMeta(s, dir)
+    requireVideoMeta(s, dir)
     val batchCounts = hashed.groupBy(col("asset_id").as("batch_id"))
       .agg(count(lit(1)).as("n_batch"))
     // batch side collapsed here; the stored side is collapsed by

@@ -101,7 +101,7 @@ object StreamingOps {
   def dedupAgainstIndexStream(docs: DataFrame, indexDir: String,
       threshold: Double = 0.5): DataFrame = {
     val s = docs.sparkSession
-    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val meta = graft.operators.DedupOps.requireMinhashMeta(s, indexDir)
     val k = meta.getAs[Int]("k")
     val bands = meta.getAs[Int]("bands")
     // minhashBandsOf validates this at write time; a hand-edited or
@@ -473,7 +473,7 @@ object StreamingOps {
       minMatchedFrames: Long = 0L): DataFrame = {
     import graft.sources.{HashBanding, Tombstones, VideoCodec}
     val s = assets.sparkSession
-    HashBanding.requireMeta(s, indexDir)
+    VideoCodec.requireVideoMeta(s, indexDir)
     require(maxHamming >= 0 && maxHamming <= HashBanding.MaxGuaranteedHamming,
       s"banding only guarantees recall for Hamming <= " +
         s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
@@ -544,7 +544,7 @@ object StreamingOps {
     import graft.sources.Tombstones
     val s = vecs.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val meta = s.read.parquet(s"$indexDir/meta").head()
+    val meta = VectorOps.requireEmbedLshMeta(s, indexDir)
     val nPlanes = meta.getAs[Int]("n_planes")
     val bands = meta.getAs[Int]("bands")
     val dim = meta.getAs[Int]("dim")

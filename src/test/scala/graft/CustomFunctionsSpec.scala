@@ -411,4 +411,52 @@ class CustomFunctionsSpec extends AnyFunSuite {
       .head()
     assert(nr.isNullAt(0))
   }
+
+  test("graft_minhash_buckets null-token windows match ShingleGenerator (skipped whole)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 16; val bands = 4; val r = k / bands
+    // null mid-array: windows touching the null must be skipped WHOLE
+    // (ShingleGenerator emits no row for them), never hashed as the
+    // window's non-null remainder — the pre-r12 concat_ws-style
+    // divergence this test forbids
+    val docs = Seq(
+      (1L, Array[String]("a", "b", "c", null, "d", "e", "f", "g")),
+      (2L, Array[String](null, "x", "y", "z")),
+      (3L, Array[String]("p", "q", "r", "s", null))).toDF("doc_id", "toks")
+    val minhash = udaf(new MinHashAgg(k))
+    val old = docs
+      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+      .groupBy("doc_id")
+      .agg(minhash(col("shingle")).as("sig"))
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(concat_ws(',', " +
+          s"transform(slice(sig, b * $r + 1, $r), x -> cast(x AS STRING)))))")
+          .as("old_buckets"))
+    val native = docs
+      .select(col("doc_id"),
+        call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands))
+          .as("native_buckets"))
+    val joined = old.join(native, Seq("doc_id"), "inner")
+    assert(joined.count() === 3L)
+    assert(joined.where(not(col("old_buckets") <=> col("native_buckets"))).count() === 0,
+      joined.where(not(col("old_buckets") <=> col("native_buckets")))
+        .collect().mkString(" | "))
+    // a doc whose EVERY window holds a null yields zero shingles: the
+    // generator path drops the doc (no group), the per-row kernel cannot
+    // drop a row, so it signs the degenerate all-MaxValue signature —
+    // identical across such docs, which is why callers must filter them
+    // like any other shingle-less doc (see the scaladoc)
+    val degen = Seq(
+      (10L, Array[String]("a", null, "b")),
+      (11L, Array[String]("zzz", null, "qqq"))).toDF("doc_id", "toks")
+    val degenOld = degen
+      .select(col("doc_id"), expr("shingles(toks, 3)").as("shingle"))
+    assert(degenOld.count() === 0L)
+    val sigs = degen
+      .select(call_function("graft_minhash_buckets", col("toks"), lit(3), lit(k), lit(bands))
+        .as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) === sigs(1))
+  }
 }

@@ -461,4 +461,78 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val r4 = AssetIngest.ingestTextBatch(spark, df((20L, "a", cut(2, 55))), indexDir, dataDir)
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
+
+  test("all-gated first text batch strands no husk; a husk index reads as empty corpus") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_husk").toString
+    val indexDir = s"$base/idx"; val dataDir = s"$base/data"
+    val mk = (i: Int) => (1 to 60).map(t => s"w${i}_$t").mkString(" ")
+    def df(rows: (Long, String, String)*) = rows.toDF("doc_id", "source", "text")
+    // first batch: non-blank but ALL quality-gated (3-token docs score
+    // ~0.12 < 0.3). Pre-r12 this wrote a meta-only husk (IdBuckets
+    // normalizes the empty cbuckets write away) and the NEXT batch died
+    // probing the missing path; now nothing is written at all
+    val r0 = AssetIngest.ingestTextBatch(spark,
+      df((1L, "a", "q r s"), (2L, "a", "t u v")), indexDir, dataDir)
+    assert(r0 === AssetIngest.IngestReport(0, 0, 0, 0, gated = 2))
+    val hfs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta")))
+    // second batch bootstraps and probes cleanly
+    val r1 = AssetIngest.ingestTextBatch(spark,
+      df((10L, "a", mk(1)), (11L, "a", mk(2))), indexDir, dataDir)
+    assert(r1 === AssetIngest.IngestReport(2, 0, 0, 0))
+
+    // a husk written by another engine (meta present, data tables
+    // normalized away) must read as EMPTY CORPUS and be rebuilt with the
+    // meta's parameters, not crash on the missing cbuckets path
+    val huskDir = s"$base/husk"
+    Seq((8, 2, graft.sources.IndexMeta.GroupedLayout)).toDF("k", "bands", "layout")
+      .write.parquet(s"$huskDir/meta")
+    val r2 = AssetIngest.ingestTextBatch(spark,
+      df((20L, "a", mk(3))), huskDir, s"$base/huskdata")
+    assert(r2 === AssetIngest.IngestReport(1, 0, 0, 0))
+    // rebuilt with the husk meta's (8, 2), not the bootstrap default
+    val meta = spark.read.parquet(s"$huskDir/meta").head()
+    assert(meta.getAs[Int]("k") === 8 && meta.getAs[Int]("bands") === 2)
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(s"$huskDir/cbuckets")))
+    // and the rebuilt corpus actually vetoes a near-dup
+    val r3 = AssetIngest.ingestTextBatch(spark,
+      df((21L, "a", mk(3))), huskDir, s"$base/huskdata")
+    assert(r3 === AssetIngest.IngestReport(0, 0, 1, 0))
+  }
+
+  test("unstamped (pre-r11) index layouts fail loudly with a rebuild message") {
+    import graft.operators.{DedupOps, VectorOps}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("layout_ver").toString
+    // pre-r11 minhash meta: no layout column -> layout 1 != grouped
+    Seq((16, 4)).toDF("k", "bands").write.parquet(s"$base/mh/meta")
+    val eMh = intercept[IllegalArgumentException] {
+      DedupOps.dedupAgainstIndex(spark,
+        Seq((1L, "a", "x y z w")).toDF("doc_id", "source", "text"), s"$base/mh")
+    }
+    assert(eMh.getMessage.contains("rebuild") &&
+      eMh.getMessage.contains("writeMinhashIndex"), eMh.getMessage)
+    // pre-r11 embed-lsh meta
+    Seq((32, 4, 8, 42L)).toDF("n_planes", "bands", "dim", "seed")
+      .write.parquet(s"$base/el/meta")
+    val eEl = intercept[IllegalArgumentException] {
+      VectorOps.dedupEmbedAgainstIndex(spark,
+        Seq((1L, "x", Array.fill(8)(0.5f))).toDF("vec_id", "label", "embedding"),
+        s"$base/el")
+    }
+    assert(eEl.getMessage.contains("rebuild") &&
+      eEl.getMessage.contains("writeEmbedLshIndex"), eEl.getMessage)
+    // pre-r11 video meta (band geometry only): grouped readers refuse it...
+    Seq((16, 16)).toDF("bands", "bits").write.parquet(s"$base/vid/meta")
+    val eV = intercept[IllegalArgumentException] {
+      graft.sources.VideoCodec.requireVideoMeta(spark, s"$base/vid")
+    }
+    assert(eV.getMessage.contains("rebuild"), eV.getMessage)
+    // ...while the image/audio FLAT families (whose physical shape never
+    // changed) still read the very same unstamped meta fine
+    graft.sources.HashBanding.requireMeta(spark, s"$base/vid")
+  }
 }
