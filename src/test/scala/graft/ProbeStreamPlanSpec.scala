@@ -102,6 +102,38 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 1L)))
   }
 
+  test("knnScoreStream: corpus collect_list is checkpointed setup cost — no Aggregate per trigger") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val vs = Array.fill(6)(unit())
+    val corpus = vs.zipWithIndex.map { case (v, i) => (i.toLong, "x", v) }
+      .toSeq.toDF("vec_id", "label", "embedding")
+    val in = Seq((100L, ts(1000L), vs(3))).toDF("qid", "ts", "qv")
+    val out = graft.streaming.StreamingOps.knnScoreStream(in, corpus, k = 2)
+    assertNoAggregate(out, "knn score stream", Seq.empty)
+    // still answers: the query's own corpus twin is its top hit
+    val top = out.orderBy(desc("sim")).head()
+    assert(top.getLong(0) === 100L && top.getAs[Long]("vec_id") === 3L)
+  }
+
+  test("contaminationGateStream: benchmark gram aggregation is checkpointed setup cost") {
+    import spark.implicits._
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val benchmark = Seq((1L, mk(1)), (2L, mk(2))).toDF("bench_id", "text")
+    val in = Seq(
+      (100L, ts(1000L), mk(1)),
+      (101L, ts(2000L), mk(9))).toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamingOps.contaminationGateStream(in, benchmark)
+    assertNoAggregate(out, "contamination gate", Seq.empty)
+    val res = out.collect().map(r => (r.getLong(0), r.getAs[Boolean]("clean"))).toMap
+    assert(res === Map(100L -> false, 101L -> true))
+  }
+
   test("image imageDedupProbeStream: no Aggregate anywhere (the family's reference shape)") {
     import graft.sources.ImageCodec
     import spark.implicits._
