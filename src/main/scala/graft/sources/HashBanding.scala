@@ -59,7 +59,9 @@ object HashBanding {
     * (2) pre-partition the corpus by a metadata key (source, size) and
     * dedup within partitions; (3) raise the cap knowingly. Default 2^17
     * keeps worst-case per-bucket join work at ~2^34 comparisons — big but
-    * finite; tune per deployment. */
+    * finite; tune per deployment, with [[bucketStats]] as the evidence
+    * (see the profile BEFORE a job, instead of meeting the guard
+    * mid-flight). */
   val DefaultMaxBucket: Int = 1 << 17
 
   /** Exact Hamming distance between two stored hashes (driver/test-side
@@ -171,7 +173,36 @@ object HashBanding {
         .drop("bucket_pop")
     }
 
-  /** Self-join: all pairs (a_id < b_id) at Hamming <= maxHamming. */
+  /** Operator diagnostic: the `perBand` most-populated buckets of every
+    * band — the tool the cap guard's own runbook advice needs. The
+    * guard ([[capGuard]], [[DefaultMaxBucket]]) raises MID-JOB the
+    * moment a probe or self-join touches a flooded bucket; a 100 TB
+    * operator wants to SEE the population profile before committing a
+    * multi-hour job, tune `maxBucket` (or gate the degenerate content
+    * class upstream) from evidence, and re-check after ingesting a
+    * suspect source. One aggregate over the same banded rows the join
+    * consumes plus a per-band top-k window — cheap enough to run on
+    * every index build report. Returns (band, bucket, population),
+    * population-descending within each band. */
+  def bucketStats(hashes: DataFrame, perBand: Int = 10): DataFrame = {
+    require(perBand >= 1, s"perBand must be >= 1, got $perBand")
+    banded(hashes, "a_id", "a_hash")
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("population"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_idx")
+          .orderBy(col("population").desc, col("band_val"))))
+      .where(col("rnk") <= perBand)
+      .select(col("band_idx").as("band"), col("band_val").as("bucket"),
+        col("population"))
+      .orderBy(col("band"), col("population").desc, col("bucket"))
+  }
+
+  /** Self-join: all pairs (a_id < b_id) at Hamming <= maxHamming.
+    * Worst-case join work under the default cap is real money at scale
+    * (~2^34 comparisons per flooded bucket pair) — run [[bucketStats]]
+    * over the corpus first to see the population profile and tune
+    * `maxBucket` BEFORE a long job dies on the mid-flight guard. */
   def pairs(hashes: DataFrame, maxHamming: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,

@@ -71,17 +71,30 @@ object IdBuckets {
     * bucket whose rows all died is simply removed. Does NOT clear the
     * tombstones — the caller clears once every table of the index is
     * folded. */
+  /** Tombstone sets small enough to ride as a broadcast in the
+    * compaction anti-join — ~16 MB of long ids, far past any takedown
+    * batch. A MASS deletion above this falls back to a shuffle
+    * anti-join: slower, but it cannot OOM the driver, and a fold that
+    * big is rewriting most of the table anyway. */
+  val MaxBroadcastTombstones: Long = 1L << 20
+
   def foldIntoBucketed(s: SparkSession, tablePath: String, dir: String,
-      idCol: String): Unit =
+      idCol: String,
+      maxBroadcastTombstones: Long = MaxBroadcastTombstones): Unit =
     Tombstones.read(s, dir).foreach { t =>
       // bounded driver list: at most NumBuckets values
       val affected = t.select(bucketOf(col("id")).as("b")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
+        // count-gate the broadcast (r11 verdict nit): takedowns are the
+        // documented small case, but a pathological mass-deletion set
+        // must degrade to a shuffle anti-join, not a driver OOM
+        val tSide =
+          if (t.count() <= maxBroadcastTombstones) broadcast(t) else t
         val tmp = s"${tablePath}__compact_tmp"
-        s.read.parquet(tablePath)
+        val base = s.read.parquet(tablePath)
           .where(col(Col).isin(affected.map(Integer.valueOf).toSeq: _*))
-          .join(broadcast(t), col(idCol) === t("id"), "left_anti")
+        base.join(tSide, base(idCol) === tSide("id"), "left_anti")
           .write.mode("overwrite").partitionBy(Col).parquet(tmp)
         val hfs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
         affected.foreach { b =>

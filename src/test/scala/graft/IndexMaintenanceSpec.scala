@@ -363,6 +363,29 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$edir/embeddings").count() === e.count() - 1)
   }
 
+  test("mass-deletion fold: tombstones spanning all 64 buckets use the shuffle fallback") {
+    import graft.sources.{IdBuckets, Tombstones}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("mass_fold").toString
+    val table = s"$base/tbl"
+    val all = (1L to 2000L)
+    IdBuckets.write(all.map(i => (i, s"p$i")).toDF("id", "payload"),
+      "id", table, "overwrite")
+    val dead = all.filter(_ % 2 == 1)
+    Tombstones.append(spark, dead.toDF("id"), base)
+    // fixture sanity: the tombstone set really touches every id bucket,
+    // so the fold rewrites the WHOLE table (the worst case the broadcast
+    // gate exists for)
+    val touched = dead.toDF("id")
+      .select(IdBuckets.bucketOf(col("id"))).distinct().count()
+    assert(touched === IdBuckets.NumBuckets.toLong, s"fixture covers $touched buckets")
+    // force the fallback: every tombstone count is over the gate
+    IdBuckets.foldIntoBucketed(spark, table, base, "id",
+      maxBroadcastTombstones = 1L)
+    val left = IdBuckets.read(spark, table).select("id").as[Long].collect().toSet
+    assert(left === all.filter(_ % 2 == 0).toSet)
+  }
+
   test("composed embedding ingest loop: bootstrap, gate, in-batch dedup, corpus probe, retry") {
     import graft.operators.VectorOps
     import graft.sources.AssetIngest

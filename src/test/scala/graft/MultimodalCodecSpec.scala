@@ -228,6 +228,31 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(got.size === planted.count(_._4 <= HashBanding.MaxGuaranteedHamming))
   }
 
+  test("bucketStats surfaces flooded band buckets with their true populations") {
+    import graft.sources.HashBanding
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 20 identical hashes flood ONE bucket of every band; 30 random
+    // hashes are background noise (random 16-bit band values collide
+    // with the flood value with negligible probability at this size)
+    val flood = Array.fill(HashBanding.Words)(rnd.nextLong())
+    val rows = (0 until 20).map(i => (i.toLong, flood)) ++
+      (100 until 130).map(i =>
+        (i.toLong, Array.fill(HashBanding.Words)(rnd.nextLong())))
+    val stats = HashBanding.bucketStats(rows.toDF("asset_id", "ahash"), perBand = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byBand = stats.groupBy(_._1)
+    assert(byBand.keySet === (0 until HashBanding.Bands).toSet)
+    (0 until HashBanding.Bands).foreach { b =>
+      val rowsB = byBand(b)
+      assert(rowsB.length <= 3, s"band $b returned ${rowsB.length} rows")
+      // top row is the planted flood bucket at its true population
+      val expectVal = (flood(b / 4) >>> ((b % 4) * 16)) & 0xFFFFL
+      assert(rowsB.head === ((b, expectVal, 20L)),
+        s"band $b top bucket ${rowsB.head} != planted flood ($expectVal, 20)")
+    }
+  }
+
   test("image dedup clusters: planted pairs share a cluster, distinct textures are singletons") {
     val rows = SparkEntry.queries("q_image_dedup_clusters")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
