@@ -54,6 +54,8 @@ object Plans {
     "q_knn_range"       -> "1-row query-vector broadcast; radius predicate filters the same single pass",
     "q_knn_ivf"         -> "1-row codebook-array + probe-cell broadcasts",
     "q_knn_ivf_trained" -> "1-row trained-codebook-array + probe-cell broadcasts",
+    "q_knn_ivf_batch"   -> ("1-row codebook-array broadcast ranking each query's probe cells; " +
+      "the store scan itself is a DPP-pruned hash join (LlmOpsSpec pins dynamicpruning)"),
     "q_knn_batch"       -> "1-row query-batch-array broadcast (single corpus pass)",
     "q_knn_sq8"         -> "1-row quantized-query broadcast (SQ8 scan + rerank)",
     "q_knn_pq"          -> "1-row ADC-table / query / codebook broadcasts (PQ scan + rerank)",

@@ -410,6 +410,42 @@ object VectorOps {
       .limit(k)
   }
 
+  /** MULTI-QUERY probe of an IVF index: a (qid, embedding) query TABLE
+    * through the cell-partitioned store in ONE pass — the first
+    * realistic ANN workload a user runs (queries arrive in batches, not
+    * one at a time), q_knn_batch's broadcast-the-batch shape composed
+    * with ivfSearch's pruning. Each query ranks the broadcast codebook
+    * per row and keeps its `nprobe` best cells; the (qid, q_cell, qv)
+    * frame — |batch| × nprobe rows, batch-bounded — broadcasts into the
+    * postings join, so dynamic partition pruning reduces the store scan
+    * to the UNION of all probed cells (one scan regardless of batch
+    * size, never a pass per query; IndexMaintenanceSpec pins
+    * `dynamicpruning` in the plan). Candidates are per-query top-k'd by
+    * a window on qid. A query that is itself a corpus member never
+    * matches its own row (vec_id != qid), matching ivfSearch, and for
+    * any single query the result set equals ivfSearch's (LlmOpsSpec
+    * pins the equivalence). Shuffle: only the candidate rows (probed
+    * cells × matching queries) move, for the window — the 100 TB cost
+    * is the pruned scan, not |corpus| × |batch|. */
+  def ivfSearchBatch(cb: DataFrame, postings: DataFrame, queries: DataFrame,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qCells = rankCells(queries.select(col("qid"), col("embedding")), cb)
+      .select(col("qid"), col("embedding").as("qv"),
+        explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"))
+      .select(col("qid"), col("qv"), col("pc.cl").as("q_cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    postings
+      .join(broadcast(qCells), col("cell") === col("q_cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("qid", "vec_id", "label", "sim", "rn")
+      .orderBy(col("qid").asc, col("rn").asc)
+  }
+
   /** Composed IVFADC index (IVF + PQ on residuals) — the actual
     * billion-vector layout (FAISS IVFPQ): coarse cells bound the scan,
     * PQ codes of the RESIDUAL (x - coarse centroid) bound the bytes.
@@ -1049,6 +1085,25 @@ object VectorOps {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       knnIvfOn(e, nprobe = 2, k = 10, codebook = Some(trainCodebook(e, k = 8)))
+    }),
+
+    // Multi-query ANN through a PERSISTED IVF store (see ivfSearchBatch):
+    // the corpus (vec_id >= 10) is indexed cell-partitioned on disk, the
+    // query batch (vec_id < 10) probes nprobe=2 cells each, and ONE
+    // DPP-pruned scan of the probed cells serves the whole batch — the
+    // template for "a query table against a billion-vector index", which
+    // the single-query q_knn_ivf* entries only show one row of.
+    // Rows-only (approximate); per-query equivalence with ivfSearch and
+    // recall vs exact kNN are pinned in LlmOpsSpec.
+    "q_knn_ivf_batch" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("ivf_batch_store").toString
+      writeIvfIndex(e.where(col("vec_id") >= 10), cells = 8, dir = dir)
+      val (cb, postings) = readIvfIndex(s, dir)
+      ivfSearchBatch(cb, postings,
+        e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
+        nprobe = 2, k = 5)
     }),
 
     // Product-quantized kNN (see knnPqOn): 8 subspaces x 16 cells over

@@ -439,6 +439,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 recall $r1")
   }
 
+  test("ivfSearchBatch: per-query equals ivfSearch; batch recall >= 0.9; one DPP-pruned scan") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val (e, vecs) = clusteredCorpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_batch").toString
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // query table read from storage (the realistic shape — and what lets
+    // the DPP heuristic see a selective filtered scan on the query side)
+    val queries = postings.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = VectorOps.ivfSearchBatch(cb, postings, queries, nprobe = 2, k = 10)
+    val rows = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    // per-query result set equals the single-query path's, row for row
+    qids.foreach { q =>
+      val fromBatch = rows.filter(_._1 == q).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      val single = VectorOps.ivfSearch(cb, postings, queryId = q, nprobe = 2, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(fromBatch === single, s"batch result for qid=$q diverged from ivfSearch")
+    }
+    // recall vs exact brute force, averaged over the batch
+    val recalls = qids.map { q =>
+      val exact = exactTopK(vecs, q, 10).toSet
+      val got = rows.filter(_._1 == q).map(_._2).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"batch recall@10 at nprobe=2 was $mean ($recalls)")
+    // the whole batch is served by ONE DPP-pruned postings scan
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "batch postings scan shows no dynamic partition pruning:\n" + plan.take(2000))
+    // and the declared query returns k rows per query at sf
+    val declared = SparkEntry.queries("q_knn_ivf_batch")(spark, sf).collect()
+    assert(declared.nonEmpty)
+    val perQ = declared.groupBy(_.getLong(0)).map(_._2.length).toSet
+    assert(perQ === Set(5), s"declared q_knn_ivf_batch per-query row counts: $perQ")
+  }
+
   test("trained IVF codebook: clustered-corpus recall >= per-label codebook at equal nprobe") {
     import graft.operators.VectorOps
     graft.functions.GraftFunctions.register(spark)
