@@ -90,6 +90,170 @@ object ScaleSmoke {
     out.toSeq
   }
 
+  final case class ProbeResult(name: String, corpusRows: Long, trigSecs: Seq[Double]) {
+    /** Median of the post-first triggers (the first pays codegen + state
+      * setup; the steady-state number is what "per-trigger latency"
+      * means). */
+    def steady: Double = {
+      val xs = (if (trigSecs.length > 1) trigSecs.tail else trigSecs).sorted
+      xs(xs.length / 2)
+    }
+  }
+
+  /** Streaming-probe smoke: build each modality's persisted index at the
+    * given corpus scale, then drive its `*DedupProbeStream` with
+    * FIXED-SIZE micro-batches through MemoryStream and time every
+    * trigger — the wall-clock answer to the question ProbeStreamPlanSpec
+    * answers structurally (the static side is a scan + generate, no
+    * per-trigger corpus aggregation). Fixed batch size × growing corpus
+    * isolates the static-side cost: a per-trigger time that grows with
+    * the corpus is the (expected, honest) cost of re-SCANNING the
+    * persisted table per micro-batch — the plan spec only promises no
+    * re-AGGREGATION — and the measured growth rate is what a deployment
+    * sizes its trigger interval against.
+    *
+    * Corpus realism per modality: text/embed indexes are built from the
+    * (upsampled) corpus tables and the stream batches are near-dup
+    * copies of corpus rows, so probes pay full candidate + refine work;
+    * image/audio/video indexes are synthesized at the hash tier (the
+    * probe's static side reads hashes, not payloads — synthesizing
+    * payloads just to decode them into hashes would measure the codec,
+    * not the probe) while the STREAM side carries real decodable
+    * payloads so the per-batch decode cost is included. */
+  def runProbeSmoke(s: SparkSession, dir: String, triggers: Int = 5,
+      batchDocs: Int = 200): Seq[ProbeResult] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.{Encoder, SQLContext}
+    import graft.operators.{DedupOps, VectorOps}
+    import graft.sources.{AudioCodec, HashBanding, ImageCodec, IndexMeta, VideoCodec}
+    import graft.streaming.{DocEv, LVec}
+    import s.implicits._
+    implicit val sqlCtx: SQLContext = s.sqlContext
+    graft.functions.GraftFunctions.register(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[ProbeResult]
+    val base = java.nio.file.Files.createTempDirectory("probe_smoke").toString
+
+    def drive[T](name: String, corpusRows: Long, batches: Seq[Seq[T]],
+        mk: DataFrame => DataFrame)(implicit enc: Encoder[T]): Unit = {
+      val mem = MemoryStream[T]
+      val qn = s"probe_${name}_${System.nanoTime()}"
+      val q = mk(mem.toDF()).writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val secs = batches.map { b =>
+          mem.addData(b: _*)
+          timed(q.processAllAvailable())._2
+        }
+        out += ProbeResult(name, corpusRows, secs)
+      } finally q.stop()
+    }
+    def t0(i: Int) = new java.sql.Timestamp(1000L * i)
+
+    // ---- text: MinHash index over the documents table; stream batches
+    // are truncated near-dup copies of corpus docs (full refine work) ----
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val txtIdx = s"$base/txt"
+    DedupOps.writeMinhashIndex(s, docs.select("doc_id", "source", "text"), txtIdx)
+    val txtSample = docs.select("doc_id", "text")
+      .limit(triggers * batchDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val txtBatches = (0 until triggers).map { t =>
+      (0 until batchDocs).map { i =>
+        val (cid, text) = txtSample((t * batchDocs + i) % txtSample.length)
+        val toks = text.split(" ")
+        DocEv(1000000000L + cid, t0(i),
+          toks.take(math.max(4, toks.length - 2)).mkString(" "))
+      }
+    }
+    drive[DocEv]("text_probe", nDocs, txtBatches,
+      df => graft.streaming.StreamingOps.dedupAgainstIndexStream(df, txtIdx))
+
+    // ---- embed: LSH index over the embeddings table; stream batches are
+    // exact copies of corpus vectors (every row flags = worst-case
+    // candidate + exact-dot refine) ----
+    val e = Tables.embeddings(s, dir)
+    val nVec = e.count()
+    val embIdx = s"$base/emb"
+    // label stringified on both faces: the testdata labels are ints and
+    // the LVec stream row carries a string label — the join key must
+    // agree in type
+    val eStr = e.select(col("vec_id"), col("label").cast("string").as("label"),
+      col("embedding"))
+    VectorOps.writeEmbedLshIndex(s, eStr, embIdx)
+    val embSample = eStr.limit(triggers * batchDocs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2)))
+    val embBatches = (0 until triggers).map { t =>
+      (0 until batchDocs).map { i =>
+        val (cid, label, v) = embSample((t * batchDocs + i) % embSample.length)
+        LVec(1000000000L + cid, t0(i), label, v)
+      }
+    }
+    drive[LVec]("embed_probe", nVec, embBatches,
+      df => graft.streaming.StreamingOps.embedDedupProbeStream(df, embIdx))
+
+    // ---- image/audio: synthetic hash corpora at the text corpus scale;
+    // stream batches are real decodable payloads ----
+    def synthHashes(n: Long, salt: String): DataFrame =
+      s.range(n).select(col("id").as("asset_id"), expr(
+        s"transform(sequence(0, 3), j -> xxhash64(concat('$salt', " +
+          "CAST(id AS STRING), '_', CAST(j AS STRING))))").as("ahash"))
+    val imgIdx = s"$base/img"
+    synthHashes(nDocs, "img").write.mode("overwrite").parquet(s"$imgIdx/hashes")
+    HashBanding.writeMeta(s, imgIdx)
+    val batchImgs = math.max(20, batchDocs / 4)
+    val imgBatches = (0 until triggers).map { t =>
+      (0 until batchImgs).map { i =>
+        (1000000L + t * batchImgs + i, ImageCodec.encodeGrayPng(16, 16,
+          ImageCodec.texturedLuma(t * batchImgs + i + 1L, 16, 16)))
+      }
+    }
+    drive[(Long, Array[Byte])]("image_probe", nDocs, imgBatches,
+      df => graft.streaming.StreamingOps.imageDedupProbeStream(
+        df.toDF("asset_id", "payload"), imgIdx))
+
+    val audIdx = s"$base/aud"
+    synthHashes(nDocs, "aud").write.mode("overwrite").parquet(s"$audIdx/hashes")
+    HashBanding.writeMeta(s, audIdx)
+    val audBatches = (0 until triggers).map { t =>
+      (0 until batchImgs).map { i =>
+        (1000000L + t * batchImgs + i, AudioCodec.encodeWavPcm16(
+          Array.tabulate(400)(j => AudioCodec.sampleAt(t * batchImgs + i + 1L, j))))
+      }
+    }
+    drive[(Long, Array[Byte])]("audio_probe", nDocs, audBatches,
+      df => graft.streaming.StreamingOps.audioDedupProbeStream(
+        df.toDF("asset_id", "payload"), audIdx))
+
+    // ---- video: synthetic frame hashes through the real grouped-append
+    // path (schema by construction); stream batches are real containers ----
+    val vidIdx = s"$base/vid"
+    val nVid = math.max(nDocs / 5, 200L)
+    HashBanding.writeMeta(s, vidIdx, IndexMeta.GroupedLayout)
+    VideoCodec.appendVideoHashes(s,
+      s.range(nVid).select(col("id").as("asset_id"))
+        .withColumn("frame_idx", explode(expr("sequence(0, 3)")))
+        .withColumn("ahash", expr(
+          "transform(sequence(0, 3), j -> xxhash64(concat('vid', " +
+            "CAST(asset_id AS STRING), '_', CAST(frame_idx AS STRING), '_', " +
+            "CAST(j AS STRING))))")),
+      vidIdx)
+    val batchVids = math.max(5, batchDocs / 20)
+    def vid(key: Long): Array[Byte] =
+      VideoCodec.encodeContainer((0 until 4).map(f =>
+        ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key * 977 + f, 16, 16))))
+    val vidBatches = (0 until triggers).map { t =>
+      (0 until batchVids).map(i => (1000000L + t * batchVids + i,
+        vid(t * batchVids + i + 1L)))
+    }
+    drive[(Long, Array[Byte])]("video_probe", nVid, vidBatches,
+      df => graft.streaming.StreamingOps.videoDedupProbeStream(
+        df.toDF("asset_id", "payload"), vidIdx))
+
+    out.toSeq
+  }
+
   /** Deterministic unit vectors: per-component hash noise, normalized. */
   private def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
     s.range(n).select(col("id").as("vec_id"),
@@ -117,6 +281,27 @@ object ScaleSmoke {
         println(f"SMOKE upsample factor=$factor secs=$upSecs%.1f")
         runSmoke(s, blown).foreach { r =>
           println(f"SMOKE ${r.name} rows=${r.rows} secs=${r.secs}%.2f bnlj=${r.bnlj}")
+        }
+      case "probe" =>
+        // probe <sfDir> <factor> [triggers] [batchDocs] — factor=1 runs
+        // on the sf dir as-is; larger factors upsample first (the corpus
+        // mode's replica-disjoint blow-up), so per-trigger latency can be
+        // compared across corpus sizes at a FIXED batch size
+        val src = args(1)
+        val factor = args(2).toInt
+        val triggers = if (args.length > 3) args(3).toInt else 5
+        val batchDocs = if (args.length > 4) args(4).toInt else 200
+        val dataDir =
+          if (factor <= 1) src
+          else {
+            val blown = java.nio.file.Files.createTempDirectory("probe_corpus").toString
+            val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+            println(f"PROBE upsample factor=$factor secs=$upSecs%.1f")
+            blown
+          }
+        runProbeSmoke(s, dataDir, triggers, batchDocs).foreach { r =>
+          println(f"PROBE ${r.name} corpus=${r.corpusRows} steady=${r.steady}%.3f " +
+            s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
       case "ivf-simd" =>
         import graft.operators.VectorOps
