@@ -507,7 +507,10 @@ class MultimodalCodecSpec extends AnyFunSuite {
       .toDF("asset_id", "frame_idx", "ahash"))
     // the append path guards stored rows the same way
     val dir = java.nio.file.Files.createTempDirectory("viduid").toString + "/idx"
-    graft.sources.HashBanding.writeMeta(spark, dir)
+    // video meta carries the grouped layout stamp (r12); an unstamped
+    // meta would fail the layout check before the uid-range guard runs
+    graft.sources.HashBanding.writeMeta(spark, dir,
+      graft.sources.IndexMeta.GroupedLayout)
     val exApp = intercept[Exception] {
       VideoCodec.appendVideoHashes(spark,
         Seq((1L, 1L << 20, hash)).toDF("asset_id", "frame_idx", "ahash"), dir)
