@@ -99,7 +99,7 @@ object StreamingOps {
     * query is PLANNED, so a delete lands in already-running gates at
     * their next restart. */
   def dedupAgainstIndexStream(docs: DataFrame, indexDir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, cacheStatic: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     val meta = graft.operators.DedupOps.requireMinhashMeta(s, indexDir)
     val k = meta.getAs[Int]("k")
@@ -128,14 +128,15 @@ object StreamingOps {
     // corpus-wide aggregation — the grouped form is persisted in the
     // index layout for exactly this reason (ProbeStreamPlanSpec pins the
     // static subtree Aggregate/ShuffleExchange-free).
-    val idx = graft.sources.Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id")
+    val idx = maybeCache(graft.sources.Tombstones.applyTo(
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id"),
+        cacheStatic)
       .select(col("doc_id").as("corpus_id"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val csh = graft.sources.Tombstones.applyTo(
+    val csh = maybeCache(graft.sources.Tombstones.applyTo(
         s, graft.sources.IdBuckets.read(s, s"$indexDir/shingles"), indexDir, "doc_id")
       .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
-      .where(size(col("shc")) > 0)
+      .where(size(col("shc")) > 0), cacheStatic)
     bandRows
       .join(idx, col("band") === col("band_c") && col("bucket") === col("bucket_c"))
       // band-priority pick: drop the row if any EARLIER band also agrees
@@ -422,11 +423,12 @@ object StreamingOps {
     * resolves when the streaming query is PLANNED, so a takedown lands
     * in already-running gates at their next restart. */
   def imageDedupProbeStream(assets: DataFrame, indexDir: String,
-      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame =
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      cacheStatic: Boolean = false): DataFrame =
     hashProbeStream(
       graft.sources.ImageCodec.annotateWithHash(assets)
         .where(col("ok")).select("asset_id", "ahash"),
-      indexDir, maxHamming)
+      indexDir, maxHamming, cacheStatic)
 
   /** Streaming perceptual audio near-dup probe — imageDedupProbeStream's
     * twin against a persisted audio-hash index
@@ -434,11 +436,12 @@ object StreamingOps {
     * band-priority pick, same plan-time tombstone semantics; only the
     * codec differs (real WAV decode → 256-bit envelope hash). */
   def audioDedupProbeStream(assets: DataFrame, indexDir: String,
-      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming): DataFrame =
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      cacheStatic: Boolean = false): DataFrame =
     hashProbeStream(
       graft.sources.AudioCodec.audioHashes(assets)
         .where(col("ok")).select("asset_id", "ahash"),
-      indexDir, maxHamming)
+      indexDir, maxHamming, cacheStatic)
 
   /** Streaming VIDEO near-dup probe — the frame-granular member of the
     * perceptual probe family, closing the per-modality parity with
@@ -485,7 +488,7 @@ object StreamingOps {
   def videoDedupProbeStream(assets: DataFrame, indexDir: String,
       maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, symmetric: Boolean = false,
-      minMatchedFrames: Long = 0L): DataFrame = {
+      minMatchedFrames: Long = 0L, cacheStatic: Boolean = false): DataFrame = {
     import graft.sources.{HashBanding, Tombstones, VideoCodec}
     val s = assets.sparkSession
     VideoCodec.requireVideoMeta(s, indexDir)
@@ -507,11 +510,12 @@ object StreamingOps {
     // explode are per-row compute, so the per-micro-batch static cost is
     // a scan + generate, never a corpus-wide aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val corpusRows = Tombstones.applyTo(
+    val corpusRows = maybeCache(Tombstones.applyTo(
         s, graft.sources.IdBuckets.read(s, s"$indexDir/grouped"), indexDir, "asset_id")
       .select(col("asset_id").as("corpus_id"), col("chashes"),
         col("n_frames").as("n_corpus"))
-      .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes")))
+      .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes"))),
+        cacheStatic)
       .select(col("corpus_id"), col("n_corpus"), col("chashes"), col("c_keys"),
         explode(col("c_keys")).as("band_key"))
     val ham = HashBanding.hammingExpr("a.ahash", "c.ahash")
@@ -554,7 +558,7 @@ object StreamingOps {
     * time — a takedown lands in running gates at their next restart,
     * matching every other probe stream. */
   def embedDedupProbeStream(vecs: DataFrame, indexDir: String,
-      threshold: Double = 0.99): DataFrame = {
+      threshold: Double = 0.99, cacheStatic: Boolean = false): DataFrame = {
     import graft.operators.VectorOps
     import graft.sources.Tombstones
     val s = vecs.sparkSession
@@ -584,13 +588,14 @@ object StreamingOps {
     // vector, written at index write/append time), re-exploded per row —
     // never a per-micro-batch corpus re-aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val idx = Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id")
+    val idx = maybeCache(Tombstones.applyTo(
+        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id"),
+        cacheStatic)
       .select(col("vec_id").as("corpus_id"), col("label").as("label_c"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val cemb = Tombstones.applyTo(
+    val cemb = maybeCache(Tombstones.applyTo(
         s, graft.sources.IdBuckets.read(s, s"$indexDir/embeddings"), indexDir, "vec_id")
-      .select(col("vec_id").as("corpus_id"), col("embedding").as("ec"))
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ec")), cacheStatic)
     bandRows
       .join(idx, col("label") === col("label_c") && col("band") === col("band_c") &&
         col("bucket") === col("bucket_c"))
@@ -603,10 +608,26 @@ object StreamingOps {
       .select(col("batch_id"), col("label"), col("corpus_id"), col("sim"))
   }
 
+  /** Opt-in static-side cache for the probe gates (`cacheStatic`):
+    * persist the post-tombstone index frame MEMORY_AND_DISK so each
+    * trigger reads cached blocks instead of re-scanning parquet. The
+    * probe smoke measured the parquet re-scan as the only per-trigger
+    * corpus-dependent cost (BASELINE.md r12 table); caching flattens it
+    * for indexes that fit the cluster's storage memory. Deliberately
+    * OFF by default: a 100 TB index cannot be cached, and the uncached
+    * scan degrades gracefully — turn it on per deployment when the
+    * index is known to fit. persist (not localCheckpoint) keeps
+    * lineage, so a lost executor recomputes instead of failing the
+    * stream; tombstones freeze at plan time either way. The cache lives
+    * until the session evicts it or the caller unpersists. */
+  private def maybeCache(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** The modality-agnostic engine under the perceptual probe gates: a
     * hashed stream frame (asset_id, ahash) against a stored hash index. */
   private def hashProbeStream(hashed: DataFrame, indexDir: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, cacheStatic: Boolean = false): DataFrame = {
     import graft.sources.{HashBanding, Tombstones}
     val s = hashed.sparkSession
     HashBanding.requireMeta(s, indexDir)
@@ -614,8 +635,8 @@ object StreamingOps {
       s"banding only guarantees recall for Hamming <= " +
         s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
     val streamBands = HashBanding.bandRowsCarried(hashed, "batch_id", "b_hash", "b_bands")
-    val stored = Tombstones.applyTo(
-      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id")
+    val stored = maybeCache(Tombstones.applyTo(
+      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id"), cacheStatic)
     val corpusBands = HashBanding.bandRowsCarried(stored, "corpus_id", "c_hash", "c_bands")
     streamBands.join(corpusBands, Seq("band_idx", "band_val"))
       // band-priority pick: drop the row if any EARLIER band also agrees

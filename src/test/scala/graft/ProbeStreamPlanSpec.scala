@@ -102,6 +102,55 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 1L)))
   }
 
+  test("cacheStatic probes: identical output, InMemoryRelation static side, still no Aggregate") {
+    import graft.operators.{DedupOps, VectorOps}
+    import spark.implicits._
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = Seq((1L, "a", mk(1)), (2L, "a", mk(2)), (3L, "a", mk(3)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("plan_txt_cached").toString
+    DedupOps.writeMinhashIndex(spark, corpus, dir)
+    val in = Seq((101L, ts(1000L), (1 to 10).map(t => s"w1_$t").mkString(" ")),
+      (102L, ts(2000L), (1 to 10).map(t => s"w3_$t").mkString(" ")))
+      .toDF("doc_id", "ts", "text")
+    val plain = graft.streaming.StreamingOps.dedupAgainstIndexStream(in, dir)
+    val cached = graft.streaming.StreamingOps.dedupAgainstIndexStream(in, dir,
+      cacheStatic = true)
+    // same answer, element for element
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    assert(rows(cached) === rows(plain))
+    // the cached plan reads the index through the cache manager, still
+    // without any aggregate; a second materialization hits the cache
+    assertNoAggregate(cached, "cached text probe", Seq.empty)
+    assert(cached.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "cacheStatic plan shows no InMemoryTableScan:\n" +
+        cached.queryExecution.executedPlan.toString.take(3000))
+    assert(rows(cached) === rows(plain)) // cache-hit read agrees too
+    spark.sharedState.cacheManager.clearCache()
+
+    // embed probe: same equivalence through its two cached tiers
+    val rnd = new scala.util.Random(3)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val vs = Array.fill(4)(unit())
+    val vCorpus = vs.zipWithIndex.map { case (v, i) => (i.toLong, "x", v) }
+      .toSeq.toDF("vec_id", "label", "embedding")
+    val vDir = java.nio.file.Files.createTempDirectory("plan_emb_cached").toString
+    VectorOps.writeEmbedLshIndex(spark, vCorpus, vDir)
+    val vin = Seq((100L, ts(1000L), "x", vs(1))).toDF("vec_id", "ts", "label", "embedding")
+    def vrows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+    val vPlain = graft.streaming.StreamingOps.embedDedupProbeStream(vin, vDir)
+    val vCached = graft.streaming.StreamingOps.embedDedupProbeStream(vin, vDir,
+      cacheStatic = true)
+    assert(vrows(vCached) === vrows(vPlain))
+    assert(vrows(vCached).map(_._2).toSet === Set(1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("knnScoreStream: corpus collect_list is checkpointed setup cost — no Aggregate per trigger") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -121,7 +121,7 @@ object ScaleSmoke {
     * not the probe) while the STREAM side carries real decodable
     * payloads so the per-batch decode cost is included. */
   def runProbeSmoke(s: SparkSession, dir: String, triggers: Int = 5,
-      batchDocs: Int = 200): Seq[ProbeResult] = {
+      batchDocs: Int = 200, cacheStatic: Boolean = false): Seq[ProbeResult] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.{Encoder, SQLContext}
@@ -168,7 +168,8 @@ object ScaleSmoke {
       }
     }
     drive[DocEv]("text_probe", nDocs, txtBatches,
-      df => graft.streaming.StreamingOps.dedupAgainstIndexStream(df, txtIdx))
+      df => graft.streaming.StreamingOps.dedupAgainstIndexStream(df, txtIdx,
+        cacheStatic = cacheStatic))
 
     // ---- embed: LSH index over the embeddings table; stream batches are
     // exact copies of corpus vectors (every row flags = worst-case
@@ -191,7 +192,8 @@ object ScaleSmoke {
       }
     }
     drive[LVec]("embed_probe", nVec, embBatches,
-      df => graft.streaming.StreamingOps.embedDedupProbeStream(df, embIdx))
+      df => graft.streaming.StreamingOps.embedDedupProbeStream(df, embIdx,
+        cacheStatic = cacheStatic))
 
     // ---- image/audio: synthetic hash corpora at the text corpus scale;
     // stream batches are real decodable payloads ----
@@ -211,7 +213,7 @@ object ScaleSmoke {
     }
     drive[(Long, Array[Byte])]("image_probe", nDocs, imgBatches,
       df => graft.streaming.StreamingOps.imageDedupProbeStream(
-        df.toDF("asset_id", "payload"), imgIdx))
+        df.toDF("asset_id", "payload"), imgIdx, cacheStatic = cacheStatic))
 
     val audIdx = s"$base/aud"
     synthHashes(nDocs, "aud").write.mode("overwrite").parquet(s"$audIdx/hashes")
@@ -224,7 +226,7 @@ object ScaleSmoke {
     }
     drive[(Long, Array[Byte])]("audio_probe", nDocs, audBatches,
       df => graft.streaming.StreamingOps.audioDedupProbeStream(
-        df.toDF("asset_id", "payload"), audIdx))
+        df.toDF("asset_id", "payload"), audIdx, cacheStatic = cacheStatic))
 
     // ---- video: synthetic frame hashes through the real grouped-append
     // path (schema by construction); stream batches are real containers ----
@@ -249,7 +251,7 @@ object ScaleSmoke {
     }
     drive[(Long, Array[Byte])]("video_probe", nVid, vidBatches,
       df => graft.streaming.StreamingOps.videoDedupProbeStream(
-        df.toDF("asset_id", "payload"), vidIdx))
+        df.toDF("asset_id", "payload"), vidIdx, cacheStatic = cacheStatic))
 
     out.toSeq
   }
@@ -291,6 +293,7 @@ object ScaleSmoke {
         val factor = args(2).toInt
         val triggers = if (args.length > 3) args(3).toInt else 5
         val batchDocs = if (args.length > 4) args(4).toInt else 200
+        val cached = args.length > 5 && args(5) == "cached"
         val dataDir =
           if (factor <= 1) src
           else {
@@ -299,8 +302,10 @@ object ScaleSmoke {
             println(f"PROBE upsample factor=$factor secs=$upSecs%.1f")
             blown
           }
-        runProbeSmoke(s, dataDir, triggers, batchDocs).foreach { r =>
-          println(f"PROBE ${r.name} corpus=${r.corpusRows} steady=${r.steady}%.3f " +
+        runProbeSmoke(s, dataDir, triggers, batchDocs, cached).foreach { r =>
+          val mode = if (cached) "cached" else "scan"
+          println(f"PROBE ${r.name} mode=$mode corpus=${r.corpusRows} " +
+            f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
       case "ivf-simd" =>
