@@ -315,6 +315,30 @@ object DedupOps {
       "doc_id", s"$dir/shingles", "append")
   }
 
+  /** Operator diagnostic over a persisted MinHash index: the `perBand`
+    * most-populated band buckets (tombstone-aware) — HashBanding
+    * .bucketStats' text twin, so a 100 TB operator sees the candidate
+    * skew profile from the stored signatures BEFORE a probe or pair job
+    * meets a degenerate bucket mid-flight (the classic cause: boilerplate
+    * or template docs whose shingle sets collapse to the same bands;
+    * fallbacks as in HashBanding.DefaultMaxBucket's scaladoc). One
+    * aggregate over the same band rows every probe derives. */
+  def minhashBucketStats(s: SparkSession, dir: String,
+      perBand: Int = 10): DataFrame = {
+    require(perBand >= 1, s"perBand must be >= 1, got $perBand")
+    requireMinhashMeta(s, dir)
+    bandRowsOfBuckets(graft.sources.Tombstones.applyTo(
+        s, IdBuckets.read(s, s"$dir/cbuckets"), dir, "doc_id"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("population"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")
+          .orderBy(col("population").desc, col("bucket"))))
+      .where(col("rnk") <= perBand)
+      .select("band", "bucket", "population")
+      .orderBy(col("band"), col("population").desc, col("bucket"))
+  }
+
   /** Delete documents from a persisted MinHash index (takedowns, dedup
     * removals): an O(ids) tombstone append. `dedupAgainstIndex` and the
     * streaming gate exclude the ids immediately; `compactMinhashIndex`

@@ -1412,6 +1412,30 @@ object VectorOps {
       "vec_id", s"$dir/embeddings", "append")
   }
 
+  /** Operator diagnostic over a persisted embed-LSH index: the `perBand`
+    * most-populated (label, band, bucket) cells (tombstone-aware) — the
+    * vector twin of HashBanding.bucketStats, keyed exactly as
+    * dedupEmbedAgainstIndex's flood guard prices buckets, so the
+    * populations read here are the populations the `maxBucket` cap will
+    * see. Run it on an index-build report to tune the cap (or spot the
+    * degenerate content class — mass-identical embeddings pile one
+    * bucket high) BEFORE a probe dies on the loud guard. */
+  def embedLshBucketStats(s: SparkSession, dir: String,
+      perBand: Int = 10): DataFrame = {
+    require(perBand >= 1, s"perBand must be >= 1, got $perBand")
+    requireEmbedLshMeta(s, dir)
+    bandRowsOfLshBuckets(graft.sources.Tombstones.applyTo(
+        s, graft.sources.IdBuckets.read(s, s"$dir/cbuckets"), dir, "vec_id"))
+      .groupBy(col("label"), col("band"), col("bucket"))
+      .agg(count(lit(1)).as("population"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band")
+          .orderBy(col("population").desc, col("label"), col("bucket"))))
+      .where(col("rnk") <= perBand)
+      .select("label", "band", "bucket", "population")
+      .orderBy(col("band"), col("population").desc, col("label"), col("bucket"))
+  }
+
   /** Takedown/removal: O(ids) tombstone append; probes exclude the ids
     * immediately, compaction folds them in later. */
   def deleteFromEmbedLshIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =

@@ -363,6 +363,51 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$edir/embeddings").count() === e.count() - 1)
   }
 
+  test("index bucket-stats diagnostics surface planted floods at their true populations") {
+    import graft.operators.{DedupOps, VectorOps}
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("idx_stats").toString
+    // minhash: 15 docs with IDENTICAL text flood one bucket per band;
+    // 20 distinct docs are background
+    val boil = (1 to 20).map(t => s"same_$t").mkString(" ")
+    val mk = (i: Int) => (1 to 20).map(t => s"w${i}_$t").mkString(" ")
+    val docs = ((1 to 15).map(i => (i.toLong, "a", boil)) ++
+      (100 to 119).map(i => (i.toLong, "a", mk(i)))).toDF("doc_id", "source", "text")
+    DedupOps.writeMinhashIndex(spark, docs, s"$base/mh")
+    val mhStats = DedupOps.minhashBucketStats(spark, s"$base/mh", perBand = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val mhTop = mhStats.groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2).max }
+    assert(mhTop.keySet === (0 until 4).toSet)
+    mhTop.foreach { case (b, pop) =>
+      assert(pop === 15L, s"band $b top population $pop != planted flood 15")
+    }
+    // tombstoning flood members shrinks the reported population
+    DedupOps.deleteFromMinhashIndex(spark, (1L to 5L).toDF("doc_id"), s"$base/mh")
+    val afterDel = DedupOps.minhashBucketStats(spark, s"$base/mh", perBand = 1)
+      .collect().map(_.getLong(2)).max
+    assert(afterDel === 10L)
+
+    // embed-LSH: 12 identical vectors flood one (label, band, bucket)
+    // cell per band; stats key matches the probe guard's key
+    val rnd = new scala.util.Random(5)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val dup = unit()
+    val vecs = ((1 to 12).map(i => (i.toLong, "x", dup)) ++
+      (100 to 119).map(i => (i.toLong, "x", unit()))).toDF("vec_id", "label", "embedding")
+    VectorOps.writeEmbedLshIndex(spark, vecs, s"$base/el")
+    val elStats = VectorOps.embedLshBucketStats(spark, s"$base/el", perBand = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(3)))
+    val elTop = elStats.groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2).max }
+    assert(elTop.keySet === (0 until 4).toSet)
+    elTop.foreach { case (b, pop) =>
+      assert(pop >= 12L, s"band $b top population $pop below planted flood 12")
+    }
+  }
+
   test("mass-deletion fold: tombstones spanning all 64 buckets use the shuffle fallback") {
     import graft.sources.{IdBuckets, Tombstones}
     import spark.implicits._
