@@ -246,6 +246,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(exApp.getMessage.contains("dimension"))
   }
 
+  test("ivfSearchBatch edges: empty query table, nprobe past |cells|, k past corpus") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(9)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, (i % 4).toString, unit()))
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfb_edge").toString
+    VectorOps.writeIvfIndex(corpus, cells = 4, dir = dir)
+    val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+    // empty query table: empty result, no crash
+    val empty = Seq.empty[(Long, Array[Float])].toDF("qid", "embedding")
+    assert(VectorOps.ivfSearchBatch(cb, postings, empty).count() === 0L)
+    // nprobe past |cells| caps at a full probe (slice past the ranked
+    // array's end just yields every cell); k past the corpus returns
+    // everything reachable, rn dense from 1
+    val q = Seq((0L, corpus.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray)).toDF("qid", "embedding")
+    val all = VectorOps.ivfSearchBatch(cb, postings, q, nprobe = 99, k = 1000)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    assert(all.length === 29, s"full probe should reach every other vector: ${all.length}")
+    assert(all.map(_._2).sorted.toSeq === (1 to 29), "rn not dense")
+    assert(!all.map(_._1).contains(0L), "query matched its own corpus row")
+    // invalid dials fail loudly
+    intercept[IllegalArgumentException] {
+      VectorOps.ivfSearchBatch(cb, postings, q, nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      VectorOps.ivfSearchBatch(cb, postings, q, k = 0)
+    }
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation

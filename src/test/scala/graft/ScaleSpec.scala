@@ -172,6 +172,25 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("probe smoke engine: all five streaming gates answer under both static-side modes", Slow) {
+    // the in-suite face of BASELINE.md's "streaming probe smoke" table
+    // (the 10x/50x latency series come from Test/runMain graft.ScaleSmoke
+    // probe on an idle box): tiny corpus, two triggers, both the scan
+    // and the cached static-side mode — guards the harness and the
+    // cacheStatic dial against bit-rot between rounds
+    Seq(false, true).foreach { cached =>
+      val r = ScaleSmoke.runProbeSmoke(spark, "/root/testdata/sf0.001",
+        triggers = 2, batchDocs = 40, cacheStatic = cached)
+      assert(r.map(_.name).toSet === Set("text_probe", "embed_probe",
+        "image_probe", "audio_probe", "video_probe"), s"cached=$cached: $r")
+      r.foreach { p =>
+        assert(p.trigSecs.length === 2 && p.corpusRows > 0, s"cached=$cached: $p")
+        assert(p.steady < 120.0, s"cached=$cached ${p.name} took ${p.steady}s")
+      }
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("ANN sim-join: candidates hard-capped, probe cost linear when cells scale with n") {
     import spark.implicits._
     import graft.operators.VectorOps
