@@ -135,6 +135,8 @@ object GraftFunctions {
       "graft_minhash_buckets",
       exprs => MinHashBuckets(exprs.head, exprs(1), exprs(2), exprs(3)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs => BloomMightContain(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => {
         val n = exprs(1).eval(null) match {
           case i: Int => i

@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_nfc", "graft_nfc(str) - Unicode NFC normalization (canonical composition)"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(hash, bloom) - Bloom-filter membership " +
+        "test of an xxhash64 value against a serialized sketch (BloomGate.buildBloom)"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - generator of distinct n-token shingles"),
       (exprs: Seq[Expression]) => {

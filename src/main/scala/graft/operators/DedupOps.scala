@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import graft.functions.GraftFunctions
+import graft.functions.{BloomGate, GraftFunctions}
 import graft.sources.IdBuckets
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -704,25 +704,61 @@ object DedupOps {
     // benchmark docs, smallest such benchmark id. All integer — exact
     // oracle.
     "q_contamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      def sh5(c: String) =
-        s"CASE WHEN size($c) - 4 >= 1 THEN array_distinct(transform(sequence(1, size($c) - 4), " +
-          s"i -> concat_ws(' ', element_at($c, i), element_at($c, i + 1), element_at($c, i + 2), " +
-          s"element_at($c, i + 3), element_at($c, i + 4)))) ELSE array() END"
-      val corpus = docs
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(sh5("toks"))).as("g"))
-      val bench = docs.where(col("doc_id") % 20 === 0)
-        .withColumn("toks", expr("slice(split(text, ' '), 1, 10)"))
-        .select(col("doc_id").as("bench_id"), explode(expr(sh5("toks"))).as("g"))
-      corpus.join(broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(countDistinct("g").as("leaked_grams"),
-          countDistinct("bench_id").as("bench_docs"),
-          min("bench_id").as("first_bench_id"))
-        .orderBy("doc_id")
+      val (corpus, bench) = contaminationGrams(Tables.documents(s, d))
+      contaminationReport(corpus, bench)
+    }),
+
+    // Bloom-prefiltered decontamination — the 100 TB scale path for the
+    // gate above. The exact gate broadcasts every benchmark gram STRING;
+    // a production eval union (tens of millions of grams) makes that
+    // broadcast hash table gigabytes per executor. Here the benchmark
+    // grams build a Bloom filter (~1.2 MB per million grams at 1% FPP,
+    // treeAggregate build — see functions/BloomGate.scala) and the
+    // corpus gram stream passes a MAP-ONLY `graft_bloom_contains`
+    // filter first; only bloom-positive survivors (true leaks + ~FPP
+    // noise) enter the exact confirm join. Bloom filters have no false
+    // negatives and the confirm join removes the false positives, so
+    // the result is bit-identical to q_contamination — it shares that
+    // query's DuckDB oracle verbatim, making the scale path itself
+    // oracle-checked. BloomGateSpec pins equality, the no-false-
+    // negative law, the FPP bound, and the filter-below-join plan
+    // shape.
+    "q_contamination_bloom" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val (corpus, bench) = contaminationGrams(Tables.documents(s, d))
+      val bloom = BloomGate.buildBloom(bench.select("g"), "g", fpp = 0.01)
+      contaminationReport(
+        corpus.where(BloomGate.mightContain(bloom, col("g"))), bench)
     }),
   )
+
+  /** q_contamination's two faces over any documents frame: the corpus
+    * 5-gram stream and the derived benchmark gram set (first 10 tokens
+    * of every 20th doc). Shared by the exact and bloom-prefiltered
+    * gates so their inputs cannot drift apart. */
+  private[graft] def contaminationGrams(docs: DataFrame): (DataFrame, DataFrame) = {
+    def sh5(c: String) =
+      s"CASE WHEN size($c) - 4 >= 1 THEN array_distinct(transform(sequence(1, size($c) - 4), " +
+        s"i -> concat_ws(' ', element_at($c, i), element_at($c, i + 1), element_at($c, i + 2), " +
+        s"element_at($c, i + 3), element_at($c, i + 4)))) ELSE array() END"
+    val corpus = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sh5("toks"))).as("g"))
+    val bench = docs.where(col("doc_id") % 20 === 0)
+      .withColumn("toks", expr("slice(split(text, ' '), 1, 10)"))
+      .select(col("doc_id").as("bench_id"), explode(expr(sh5("toks"))).as("g"))
+    (corpus, bench)
+  }
+
+  /** The contamination report body: exact confirm join (benchmark side
+    * broadcast) + per-doc rollup, total-ordered. */
+  private[graft] def contaminationReport(corpus: DataFrame, bench: DataFrame): DataFrame =
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("leaked_grams"),
+        countDistinct("bench_id").as("bench_docs"),
+        min("bench_id").as("first_bench_id"))
+      .orderBy("doc_id")
 
   /** q_dedup_clusters' body over any (doc_id, source, text) frame —
     * exposed so the spec can run the identical pipeline on a planted
@@ -741,6 +777,24 @@ object DedupOps {
       .select(col("node"), col("comp"), col("members"))
       .orderBy("node")
   }
+
+  private val contaminationOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, unnest(CASE WHEN len(toks) - 4 >= 1 THEN
+      |        list_distinct(list_transform(generate_series(1, len(toks) - 4),
+      |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
+      |        ELSE [] END) AS g
+      |      FROM t),
+      |b AS (SELECT bench_id, unnest(CASE WHEN len(bt) - 4 >= 1 THEN
+      |        list_distinct(list_transform(generate_series(1, len(bt) - 4),
+      |          i -> concat_ws(' ', bt[i], bt[i+1], bt[i+2], bt[i+3], bt[i+4])))
+      |        ELSE [] END) AS g
+      |      FROM (SELECT doc_id AS bench_id, list_slice(string_split(text, ' '), 1, 10) AS bt
+      |            FROM documents WHERE doc_id % 20 = 0))
+      |SELECT c.doc_id, count(DISTINCT c.g) AS leaked_grams,
+      |  count(DISTINCT b.bench_id) AS bench_docs, min(b.bench_id) AS first_bench_id
+      |FROM c JOIN b ON c.g = b.g
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -834,23 +888,13 @@ object DedupOps {
         |FROM runs WHERE span >= 12
         |GROUP BY da, db ORDER BY da, db""".stripMargin,
 
-    "q_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id, unnest(CASE WHEN len(toks) - 4 >= 1 THEN
-        |        list_distinct(list_transform(generate_series(1, len(toks) - 4),
-        |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
-        |        ELSE [] END) AS g
-        |      FROM t),
-        |b AS (SELECT bench_id, unnest(CASE WHEN len(bt) - 4 >= 1 THEN
-        |        list_distinct(list_transform(generate_series(1, len(bt) - 4),
-        |          i -> concat_ws(' ', bt[i], bt[i+1], bt[i+2], bt[i+3], bt[i+4])))
-        |        ELSE [] END) AS g
-        |      FROM (SELECT doc_id AS bench_id, list_slice(string_split(text, ' '), 1, 10) AS bt
-        |            FROM documents WHERE doc_id % 20 = 0))
-        |SELECT c.doc_id, count(DISTINCT c.g) AS leaked_grams,
-        |  count(DISTINCT b.bench_id) AS bench_docs, min(b.bench_id) AS first_bench_id
-        |FROM c JOIN b ON c.g = b.g
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_contamination" -> contaminationOracleSql,
+
+    // The bloom gate is exact end-to-end (no false negatives; false
+    // positives die in the confirm join), so the scale path shares the
+    // exact gate's oracle VERBATIM — the strongest possible check that
+    // the prefilter is semantics-free.
+    "q_contamination_bloom" -> contaminationOracleSql,
 
     "q_dedup_ngram_jaccard" ->
       """WITH t0 AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

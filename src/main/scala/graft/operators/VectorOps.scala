@@ -1136,28 +1136,35 @@ object VectorOps {
     // precision vectors are ever rescored. Approximate by design (a true
     // neighbor mis-ranked past 100 by quantization error is lost) =>
     // rows-only tier; LlmOpsSpec bounds rerank recall against exact kNN.
-    "q_knn_sq8" -> ((s, d) => {
-      GraftFunctions.register(s)
-      val eq = Tables.embeddings(s, d)
-        .withColumn("scale",
-          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
-            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
-        .where(col("scale") > 0)
-        .withColumn("q8", expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT))"))
-      val q = eq.where(col("vec_id") === 0)
-        .select(col("q8").as("qq8"), col("scale").as("qscale"), col("embedding").as("qf"))
-      val cands = eq.where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("asim", expr("graft_dot(q8, qq8)") * col("scale") * col("qscale"))
-        .orderBy(col("asim").desc, col("vec_id").asc)
-        .limit(100)
-      cands.withColumn("sim", round(expr("graft_dot(embedding, qf)"), 6))
-        .select("vec_id", "label", "sim")
-        .orderBy(col("sim").desc, col("vec_id").asc)
-        .limit(20)
-    }),
+    "q_knn_sq8" -> ((s, d) =>
+      knnSq8On(Tables.embeddings(s, d), queryId = 0, k = 20, cand = 100)),
   )
+
+  /** q_knn_sq8's body over any embeddings frame, parameterized on the
+    * query vector — exposed so the recall harness (ScaleSmoke `recall`)
+    * can sweep queries through the identical pipeline. */
+  def knnSq8On(e: DataFrame, queryId: Long = 0, k: Int = 20,
+      cand: Int = 100): DataFrame = {
+    GraftFunctions.register(e.sparkSession)
+    val eq = e
+      .withColumn("scale",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .where(col("scale") > 0)
+      .withColumn("q8", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS TINYINT))"))
+    val q = eq.where(col("vec_id") === queryId)
+      .select(col("q8").as("qq8"), col("scale").as("qscale"), col("embedding").as("qf"))
+    val cands = eq.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("asim", expr("graft_dot(q8, qq8)") * col("scale") * col("qscale"))
+      .orderBy(col("asim").desc, col("vec_id").asc)
+      .limit(cand)
+    cands.withColumn("sim", round(expr("graft_dot(embedding, qf)"), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
 
   val oracle: Map[String, String] = Map(
     // Sequential double fold (see q_knn_range note): embeddings are only

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *       nested-loop-join counts per item. A quadratic candidate stage or
   *       a lost pushdown shows up as a superlinear time or a plan delta.
   *
+  *   Test/runMain graft.ScaleSmoke recall <n> <dim> [nQueries] [k]
+  *     — the ACCURACY axis: exact top-k reference per query (one batch
+  *       job) vs recall@k of IVF (nprobe sweep), PQ+rerank, IVFADC and
+  *       SQ8 on the same synthetic corpus (see [[runRecall]]).
+  *
   *   Test/runMain graft.ScaleSmoke ivf-simd <n> <dim> [runs]
   *     — the SIMD adoption A/B through the INDEX machinery (BASELINE r10
   *       measured the kernel on a raw scan; this measures it where the
@@ -256,6 +261,78 @@ object ScaleSmoke {
     out.toSeq
   }
 
+  final case class RecallResult(name: String, recall: Double, secs: Double)
+
+  /** ANN recall harness — the accuracy axis of the speed/recall
+    * trade-off the ANN family exists for (the scale smokes measure only
+    * the speed axis). Synthesizes `n` deterministic unit vectors,
+    * computes the EXACT top-k reference for `nQueries` queries in one
+    * batch job (broadcast query side, window top-k — never a driver
+    * loop over exact scans), then measures recall@k of each approximate
+    * method against it: IVF across an `nprobes` sweep (via
+    * `ivfSearchBatch`, one job per nprobe), PQ with exact rerank,
+    * IVFADC, and SQ8 — each approximate index built ONCE and probed
+    * per query, the deployment shape.
+    *
+    * Recall caveats measured honestly: every method rounds sims to 6dp
+    * and tie-breaks on vec_id, so boundary ties against the unrounded
+    * exact reference can cost a fraction of a point even at full probe
+    * — the in-suite guard (ScaleSpec) asserts >= 0.95 at full probe,
+    * not == 1.0, for exactly this reason. */
+  def runRecall(s: SparkSession, n: Long, dim: Int, nQueries: Int = 20,
+      k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): Seq[RecallResult] = {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    require(dim % 8 == 0, s"recall mode trains m=8 PQ subspaces; dim ($dim) must divide by 8")
+    val e = synthVectors(s, n, dim).localCheckpoint()
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding")).localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val truth: Map[Long, Set[Long]] = e
+      .crossJoin(broadcast(queries.select(col("qid"), col("embedding").as("qv"))))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", expr("graft_dot(embedding, qv)"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+    def recallOf(rows: Seq[(Long, Long)]): Double = {
+      val by = rows.groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+      truth.map { case (q, t) =>
+        by.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[RecallResult]
+    val cells = math.max(16, (n / 500).toInt)
+    val (cb, postings0) = VectorOps.ivfIndex(e, cells, iters = 1)
+    val postings = postings0.localCheckpoint()
+    nprobes.foreach { np =>
+      val (rows, secs) = timed(
+        VectorOps.ivfSearchBatch(cb, postings, queries, nprobe = np, k = k)
+          .select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      out += RecallResult(s"ivf_nprobe$np", recallOf(rows), secs)
+    }
+    def loop(name: String, one: Long => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = (0L until nQueries.toLong).flatMap { q =>
+        one(q).select("vec_id").collect().map(r => (q, r.getLong(0)))
+      }
+      out += RecallResult(name, recallOf(rows), (System.nanoTime() - t0) / 1e9)
+    }
+    val (pqcb, pqcodes0) = VectorOps.pqIndex(e, m = 8, ks = 16, iters = 1)
+    val pqcodes = pqcodes0.localCheckpoint()
+    loop("pq_rerank50", q => VectorOps.pqSearch(pqcb, pqcodes, e, q, k = k, rerank = 50))
+    val (coarse, rpqcb, rcodes0) = VectorOps.ivfPqIndex(e, cells = 16, m = 8, ks = 16,
+      iters = 1)
+    val rcodes = rcodes0.localCheckpoint()
+    loop("ivfadc_np2_rerank50", q => VectorOps.ivfPqSearch(coarse, rpqcb, rcodes, e, q,
+      nprobe = 2, k = k, rerank = 50))
+    loop("sq8_cand100", q => VectorOps.knnSq8On(e, queryId = q, k = k, cand = 100))
+    out.toSeq
+  }
+
   /** Deterministic unit vectors: per-component hash noise, normalized. */
   private def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
     s.range(n).select(col("id").as("vec_id"),
@@ -308,6 +385,16 @@ object ScaleSmoke {
             f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
+      case "recall" =>
+        // recall <n> <dim> [nQueries] [k] — the speed/recall trade-off
+        // table for BASELINE.md ("ANN recall smoke")
+        val n = args(1).toLong
+        val dim = args(2).toInt
+        val m = if (args.length > 3) args(3).toInt else 20
+        val k = if (args.length > 4) args(4).toInt else 10
+        runRecall(s, n, dim, m, k, nprobes = Seq(1, 2, 4)).foreach { r =>
+          println(f"RECALL ${r.name} recall@$k=${r.recall}%.3f secs=${r.secs}%.2f")
+        }
       case "ivf-simd" =>
         import graft.operators.VectorOps
         graft.functions.GraftFunctions.register(s)
@@ -339,7 +426,7 @@ object ScaleSmoke {
         val sdT = med((1 to runs).map(_ => once(simd = true)._2))
         println(f"SMOKE ivf_search_full n=$n dim=$dim exact=$exT%.3f simd=$sdT%.3f " +
           f"speedup=${exT / sdT}%.2fx")
-      case other => sys.error(s"unknown mode $other (corpus | ivf-simd)")
+      case other => sys.error(s"unknown mode $other (corpus | probe | recall | ivf-simd)")
     }
     s.stop()
   }

@@ -191,6 +191,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall harness: full-probe IVF tracks exact; every method lands in bounds", Slow) {
+    // the in-suite face of BASELINE.md's "ANN recall smoke" table (the
+    // big-n numbers come from Test/runMain graft.ScaleSmoke recall):
+    // small corpus, few queries — guards the harness itself and the
+    // qualitative recall ordering against bit-rot. n=2000 → cells=16,
+    // so nprobe=16 is a FULL probe: any recall loss there is only
+    // 6dp-rounding boundary ties, hence >= 0.95 not == 1.0.
+    val r = ScaleSmoke.runRecall(spark, n = 2000, dim = 16, nQueries = 5,
+      k = 10, nprobes = Seq(1, 16)).map(x => x.name -> x.recall).toMap
+    assert(r.keySet === Set("ivf_nprobe1", "ivf_nprobe16", "pq_rerank50",
+      "ivfadc_np2_rerank50", "sq8_cand100"), s"harness drifted: $r")
+    r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(r("ivf_nprobe16") >= 0.95, s"full-probe IVF recall ${r("ivf_nprobe16")}")
+    assert(r("ivf_nprobe16") >= r("ivf_nprobe1") - 1e-9,
+      "widening the probe reduced recall")
+    assert(r("sq8_cand100") >= 0.5, s"SQ8 rerank recall ${r("sq8_cand100")}")
+  }
+
   test("ANN sim-join: candidates hard-capped, probe cost linear when cells scale with n") {
     import spark.implicits._
     import graft.operators.VectorOps
