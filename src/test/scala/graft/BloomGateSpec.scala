@@ -79,6 +79,19 @@ class BloomGateSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom smoke harness: survivors = true leaks + bounded FP; sketch beats raw strings") {
+    // guards ScaleSmoke.runBloomSmoke (the BASELINE.md "bloom gate
+    // smoke" harness) against bit-rot, and pins the quantities on the
+    // real fixture: every true-leak row survives the prefilter (no
+    // false negatives), false positives stay a small fraction of the
+    // corpus gram stream.
+    val r = ScaleSmoke.runBloomSmoke(spark, sf)
+    assert(r.corpusGrams > 0 && r.benchGrams > 0 && r.trueLeakRows > 0)
+    assert(r.survivors >= r.trueLeakRows, "a true leak was filtered out")
+    assert(r.fpRows <= (r.corpusGrams * 0.03).toLong + 10,
+      s"FP rows ${r.fpRows} of ${r.corpusGrams} corpus grams - filter broken")
+  }
+
   test("an unboundedly large member set fails loudly at build time") {
     val (_, bench) = DedupOps.contaminationGrams(Tables.documents(spark, sf))
     val e = intercept[IllegalArgumentException] {

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *       nested-loop-join counts per item. A quadratic candidate stage or
   *       a lost pushdown shows up as a superlinear time or a plan delta.
   *
+  *   Test/runMain graft.ScaleSmoke bloom <sfDir> <factor>
+  *     — exact vs bloom-prefiltered contamination gate on an upsampled
+  *       corpus: broadcast bytes (raw gram strings vs sketch), confirm-
+  *       join input rows (all grams vs leaks+FP), wall times
+  *       (see [[runBloomSmoke]]).
+  *
   *   Test/runMain graft.ScaleSmoke recall <n> <dim> [nQueries] [k]
   *     — the ACCURACY axis: exact top-k reference per query (one batch
   *       job) vs recall@k of IVF (nprobe sweep), PQ+rerank, IVFADC and
@@ -261,6 +267,41 @@ object ScaleSmoke {
     out.toSeq
   }
 
+  final case class BloomSmoke(corpusGrams: Long, benchGrams: Long,
+      benchStrBytes: Long, bloomBytes: Int, survivors: Long, trueLeakRows: Long,
+      buildSecs: Double, exactSecs: Double, bloomSecs: Double) {
+    def fpRows: Long = survivors - trueLeakRows
+  }
+
+  /** Bloom-gate smoke: the exact vs bloom-prefiltered contamination gate
+    * over an (upsampled) corpus, measuring the quantities the bloom
+    * exists for — the broadcast footprint (raw benchmark gram STRING
+    * bytes vs serialized bloom bytes) and the confirm-join input (every
+    * corpus gram under the exact gate; true leaks + ~FPP false
+    * positives under the bloom). Wall times are reported too, but at
+    * smoke scale the tiny derived benchmark makes both broadcast sides
+    * cheap — the byte/row columns are the 100 TB argument, the times
+    * just prove the prefilter isn't a regression. */
+  def runBloomSmoke(s: SparkSession, dir: String): BloomSmoke = {
+    import graft.operators.DedupOps
+    graft.functions.GraftFunctions.register(s)
+    val (corpus, bench) = DedupOps.contaminationGrams(Tables.documents(s, dir))
+    val corpusGrams = corpus.count()
+    val benchG = bench.select("g").distinct()
+    val benchGrams = benchG.count()
+    val benchStrBytes = benchG.agg(sum(length(col("g")))).head().getLong(0)
+    val (bloom, buildSecs) = timed(
+      graft.functions.BloomGate.buildBloom(bench.select("g"), "g", fpp = 0.01))
+    val survivors = corpus
+      .where(graft.functions.BloomGate.mightContain(bloom, col("g"))).count()
+    val trueLeakRows = corpus.join(benchG, "g").count()
+    val (_, exactSecs) = timed(DedupOps.contaminationReport(corpus, bench).count())
+    val (_, bloomSecs) = timed(DedupOps.contaminationReport(
+      corpus.where(graft.functions.BloomGate.mightContain(bloom, col("g"))), bench).count())
+    BloomSmoke(corpusGrams, benchGrams, benchStrBytes, bloom.length, survivors,
+      trueLeakRows, buildSecs, exactSecs, bloomSecs)
+  }
+
   final case class RecallResult(name: String, recall: Double, secs: Double)
 
   /** ANN recall harness — the accuracy axis of the speed/recall
@@ -280,12 +321,14 @@ object ScaleSmoke {
     * — the in-suite guard (ScaleSpec) asserts >= 0.95 at full probe,
     * not == 1.0, for exactly this reason. */
   def runRecall(s: SparkSession, n: Long, dim: Int, nQueries: Int = 20,
-      k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): Seq[RecallResult] = {
+      k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4),
+      clustered: Boolean = true): Seq[RecallResult] = {
     import graft.operators.VectorOps
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     require(dim % 8 == 0, s"recall mode trains m=8 PQ subspaces; dim ($dim) must divide by 8")
-    val e = synthVectors(s, n, dim).localCheckpoint()
+    val e = (if (clustered) synthClusteredVectors(s, n, dim)
+             else synthVectors(s, n, dim)).localCheckpoint()
     val queries = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding")).localCheckpoint()
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
@@ -321,17 +364,47 @@ object ScaleSmoke {
       }
       out += RecallResult(name, recallOf(rows), (System.nanoTime() - t0) / 1e9)
     }
+    // rerank is THE recall dial for the code-compressed methods: 32-bit
+    // codes (m=8 x ks=16) cannot rank fine-grained neighbors, they can
+    // only shortlist — recall is a function of how deep the exact
+    // rerank digs, so measure two depths
     val (pqcb, pqcodes0) = VectorOps.pqIndex(e, m = 8, ks = 16, iters = 1)
     val pqcodes = pqcodes0.localCheckpoint()
-    loop("pq_rerank50", q => VectorOps.pqSearch(pqcb, pqcodes, e, q, k = k, rerank = 50))
+    Seq(50, 200).foreach { rr =>
+      loop(s"pq_rerank$rr", q => VectorOps.pqSearch(pqcb, pqcodes, e, q, k = k, rerank = rr))
+    }
     val (coarse, rpqcb, rcodes0) = VectorOps.ivfPqIndex(e, cells = 16, m = 8, ks = 16,
       iters = 1)
     val rcodes = rcodes0.localCheckpoint()
-    loop("ivfadc_np2_rerank50", q => VectorOps.ivfPqSearch(coarse, rpqcb, rcodes, e, q,
-      nprobe = 2, k = k, rerank = 50))
+    Seq(50, 200).foreach { rr =>
+      loop(s"ivfadc_np2_rerank$rr", q => VectorOps.ivfPqSearch(coarse, rpqcb, rcodes, e, q,
+        nprobe = 2, k = k, rerank = rr))
+    }
     loop("sq8_cand100", q => VectorOps.knnSq8On(e, queryId = q, k = k, cand = 100))
     out.toSeq
   }
+
+  /** Deterministic CLUSTERED unit vectors: 200 hash-noise centroids,
+    * each vector = normalize(centroid(id % 200) + 0.35 · noise). Real
+    * embedding corpora are clustered (that is what makes IVF work);
+    * uniform random vectors (synthVectors) are the structure-free
+    * adversarial case where cell-probing ANN degrades to its floor —
+    * the recall harness measures BOTH so BASELINE.md can show the
+    * envelope instead of one flattering number. */
+  private def synthClusteredVectors(s: SparkSession, n: Long, dim: Int,
+      clusters: Int = 200, noise: Double = 0.35): DataFrame =
+    s.range(n).select(col("id").as("vec_id"),
+        (col("id") % 8).cast("string").as("label"),
+        (col("id") % clusters).as("c"))
+      .withColumn("raw", expr(
+        s"transform(sequence(1, $dim), j -> " +
+          s"(CAST(pmod(xxhash64(concat('ctr_', CAST(c AS STRING), '_', CAST(j AS STRING))), " +
+          s"2000) AS DOUBLE) / 1000.0 - 1.0) + $noise * " +
+          s"(CAST(pmod(xxhash64(concat(CAST(vec_id AS STRING), '_', CAST(j AS STRING))), " +
+          s"2000) AS DOUBLE) / 1000.0 - 1.0))"))
+      .withColumn("nrm", expr("sqrt(aggregate(raw, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(raw, x -> CAST(x / nrm AS FLOAT))").as("embedding"))
 
   /** Deterministic unit vectors: per-component hash noise, normalized. */
   private def synthVectors(s: SparkSession, n: Long, dim: Int): DataFrame =
@@ -385,15 +458,38 @@ object ScaleSmoke {
             f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
+      case "bloom" =>
+        // bloom <sfDir> <factor> — exact vs bloom-prefiltered
+        // contamination gate at an upsampled corpus (BASELINE.md
+        // "bloom gate smoke")
+        val src = args(1)
+        val factor = args(2).toInt
+        val dataDir =
+          if (factor <= 1) src
+          else {
+            val blown = java.nio.file.Files.createTempDirectory("bloom_corpus").toString
+            val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+            println(f"BLOOM upsample factor=$factor secs=$upSecs%.1f")
+            blown
+          }
+        val r = runBloomSmoke(s, dataDir)
+        println(f"BLOOM corpus_grams=${r.corpusGrams} bench_grams=${r.benchGrams} " +
+          f"bench_str_bytes=${r.benchStrBytes} bloom_bytes=${r.bloomBytes} " +
+          f"survivors=${r.survivors} true_leak=${r.trueLeakRows} fp=${r.fpRows} " +
+          f"build=${r.buildSecs}%.2f exact=${r.exactSecs}%.2f bloom=${r.bloomSecs}%.2f")
       case "recall" =>
-        // recall <n> <dim> [nQueries] [k] — the speed/recall trade-off
-        // table for BASELINE.md ("ANN recall smoke")
+        // recall <n> <dim> [nQueries] [k] [uniform] — the speed/recall
+        // trade-off table for BASELINE.md ("ANN recall smoke");
+        // clustered corpus by default, `uniform` for the adversarial
+        // structure-free case
         val n = args(1).toLong
         val dim = args(2).toInt
         val m = if (args.length > 3) args(3).toInt else 20
         val k = if (args.length > 4) args(4).toInt else 10
-        runRecall(s, n, dim, m, k, nprobes = Seq(1, 2, 4)).foreach { r =>
-          println(f"RECALL ${r.name} recall@$k=${r.recall}%.3f secs=${r.secs}%.2f")
+        val clustered = !(args.length > 5 && args(5) == "uniform")
+        val corpusKind = if (clustered) "clustered" else "uniform"
+        runRecall(s, n, dim, m, k, nprobes = Seq(1, 2, 4), clustered).foreach { r =>
+          println(f"RECALL ${r.name} corpus=$corpusKind recall@$k=${r.recall}%.3f secs=${r.secs}%.2f")
         }
       case "ivf-simd" =>
         import graft.operators.VectorOps
@@ -426,7 +522,7 @@ object ScaleSmoke {
         val sdT = med((1 to runs).map(_ => once(simd = true)._2))
         println(f"SMOKE ivf_search_full n=$n dim=$dim exact=$exT%.3f simd=$sdT%.3f " +
           f"speedup=${exT / sdT}%.2fx")
-      case other => sys.error(s"unknown mode $other (corpus | probe | recall | ivf-simd)")
+      case other => sys.error(s"unknown mode $other (corpus | probe | bloom | recall | ivf-simd)")
     }
     s.stop()
   }

@@ -201,7 +201,10 @@ class ScaleSpec extends AnyFunSuite {
     val r = ScaleSmoke.runRecall(spark, n = 2000, dim = 16, nQueries = 5,
       k = 10, nprobes = Seq(1, 16)).map(x => x.name -> x.recall).toMap
     assert(r.keySet === Set("ivf_nprobe1", "ivf_nprobe16", "pq_rerank50",
-      "ivfadc_np2_rerank50", "sq8_cand100"), s"harness drifted: $r")
+      "pq_rerank200", "ivfadc_np2_rerank50", "ivfadc_np2_rerank200",
+      "sq8_cand100"), s"harness drifted: $r")
+    assert(r("pq_rerank200") >= r("pq_rerank50") - 1e-9,
+      "deeper rerank reduced PQ recall")
     r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(r("ivf_nprobe16") >= 0.95, s"full-probe IVF recall ${r("ivf_nprobe16")}")
     assert(r("ivf_nprobe16") >= r("ivf_nprobe1") - 1e-9,
