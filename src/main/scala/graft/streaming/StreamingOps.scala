@@ -193,6 +193,49 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("leaked"), (col("leaked") === 0).as("clean"))
   }
 
+  /** Bloom twin of [[contaminationGateStream]] — the same per-document
+    * decontamination decision with the benchmark gram inventory carried
+    * as a Bloom SKETCH (functions/BloomGate.scala) instead of a
+    * broadcast string array, removing the gate's `maxGrams` ceiling:
+    * the array gate caps at ~1M grams of broadcast strings, the sketch
+    * holds ~89M grams at fpp=1e-5 inside BloomGate's 2³¹-bit cap, at
+    * O(1) per gram regardless of benchmark size.
+    *
+    * Shape: even simpler than the exact gate — NO join at all (not even
+    * the one-row broadcast). The sketch is built once at stream
+    * construction (driver-side treeAggregate, setup cost) and rides the
+    * plan as a binary literal; per row the doc's distinct 5-grams pass
+    * through `graft_bloom_contains` inside an array `filter` HOF.
+    * Stateless, Append, exactly one row per document.
+    *
+    * Semantics, stated honestly: `hits` is an UPPER bound on the true
+    * leaked-gram count (each clean gram false-positives with probability
+    * ~fpp), so `clean = (hits == 0)` errs only toward quarantine —
+    * a doc the gate admits is EXACTLY clean (Bloom filters have no
+    * false negatives), a flagged doc is contaminated with probability
+    * ≈ 1 − (grams·fpp). Feed flagged survivors to the batch
+    * q_contamination join for exact leak accounting when quarantine
+    * alone is not enough. */
+  def contaminationGateStreamBloom(docs: DataFrame, benchmark: DataFrame,
+      fpp: Double = 1e-5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh5 =
+      "CASE WHEN size(toks) - 4 >= 1 THEN array_distinct(transform(sequence(1, size(toks) - 4), " +
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), " +
+        "element_at(toks, i + 3), element_at(toks, i + 4)))) ELSE array() END"
+    val benchGrams = benchmark
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(sh5)).as("g")).distinct()
+    // one-time setup: the sketch build is the only job the static side
+    // ever runs — there is no static side left in the streaming plan
+    val bloom = graft.functions.BloomGate.buildBloom(benchGrams, "g", fpp)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hits", size(filter(expr(sh5),
+        g => graft.functions.BloomGate.mightContain(bloom, g))))
+      .select(col("doc_id"), col("ts"), col("hits"), (col("hits") === 0).as("clean"))
+  }
+
   /** Streaming rate limiter — q_evt_rate_limit's stateful twin: admit at
     * most `perHour` events per (user, event-hour), state = one Long per
     * open (user, hour) group, expired by event-time timeout as soon as

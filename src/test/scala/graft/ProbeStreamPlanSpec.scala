@@ -183,6 +183,24 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
     assert(res === Map(100L -> false, 101L -> true))
   }
 
+  test("contaminationGateStreamBloom: no Aggregate AND no Join - the sketch is a literal") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import spark.implicits._
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val benchmark = Seq((1L, mk(1)), (2L, mk(2))).toDF("bench_id", "text")
+    val in = Seq(
+      (100L, ts(1000L), mk(1)),
+      (101L, ts(2000L), mk(9))).toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamingOps.contaminationGateStreamBloom(in, benchmark)
+    assertNoAggregate(out, "bloom contamination gate", Seq.empty)
+    // stronger than the exact gate's contract: the benchmark rides as a
+    // binary literal, so there is no stream-static join left at all
+    val joins = out.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.isEmpty, s"bloom gate plan still joins:\n${out.queryExecution.optimizedPlan}")
+    val res = out.collect().map(r => (r.getLong(0), r.getAs[Boolean]("clean"))).toMap
+    assert(res === Map(100L -> false, 101L -> true))
+  }
+
   test("image imageDedupProbeStream: no Aggregate anywhere (the family's reference shape)") {
     import graft.sources.ImageCodec
     import spark.implicits._

@@ -280,6 +280,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom decontamination gate: admits exactly the exact gate's clean docs, no join") {
+    import spark.implicits._
+    // same fixture as the exact-gate test: at fpp=1e-5 over ~16 grams
+    // the FP probability is ~1e-4, so hits should equal the exact
+    // leaked counts outright — and the clean/flag decision MUST agree
+    // (bloom-clean ⊆ exact-clean can only break via a false negative,
+    // which a bloom cannot produce)
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val benchmark = Seq((1L, mk(1)), (2L, mk(2))).toDF("doc_id", "text")
+    val in = MemoryStream[DocEv](26, spark, None)
+    val q = StreamingOps.contaminationGateStreamBloom(in.toDF(), benchmark)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam_bloom_out").start()
+    try {
+      in.addData(
+        DocEv(201, ts("10:00"), (1 to 8).map(t => s"w1_$t").mkString(" ")),
+        DocEv(202, ts("10:01"), (1 to 12).map(t => s"fresh_$t").mkString(" ")))
+      q.processAllAvailable()
+      val rows = spark.table("contam_bloom_out")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getBoolean(3)))).toMap
+      assert(rows.keySet === Set(201L, 202L), s"expected one row per doc, got $rows")
+      assert(rows(201) === ((4, false)), s"contaminated doc mis-scored: ${rows(201)}")
+      assert(rows(202) === ((0, true)), s"clean doc mis-scored: ${rows(202)}")
+    } finally q.stop()
+  }
+
   test("streaming rate limiter: caps per (user, hour) across batches, fresh cap each hour") {
     import spark.implicits._
     val in = MemoryStream[Ev](19, spark, None)
