@@ -44,6 +44,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "test of an xxhash64 value against a serialized sketch (BloomGate.buildBloom)"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      info("graft_kll_agg", "graft_kll_agg(x[, k]) - mergeable KLL quantile sketch of a " +
+        "numeric column, emitted as BINARY (persist per batch, merge later)"),
+      (exprs: Seq[Expression]) => KllSketchFns.buildAgg(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge", "graft_kll_merge(sketch) - union of BINARY KLL sketches"),
+      (exprs: Seq[Expression]) => KllMergeAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", "graft_kll_quantile(sketch, rank) - estimated value at " +
+        "normalized rank in [0,1]; NULL for an empty sketch"),
+      (exprs: Seq[Expression]) => KllQuantile(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_rank"),
+      info("graft_kll_rank", "graft_kll_rank(sketch, x) - estimated normalized rank of a " +
+        "value; NULL for an empty sketch"),
+      (exprs: Seq[Expression]) => KllRank(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("shingles"),
       info("shingles", "shingles(tokens, n) - generator of distinct n-token shingles"),
       (exprs: Seq[Expression]) => {

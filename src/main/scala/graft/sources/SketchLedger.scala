@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.functions.GraftFunctions
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,6 +32,14 @@ import org.apache.spark.sql.functions._
   * The `rows` column is exact bookkeeping (sums linearly), giving every
   * reader the (exact processed rows, approximate distinct) pair that
   * dedup-rate monitoring actually wants.
+  *
+  * A second ledger kind, the QUANTILE ledger (appendQuantile /
+  * quantileByKey / quantileTotal below), applies the same pattern to
+  * "p99 of X so far, per key" via the graft_kll_* functions
+  * (functions/KllSketchFns.scala) — completing the sketch-accounting
+  * trio (distinct = HLL here, heavy hitters = graft_topk, quantiles =
+  * KLL). The two kinds never share a dir: the meta stamps which sketch
+  * family owns it and every reader checks that first.
   */
 object SketchLedger {
 
@@ -41,8 +50,23 @@ object SketchLedger {
 
   private def readMeta(s: SparkSession, dir: String): Option[(Int, Seq[String], String)] =
     if (fs(s, dir).exists(new Path(metaPath(dir)))) {
-      val m = s.read.parquet(metaPath(dir)).head()
+      val df = s.read.parquet(metaPath(dir))
+      require(df.columns.contains("lgk"),
+        s"ledger at $dir is not a distinct-count ledger (its meta has no 'lgk'; " +
+          "quantile ledgers carry 'k') - sketch kinds cannot share a ledger dir")
+      val m = df.head()
       Some((m.getAs[Int]("lgk"), m.getSeq[String](m.fieldIndex("keys")).toList,
+        m.getAs[String]("value")))
+    } else None
+
+  private def readQuantileMeta(s: SparkSession, dir: String): Option[(Int, Seq[String], String)] =
+    if (fs(s, dir).exists(new Path(metaPath(dir)))) {
+      val df = s.read.parquet(metaPath(dir))
+      require(df.columns.contains("k"),
+        s"ledger at $dir is not a quantile ledger (its meta has no 'k'; " +
+          "distinct-count ledgers carry 'lgk') - sketch kinds cannot share a ledger dir")
+      val m = df.head()
+      Some((m.getAs[Int]("k"), m.getSeq[String](m.fieldIndex("keys")).toList,
         m.getAs[String]("value")))
     } else None
 
@@ -100,5 +124,97 @@ object SketchLedger {
     s.read.parquet(s"$dir/sketches")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_est"))
       .head().getLong(0)
+  }
+
+  // ------------------------------------------------------------------
+  // Quantile ledger (KLL) — same append/merge pattern, different error
+  // contract. "p99 document length so far, per source" from kilobytes
+  // instead of a corpus re-scan. See functions/KllSketchFns.scala for
+  // the sketch functions and the honest determinism caveat (KLL
+  // compaction is randomized; every law here is an error bound, never
+  // a hash).
+  //
+  // Retry discipline differs from HLL by necessity: HLL union is
+  // idempotent (re-OR of the same registers), but merging a duplicate
+  // KLL sketch DOUBLES its values' weights. The read path therefore
+  // dedups on (keys, batch_id) before merging — a retried append of
+  // the same batch id is absorbed, matching the composed ingest loops'
+  // retry law. A "retry" that writes DIFFERENT data under the same
+  // batch id is caller error, as everywhere else in the Ledger family.
+  // ------------------------------------------------------------------
+
+  /** Append one ingest batch's KLL quantile sketches, one row per key.
+    * First append stamps (k, keys, value) into the meta; later appends
+    * must match (mixed-k merges silently degrade to the smaller k's
+    * accuracy, so drift is refused loudly — the IndexMeta discipline).
+    * k=200 default ≈ 1.65% normalized rank error, a few KB per key. */
+  def appendQuantile(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
+      dir: String, batchId: String, k: Int = 200): Unit = {
+    require(keys.nonEmpty, "SketchLedger.appendQuantile: at least one key column required")
+    require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
+    GraftFunctions.register(s)
+    readQuantileMeta(s, dir).foreach { case (mk, ks, v) =>
+      require(mk == k && ks == keys && v == value,
+        s"quantile ledger at $dir was created with (k=$mk, keys=$ks, value=$v); " +
+          s"this append uses (k=$k, keys=$keys, value=$value) - merging " +
+          "mixed-parameter sketches silently degrades accuracy, so it is refused. " +
+          "Start a new ledger dir for new parameters.")
+    }
+    val sk = batch
+      .groupBy(keys.map(col): _*)
+      .agg(expr(s"graft_kll_agg($value, $k)").as("sketch"),
+        count(col(value)).as("rows"))
+      .withColumn("batch_id", lit(batchId))
+    sk.write.mode("append").parquet(s"$dir/sketches")
+    if (!fs(s, dir).exists(new Path(metaPath(dir)))) {
+      import s.implicits._
+      Seq((k, keys, value)).toDF("k", "keys", "value")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    }
+  }
+
+  /** Estimated values at the requested normalized ranks per key, merged
+    * across every appended batch (long form: one row per key × rank,
+    * with the exact processed-row count alongside). Reads only the
+    * sketch table — bytes per key·batch, never the corpus. */
+  def quantileByKey(s: SparkSession, dir: String, ranks: Seq[Double]): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be non-empty and within [0, 1], got $ranks")
+    GraftFunctions.register(s)
+    val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
+      sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
+    // retried batches collapse to one sketch per (keys, batch_id); min()
+    // on the BINARY column is an arbitrary-but-deterministic pick among
+    // retries of the same payload (any of them is a valid sketch of it)
+    val perBatch = s.read.parquet(s"$dir/sketches")
+      .groupBy((keys :+ "batch_id").map(col): _*)
+      .agg(min(col("sketch")).as("sketch"), max(col("rows")).as("rows"))
+    perBatch
+      .groupBy(keys.map(col): _*)
+      .agg(expr("graft_kll_merge(sketch)").as("sk"), sum(col("rows")).as("rows"))
+      .select(keys.map(col) ++ Seq(col("rows"), col("sk"),
+        explode(lit(ranks.toArray)).as("rank")): _*)
+      .withColumn("value_est", expr("graft_kll_quantile(sk, rank)"))
+      .drop("sk")
+      .orderBy(keys.map(c => col(c).asc) :+ col("rank").asc: _*)
+  }
+
+  /** Global estimate at one rank across ALL keys and batches. Errors on
+    * a ledger whose every appended value was NULL (empty union). */
+  def quantileTotal(s: SparkSession, dir: String, rank: Double): Double = {
+    require(rank >= 0.0 && rank <= 1.0, s"rank must be in [0, 1], got $rank")
+    GraftFunctions.register(s)
+    val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
+      sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
+    val perBatch = s.read.parquet(s"$dir/sketches")
+      .groupBy((keys :+ "batch_id").map(col): _*)
+      .agg(min(col("sketch")).as("sketch"))
+    val row = perBatch
+      .agg(expr(s"graft_kll_quantile(graft_kll_merge(sketch), cast($rank as double))")
+        .as("value_est"))
+      .head()
+    if (row.isNullAt(0))
+      sys.error(s"quantile ledger at $dir holds only empty sketches - no quantile exists")
+    row.getDouble(0)
   }
 }

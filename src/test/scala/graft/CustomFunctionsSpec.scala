@@ -459,4 +459,70 @@ class CustomFunctionsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0))
     assert(sigs(0) === sigs(1))
   }
+
+  test("graft_kll: quantile/rank bounds on a known distribution, partition-merge law") {
+    GraftFunctions.register(spark)
+    // uniform 0..N-1 over 8 partitions: exact normalized rank of value v
+    // is (v+1)/N (inclusive criteria), so every estimate is checkable in
+    // RANK space — the space KLL's contract actually bounds (~1.65% at
+    // k=200; 3% slack for the randomized compaction)
+    val n = 100000
+    val xs = spark.range(n).toDF("x").repartition(8)
+    xs.createOrReplaceTempView("kll_xs")
+    val oneShot = spark.sql(
+      """SELECT graft_kll_quantile(sk, 0.5d) AS p50,
+        |       graft_kll_rank(sk, 25000.0d) AS r25
+        |FROM (SELECT graft_kll_agg(x) AS sk FROM kll_xs)""".stripMargin).head()
+    assert(math.abs(oneShot.getDouble(0) / n - 0.5) <= 0.03,
+      s"p50 estimate ${oneShot.getDouble(0)} outside rank bound")
+    assert(math.abs(oneShot.getDouble(1) - 0.25) <= 0.03,
+      s"rank(25000) estimate ${oneShot.getDouble(1)} outside bound")
+    // merge law: 8 per-partition sketches unioned == one-shot, within
+    // the same bound; and the merged sketch must carry the DATA k (200),
+    // not the merge buffer's k=8 shell — the shell-adoption law that
+    // keeps per-group buffers tiny without capping accuracy
+    val mergedBytes = spark.sql(
+      """SELECT graft_kll_merge(sk) FROM (
+        |  SELECT pmod(x, 8) AS p, graft_kll_agg(x) AS sk FROM kll_xs GROUP BY 1
+        |)""".stripMargin).head().getAs[Array[Byte]](0)
+    val merged = graft.functions.KllSketchFns.heapify(mergedBytes)
+    assert(merged.getK === 200, s"merged sketch k=${merged.getK}: shell adoption broken")
+    assert(merged.getN === n.toLong, "merge lost or duplicated weight")
+    assert(math.abs(merged.getQuantile(0.5) / n - 0.5) <= 0.03)
+  }
+
+  test("graft_kll: null/empty semantics and argument validation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // nulls are skipped by the agg; an all-null group yields an EMPTY
+    // sketch whose quantile/rank are NULL (not an error)
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(expr("graft_kll_agg(v)").as("sk"))
+      .select(col("g"), expr("graft_kll_quantile(sk, 1.0d)").as("hi"),
+        expr("graft_kll_rank(sk, 0.0d)").as("lo"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("a").getDouble(1) === 3.0, "two non-null values: max must be exact")
+    assert(rows("b").isNullAt(1) && rows("b").isNullAt(2),
+      "empty sketch must yield NULL, not throw")
+    // k is a sized-before-first-row parameter: literal only, in range
+    val e1 = intercept[Exception] {
+      df.select(expr("graft_kll_agg(v, 4)")).collect()
+    }
+    assert(e1.getMessage.contains("[8, 65535]"), s"bad message: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_kll_agg(cast(g AS double), cast(v AS int)) " +
+        "FROM (SELECT 'x' g, 1.0 v)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"), s"bad message: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      df.select(expr("graft_kll_agg(g)")).collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("numeric"), s"bad message: ${e3.getMessage}")
+    val e4 = intercept[Exception] {
+      df.select(expr("graft_kll_quantile(cast(g AS binary), 1.5d)")).collect()
+    }
+    assert(e4.getMessage.contains("[0, 1]"), s"bad message: ${e4.getMessage}")
+  }
 }
