@@ -42,7 +42,7 @@ import org.apache.spark.sql.types._
   */
 object KllSketchFns {
 
-  private[functions] def heapify(bytes: Array[Byte]): KllDoublesSketch =
+  private[graft] def heapify(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
   private val numeric: Set[DataType] =
