@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   * mergeable sketches, NOT approx_count_distinct's one-shot estimate):
   * each ingest batch appends one row per key carrying its serialized
   * sketch (+ exact row count); any later question merges the relevant
-  * sketch rows — commutative, idempotent under re-merge, and the
-  * re-appended-batch case degrades gracefully (a duplicate batch can
-  * only re-OR the same registers; see the union-idempotence law in
-  * SketchLedgerSpec).
+  * sketch rows — commutative, idempotent under re-merge. A re-appended
+  * (retried) batch under the SAME batch id is fully absorbed on the
+  * read path: both ledger kinds collapse to one row per
+  * (keys, batch_id) before merging (see dedupRetries), so neither the
+  * estimate NOR the exact `rows` bookkeeping moves. A retry that lands
+  * under a different batch id still cannot inflate the HLL estimate
+  * (register OR is idempotent) but DOES double `rows` — batch ids are
+  * the retry contract, as in the composed ingest loops.
   *
   * Error contract: standard HLL — ~1.04/√2^lgk relative error (~1.6% at
   * the default lgConfigK=12, ~520 bytes per key). `lgConfigK` is pinned
@@ -89,17 +93,47 @@ object SketchLedger {
           "mixed-parameter sketches silently degrades accuracy, so it is refused. " +
           "Start a new ledger dir for new parameters.")
     }
+    // meta FIRST (the AssetIngest husk discipline): a crash after the
+    // meta stamp but before the sketch write leaves a harmless husk the
+    // retry passes through the param check above; the old sketches-first
+    // order left a window where a differently-parameterized second
+    // append could stamp its own meta over lgk-X sketches and
+    // hll_union_agg would silently merge mixed precisions.
+    if (readMeta(s, dir).isEmpty) {
+      import s.implicits._
+      Seq((lgConfigK, keys, value)).toDF("lgk", "keys", "value")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    }
     val sk = batch
       .groupBy(keys.map(col): _*)
       .agg(expr(s"hll_sketch_agg($value, $lgConfigK)").as("sketch"),
         count(col(value)).as("rows"))
       .withColumn("batch_id", lit(batchId))
     sk.write.mode("append").parquet(s"$dir/sketches")
-    if (readMeta(s, dir).isEmpty) {
-      import s.implicits._
-      Seq((lgConfigK, keys, value)).toDF("lgk", "keys", "value")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
-    }
+  }
+
+  /** Retried-batch absorption shared by both read paths: collapse to one
+    * row per (keys, batch_id) BEFORE merging, so a re-appended batch
+    * (same id) cannot double the exact `rows` bookkeeping. The HLL
+    * estimate was already retry-safe (register OR is idempotent), but
+    * `rows` sums linearly — without this, a retry silently inflates the
+    * exact half of the (rows, distinct) pair. min(sketch) is an
+    * arbitrary-but-deterministic pick among retries of the same payload
+    * (HLL sketch bytes are deterministic, so retries agree anyway). A
+    * "retry" that writes DIFFERENT data under the same batch id is
+    * caller error, as everywhere in the Ledger family. */
+  private def dedupRetries(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy((keys :+ "batch_id").map(col): _*)
+      .agg(min(col("sketch")).as("sketch"), max(col("rows")).as("rows"))
+
+  /** Sketch-table read with a clean message for the meta-only husk a
+    * crashed first append leaves behind (meta-first ordering makes that
+    * the ONLY partial state possible). */
+  private def readSketches(s: SparkSession, dir: String): DataFrame = {
+    if (!fs(s, dir).exists(new Path(s"$dir/sketches")))
+      sys.error(s"ledger at $dir has meta but no sketches yet - its first " +
+        "append was interrupted before any sketch row landed; re-run the append")
+    s.read.parquet(s"$dir/sketches")
   }
 
   /** Distinct estimate + exact processed rows per key, merged across
@@ -108,7 +142,7 @@ object SketchLedger {
   def distinctByKey(s: SparkSession, dir: String): DataFrame = {
     val (_, keys, _) = readMeta(s, dir).getOrElse(
       sys.error(s"SketchLedger at $dir has no meta - nothing was ever appended"))
-    s.read.parquet(s"$dir/sketches")
+    dedupRetries(readSketches(s, dir), keys)
       .groupBy(keys.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_est"),
         sum(col("rows")).as("rows"))
@@ -121,7 +155,7 @@ object SketchLedger {
   def distinctTotal(s: SparkSession, dir: String): Long = {
     readMeta(s, dir).getOrElse(
       sys.error(s"SketchLedger at $dir has no meta - nothing was ever appended"))
-    s.read.parquet(s"$dir/sketches")
+    readSketches(s, dir)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_est"))
       .head().getLong(0)
   }
@@ -134,13 +168,11 @@ object SketchLedger {
   // compaction is randomized; every law here is an error bound, never
   // a hash).
   //
-  // Retry discipline differs from HLL by necessity: HLL union is
-  // idempotent (re-OR of the same registers), but merging a duplicate
-  // KLL sketch DOUBLES its values' weights. The read path therefore
-  // dedups on (keys, batch_id) before merging — a retried append of
-  // the same batch id is absorbed, matching the composed ingest loops'
-  // retry law. A "retry" that writes DIFFERENT data under the same
-  // batch id is caller error, as everywhere else in the Ledger family.
+  // Retry stakes are higher here than for HLL: HLL union is idempotent
+  // (re-OR of the same registers), but merging a duplicate KLL sketch
+  // DOUBLES its values' weights — without the shared (keys, batch_id)
+  // dedup the ESTIMATES themselves would drift, not just the `rows`
+  // bookkeeping. Both read paths go through dedupRetries.
   // ------------------------------------------------------------------
 
   /** Append one ingest batch's KLL quantile sketches, one row per key.
@@ -160,17 +192,18 @@ object SketchLedger {
           "mixed-parameter sketches silently degrades accuracy, so it is refused. " +
           "Start a new ledger dir for new parameters.")
     }
+    // meta FIRST — same crash-window discipline as append() above
+    if (!fs(s, dir).exists(new Path(metaPath(dir)))) {
+      import s.implicits._
+      Seq((k, keys, value)).toDF("k", "keys", "value")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    }
     val sk = batch
       .groupBy(keys.map(col): _*)
       .agg(expr(s"graft_kll_agg($value, $k)").as("sketch"),
         count(col(value)).as("rows"))
       .withColumn("batch_id", lit(batchId))
     sk.write.mode("append").parquet(s"$dir/sketches")
-    if (!fs(s, dir).exists(new Path(metaPath(dir)))) {
-      import s.implicits._
-      Seq((k, keys, value)).toDF("k", "keys", "value")
-        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
-    }
   }
 
   /** Estimated values at the requested normalized ranks per key, merged
@@ -183,13 +216,7 @@ object SketchLedger {
     GraftFunctions.register(s)
     val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
       sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
-    // retried batches collapse to one sketch per (keys, batch_id); min()
-    // on the BINARY column is an arbitrary-but-deterministic pick among
-    // retries of the same payload (any of them is a valid sketch of it)
-    val perBatch = s.read.parquet(s"$dir/sketches")
-      .groupBy((keys :+ "batch_id").map(col): _*)
-      .agg(min(col("sketch")).as("sketch"), max(col("rows")).as("rows"))
-    perBatch
+    dedupRetries(readSketches(s, dir), keys)
       .groupBy(keys.map(col): _*)
       .agg(expr("graft_kll_merge(sketch)").as("sk"), sum(col("rows")).as("rows"))
       .select(keys.map(col) ++ Seq(col("rows"), col("sk"),
@@ -206,10 +233,7 @@ object SketchLedger {
     GraftFunctions.register(s)
     val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
       sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
-    val perBatch = s.read.parquet(s"$dir/sketches")
-      .groupBy((keys :+ "batch_id").map(col): _*)
-      .agg(min(col("sketch")).as("sketch"))
-    val row = perBatch
+    val row = dedupRetries(readSketches(s, dir), keys)
       .agg(expr(s"graft_kll_quantile(graft_kll_merge(sketch), cast($rank as double))")
         .as("value_est"))
       .head()

@@ -67,16 +67,51 @@ class SketchLedgerSpec extends AnyFunSuite {
     assert(a === b, "estimates differ across append orders")
   }
 
-  test("a re-appended (retried) batch cannot inflate the distinct estimate") {
+  test("a re-appended (retried) batch moves NEITHER the estimate nor the exact rows") {
     val dir = tmp()
     val t = tokens
     SketchLedger.append(spark, t, Seq("source"), "tok", dir, batchId = "b0")
-    val once = SketchLedger.distinctByKey(spark, dir).collect().map(_.getLong(1)).toSeq
-    SketchLedger.append(spark, t, Seq("source"), "tok", dir, batchId = "b0_retry")
-    val twice = SketchLedger.distinctByKey(spark, dir).collect().map(_.getLong(1)).toSeq
-    assert(once === twice,
-      "unioning a duplicate batch's sketch changed the estimate - HLL register OR " +
-        "must be idempotent on identical inputs")
+    val once = SketchLedger.distinctByKey(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the retry contract: same batch id -> fully absorbed on read
+    SketchLedger.append(spark, t, Seq("source"), "tok", dir, batchId = "b0")
+    val retried = SketchLedger.distinctByKey(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(once === retried,
+      "a same-batch-id retry must be absorbed: (keys, batch_id) dedup on the read " +
+        "path keeps both distinct_est AND the exact rows column unchanged")
+    // a duplicate under a DIFFERENT id is caller mislabeling: the HLL
+    // estimate still cannot inflate (register OR is idempotent) but the
+    // exact rows bookkeeping honestly double-counts what it was told
+    // were two distinct batches
+    SketchLedger.append(spark, t, Seq("source"), "tok", dir, batchId = "b1")
+    val relabeled = SketchLedger.distinctByKey(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(once.map(x => (x._1, x._2)) === relabeled.map(x => (x._1, x._2)),
+      "duplicate data under a new batch id changed the estimate")
+    assert(once.map(x => (x._1, 2 * x._3)) === relabeled.map(x => (x._1, x._3)),
+      "rows must sum per declared batch")
+  }
+
+  test("interrupted first append (meta-only husk): param check binds on retry, reads refuse cleanly") {
+    import spark.implicits._
+    val dir = tmp()
+    // simulate the only partial state meta-first ordering can leave: the
+    // meta stamp landed, no sketch row did
+    Seq((12, Seq("source"), "tok")).toDF("lgk", "keys", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // the stamped parameters bind immediately - a drifted retry is refused
+    val e = intercept[IllegalArgumentException] {
+      SketchLedger.append(spark, tokens, Seq("source"), "tok", dir,
+        batchId = "b0", lgConfigK = 14)
+    }
+    assert(e.getMessage.contains("lgk"), s"unhelpful message: ${e.getMessage}")
+    // reads on the husk refuse with a message naming the condition
+    val e2 = intercept[RuntimeException] { SketchLedger.distinctByKey(spark, dir) }
+    assert(e2.getMessage.contains("interrupted"), s"unhelpful message: ${e2.getMessage}")
+    // a matching retry completes the append and the ledger behaves normally
+    SketchLedger.append(spark, tokens, Seq("source"), "tok", dir, batchId = "b0")
+    assert(SketchLedger.distinctTotal(spark, dir) > 0)
   }
 
   test("parameter drift across appends is refused loudly") {
@@ -91,5 +126,104 @@ class SketchLedgerSpec extends AnyFunSuite {
       SketchLedger.append(spark, tokens, Seq("lang"), "tok", dir, batchId = "b2")
     }
     assert(e2.getMessage.contains("keys"), s"unhelpful message: ${e2.getMessage}")
+  }
+
+  // ------------------------------------------------------------------
+  // Quantile (KLL) ledger laws. KLL compaction is RANDOMIZED, so every
+  // law asserts a bound in RANK space (the space the sketch's contract
+  // actually bounds: ~1.65% normalized rank error at k=200; 5% slack
+  // here for compaction randomness + small-batch merges), never a hash.
+  // ------------------------------------------------------------------
+
+  private def docLens = Tables.documents(spark, sf)
+    .select(col("doc_id"), col("source"), length(col("text")).cast("double").as("len"))
+
+  /** Exact normalized rank of `v` within a key's values — how the
+    * rank-error laws score an estimated quantile against ground truth. */
+  private def exactRank(rows: Seq[Double], v: Double): Double =
+    rows.count(_ <= v).toDouble / rows.size
+
+  test("quantile ledger: incremental appends hit exact quantiles within rank-error bound") {
+    val dir = tmp()
+    val d = docLens
+    (0 until 3).foreach { r =>
+      SketchLedger.appendQuantile(spark, d.where(col("doc_id") % 3 === r),
+        Seq("source"), "len", dir, batchId = s"b$r")
+    }
+    val exact = d.collect().groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2)).toSeq }
+    val got = SketchLedger.quantileByKey(spark, dir, Seq(0.5, 0.99)).collect()
+    assert(got.map(_.getString(0)).toSet === exact.keySet)
+    got.foreach { r =>
+      val (src, n, rank, est) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n === exact(src).size.toLong, s"$src rows must be EXACT")
+      assert(math.abs(exactRank(exact(src), est) - rank) <= 0.05,
+        s"$src p$rank estimate $est at exact rank ${exactRank(exact(src), est)} - " +
+          "outside the KLL rank-error contract (merge must not cap k: shell adoption)")
+    }
+    val all = exact.values.flatten.toSeq
+    val p50 = SketchLedger.quantileTotal(spark, dir, 0.5)
+    assert(math.abs(exactRank(all, p50) - 0.5) <= 0.05,
+      s"global p50 $p50 at exact rank ${exactRank(all, p50)}")
+  }
+
+  test("quantile ledger: a same-batch-id retry is absorbed (KLL weight doubling)") {
+    val dir = tmp()
+    val d = docLens
+    SketchLedger.appendQuantile(spark, d, Seq("source"), "len", dir, batchId = "b0")
+    val once = SketchLedger.quantileByKey(spark, dir, Seq(0.5)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    SketchLedger.appendQuantile(spark, d, Seq("source"), "len", dir, batchId = "b0")
+    val retried = SketchLedger.quantileByKey(spark, dir, Seq(0.5)).collect()
+    assert(retried.map(r => (r.getString(0), r.getLong(1))).toSeq === once,
+      "retried batch doubled the exact rows bookkeeping")
+    // and the estimates still honor the bound (the dedup picked ONE of
+    // the two retry sketches - either is a valid sketch of the batch;
+    // without dedup the duplicate merge doubles every value's weight)
+    val exact = d.collect().groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2)).toSeq }
+    retried.foreach { r =>
+      assert(math.abs(exactRank(exact(r.getString(0)), r.getDouble(3)) - 0.5) <= 0.05)
+    }
+  }
+
+  test("quantile ledger: parameter drift and sketch-kind mixing are refused loudly") {
+    val dir = tmp()
+    SketchLedger.appendQuantile(spark, docLens, Seq("source"), "len", dir, batchId = "b0")
+    val e = intercept[IllegalArgumentException] {
+      SketchLedger.appendQuantile(spark, docLens, Seq("source"), "len", dir,
+        batchId = "b1", k = 400)
+    }
+    assert(e.getMessage.contains("k="), s"unhelpful message: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      SketchLedger.appendQuantile(spark, docLens, Seq("lang"), "len", dir, batchId = "b2")
+    }
+    assert(e2.getMessage.contains("keys"), s"unhelpful message: ${e2.getMessage}")
+    // the two ledger kinds can never share a dir - refused in BOTH directions
+    val e3 = intercept[IllegalArgumentException] {
+      SketchLedger.append(spark, tokens, Seq("source"), "tok", dir, batchId = "b3")
+    }
+    assert(e3.getMessage.contains("lgk"), s"unhelpful message: ${e3.getMessage}")
+    val hllDir = tmp()
+    SketchLedger.append(spark, tokens, Seq("source"), "tok", hllDir, batchId = "b0")
+    val e4 = intercept[IllegalArgumentException] {
+      SketchLedger.appendQuantile(spark, docLens, Seq("source"), "len", hllDir,
+        batchId = "b1")
+    }
+    assert(e4.getMessage.contains("quantile"), s"unhelpful message: ${e4.getMessage}")
+  }
+
+  test("quantile ledger: all-NULL values yield NULL per key and a loud global error") {
+    import spark.implicits._
+    val dir = tmp()
+    val allNull = Seq(("s1", Option.empty[Double]), ("s2", Option.empty[Double]))
+      .toDF("source", "len")
+    SketchLedger.appendQuantile(spark, allNull, Seq("source"), "len", dir, batchId = "b0")
+    val rows = SketchLedger.quantileByKey(spark, dir, Seq(0.5)).collect()
+    assert(rows.length === 2 && rows.forall(_.isNullAt(3)),
+      "empty sketches must surface as NULL value_est per key, not throw")
+    val e = intercept[RuntimeException] { SketchLedger.quantileTotal(spark, dir, 0.5) }
+    assert(e.getMessage.contains("empty sketches"), s"unhelpful message: ${e.getMessage}")
   }
 }
