@@ -255,13 +255,23 @@ object VectorOps {
     * true neighbor is mis-ranked past `rerank` (the dial LlmOpsSpec
     * pins: recall is monotone in rerank, >= 0.9 on clustered data).
     *
+    * OPERATING-POINT CAVEAT (measured, BASELINE.md r12 ANN recall
+    * smoke): 32-bit codes (m=8 x ks=16) SHORTLIST but cannot RANK — at
+    * 100k vectors recall@10 was 0.21 at rerank=50 vs 0.60 at rerank=200
+    * on clustered data (0.16/0.29 uniform). The dial a deployment turns
+    * is rerank depth (or code size m*log2 ks); the default here is 200,
+    * the smallest measured-honest depth, and cluster populations larger
+    * than `rerank` still lose neighbors by construction. If the int8
+    * budget fits, SQ8+rerank measured recall-LOSSLESS at 4x compression
+    * (knnSq8On) — prefer it over PQ below ~16x compression needs.
+    *
     * The declared q_knn_pq trains+searches in one query; production
     * splits the phases — `pqIndex` once, persist via `writePqIndex`,
     * then `pqSearch` per query against the stored tables (spec-pinned
     * round trip in LlmOpsSpec).
     *
     * Approximate by design => rows-only tier. */
-  def knnPqOn(e: DataFrame, m: Int, ks: Int, k: Int = 20, rerank: Int = 100,
+  def knnPqOn(e: DataFrame, m: Int, ks: Int, k: Int = 20, rerank: Int = 200,
       iters: Int = 2, queryId: Long = 0): DataFrame = {
     val (cb, codes) = pqIndex(e, m, ks, iters)
     pqSearch(cb, codes, e, queryId, k, rerank)
@@ -297,9 +307,11 @@ object VectorOps {
   /** ADC search phase of PQ over a (persisted or freshly built) index.
     * The subvector length is read off each centroid (size(centroid)),
     * so a stored index is self-describing. `full` supplies the query
-    * vector and the exact-rerank embeddings. */
+    * vector and the exact-rerank embeddings. Pick `rerank` from the
+    * measured operating points, not hope — see knnPqOn's caveat (32-bit
+    * codes shortlist, they don't rank; default 200). */
   def pqSearch(cb: DataFrame, codes: DataFrame, full: DataFrame,
-      queryId: Long = 0, k: Int = 20, rerank: Int = 100): DataFrame = {
+      queryId: Long = 0, k: Int = 20, rerank: Int = 200): DataFrame = {
     val q = full.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
     // ADC table: dot(q_j, centroid) for every (subspace, cell), packed as
     // tabs[j][cell] — one broadcast row of m*ks doubles
@@ -358,6 +370,28 @@ object VectorOps {
     (s.read.parquet(s"$dir/codebook"),
       graft.sources.Tombstones.applyTo(s, readCellPartitioned(s, s"$dir/postings"), dir, "vec_id"))
 
+  /** q_knn_ivf_batch's demo store, built AT MOST ONCE per (tmpdir, data
+    * dir): a deterministic path keyed by the corpus dir, completed-build
+    * marker checked before reuse (a crashed half-write has no marker and
+    * is rebuilt in place). Repeated bench/verify sweeps previously paid
+    * an index train+persist per invocation and leaked one temp dir each
+    * — now the first invocation builds, the rest are pure reads, which
+    * is also the production shape the query demonstrates. */
+  private val ivfBatchLock = new Object
+  private def ivfBatchStore(s: SparkSession, e: DataFrame, dataDir: String): String =
+    ivfBatchLock.synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dataDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_ivf_batch_$key")
+      val marker = dir.resolve("_built")
+      if (!java.nio.file.Files.exists(marker)) {
+        writeIvfIndex(e.where(col("vec_id") >= 10), cells = 8, dir = dir.toString)
+        java.nio.file.Files.createFile(marker)
+      }
+      dir.toString
+    }
+
   /** Read a cell-partitioned index table with the `cell` partition column
     * PINNED to string via an explicit schema (not a cast): a cast on top
     * of the inferred-int partition attribute would stop it being a direct
@@ -379,6 +413,16 @@ object VectorOps {
     * postings table the cell predicate prunes to the probed directories
     * — and exact-score the survivors with `graft_dot`. Mirrors
     * `knnIvfOn`'s plan with the training replaced by two table reads.
+    *
+    * DEPLOYMENT CAVEAT (measured, BASELINE.md r12 ANN recall smoke):
+    * cell probing pays off exactly when the corpus is CLUSTERED —
+    * recall@10 at 100k vectors was 0.95–1.00 (nprobe 1–4) on clustered
+    * data vs 0.07–0.20 on a uniform corpus, where no partition scheme
+    * can beat ~nprobe/cells. Check embedding structure before choosing
+    * IVF (e.g. `trainCodebook` objective improvement over a random
+    * split, or a recall probe vs `knnBruteForce` on a sample); for
+    * near-uniform embeddings use SQ8 scanning (`knnSq8On`, measured
+    * recall-lossless at 4x compression) or brute force, not IVF.
     *
     * `simd = true` scores the probed-cell scan with `graft_dot_simd` in
     * the SAME single-pass shape (simd dot straight into the narrow
@@ -496,7 +540,7 @@ object VectorOps {
     * the top-`rerank` survivors ever fetch their float embeddings. */
   def ivfPqSearch(coarse: DataFrame, pqcb: DataFrame, codes: DataFrame,
       full: DataFrame, queryId: Long = 0, nprobe: Int = 2, k: Int = 20,
-      rerank: Int = 100): DataFrame = {
+      rerank: Int = 200): DataFrame = {
     val q = full.where(col("vec_id") === queryId).select(col("embedding").as("qv"))
     val qCells = rankCells(q.select(col("qv").as("embedding")), coarse)
       .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"))
@@ -526,9 +570,13 @@ object VectorOps {
   }
 
   /** Train + search in one call — the declared q_knn_ivfpq shape;
-    * production persists via `writeIvfPqIndex` and searches the store. */
+    * production persists via `writeIvfPqIndex` and searches the store.
+    * IVFADC inherits BOTH measured caveats: cell probing needs a
+    * clustered corpus (ivfSearch's caveat) AND 32-bit residual codes
+    * only shortlist (knnPqOn's caveat — r12 smoke: recall@10 0.12 at
+    * rerank=50 vs 0.44 at 200, clustered, nprobe=2; default 200). */
   def knnIvfPqOn(e: DataFrame, cells: Int, m: Int, ks: Int, nprobe: Int = 2,
-      k: Int = 20, rerank: Int = 100, iters: Int = 2, queryId: Long = 0): DataFrame = {
+      k: Int = 20, rerank: Int = 200, iters: Int = 2, queryId: Long = 0): DataFrame = {
     val (coarse, pqcb, codes) = ivfPqIndex(e, cells, m, ks, iters)
     ivfPqSearch(coarse, pqcb, codes, e, queryId, nprobe, k, rerank)
   }
@@ -1098,8 +1146,7 @@ object VectorOps {
     "q_knn_ivf_batch" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("ivf_batch_store").toString
-      writeIvfIndex(e.where(col("vec_id") >= 10), cells = 8, dir = dir)
+      val dir = ivfBatchStore(s, e, d)
       val (cb, postings) = readIvfIndex(s, dir)
       ivfSearchBatch(cb, postings,
         e.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding")),
@@ -1108,23 +1155,25 @@ object VectorOps {
 
     // Product-quantized kNN (see knnPqOn): 8 subspaces x 16 cells over
     // the 64-dim embeddings — 4-bit codes, 64x scan compression, ADC
-    // lookup scoring, exact rerank of the top-100. Rows-only; recall and
+    // lookup scoring, exact rerank of the top-200. Rows-only; recall and
     // the rerank dial are pinned on the clustered fixture in LlmOpsSpec.
     "q_knn_pq" -> ((s, d) => {
       GraftFunctions.register(s)
-      knnPqOn(Tables.embeddings(s, d), m = 8, ks = 16, k = 20, rerank = 100)
+      // rerank=200: the smallest measured-honest depth for 32-bit codes
+      // (recall@10 0.21 at 50 vs 0.60 at 200 clustered - BASELINE r12)
+      knnPqOn(Tables.embeddings(s, d), m = 8, ks = 16, k = 20, rerank = 200)
     }),
 
     // Composed IVFADC kNN (see ivfPqIndex/ivfPqSearch): 8 coarse cells +
     // PQ(8x16) on residuals over the 64-dim embeddings, nprobe=2 probe,
-    // ADC scan of the probed cells' codes, exact rerank of the top-100.
+    // ADC scan of the probed cells' codes, exact rerank of the top-200.
     // The billion-vector layout both q_knn_ivf_trained (scan bound) and
     // q_knn_pq (byte bound) approximate from one side each. Rows-only;
     // recall and the stored-index round trip are pinned in LlmOpsSpec.
     "q_knn_ivfpq" -> ((s, d) => {
       GraftFunctions.register(s)
       knnIvfPqOn(Tables.embeddings(s, d), cells = 8, m = 8, ks = 16,
-        nprobe = 2, k = 20, rerank = 100)
+        nprobe = 2, k = 20, rerank = 200)
     }),
 
     // SQ8 two-phase kNN: symmetric int8 quantization (the q_embed_quantize
