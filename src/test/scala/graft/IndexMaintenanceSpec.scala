@@ -603,4 +603,63 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     // changed) still read the very same unstamped meta fine
     graft.sources.HashBanding.requireMeta(spark, s"$base/vid")
   }
+
+  test("ivf batch store: reuse while the corpus is unchanged, REBUILD when it is regenerated in place") {
+    // Round-14 verdict defect #1: the demo store was keyed by
+    // md5(dataDir) alone, so a testdata regeneration at the same path
+    // (the driver does this between rounds) would silently serve an
+    // index over the deleted corpus. The marker now carries a corpus
+    // fingerprint; this test plants a store, swaps the corpus
+    // underneath at the SAME path, and proves the rebuild.
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val dataDir = java.nio.file.Files.createTempDirectory("ivf_stale").toString
+    def writeCorpus(idOffset: Long): Unit =
+      clusteredCorpus()
+        .withColumn("vec_id", col("vec_id") + lit(idOffset))
+        .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+
+    writeCorpus(0)
+    val fp1 = VectorOps.corpusFingerprint(dataDir)
+    assert(fp1 === VectorOps.corpusFingerprint(dataDir), "fingerprint not deterministic")
+    val store = VectorOps.ivfBatchStore(spark, Tables.embeddings(spark, dataDir), dataDir)
+    val marker = java.nio.file.Paths.get(store, "_built")
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") === fp1,
+      "marker must carry the corpus fingerprint")
+    val builtAt = java.nio.file.Files.getLastModifiedTime(marker)
+    val ids1 = spark.read.parquet(s"$store/postings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === (10L until 320L).toSet, "store must index corpus v1 (vec_id >= 10)")
+
+    // unchanged corpus -> pure read: marker untouched (no rebuild)
+    val store2 = VectorOps.ivfBatchStore(spark, Tables.embeddings(spark, dataDir), dataDir)
+    assert(store2 === store)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === builtAt,
+      "unchanged corpus must NOT trigger a rebuild")
+
+    // regenerate the corpus IN PLACE (same path, different ids/bytes)
+    writeCorpus(1000)
+    val fp2 = VectorOps.corpusFingerprint(dataDir)
+    assert(fp2 !== fp1, "regenerated corpus must change the fingerprint")
+    val store3 = VectorOps.ivfBatchStore(spark, Tables.embeddings(spark, dataDir), dataDir)
+    assert(store3 === store)
+    assert(new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") === fp2,
+      "marker must be re-stamped with the new corpus fingerprint")
+    val ids2 = spark.read.parquet(s"$store/postings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 === (1000L until 1320L).toSet, // all ids pass the >= 10 corpus cut after the shift
+      s"store must serve the REGENERATED corpus, not the deleted one (got ${ids2.size} ids)")
+
+    // hygiene: drop the planted store + corpus so reruns start clean
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(store))
+    rm(java.nio.file.Paths.get(dataDir))
+  }
 }
