@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight through, NOT via sbt's logger: the
+// logger prefixes every line with "[info] ", which breaks any consumer
+// that json-parses Bench's contract line from captured stdout (the
+// per-round BENCH artifact has recorded parsed:null since round 1 —
+// every candidate line arrived as "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

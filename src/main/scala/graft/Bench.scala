@@ -6,8 +6,10 @@ import scala.util.control.NonFatal
 
 /** Bench entry point: times the headline queries (the 9 BASELINE.md
   * categories) on SPARK_GRAFT_SF_DIR, then the FULL declared inventory
-  * once each. Prints TWO JSON lines: full-inventory telemetry first,
-  * then the compact headline contract line LAST (tail-capture safe).
+  * once each. Prints the compact headline contract line FIRST, then the
+  * full-inventory telemetry line, then the contract line again LAST —
+  * identical copies, so both tail-capture and first-parseable-line
+  * consumers find it.
   *
   * Methodology matches BASELINE.md: one untimed warm-up materialization
   * per headline query (JIT/codegen/FS-init), then one timed run — the
@@ -63,6 +65,13 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val contractLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // The contract line is printed BOTH first and last: a consumer that
+    // keeps a bounded tail sees the final copy; one that takes the first
+    // parseable JSON line sees this copy, ahead of the (much longer)
+    // telemetry line. Both copies are identical.
+    println(contractLine)
     // Full-inventory telemetry (BASELINE.md "bench contract"): every
     // declared query timed once, single pass, warm JVM but cold per-query
     // plan — a REGRESSION signal for the queries the headline set never
@@ -99,7 +108,7 @@ object Bench {
         .mkString("[", ",", "]")
       println(s"""{"metric":"all_inventory","unit":"sec","all":$times,"all_rows":$rows,"all_failed":$allFailed,"sf":"$sfDir"}""")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(contractLine)
     spark.stop()
   }
 }
