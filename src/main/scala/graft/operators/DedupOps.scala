@@ -276,11 +276,24 @@ object DedupOps {
       "doc_id", s"$dir/cbuckets", "overwrite")
     IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
       "doc_id", s"$dir/shingles", "overwrite")
+    rebuildMinhashProbeLayout(s, dir)
     import s.implicits._
     Seq((k, bands, graft.sources.IndexMeta.GroupedLayout))
       .toDF("k", "bands", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** (Re-)derive the band-partitioned probe table (`pbands`,
+    * BandBuckets layout) from the grouped signature table: one cheap
+    * pass over `cbuckets`, no re-signing. Called by every index write;
+    * also the UPGRADE path for an index persisted before the probe
+    * layout existed (probes fall back to the full scan until this
+    * runs). A husk-dropped empty index leaves no pbands either. */
+  def rebuildMinhashProbeLayout(s: SparkSession, dir: String): Unit =
+    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets"))
+      graft.sources.BandBuckets.write(
+        bandRowsOfBuckets(IdBuckets.read(s, s"$dir/cbuckets")),
+        s"$dir/pbands", "overwrite")
 
   /** Append a new batch to a persisted MinHash index — signatures use
     * the stored (k, bands), so appended rows are band-compatible with
@@ -308,9 +321,15 @@ object DedupOps {
   def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
-    IdBuckets.write(minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
-        meta.getAs[Int]("k"), meta.getAs[Int]("bands")),
-      "doc_id", s"$dir/cbuckets", "append")
+    val buckets = minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    IdBuckets.write(buckets, "doc_id", s"$dir/cbuckets", "append")
+    // keep the probe layout in sync — but never CREATE a partial one:
+    // an index persisted before pbands existed stays on the full-scan
+    // fallback until rebuildMinhashProbeLayout derives the whole table
+    if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
+      graft.sources.BandBuckets.write(bandRowsOfBuckets(buckets),
+        s"$dir/pbands", "append")
     IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
       "doc_id", s"$dir/shingles", "append")
   }
@@ -352,6 +371,27 @@ object DedupOps {
     * are rewritten (IndexMaintenanceSpec pins untouched partitions
     * byte-identical). */
   def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
+    // The probe layout folds FIRST, and the two partition schemes
+    // COMPOSE: the deleted docs' band rows are located from the grouped
+    // table via its id-bucket directories (a pruned read — cbuckets is
+    // not folded yet), their pband values bound which band-partition
+    // directories get rewritten. Untouched directories in BOTH layouts
+    // are never opened.
+    graft.sources.Tombstones.read(s, dir).foreach { t =>
+      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands")) {
+        // bounded driver list: at most NumBuckets id-bucket values
+        val idDirs = t.select(IdBuckets.bucketOf(col("id")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val ids = t.select(col("id").as("doc_id"))
+        val deletedBands = bandRowsOfBuckets(
+          s.read.parquet(s"$dir/cbuckets")
+            .where(col(IdBuckets.Col).isin(idDirs.map(Integer.valueOf).toSeq: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .drop(IdBuckets.Col))
+        graft.sources.BandBuckets.foldIntoBanded(
+          s, s"$dir/pbands", dir, "doc_id", deletedBands)
+      }
+    }
     IdBuckets.foldIntoBucketed(s, s"$dir/cbuckets", dir, "doc_id")
     IdBuckets.foldIntoBucketed(s, s"$dir/shingles", dir, "doc_id")
     graft.sources.Tombstones.clear(s, dir)
@@ -376,18 +416,46 @@ object DedupOps {
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     // deleted corpus docs (tombstones, see deleteFromMinhashIndex) must
     // not veto new batches: apply the delete-aware view of both stored
-    // tiers before the candidate join / refine. Band rows derive from
-    // the grouped cbuckets table per-row (posexplode after the anti-join
-    // — cheapest order, the join sees one row per doc).
-    val storedBands = bandRowsOfBuckets(graft.sources.Tombstones.applyTo(
-      s, IdBuckets.read(s, s"$dir/cbuckets"), dir, "doc_id"))
-    val storedSh = graft.sources.Tombstones.applyTo(
-      s, IdBuckets.read(s, s"$dir/shingles"), dir, "doc_id")
+    // tiers before the candidate join / refine.
+    //
+    // PRUNED probe (when the band-partitioned layout exists): the stored
+    // band rows come from a literal-pruned scan of `pbands` — the
+    // batch's (pband, bucket) keys prune directories and skip row
+    // groups (BandBuckets.prunedRead), so the candidate tier reads
+    // O(batch keys) row groups at ANY corpus size instead of scanning
+    // every signature. The refine tier then point-reads only the
+    // candidate ids' shingle rows (IdBuckets.prunedById) — the bounded
+    // candidate-id collect is the price of turning runtime keys into
+    // prunable literals (stream-static DPP never fires, measured; see
+    // BandBuckets). Construction therefore runs two small bounded jobs;
+    // output is IDENTICAL to the full-scan fallback (spec law).
+    // Pre-probe-layout indexes fall back to the full scan: band rows
+    // derive from the grouped cbuckets table per-row (posexplode after
+    // the anti-join — cheapest order, the join sees one row per doc).
+    val usePruned = graft.sources.BandBuckets.exists(s, s"$dir/pbands")
+    val storedBands =
+      if (usePruned)
+        graft.sources.Tombstones.applyTo(s,
+          graft.sources.BandBuckets.prunedRead(s, s"$dir/pbands",
+            bBands.select("band", "bucket")),
+          dir, "doc_id")
+      else bandRowsOfBuckets(graft.sources.Tombstones.applyTo(
+        s, IdBuckets.read(s, s"$dir/cbuckets"), dir, "doc_id"))
     val cands = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
       .join(storedBands.select(col("doc_id").as("corpus_id"),
           col("band").as("band_c"), col("bucket").as("bucket_c")),
         col("band") === col("band_c") && col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
+    val storedSh0 =
+      if (usePruned) {
+        val idRows = cands.select("corpus_id").distinct()
+          .limit(IdBuckets.MaxIdLiterals + 1).collect()
+        if (idRows.length <= IdBuckets.MaxIdLiterals)
+          IdBuckets.prunedById(s, s"$dir/shingles", "doc_id",
+            idRows.map(_.getLong(0)).toSeq)
+        else IdBuckets.read(s, s"$dir/shingles")
+      } else IdBuckets.read(s, s"$dir/shingles")
+    val storedSh = graft.sources.Tombstones.applyTo(s, storedSh0, dir, "doc_id")
     val bSh = toks.select(col("doc_id").as("batch_id"), expr(shingleExpr(0)).as("shb"))
       .where(size(col("shb")) > 0)
     val cSh = storedSh

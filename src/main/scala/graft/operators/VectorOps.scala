@@ -1491,11 +1491,24 @@ object VectorOps {
       "vec_id", s"$dir/cbuckets", "overwrite")
     graft.sources.IdBuckets.write(corpus.select("vec_id", "label", "embedding"),
       "vec_id", s"$dir/embeddings", "overwrite")
+    rebuildEmbedLshProbeLayout(s, dir)
     import s.implicits._
     Seq((nPlanes, bands, dim, seed, graft.sources.IndexMeta.GroupedLayout))
       .toDF("n_planes", "bands", "dim", "seed", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** (Re-)derive the band-partitioned probe table (`pbands`,
+    * BandBuckets layout — (vec_id, label, band, bucket) partitioned by
+    * pmod(xxhash64(band, bucket), P)) from the grouped signature table:
+    * one cheap pass over `cbuckets`, no re-signing. Called by every
+    * index write; also the UPGRADE path for a pre-probe-layout index
+    * (probes fall back to the full scan until it runs). */
+  def rebuildEmbedLshProbeLayout(s: SparkSession, dir: String): Unit =
+    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets"))
+      graft.sources.BandBuckets.write(
+        bandRowsOfLshBuckets(graft.sources.IdBuckets.read(s, s"$dir/cbuckets")),
+        s"$dir/pbands", "overwrite")
 
   /** Read + validate an embed-LSH index's meta row: layout stamp first
     * (IndexMeta — a pre-r11 flat-layout index fails with a rebuild
@@ -1517,10 +1530,15 @@ object VectorOps {
   def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = requireEmbedLshMeta(s, dir)
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
-    graft.sources.IdBuckets.write(
-      lshBucketsOf(batch, meta.getAs[Int]("n_planes"), meta.getAs[Int]("bands"),
-        meta.getAs[Int]("dim"), meta.getAs[Long]("seed")),
-      "vec_id", s"$dir/cbuckets", "append")
+    val buckets = lshBucketsOf(batch, meta.getAs[Int]("n_planes"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    graft.sources.IdBuckets.write(buckets, "vec_id", s"$dir/cbuckets", "append")
+    // keep the probe layout in sync — but never CREATE a partial one
+    // (pre-probe-layout indexes stay on the full-scan fallback until
+    // rebuildEmbedLshProbeLayout derives the whole table)
+    if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
+      graft.sources.BandBuckets.write(bandRowsOfLshBuckets(buckets),
+        s"$dir/pbands", "append")
     graft.sources.IdBuckets.write(batch.select("vec_id", "label", "embedding"),
       "vec_id", s"$dir/embeddings", "append")
   }
@@ -1559,6 +1577,24 @@ object VectorOps {
     * rewritten (the flat-table twin of IVF's affected-cell
     * compaction). */
   def compactEmbedLshIndex(s: SparkSession, dir: String): Unit = {
+    // probe layout first, located from the not-yet-folded grouped table
+    // via its id-bucket directories — the two partition schemes compose
+    // (see DedupOps.compactMinhashIndex)
+    graft.sources.Tombstones.read(s, dir).foreach { t =>
+      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands")) {
+        val idDirs = t.select(graft.sources.IdBuckets.bucketOf(col("id")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val ids = t.select(col("id").as("vec_id"))
+        val deletedBands = bandRowsOfLshBuckets(
+          s.read.parquet(s"$dir/cbuckets")
+            .where(col(graft.sources.IdBuckets.Col)
+              .isin(idDirs.map(Integer.valueOf).toSeq: _*))
+            .join(broadcast(ids), Seq("vec_id"), "left_semi")
+            .drop(graft.sources.IdBuckets.Col))
+        graft.sources.BandBuckets.foldIntoBanded(
+          s, s"$dir/pbands", dir, "vec_id", deletedBands)
+      }
+    }
     graft.sources.IdBuckets.foldIntoBucketed(s, s"$dir/cbuckets", dir, "vec_id")
     graft.sources.IdBuckets.foldIntoBucketed(s, s"$dir/embeddings", dir, "vec_id")
     graft.sources.Tombstones.clear(s, dir)
@@ -1587,11 +1623,24 @@ object VectorOps {
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
     val bBands = lshBandRowsOf(batch, meta.getAs[Int]("n_planes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
-    // band rows derive from the grouped cbuckets table per-row
-    // (posexplode after the tombstone anti-join — one row per vector
-    // through the join, bands x rows only after)
-    val stored0 = bandRowsOfLshBuckets(graft.sources.Tombstones.applyTo(
-      s, graft.sources.IdBuckets.read(s, s"$dir/cbuckets"), dir, "vec_id"))
+    // PRUNED probe when the band-partitioned layout exists: the batch's
+    // (pband, bucket) keys prune directories and skip row groups
+    // (BandBuckets.prunedRead), so the candidate tier reads O(batch
+    // keys) row groups at any corpus size; the semi-join below then
+    // restricts EXACTLY as before (pruning is a scan optimization, the
+    // probed set and the flood-guard populations are unchanged — spec
+    // law pins output identity with the fallback). Pre-probe-layout
+    // indexes fall back to the full grouped scan: band rows derive from
+    // cbuckets per-row (posexplode after the tombstone anti-join — one
+    // row per vector through the join, bands x rows only after).
+    val stored0 =
+      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
+        graft.sources.Tombstones.applyTo(s,
+          graft.sources.BandBuckets.prunedRead(s, s"$dir/pbands",
+            bBands.select("band", "bucket")),
+          dir, "vec_id")
+      else bandRowsOfLshBuckets(graft.sources.Tombstones.applyTo(
+        s, graft.sources.IdBuckets.read(s, s"$dir/cbuckets"), dir, "vec_id"))
     // Restrict the stored side to the buckets this batch actually probes
     // BEFORE anything corpus-wide happens: the semi-join prunes to
     // O(batch buckets x occupancy) rows, which keeps both the flood
@@ -1620,8 +1669,20 @@ object VectorOps {
         col("label") === col("label_c") && col("band") === col("band_c") &&
           col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
-    val storedEmb = graft.sources.Tombstones.applyTo(
-      s, graft.sources.IdBuckets.read(s, s"$dir/embeddings"), dir, "vec_id")
+    // refine tier: with the probe layout present, point-read only the
+    // candidate ids' embedding rows (bounded candidate collect →
+    // id-bucket directory pruning + pushed id IN filter); tombstones
+    // are already applied upstream of the candidate ids
+    val storedEmb0 =
+      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands")) {
+        val idRows = cands.select("corpus_id").distinct()
+          .limit(graft.sources.IdBuckets.MaxIdLiterals + 1).collect()
+        if (idRows.length <= graft.sources.IdBuckets.MaxIdLiterals)
+          graft.sources.IdBuckets.prunedById(s, s"$dir/embeddings", "vec_id",
+            idRows.map(_.getLong(0)).toSeq)
+        else graft.sources.IdBuckets.read(s, s"$dir/embeddings")
+      } else graft.sources.IdBuckets.read(s, s"$dir/embeddings")
+    val storedEmb = graft.sources.Tombstones.applyTo(s, storedEmb0, dir, "vec_id")
     GraftFunctions.register(s)
     cands
       .join(batch.select(col("vec_id").as("batch_id"), col("embedding").as("eb")), "batch_id")

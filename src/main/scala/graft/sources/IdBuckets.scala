@@ -32,6 +32,42 @@ object IdBuckets {
 
   def bucketOf(id: Column): Column = pmod(xxhash64(id), lit(NumBuckets)).cast("int")
 
+  /** Driver-side twin of [[bucketOf]] for a BIGINT id — the same
+    * xxhash64(seed 42) the SQL expression computes, so a caller holding
+    * literal ids (a bounded candidate list) can turn them into partition
+    * values without a Spark job. Equality with the column form is pinned
+    * by a PropertiesSpec law. */
+  def bucketOfId(id: Long): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      NumBuckets.toLong).toInt
+
+  /** Cap on the id literal list [[prunedById]] pushes into a scan —
+    * plan-size bound; larger lists degrade to directory pruning alone
+    * (still at most NumBuckets directories, and a candidate list that
+    * big is reading a fair share of the table anyway). */
+  val MaxIdLiterals = 8192
+
+  /** PRUNED point-lookup read: only the rows whose `idCol` is in `ids`
+    * could be returned — directory pruning via the ids' hash buckets
+    * (driver-computed, no job) plus a pushed `idCol IN (...)` filter
+    * that skips row groups (files are id-range-clustered at write). The
+    * result is a SUPERSET restricted view (bucket collisions remain);
+    * callers keep their exact join/filter on the id. Over
+    * [[MaxIdLiterals]], keeps only the bucket-directory pruning. */
+  def prunedById(s: SparkSession, path: String, idCol: String,
+      ids: Seq[Long]): DataFrame = {
+    if (ids.isEmpty)
+      return s.read.parquet(path).where(lit(false)).drop(Col)
+    val bs = ids.map(bucketOfId).distinct
+    val byDir = s.read.parquet(path)
+      .where(col(Col).isin(bs.map(Integer.valueOf): _*))
+    val byId =
+      if (ids.length <= MaxIdLiterals) byDir.where(col(idCol).isin(ids: _*))
+      else byDir
+    byId.drop(Col)
+  }
+
   /** Write `df` under `path` partitioned by the id hash bucket.
     *
     * Empty-table semantics: a zero-row write of a PARTITIONED table
@@ -44,7 +80,15 @@ object IdBuckets {
     * A zero-row append to an EXISTING table keeps its partitions and is
     * a true no-op. The check is one directory listing, not a job. */
   def write(df: DataFrame, idCol: String, path: String, mode: String): Unit = {
+    // Range-cluster by (bucket, id) before the partitioned write: each
+    // directory's files then carry DISJOINT id ranges with tight
+    // row-group min/max stats, so a pruned point-lookup's pushed
+    // `id IN (...)` filter ([[prunedById]]) skips the row groups a
+    // candidate list doesn't touch. Write parallelism stays at the
+    // range sampler's allocation, not NumBuckets.
     df.withColumn(Col, bucketOf(col(idCol)))
+      .repartitionByRange(col(Col), col(idCol))
+      .sortWithinPartitions(col(Col), col(idCol))
       .write.mode(mode).partitionBy(Col).parquet(path)
     dropIfPartless(df.sparkSession, path)
   }
@@ -95,6 +139,8 @@ object IdBuckets {
         val base = s.read.parquet(tablePath)
           .where(col(Col).isin(affected.map(Integer.valueOf).toSeq: _*))
         base.join(tSide, base(idCol) === tSide("id"), "left_anti")
+          .repartitionByRange(col(Col), col(idCol))
+          .sortWithinPartitions(col(Col), col(idCol))
           .write.mode("overwrite").partitionBy(Col).parquet(tmp)
         val hfs = new Path(tablePath).getFileSystem(s.sparkContext.hadoopConfiguration)
         affected.foreach { b =>

@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the band-partitioned probe layout (BandBuckets + the
+  * `pbands` tables of the MinHash and embed-LSH indexes): pruning is a
+  * SCAN optimization only — probe outputs are bit-identical to the
+  * full-scan fallback — and the layout composes with the index
+  * lifecycle (append, tombstones, partition-bounded compaction).
+  */
+class BandLayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic corpus with planted near-dups: doc i and doc
+    * i + 1000 share all but the tail of their 12 hash-derived words. */
+  private def corpus(n: Int = 200): DataFrame = {
+    import spark.implicits._
+    (0 until n).flatMap { i =>
+      val words = (0 until 12).map(j => s"w${math.abs((i * 31 + j * 7) % 50)}")
+      Seq((i.toLong, "s", words.mkString(" ")),
+        (i.toLong + 1000, "s", words.take(10).mkString(" ")))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def probeBatch(n: Int = 40): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val words = (0 until 12).map(j => s"w${math.abs((i * 31 + j * 7) % 50)}")
+      (5000L + i, words.take(11).mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def rmDir(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().forEachRemaining(rmDir) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
+  test("IdBuckets.bucketOfId is the driver-side twin of the bucketOf column") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L,
+      -987654321L) ++ (0 until 100).map(i => i * 2654435761L + 17)
+    val fromCol = ids.toDF("id")
+      .select(col("id"), graft.sources.IdBuckets.bucketOf(col("id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    ids.foreach { id =>
+      assert(graft.sources.IdBuckets.bucketOfId(id) === fromCol(id),
+        s"driver/SQL bucket mismatch for id $id")
+    }
+  }
+
+  test("minhash: pruned probe output is bit-identical to the full-scan fallback, and the plan actually prunes") {
+    import graft.operators.DedupOps
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_mh").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    assert(graft.sources.BandBuckets.exists(spark, s"$dir/pbands"),
+      "writeMinhashIndex must derive the probe layout")
+    val batch = probeBatch()
+    val pruned = DedupOps.dedupAgainstIndex(spark, batch, dir)
+    assert(pruned.count() > 0, "fixture defect: probe found nothing")
+    // the pbands scan must carry a literal partition IN-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(graft.sources.BandBuckets.Col + "#"),
+      s"pruned probe plan does not read the pbands table:\n$plan")
+    assert(("PartitionFilters: \\[[^\\]]*" + graft.sources.BandBuckets.Col +
+      "[^\\]]*(IN|in\\()").r.findFirstIn(plan).isDefined,
+      s"pruned probe plan carries no pband IN partition filter:\n$plan")
+    val prunedRows = rows(pruned)
+    // delete the probe layout -> same probe must take the full-scan path
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    val fallback = DedupOps.dedupAgainstIndex(spark, batch, dir)
+    assert(rows(fallback) === prunedRows,
+      "pruned and full-scan probes disagree")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("minhash: pruned probe honors tombstones and append keeps pbands in sync") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_mh2").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    val batch = probeBatch()
+    val before = DedupOps.dedupAgainstIndex(spark, batch, dir)
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty)
+    // tombstone one matched corpus doc: it must stop vetoing immediately
+    val dead = before.head
+    DedupOps.deleteFromMinhashIndex(spark, Seq(dead).toDF("id"), dir)
+    val after = DedupOps.dedupAgainstIndex(spark, batch, dir)
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!after.contains(dead), "tombstoned id still matched by pruned probe")
+    assert(after === before - dead)
+    // append new docs that near-duplicate a fresh probe: found via pbands
+    DedupOps.appendToMinhashIndex(spark,
+      Seq((9000L, "s", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "source", "text"),
+      dir)
+    val probeNew = DedupOps.dedupAgainstIndex(spark,
+      Seq((9500L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text"), dir)
+    assert(probeNew.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(9000L),
+      "appended doc not found through the probe layout")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("minhash compaction folds pbands in place, touching only affected band partitions") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_mhc").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    val pb = s"$dir/pbands"
+    def partFiles(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(pb)
+      root.listFiles().filter(_.getName.startsWith(graft.sources.BandBuckets.Col + "="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }.toMap
+    }
+    val beforeFiles = partFiles()
+    val dead = Seq(7L, 19L)
+    DedupOps.deleteFromMinhashIndex(spark, dead.toDF("id"), dir)
+    DedupOps.compactMinhashIndex(spark, dir)
+    // folded: the dead ids' rows are physically gone from pbands
+    val left = spark.read.parquet(pb).where(col("doc_id").isin(dead.map(java.lang.Long.valueOf): _*))
+    assert(left.count() === 0, "compaction left tombstoned rows in pbands")
+    // partition-bounded: every pband directory NOT holding a dead id's
+    // band rows is byte-identical (same files, sizes, mtimes)
+    val deadParts = beforeFiles.keySet -- partFiles().keySet ++
+      partFiles().collect { case (k, v) if beforeFiles.get(k).exists(_ != v) => k }
+    val expectedDirty = corpus().where(col("doc_id").isin(dead.map(java.lang.Long.valueOf): _*))
+    // derive the dead docs' band partitions from a fresh signing
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val toks = expectedDirty.withColumn("toks", split(col("text"), " "))
+    val dirty = graft.operators.DedupOps
+      .minhashBandsOf(spark, toks.select(col("doc_id"), col("toks")),
+        meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+      .select(graft.sources.BandBuckets.partOf(col("band"), col("bucket")).as("pb"))
+      .distinct().collect().map(r => s"${graft.sources.BandBuckets.Col}=${r.getInt(0)}").toSet
+    assert(deadParts.subsetOf(dirty),
+      s"compaction rewrote partitions outside the dead ids' band rows: ${deadParts -- dirty}")
+    // and the folded index still answers identically to a fresh rebuild
+    val survivors = corpus().where(!col("doc_id").isin(dead.map(java.lang.Long.valueOf): _*))
+    val fresh = java.nio.file.Files.createTempDirectory("bandlaw_mhf").toString
+    DedupOps.writeMinhashIndex(spark, survivors, fresh)
+    val batch = probeBatch()
+    assert(rows(DedupOps.dedupAgainstIndex(spark, batch, dir)) ===
+      rows(DedupOps.dedupAgainstIndex(spark, batch, fresh)),
+      "folded index probe != fresh-rebuild probe")
+    rmDir(java.nio.file.Paths.get(dir))
+    rmDir(java.nio.file.Paths.get(fresh))
+  }
+
+  /** Deterministic clustered vectors (IndexMaintenanceSpec's fixture
+    * shape): planted near-dups are exact copies with shifted ids. */
+  private def vectors(n: Int = 320, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val s = math.sqrt(v.map(x => x * x).sum); v.map(_ / s)
+    }
+    val centers = Array.fill(8)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    (0 until n).map { i =>
+      val noise = unit(Array.fill(dim)(rnd.nextGaussian()))
+      (i.toLong, (i % 4).toString,
+        unit(centers(i % 8).zip(noise).map { case (a, b) => a + 0.5 * b }).map(_.toFloat))
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("embed-lsh: pruned probe output is bit-identical to the full-scan fallback; lifecycle stays green") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_el").toString
+    val corp = vectors()
+    VectorOps.writeEmbedLshIndex(spark, corp, dir)
+    assert(graft.sources.BandBuckets.exists(spark, s"$dir/pbands"),
+      "writeEmbedLshIndex must derive the probe layout")
+    // batch = exact copies of some corpus vectors (guaranteed matches)
+    val batch = corp.where(col("vec_id") < 30)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
+    val pruned = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+    val prunedRows = rows(pruned)
+    // executed BEFORE the rmDir below: `pruned`'s plan captured this
+    // generation's file listing and must not be re-run across it
+    val matchedIds = pruned.select("corpus_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(prunedRows.nonEmpty, "fixture defect: exact copies not flagged")
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    val fallback = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+    assert(rows(fallback) === prunedRows, "pruned and full-scan embed probes disagree")
+    // upgrade path: re-derive the layout, probe again
+    VectorOps.rebuildEmbedLshProbeLayout(spark, dir)
+    assert(rows(VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)) === prunedRows)
+    // tombstone one matched corpus vector -> vanishes from the pruned probe
+    val deadId = matchedIds.min
+    VectorOps.deleteFromEmbedLshIndex(spark, Seq(deadId).toDF("id"), dir)
+    val afterDel = VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)
+      .select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!afterDel.contains(deadId))
+    // compaction folds pbands; probe equals fresh rebuild of survivors
+    VectorOps.compactEmbedLshIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/pbands")
+      .where(col("vec_id") === deadId).count() === 0,
+      "compaction left tombstoned rows in embed pbands")
+    val fresh = java.nio.file.Files.createTempDirectory("bandlaw_elf").toString
+    VectorOps.writeEmbedLshIndex(spark, corp.where(col("vec_id") =!= deadId), fresh)
+    assert(rows(VectorOps.dedupEmbedAgainstIndex(spark, batch, dir)) ===
+      rows(VectorOps.dedupEmbedAgainstIndex(spark, batch, fresh)),
+      "folded embed index probe != fresh-rebuild probe")
+    rmDir(java.nio.file.Paths.get(dir))
+    rmDir(java.nio.file.Paths.get(fresh))
+  }
+
+  test("foreachBatch pruned gate emits the same match set as the stream-static gate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.SQLContext
+    import graft.operators.DedupOps
+    import graft.streaming.DocEv
+    import spark.implicits._
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_fb").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    val batches: Seq[Seq[DocEv]] = (0 until 3).map { t =>
+      (0 until 20).map { i =>
+        val n = t * 20 + i
+        val words = (0 until 12).map(j => s"w${math.abs((n * 31 + j * 7) % 50)}")
+        DocEv(6000L + n, new java.sql.Timestamp(1000L * n),
+          words.take(11).mkString(" "))
+      }
+    }
+    // reference: the plain stream-static gate (memory sink)
+    val mem1 = MemoryStream[DocEv]
+    val q1 = graft.streaming.StreamingOps.dedupAgainstIndexStream(mem1.toDF(), dir)
+      .writeStream.format("memory").queryName("bandlaw_ref")
+      .outputMode(OutputMode.Append()).start()
+    batches.foreach { b => mem1.addData(b: _*); q1.processAllAvailable() }
+    val refRows = spark.table("bandlaw_ref")
+      .select("batch_id", "corpus_id", "jac").collect().map(_.toString).toSet
+    q1.stop()
+    // per-trigger-flat: the PRUNED batch probe inside foreachBatch
+    val got = scala.collection.mutable.Set.empty[String]
+    val mem2 = MemoryStream[DocEv]
+    val q2 = mem2.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= DedupOps.dedupAgainstIndex(b.sparkSession, b.toDF(), dir)
+          .select("batch_id", "corpus_id", "jac").collect().map(_.toString)
+        ()
+      }.start()
+    batches.foreach { b => mem2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    assert(got.toSet === refRows,
+      "foreachBatch pruned gate and stream-static gate disagree")
+    assert(refRows.nonEmpty, "fixture defect: no stream matches")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+}
