@@ -146,6 +146,11 @@ object AssetIngest {
       keeperHashes.join(novel.select("asset_id"), Seq("asset_id"), "left_semi")
         .localCheckpoint(false),
       indexDir)
+    // bootstrap (or upgrade a pre-layout index): derive the whole probe
+    // layout from the grouped table — on the first batch that IS the
+    // batch; later batches ride appendVideoHashes' incremental sync
+    if (!BandBuckets.exists(s, s"$indexDir/pbands"))
+      VideoCodec.writeVideoProbeLayout(s, indexDir)
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -353,10 +358,22 @@ object AssetIngest {
     val inBatchLosers = HashBanding.pairs(hashes, maxHamming)
       .select(col("b_id").as("asset_id")).distinct()
     val keepers = valid.join(inBatchLosers, Seq("asset_id"), "left_anti")
-    // corpus probe: linear in batch, tombstone-aware
-    val corpusDupIds = HashBanding.probe(
+    // corpus probe: linear in batch, tombstone-aware; takes the
+    // literal-pruned pbands path when the index carries the probe
+    // layout (HashBanding.probeAgainstDir — identical output by spec
+    // law), the full-scan fallback otherwise (including bootstrap,
+    // where the index doesn't exist yet)
+    val hashesPath = new Path(s"$indexDir/hashes")
+    val indexExists = hashesPath.getFileSystem(
+      s.sparkContext.hadoopConfiguration).exists(hashesPath)
+    val corpusDupIds = (
+      if (indexExists) {
+        HashBanding.requireMeta(s, indexDir)
+        HashBanding.probeAgainstDir(s,
+          keepers.select(col("asset_id"), col("ahash")), indexDir, maxHamming)
+      } else HashBanding.probe(
         keepers.select(col("asset_id"), col("ahash")),
-        storedHashes(s, indexDir), maxHamming)
+        storedHashes(s, indexDir), maxHamming))
       .select(col("batch_id").as("asset_id")).distinct()
     val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
       .localCheckpoint(false) // landing + index append + count read it once
@@ -367,6 +384,13 @@ object AssetIngest {
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
       HashBanding.writeMeta(s, indexDir)
     novel.select("asset_id", "ahash").write.mode("append").parquet(s"$indexDir/hashes")
+    // keep the probe layout current: bootstrap (or upgrade a pre-layout
+    // index) by deriving the whole table from hashes — which on the
+    // first batch IS the batch — otherwise append just the novel rows
+    if (!BandBuckets.exists(s, s"$indexDir/pbands"))
+      HashBanding.writeProbeLayout(s, indexDir)
+    else
+      HashBanding.appendProbeLayout(s, indexDir, novel.select("asset_id", "ahash"))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(

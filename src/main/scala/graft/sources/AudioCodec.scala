@@ -203,6 +203,7 @@ object AudioCodec {
   def writeAudioHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     audioHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
+    HashBanding.writeProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir)
   }
 
@@ -211,8 +212,10 @@ object AudioCodec {
     * duplicates rows — same contract as every other index append). */
   def appendToAudioHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    audioHashes(batch).where(col("ok")).select("asset_id", "ahash")
-      .write.mode("append").parquet(s"$dir/hashes")
+    val hashed = audioHashes(batch).where(col("ok"))
+      .select("asset_id", "ahash").localCheckpoint(false)
+    hashed.write.mode("append").parquet(s"$dir/hashes")
+    HashBanding.appendProbeLayout(s, dir, hashed)
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids
@@ -222,6 +225,7 @@ object AudioCodec {
 
   /** Fold tombstones into the stored hash table and clear them. */
   def compactAudioHashIndex(s: SparkSession, dir: String): Unit = {
+    HashBanding.foldProbeLayout(s, dir)
     Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
     Tombstones.clear(s, dir)
   }
@@ -238,9 +242,7 @@ object AudioCodec {
     HashBanding.requireMeta(s, dir)
     val bHashes = audioHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
-    val stored = Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
-    HashBanding.probe(bHashes, stored, maxHamming, maxBucket)
+    HashBanding.probeAgainstDir(s, bHashes, dir, maxHamming, maxBucket)
   }
 
   /** Perceptual audio near-dup pairs: decode → envelope hash → banded

@@ -124,6 +124,13 @@ object HashBanding {
     hashes.select(col("asset_id").as(idAs), col("ahash").as(hashAs),
       posexplode(expr(bandExpr)).as(Seq("band_idx", "band_val")))
 
+  /** Band rows of an `ahash`-bearing frame keeping ALL of its columns —
+    * the carried-payload variant of [[banded]] for band-partition
+    * layouts that persist refine columns alongside the join keys
+    * (VideoCodec's frame-uid probe layout). */
+  private[sources] def bandRowsAllCols(hashes: DataFrame): DataFrame =
+    hashes.select(col("*"), posexplode(expr(bandExpr)).as(Seq("band_idx", "band_val")))
+
   /** SQL snippet: the DISTINCT band keys of an array-of-collapsed-frames
     * column (`array<struct<..., ahash: array<long>>>`), each key packed
     * into one long as `band_idx * 2^BandBits + band_val`. This is the
@@ -253,18 +260,97 @@ object HashBanding {
     * moment anything probes the flooded bucket — the same behavioral
     * face the embed probe declares). */
   def probe(batch: DataFrame, stored: DataFrame, maxHamming: Int,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    probeOnBanded(banded(batch, "batch_id", "b_hash"),
+      banded(stored, "corpus_id", "c_hash"), maxHamming, maxBucket)
+
+  /** The probe pipeline over PRE-BANDED corpus rows (corpus_id, c_hash,
+    * band_idx, band_val) — shared by [[probe]] (bands computed at read)
+    * and the pruned probe (bands read from the persisted band-partition
+    * layout). The probed-keys semi-join restricts EXACTLY the same rows
+    * either way, so the flood-guard populations and the output are
+    * identical by construction. */
+  private[sources] def probeOnBanded(b: DataFrame, c0: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxGuaranteedHamming,
       s"${Bands}x$BandBits banding only guarantees recall for Hamming <= " +
         s"$MaxGuaranteedHamming, got $maxHamming")
-    val b = banded(batch, "batch_id", "b_hash")
     val probedKeys = b.select("band_idx", "band_val").distinct()
-    val c = banded(stored, "corpus_id", "c_hash")
-      .join(broadcast(probedKeys), Seq("band_idx", "band_val"), "left_semi")
+    val c = c0.join(broadcast(probedKeys), Seq("band_idx", "band_val"), "left_semi")
     b.join(capGuard(c, maxBucket, "corpus"), Seq("band_idx", "band_val"))
       .select(col("batch_id"), col("corpus_id"),
         expr(hammingExpr("b_hash", "c_hash")).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  // --- Band-partitioned probe layout for the flat hash indexes (the
+  // image/audio twin of the MinHash/embed-LSH `pbands` tables, see
+  // BandBuckets): band rows persisted WITH the full 256-bit hash
+  // carried, so a pruned probe answers candidates AND the exact
+  // popcount refine from one literal-pruned scan — no second table
+  // lookup, per-probe cost O(batch keys) row groups at any corpus
+  // size. Derived data: re-derivable from `hashes` at any time, and
+  // probes fall back to the full scan when absent. ---
+
+  /** (Re-)derive `dir/pbands` from `dir/hashes` — called by the index
+    * writers; also the upgrade path for a pre-layout index. */
+  def writeProbeLayout(s: SparkSession, dir: String): Unit =
+    if (BandBuckets.exists(s, s"$dir/hashes"))
+      BandBuckets.write(
+        banded(s.read.parquet(s"$dir/hashes"), "asset_id", "ahash"),
+        s"$dir/pbands", "overwrite", bandCol = "band_idx", bucketCol = "band_val")
+
+  /** Append a hashed batch's band rows — only if the layout already
+    * exists (never create a partial table; pre-layout indexes stay on
+    * the full-scan fallback until [[writeProbeLayout]] runs). */
+  def appendProbeLayout(s: SparkSession, dir: String, hashed: DataFrame): Unit =
+    if (BandBuckets.exists(s, s"$dir/pbands"))
+      BandBuckets.write(banded(hashed, "asset_id", "ahash"),
+        s"$dir/pbands", "append", bandCol = "band_idx", bucketCol = "band_val")
+
+  /** Fold tombstones into the probe layout (before/independent of the
+    * flat `hashes` fold — the deleted band rows are derived from the
+    * tombstoned hashes themselves). */
+  def foldProbeLayout(s: SparkSession, dir: String): Unit =
+    Tombstones.read(s, dir).foreach { t =>
+      if (BandBuckets.exists(s, s"$dir/pbands")) {
+        val hs = s.read.parquet(s"$dir/hashes")
+        val deleted = banded(
+          hs.join(broadcast(t), hs("asset_id") === t("id"), "left_semi"),
+          "asset_id", "ahash")
+        BandBuckets.foldIntoBanded(s, s"$dir/pbands", dir, "asset_id",
+          deleted, bandCol = "band_idx", bucketCol = "band_val")
+      }
+    }
+
+  /** PRUNED batch-vs-corpus probe over the persisted layout: identical
+    * output to [[probe]] (spec law), but the corpus side is a
+    * literal-pruned scan of `pbands` instead of a full `hashes` scan.
+    * Falls back to [[probe]] against `stored` when the layout is
+    * absent. */
+  /** The banded batch side of a probe — exposed for family-specific
+    * pruned probes (VideoCodec) that share [[probeOnBanded]]. */
+  private[sources] def bandedBatch(hashedBatch: DataFrame): DataFrame =
+    banded(hashedBatch, "batch_id", "b_hash")
+
+  def probeAgainstDir(s: SparkSession, hashedBatch: DataFrame, dir: String,
+      maxHamming: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val b = banded(hashedBatch, "batch_id", "b_hash")
+    if (BandBuckets.exists(s, s"$dir/pbands")) {
+      val c = Tombstones.applyTo(s,
+        BandBuckets.prunedRead(s, s"$dir/pbands",
+          b.select("band_idx", "band_val"),
+          bandCol = "band_idx", bucketCol = "band_val"),
+        dir, "asset_id")
+        .select(col("asset_id").as("corpus_id"), col("ahash").as("c_hash"),
+          col("band_idx"), col("band_val"))
+      probeOnBanded(b, c, maxHamming, maxBucket)
+    } else {
+      val stored = Tombstones.applyTo(
+        s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
+      probeOnBanded(b, banded(stored, "corpus_id", "c_hash"),
+        maxHamming, maxBucket)
+    }
   }
 }

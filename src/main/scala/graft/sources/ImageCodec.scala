@@ -487,6 +487,7 @@ object ImageCodec {
   def writeImageHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
+    HashBanding.writeProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir)
   }
 
@@ -496,8 +497,10 @@ object ImageCodec {
     * rows — same contract as every other index append). */
   def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
-    imageHashes(batch).where(col("ok")).select("asset_id", "ahash")
-      .write.mode("append").parquet(s"$dir/hashes")
+    val hashed = imageHashes(batch).where(col("ok"))
+      .select("asset_id", "ahash").localCheckpoint(false)
+    hashed.write.mode("append").parquet(s"$dir/hashes")
+    HashBanding.appendProbeLayout(s, dir, hashed)
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids
@@ -507,6 +510,9 @@ object ImageCodec {
 
   /** Fold tombstones into the stored hash table and clear them. */
   def compactImageHashIndex(s: SparkSession, dir: String): Unit = {
+    // probe layout first (deleted band rows derive from the not-yet-
+    // folded hashes table), then the flat fold
+    HashBanding.foldProbeLayout(s, dir)
     Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
     Tombstones.clear(s, dir)
   }
@@ -524,9 +530,7 @@ object ImageCodec {
     HashBanding.requireMeta(s, dir)
     val bHashes = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
-    val stored = Tombstones.applyTo(
-      s, s.read.parquet(s"$dir/hashes"), dir, "asset_id")
-    HashBanding.probe(bHashes, stored, maxHamming, maxBucket)
+    HashBanding.probeAgainstDir(s, bHashes, dir, maxHamming, maxBucket)
   }
 
   /** Perceptual near-duplicate pairs: band the 256-bit aHash into sixteen

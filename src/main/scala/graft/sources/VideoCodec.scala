@@ -545,8 +545,30 @@ object VideoCodec {
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
     IdBuckets.write(groupedVideoRows(hashed), "asset_id", s"$dir/grouped", "overwrite")
+    writeVideoProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir, IndexMeta.GroupedLayout)
   }
+
+  /** The band-partitioned probe rows of a collapsed-frame view: one row
+    * per (collapsed frame, band) carrying the frame uid, the owning
+    * video id (tombstones apply at video granularity), the multiplicity
+    * (the vote weight — carried so the pruned probe never re-reads the
+    * grouped table for it) and the frame hash (the popcount refine). */
+  private def videoProbeRows(collapsed: DataFrame): DataFrame =
+    HashBanding.bandRowsAllCols(
+      requireUidRange(collapsed)
+        .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("uid"),
+          col("asset_id").as("vid"), col("cnt"), col("ahash")))
+
+  /** (Re-)derive the video probe layout (`pbands`) from the grouped
+    * table — called by the index writers; also the upgrade path for a
+    * pre-layout index (probes fall back to the full scan until it
+    * runs). */
+  def writeVideoProbeLayout(s: SparkSession, dir: String): Unit =
+    if (BandBuckets.exists(s, s"$dir/grouped"))
+      BandBuckets.write(
+        videoProbeRows(collapsedRowsOfGrouped(IdBuckets.read(s, s"$dir/grouped"))),
+        s"$dir/pbands", "overwrite", bandCol = "band_idx", bucketCol = "band_val")
 
   /** Assign-only append of a new video batch. Caller owns asset_id
     * uniqueness (Ledger discipline — see the image/audio index
@@ -562,6 +584,13 @@ object VideoCodec {
     requireVideoMeta(s, dir)
     IdBuckets.write(groupedVideoRows(hashed.select("asset_id", "frame_idx", "ahash")),
       "asset_id", s"$dir/grouped", "append")
+    // keep the probe layout in sync — never CREATE a partial one
+    // (pre-layout indexes stay on the full-scan fallback until
+    // writeVideoProbeLayout derives the whole table)
+    if (BandBuckets.exists(s, s"$dir/pbands"))
+      BandBuckets.write(
+        videoProbeRows(collapseFrames(hashed.select("asset_id", "frame_idx", "ahash"))),
+        s"$dir/pbands", "append", bandCol = "band_idx", bucketCol = "band_val")
   }
 
   /** Takedown: O(ids) tombstone append. */
@@ -572,6 +601,24 @@ object VideoCodec {
     * id-bucketed, so only the partitions holding tombstoned videos are
     * rewritten. */
   def compactVideoHashIndex(s: SparkSession, dir: String): Unit = {
+    // probe layout first: the deleted videos' band rows are located from
+    // the not-yet-folded grouped table via its id-bucket directories,
+    // bounding the band-partition rewrite (the two schemes compose —
+    // see DedupOps.compactMinhashIndex)
+    Tombstones.read(s, dir).foreach { t =>
+      if (BandBuckets.exists(s, s"$dir/pbands")) {
+        val idDirs = t.select(IdBuckets.bucketOf(col("id")).as("b"))
+          .distinct().collect().map(_.getInt(0))
+        val ids = t.select(col("id").as("asset_id"))
+        val deleted = videoProbeRows(collapsedRowsOfGrouped(
+          s.read.parquet(s"$dir/grouped")
+            .where(col(IdBuckets.Col).isin(idDirs.map(Integer.valueOf).toSeq: _*))
+            .join(broadcast(ids), Seq("asset_id"), "left_semi")
+            .drop(IdBuckets.Col)))
+        BandBuckets.foldIntoBanded(s, s"$dir/pbands", dir, "vid", deleted,
+          bandCol = "band_idx", bucketCol = "band_val")
+      }
+    }
     IdBuckets.foldIntoBucketed(s, s"$dir/grouped", dir, "asset_id")
     Tombstones.clear(s, dir)
   }
@@ -610,18 +657,58 @@ object VideoCodec {
     val bCnt = bCollapsed.select(
       (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("batch_id"),
       col("cnt").as("cnt_b"))
-    val grouped = Tombstones.applyTo(
-      s, IdBuckets.read(s, s"$dir/grouped"), dir, "asset_id")
-    val stored = requireUidRange(collapsedRowsOfGrouped(grouped))
-    val storedUids = stored
-      .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
-        col("ahash"))
-    val cCnt = stored.select(
-      (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("corpus_id"),
-      col("cnt").as("cnt_c"))
-    val corpusCounts = grouped
-      .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
-    val aligned = HashBanding.probe(batchUids, storedUids, maxHamming, maxBucket)
+    // PRUNED corpus side when the band-partition layout exists: frame
+    // candidates, multiplicities AND per-video frame counts all come
+    // from literal-pruned reads (BandBuckets.prunedRead for band rows,
+    // IdBuckets.prunedById for the candidate videos' n_frames), so the
+    // probe reads O(batch frame keys) row groups at any corpus size —
+    // output identical to the full-scan fallback (spec law). Tombstones
+    // apply at VIDEO granularity via the carried `vid` column.
+    val usePruned = BandBuckets.exists(s, s"$dir/pbands")
+    val b = HashBanding.bandedBatch(batchUids)
+    val (frameMatches, cCnt, corpusCounts) =
+      if (usePruned) {
+        val prunedC = Tombstones.applyTo(s,
+          BandBuckets.prunedRead(s, s"$dir/pbands",
+            b.select("band_idx", "band_val"),
+            bandCol = "band_idx", bucketCol = "band_val"),
+          dir, "vid")
+        val c0 = prunedC.select(col("uid").as("corpus_id"),
+          col("ahash").as("c_hash"), col("band_idx"), col("band_val"))
+        // every candidate frame has >= 1 band row in the pruned scan,
+        // so its multiplicity rides along — no grouped-table read
+        val cnts = prunedC
+          .select(col("uid").as("corpus_id"), col("cnt").as("cnt_c")).distinct()
+        val matches = HashBanding.probeOnBanded(b, c0, maxHamming, maxBucket)
+        // n_frames only for the candidate VIDEOS: bounded collect ->
+        // point-read of the grouped table (full read past the cap)
+        val vidRows = matches
+          .select(expr(s"corpus_id div $MaxFramesPerVideo").as("vid")).distinct()
+          .limit(IdBuckets.MaxIdLiterals + 1).collect()
+        val groupedView =
+          if (vidRows.length <= IdBuckets.MaxIdLiterals)
+            IdBuckets.prunedById(s, s"$dir/grouped", "asset_id",
+              vidRows.map(_.getLong(0)).toSeq)
+          else IdBuckets.read(s, s"$dir/grouped")
+        val counts = Tombstones.applyTo(s, groupedView, dir, "asset_id")
+          .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
+        (matches, cnts, counts)
+      } else {
+        val grouped = Tombstones.applyTo(
+          s, IdBuckets.read(s, s"$dir/grouped"), dir, "asset_id")
+        val stored = requireUidRange(collapsedRowsOfGrouped(grouped))
+        val storedUids = stored
+          .select((col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("asset_id"),
+            col("ahash"))
+        val cnts = stored.select(
+          (col("asset_id") * MaxFramesPerVideo + col("first_idx")).as("corpus_id"),
+          col("cnt").as("cnt_c"))
+        val counts = grouped
+          .select(col("asset_id").as("corpus_id"), col("n_frames").as("n_corpus"))
+        (HashBanding.probe(batchUids, storedUids, maxHamming, maxBucket),
+          cnts, counts)
+      }
+    val aligned = frameMatches
       .join(bCnt, Seq("batch_id"))
       .join(cCnt, Seq("corpus_id"))
       .select(expr(s"batch_id div $MaxFramesPerVideo").as("b_vid"),

@@ -224,6 +224,85 @@ class BandLayoutSpec extends AnyFunSuite {
     rmDir(java.nio.file.Paths.get(fresh))
   }
 
+  test("image hash index: pruned probe output is bit-identical to the full-scan fallback; lifecycle stays green") {
+    import graft.sources.{BandBuckets, HashBanding, ImageCodec}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_img").toString
+    def img(key: Long): Array[Byte] =
+      ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key, 16, 16))
+    val corpusImgs = (0 until 60).map(i => (i.toLong, img(i + 1L)))
+      .toDF("asset_id", "payload")
+    ImageCodec.writeImageHashIndex(spark, corpusImgs, dir)
+    assert(BandBuckets.exists(spark, s"$dir/pbands"),
+      "writeImageHashIndex must derive the probe layout")
+    // batch: exact payload copies of corpus images 0..9 (hamming 0)
+    val batch = (0 until 10).map(i => (500L + i, img(i + 1L)))
+      .toDF("asset_id", "payload")
+    val pruned = ImageCodec.dedupImagesAgainstIndex(spark, batch, dir)
+    val prunedRows = rows(pruned)
+    assert(prunedRows.nonEmpty, "fixture defect: exact copies not flagged")
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    assert(rows(ImageCodec.dedupImagesAgainstIndex(spark, batch, dir)) === prunedRows,
+      "pruned and full-scan image probes disagree")
+    // upgrade path re-derives; append keeps it in sync
+    HashBanding.writeProbeLayout(spark, dir)
+    ImageCodec.appendToImageHashIndex(spark,
+      Seq((900L, img(7777L))).toDF("asset_id", "payload"), dir)
+    val probeNew = ImageCodec.dedupImagesAgainstIndex(spark,
+      Seq((950L, img(7777L))).toDF("asset_id", "payload"), dir)
+    assert(probeNew.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(900L),
+      "appended image not found through the probe layout")
+    // tombstone + compact: folded pbands, probe equals fresh rebuild
+    ImageCodec.deleteFromImageHashIndex(spark, Seq(3L).toDF("id"), dir)
+    ImageCodec.compactImageHashIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/pbands").where(col("asset_id") === 3L).count() === 0,
+      "compaction left tombstoned rows in image pbands")
+    val after = ImageCodec.dedupImagesAgainstIndex(spark, batch, dir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(3L), "compacted id still matched")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("video hash index: pruned probe output is bit-identical to the full-scan fallback; lifecycle stays green") {
+    import graft.sources.{BandBuckets, ImageCodec, VideoCodec}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_vid").toString
+    def vid(key: Long, frames: Int = 4): Array[Byte] =
+      VideoCodec.encodeContainer((0 until frames).map(f =>
+        ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key * 977 + f, 16, 16))))
+    val corpusVids = (0 until 40).map(i => (i.toLong, vid(i + 1L)))
+      .toDF("asset_id", "payload")
+    VideoCodec.writeVideoHashIndex(spark, corpusVids, dir)
+    assert(BandBuckets.exists(spark, s"$dir/pbands"),
+      "writeVideoHashIndex must derive the probe layout")
+    // batch: truncated copies of corpus videos 0..5 (3 of 4 frames align)
+    val batch = (0 until 6).map(i => (700L + i, vid(i + 1L, frames = 3)))
+      .toDF("asset_id", "payload")
+    val pruned = VideoCodec.dedupVideosAgainstIndex(spark, batch, dir)
+    val prunedRows = rows(pruned)
+    assert(prunedRows.nonEmpty, "fixture defect: truncated copies not flagged")
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    assert(rows(VideoCodec.dedupVideosAgainstIndex(spark, batch, dir)) === prunedRows,
+      "pruned and full-scan video probes disagree")
+    // upgrade path re-derives; append keeps it in sync
+    VideoCodec.writeVideoProbeLayout(spark, dir)
+    VideoCodec.appendToVideoHashIndex(spark,
+      Seq((800L, vid(31337L))).toDF("asset_id", "payload"), dir)
+    val probeNew = VideoCodec.dedupVideosAgainstIndex(spark,
+      Seq((850L, vid(31337L, frames = 3))).toDF("asset_id", "payload"), dir)
+    assert(probeNew.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(800L),
+      "appended video not found through the probe layout")
+    // tombstone + compact: folded pbands, probe equals fresh state
+    VideoCodec.deleteFromVideoHashIndex(spark, Seq(2L).toDF("id"), dir)
+    VideoCodec.compactVideoHashIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/pbands").where(col("vid") === 2L).count() === 0,
+      "compaction left tombstoned rows in video pbands")
+    val after = VideoCodec.dedupVideosAgainstIndex(spark, batch, dir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(2L), "compacted video still matched")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
   test("foreachBatch pruned gate emits the same match set as the stream-static gate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
