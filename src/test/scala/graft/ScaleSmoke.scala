@@ -132,7 +132,8 @@ object ScaleSmoke {
     * not the probe) while the STREAM side carries real decodable
     * payloads so the per-batch decode cost is included. */
   def runProbeSmoke(s: SparkSession, dir: String, triggers: Int = 5,
-      batchDocs: Int = 200, cacheStatic: Boolean = false): Seq[ProbeResult] = {
+      batchDocs: Int = 200, cacheStatic: Boolean = false,
+      pruned: Boolean = false): Seq[ProbeResult] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.{Encoder, SQLContext}
@@ -151,6 +152,28 @@ object ScaleSmoke {
       val qn = s"probe_${name}_${System.nanoTime()}"
       val q = mk(mem.toDF()).writeStream.format("memory").queryName(qn)
         .outputMode(OutputMode.Append()).start()
+      try {
+        val secs = batches.map { b =>
+          mem.addData(b: _*)
+          timed(q.processAllAvailable())._2
+        }
+        out += ProbeResult(name, corpusRows, secs)
+      } finally q.stop()
+    }
+
+    /** The per-trigger-FLAT mode (`pruned = true`): the literal-pruned
+      * BATCH probe runs once per micro-batch via foreachBatch — the
+      * deployment shape for indexes too large to cache. Stream-static
+      * DPP never fires (measured, BandBuckets scaladoc), so this is the
+      * shape that makes per-trigger cost independent of corpus size;
+      * BandLayoutSpec pins its output equal to the stream-static gate. */
+    def drivePruned[T](name: String, corpusRows: Long, batches: Seq[Seq[T]],
+        probe: DataFrame => DataFrame)(implicit enc: Encoder[T]): Unit = {
+      val mem = MemoryStream[T]
+      val q = mem.toDF().writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          probe(b.toDF()).count(); ()
+        }.start()
       try {
         val secs = batches.map { b =>
           mem.addData(b: _*)
@@ -178,9 +201,13 @@ object ScaleSmoke {
           toks.take(math.max(4, toks.length - 2)).mkString(" "))
       }
     }
-    drive[DocEv]("text_probe", nDocs, txtBatches,
-      df => graft.streaming.StreamingOps.dedupAgainstIndexStream(df, txtIdx,
-        cacheStatic = cacheStatic))
+    if (pruned)
+      drivePruned[DocEv]("text_probe", nDocs, txtBatches,
+        df => DedupOps.dedupAgainstIndex(s, df.select("doc_id", "text"), txtIdx))
+    else
+      drive[DocEv]("text_probe", nDocs, txtBatches,
+        df => graft.streaming.StreamingOps.dedupAgainstIndexStream(df, txtIdx,
+          cacheStatic = cacheStatic))
 
     // ---- embed: LSH index over the embeddings table; stream batches are
     // exact copies of corpus vectors (every row flags = worst-case
@@ -202,9 +229,14 @@ object ScaleSmoke {
         LVec(1000000000L + cid, t0(i), label, v)
       }
     }
-    drive[LVec]("embed_probe", nVec, embBatches,
-      df => graft.streaming.StreamingOps.embedDedupProbeStream(df, embIdx,
-        cacheStatic = cacheStatic))
+    if (pruned)
+      drivePruned[LVec]("embed_probe", nVec, embBatches,
+        df => VectorOps.dedupEmbedAgainstIndex(s,
+          df.select("vec_id", "label", "embedding"), embIdx))
+    else
+      drive[LVec]("embed_probe", nVec, embBatches,
+        df => graft.streaming.StreamingOps.embedDedupProbeStream(df, embIdx,
+          cacheStatic = cacheStatic))
 
     // ---- image/audio: synthetic hash corpora at the text corpus scale;
     // stream batches are real decodable payloads ----
@@ -214,6 +246,7 @@ object ScaleSmoke {
           "CAST(id AS STRING), '_', CAST(j AS STRING))))").as("ahash"))
     val imgIdx = s"$base/img"
     synthHashes(nDocs, "img").write.mode("overwrite").parquet(s"$imgIdx/hashes")
+    if (pruned) HashBanding.writeProbeLayout(s, imgIdx)
     HashBanding.writeMeta(s, imgIdx)
     val batchImgs = math.max(20, batchDocs / 4)
     val imgBatches = (0 until triggers).map { t =>
@@ -222,12 +255,18 @@ object ScaleSmoke {
           ImageCodec.texturedLuma(t * batchImgs + i + 1L, 16, 16)))
       }
     }
-    drive[(Long, Array[Byte])]("image_probe", nDocs, imgBatches,
-      df => graft.streaming.StreamingOps.imageDedupProbeStream(
-        df.toDF("asset_id", "payload"), imgIdx, cacheStatic = cacheStatic))
+    if (pruned)
+      drivePruned[(Long, Array[Byte])]("image_probe", nDocs, imgBatches,
+        df => ImageCodec.dedupImagesAgainstIndex(s,
+          df.toDF("asset_id", "payload"), imgIdx))
+    else
+      drive[(Long, Array[Byte])]("image_probe", nDocs, imgBatches,
+        df => graft.streaming.StreamingOps.imageDedupProbeStream(
+          df.toDF("asset_id", "payload"), imgIdx, cacheStatic = cacheStatic))
 
     val audIdx = s"$base/aud"
     synthHashes(nDocs, "aud").write.mode("overwrite").parquet(s"$audIdx/hashes")
+    if (pruned) HashBanding.writeProbeLayout(s, audIdx)
     HashBanding.writeMeta(s, audIdx)
     val audBatches = (0 until triggers).map { t =>
       (0 until batchImgs).map { i =>
@@ -235,9 +274,14 @@ object ScaleSmoke {
           Array.tabulate(400)(j => AudioCodec.sampleAt(t * batchImgs + i + 1L, j))))
       }
     }
-    drive[(Long, Array[Byte])]("audio_probe", nDocs, audBatches,
-      df => graft.streaming.StreamingOps.audioDedupProbeStream(
-        df.toDF("asset_id", "payload"), audIdx, cacheStatic = cacheStatic))
+    if (pruned)
+      drivePruned[(Long, Array[Byte])]("audio_probe", nDocs, audBatches,
+        df => AudioCodec.dedupAudioAgainstIndex(s,
+          df.toDF("asset_id", "payload"), audIdx))
+    else
+      drive[(Long, Array[Byte])]("audio_probe", nDocs, audBatches,
+        df => graft.streaming.StreamingOps.audioDedupProbeStream(
+          df.toDF("asset_id", "payload"), audIdx, cacheStatic = cacheStatic))
 
     // ---- video: synthetic frame hashes through the real grouped-append
     // path (schema by construction); stream batches are real containers ----
@@ -252,6 +296,7 @@ object ScaleSmoke {
             "CAST(asset_id AS STRING), '_', CAST(frame_idx AS STRING), '_', " +
             "CAST(j AS STRING))))")),
       vidIdx)
+    if (pruned) VideoCodec.writeVideoProbeLayout(s, vidIdx)
     val batchVids = math.max(5, batchDocs / 20)
     def vid(key: Long): Array[Byte] =
       VideoCodec.encodeContainer((0 until 4).map(f =>
@@ -260,9 +305,14 @@ object ScaleSmoke {
       (0 until batchVids).map(i => (1000000L + t * batchVids + i,
         vid(t * batchVids + i + 1L)))
     }
-    drive[(Long, Array[Byte])]("video_probe", nVid, vidBatches,
-      df => graft.streaming.StreamingOps.videoDedupProbeStream(
-        df.toDF("asset_id", "payload"), vidIdx, cacheStatic = cacheStatic))
+    if (pruned)
+      drivePruned[(Long, Array[Byte])]("video_probe", nVid, vidBatches,
+        df => VideoCodec.dedupVideosAgainstIndex(s,
+          df.toDF("asset_id", "payload"), vidIdx))
+    else
+      drive[(Long, Array[Byte])]("video_probe", nVid, vidBatches,
+        df => graft.streaming.StreamingOps.videoDedupProbeStream(
+          df.toDF("asset_id", "payload"), vidIdx, cacheStatic = cacheStatic))
 
     out.toSeq
   }
@@ -444,6 +494,7 @@ object ScaleSmoke {
         val triggers = if (args.length > 3) args(3).toInt else 5
         val batchDocs = if (args.length > 4) args(4).toInt else 200
         val cached = args.length > 5 && args(5) == "cached"
+        val prunedMode = args.length > 5 && args(5) == "pruned"
         val dataDir =
           if (factor <= 1) src
           else {
@@ -452,8 +503,9 @@ object ScaleSmoke {
             println(f"PROBE upsample factor=$factor secs=$upSecs%.1f")
             blown
           }
-        runProbeSmoke(s, dataDir, triggers, batchDocs, cached).foreach { r =>
-          val mode = if (cached) "cached" else "scan"
+        runProbeSmoke(s, dataDir, triggers, batchDocs, cached,
+            pruned = prunedMode).foreach { r =>
+          val mode = if (cached) "cached" else if (prunedMode) "pruned" else "scan"
           println(f"PROBE ${r.name} mode=$mode corpus=${r.corpusRows} " +
             f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
