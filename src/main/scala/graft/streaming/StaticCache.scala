@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.concurrent.TrieMap
+
+/** Session-lifetime registry behind the probe gates' `cacheStatic` dial.
+  *
+  * Before this registry, each stream CONSTRUCTION persisted a fresh copy
+  * of its post-tombstone static side: restart a gate three times and
+  * three identical MEMORY_AND_DISK entries of the same index stack up,
+  * with no caller-accessible handle to free any of them (r14 verdict,
+  * "What's wrong" #4). Now each (indexDir, slot) holds AT MOST ONE cached
+  * frame:
+  *
+  *  - **Reuse on restart**: a second construction over the same indexDir
+  *    returns the already-persisted frame (same object, same RDD cache)
+  *    as long as the index bytes on disk are unchanged.
+  *  - **Staleness by fingerprint, not by trust**: the registry keys each
+  *    entry with a fingerprint of the index directory's recursive file
+  *    listing (path, length, mtime). An append, compaction or tombstone
+  *    write changes the listing, so the next construction rebuilds and
+  *    re-persists, unpersisting the stale entry first — deletes now land
+  *    in cached gates at the next restart, same contract as the uncached
+  *    path (tombstones resolve at plan time). The fingerprint is one
+  *    driver-side listing per stream construction, not per trigger.
+  *  - **Explicit release**: `release(indexDir)` unpersists and drops
+  *    every slot of an index (call when retiring a gate);
+  *    `releaseAll()` clears the whole registry (tests, shutdown).
+  *
+  * Persist (not localCheckpoint) keeps lineage: a lost executor
+  * recomputes blocks instead of failing the stream. The registry is
+  * per-JVM (TrieMap) — exactly the scope of the RDD cache it manages.
+  */
+object StaticCache {
+
+  /** (indexDir, slot) -> (fingerprint, persisted frame). */
+  private val entries = TrieMap.empty[(String, String), (String, DataFrame)]
+
+  /** Fingerprint of everything under `dir`: sorted (path, len, mtime)
+    * triples hashed. Cheap (a driver FS listing — the same metadata walk
+    * every parquet read performs) and conservative: any byte landing in
+    * the index (append, compact, tombstone, meta restamp) changes it. */
+  private def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sb = new StringBuilder
+    def walk(q: Path): Unit =
+      if (fs.exists(q)) fs.listStatus(q).sortBy(_.getPath.toString).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else sb.append(st.getPath.toString).append('|')
+          .append(st.getLen).append('|')
+          .append(st.getModificationTime).append('\n')
+      }
+    walk(p)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** The cached post-tombstone static frame for `slot` of `indexDir`,
+    * built (and persisted MEMORY_AND_DISK) only when absent or stale. */
+  def cached(s: SparkSession, indexDir: String, slot: String)
+      (build: => DataFrame): DataFrame = synchronized {
+    val key = (indexDir, slot)
+    val fp = fingerprint(s, indexDir)
+    entries.get(key) match {
+      case Some((`fp`, df)) => df
+      case stale =>
+        stale.foreach { case (_, old) => old.unpersist(blocking = false) }
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        entries.put(key, (fp, df))
+        df
+    }
+  }
+
+  /** Unpersist and drop every cached slot of `indexDir`; returns the
+    * number of entries freed. */
+  def release(indexDir: String): Int = synchronized {
+    val keys = entries.keys.filter(_._1 == indexDir).toSeq
+    keys.foreach { k =>
+      entries.remove(k).foreach { case (_, df) => df.unpersist(blocking = true) }
+    }
+    keys.size
+  }
+
+  /** Release every entry in the registry. */
+  def releaseAll(): Int = synchronized {
+    val n = entries.size
+    entries.keys.toSeq.foreach { k =>
+      entries.remove(k).foreach { case (_, df) => df.unpersist(blocking = true) }
+    }
+    n
+  }
+
+  /** The live slots cached for `indexDir` (inspection / specs). */
+  def activeSlots(indexDir: String): Seq[String] =
+    entries.keys.filter(_._1 == indexDir).map(_._2).toSeq.sorted
+}

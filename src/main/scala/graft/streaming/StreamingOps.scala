@@ -128,15 +128,16 @@ object StreamingOps {
     // corpus-wide aggregation — the grouped form is persisted in the
     // index layout for exactly this reason (ProbeStreamPlanSpec pins the
     // static subtree Aggregate/ShuffleExchange-free).
-    val idx = maybeCache(graft.sources.Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id"),
-        cacheStatic)
+    val idx = maybeCache(indexDir, "cbuckets", cacheStatic)(
+        graft.sources.Tombstones.applyTo(
+          s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id"))
       .select(col("doc_id").as("corpus_id"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val csh = maybeCache(graft.sources.Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/shingles"), indexDir, "doc_id")
-      .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
-      .where(size(col("shc")) > 0), cacheStatic)
+    val csh = maybeCache(indexDir, "shingles", cacheStatic)(
+        graft.sources.Tombstones.applyTo(
+          s, graft.sources.IdBuckets.read(s, s"$indexDir/shingles"), indexDir, "doc_id")
+        .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
+        .where(size(col("shc")) > 0))
     bandRows
       .join(idx, col("band") === col("band_c") && col("bucket") === col("bucket_c"))
       // band-priority pick: drop the row if any EARLIER band also agrees
@@ -553,12 +554,12 @@ object StreamingOps {
     // explode are per-row compute, so the per-micro-batch static cost is
     // a scan + generate, never a corpus-wide aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val corpusRows = maybeCache(Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/grouped"), indexDir, "asset_id")
-      .select(col("asset_id").as("corpus_id"), col("chashes"),
-        col("n_frames").as("n_corpus"))
-      .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes"))),
-        cacheStatic)
+    val corpusRows = maybeCache(indexDir, "grouped", cacheStatic)(
+        Tombstones.applyTo(
+          s, graft.sources.IdBuckets.read(s, s"$indexDir/grouped"), indexDir, "asset_id")
+        .select(col("asset_id").as("corpus_id"), col("chashes"),
+          col("n_frames").as("n_corpus"))
+        .withColumn("c_keys", expr(HashBanding.packedFrameBandKeysExpr("chashes"))))
       .select(col("corpus_id"), col("n_corpus"), col("chashes"), col("c_keys"),
         explode(col("c_keys")).as("band_key"))
     val ham = HashBanding.hammingExpr("a.ahash", "c.ahash")
@@ -631,14 +632,15 @@ object StreamingOps {
     // vector, written at index write/append time), re-exploded per row —
     // never a per-micro-batch corpus re-aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val idx = maybeCache(Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id"),
-        cacheStatic)
+    val idx = maybeCache(indexDir, "cbuckets", cacheStatic)(
+        Tombstones.applyTo(
+          s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id"))
       .select(col("vec_id").as("corpus_id"), col("label").as("label_c"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val cemb = maybeCache(Tombstones.applyTo(
-        s, graft.sources.IdBuckets.read(s, s"$indexDir/embeddings"), indexDir, "vec_id")
-      .select(col("vec_id").as("corpus_id"), col("embedding").as("ec")), cacheStatic)
+    val cemb = maybeCache(indexDir, "embeddings", cacheStatic)(
+        Tombstones.applyTo(
+          s, graft.sources.IdBuckets.read(s, s"$indexDir/embeddings"), indexDir, "vec_id")
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("ec")))
     bandRows
       .join(idx, col("label") === col("label_c") && col("band") === col("band_c") &&
         col("bucket") === col("bucket_c"))
@@ -659,13 +661,19 @@ object StreamingOps {
     * for indexes that fit the cluster's storage memory. Deliberately
     * OFF by default: a 100 TB index cannot be cached, and the uncached
     * scan degrades gracefully — turn it on per deployment when the
-    * index is known to fit. persist (not localCheckpoint) keeps
-    * lineage, so a lost executor recomputes instead of failing the
-    * stream; tombstones freeze at plan time either way. The cache lives
-    * until the session evicts it or the caller unpersists. */
-  private def maybeCache(df: DataFrame, on: Boolean): DataFrame =
-    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    * index is known to fit (past that size, the band-partitioned
+    * foreachBatch probe is the flat-latency shape — BASELINE.md r15).
+    * Cached frames live in [[StaticCache]]: one entry per
+    * (indexDir, slot), reused across stream restarts while the index
+    * bytes are unchanged, rebuilt (stale entry unpersisted) when an
+    * append/compaction/tombstone changes the directory fingerprint, and
+    * freed explicitly with `StaticCache.release(indexDir)`. */
+  private def maybeCache(indexDir: String, slot: String, on: Boolean)
+      (build: => DataFrame): DataFrame =
+    if (on) {
+      val df = build
+      StaticCache.cached(df.sparkSession, indexDir, slot)(df)
+    } else build
 
   /** The modality-agnostic engine under the perceptual probe gates: a
     * hashed stream frame (asset_id, ahash) against a stored hash index. */
@@ -678,8 +686,8 @@ object StreamingOps {
       s"banding only guarantees recall for Hamming <= " +
         s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
     val streamBands = HashBanding.bandRowsCarried(hashed, "batch_id", "b_hash", "b_bands")
-    val stored = maybeCache(Tombstones.applyTo(
-      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id"), cacheStatic)
+    val stored = maybeCache(indexDir, "hashes", cacheStatic)(Tombstones.applyTo(
+      s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id"))
     val corpusBands = HashBanding.bandRowsCarried(stored, "corpus_id", "c_hash", "c_bands")
     streamBands.join(corpusBands, Seq("band_idx", "band_val"))
       // band-priority pick: drop the row if any EARLIER band also agrees

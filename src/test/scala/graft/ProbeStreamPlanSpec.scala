@@ -127,7 +127,7 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
       "cacheStatic plan shows no InMemoryTableScan:\n" +
         cached.queryExecution.executedPlan.toString.take(3000))
     assert(rows(cached) === rows(plain)) // cache-hit read agrees too
-    spark.sharedState.cacheManager.clearCache()
+    graft.streaming.StaticCache.releaseAll()
 
     // embed probe: same equivalence through its two cached tiers
     val rnd = new scala.util.Random(3)
@@ -148,7 +148,50 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
       cacheStatic = true)
     assert(vrows(vCached) === vrows(vPlain))
     assert(vrows(vCached).map(_._2).toSet === Set(1L))
-    spark.sharedState.cacheManager.clearCache()
+    graft.streaming.StaticCache.releaseAll()
+  }
+
+  test("StaticCache: one entry per slot across restarts; tombstone-stale rebuild; release frees") {
+    import graft.operators.DedupOps
+    import graft.streaming.{StaticCache, StreamingOps}
+    import spark.implicits._
+    StaticCache.releaseAll()
+    val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
+    val corpus = Seq((1L, "a", mk(1)), (2L, "a", mk(2)), (3L, "a", mk(3)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cache_reg").toString
+    DedupOps.writeMinhashIndex(spark, corpus, dir)
+    val in = Seq((101L, ts(1000L), (1 to 10).map(t => s"w1_$t").mkString(" ")))
+      .toDF("doc_id", "ts", "text")
+    def gate() = StreamingOps.dedupAgainstIndexStream(in, dir, cacheStatic = true)
+    def hits(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    assert(hits(gate()) === Set((101L, 1L)))
+    assert(StaticCache.activeSlots(dir) === Seq("cbuckets", "shingles"))
+    val persistedAfterFirst = spark.sparkContext.getPersistentRDDs.size
+    // "restart": a second construction over the same unchanged index
+    // REUSES the persisted frames — same two registry slots, zero new
+    // persistent RDDs (the pre-registry code stacked a fresh
+    // MEMORY_AND_DISK copy per construction)
+    val again = gate()
+    assert(hits(again) === Set((101L, 1L)))
+    assert(StaticCache.activeSlots(dir) === Seq("cbuckets", "shingles"))
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedAfterFirst,
+      "a reconstruction over an unchanged index must not stack new cache entries")
+    assert(again.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "the reused static side should read through the cache")
+
+    // a tombstone append changes the index fingerprint: the next
+    // construction rebuilds (still one entry per slot) and the delete
+    // LANDS in the cached gate — same restart contract as uncached
+    DedupOps.deleteFromMinhashIndex(spark, Seq(1L).toDF("doc_id"), dir)
+    assert(hits(gate()) === Set.empty, "tombstoned doc must vanish after reconstruction")
+    assert(StaticCache.activeSlots(dir) === Seq("cbuckets", "shingles"))
+
+    // explicit release: frees both slots and leaves nothing registered
+    assert(StaticCache.release(dir) === 2)
+    assert(StaticCache.activeSlots(dir).isEmpty)
+    assert(StaticCache.release(dir) === 0)
   }
 
   test("knnScoreStream: corpus collect_list is checkpointed setup cost — no Aggregate per trigger") {

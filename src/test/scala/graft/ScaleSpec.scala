@@ -187,7 +187,7 @@ class ScaleSpec extends AnyFunSuite {
         assert(p.trigSecs.length === 2 && p.corpusRows > 0, s"cached=$cached: $p")
         assert(p.steady < 120.0, s"cached=$cached ${p.name} took ${p.steady}s")
       }
-      spark.sharedState.cacheManager.clearCache()
+      graft.streaming.StaticCache.releaseAll()
     }
   }
 
