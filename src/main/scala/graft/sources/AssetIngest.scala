@@ -50,6 +50,37 @@ object AssetIngest {
   final case class IngestReport(admitted: Long, inBatchDups: Long,
     corpusDups: Long, undecodable: Long, gated: Long = 0L)
 
+  /** Optional per-batch sketch accounting for an ingest loop: when passed,
+    * the loop appends its ADMITTED (novel) rows to two [[SketchLedger]]s
+    * under `dir` — `dir/distinct` (HLL: distinct new ids per key, plus the
+    * exact admitted-row count) and `dir/size` (KLL: quantiles of the
+    * modality's size metric — tokens, pixels, samples, frames, embedding
+    * norm). `batchId` is the crawl's step id (the Ledger.step convention):
+    * a retried fully-ingested batch admits nothing, so it appends nothing
+    * and the ledger is unmoved; a retry row that DOES land under the same
+    * id is absorbed by the ledgers' (keys, batch_id) read-path dedup.
+    * Answering "how many distinct docs per source so far" or "p99 doc
+    * length so far" then reads kilobytes of sketches, never the corpus —
+    * the accounting a 100 TB ingest dashboard polls every few minutes. */
+  final case class SketchSink(dir: String, batchId: String)
+
+  /** Append one batch's admitted rows to the sink's two ledgers. Runs
+    * AFTER the landing + index appends, so a ledgered batch is always a
+    * fully-ingested one (a crash before this point re-runs the batch;
+    * its retry admits nothing and re-appends nothing). Skipped when the
+    * batch admitted nothing: a zero-row append would only stamp meta. */
+  private def recordSketches(s: SparkSession, sink: Option[SketchSink],
+      novel: DataFrame, nNovel: Long, keys: Seq[String], idCol: String,
+      size: Column): Unit =
+    sink.foreach { sk =>
+      if (nNovel > 0) {
+        val base = novel.withColumn("size_metric", size.cast("double"))
+        SketchLedger.append(s, base, keys, idCol, s"${sk.dir}/distinct", sk.batchId)
+        SketchLedger.appendQuantile(s, base, keys, "size_metric",
+          s"${sk.dir}/size", sk.batchId)
+      }
+    }
+
   private def storedHashes(s: SparkSession, indexDir: String): DataFrame = {
     val p = new Path(s"$indexDir/hashes")
     val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -69,14 +100,17 @@ object AssetIngest {
     * appends their hashes to `indexDir`, returns the accounting. */
   def ingestImageBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
+      minSide: Int = 8, maxSide: Int = 4096,
+      sketches: Option[SketchSink] = None): IngestReport = {
     require(1 <= minSide && minSide <= maxSide,
       s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
     ingestCore(s, ImageCodec.annotateWithHash(batch),
       gate = col("width").between(minSide, maxSide) &&
         col("height").between(minSide, maxSide),
       landCols = Seq("asset_id", "payload", "width", "height", "channels"),
-      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming)
+      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming,
+      sketches = sketches, modality = "image",
+      sizeMetric = col("width") * col("height"))
   }
 
   /** Run one ingest cycle over an audio batch (`asset_id`, `payload`):
@@ -86,13 +120,15 @@ object AssetIngest {
     * lifecycle). Lands payload + decoded format. */
   def ingestAudioBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
-      minSamples: Int = 1, maxSamples: Int = 16000 * 60 * 10): IngestReport = {
+      minSamples: Int = 1, maxSamples: Int = 16000 * 60 * 10,
+      sketches: Option[SketchSink] = None): IngestReport = {
     require(1 <= minSamples && minSamples <= maxSamples,
       s"need 1 <= minSamples <= maxSamples, got ($minSamples, $maxSamples)")
     ingestCore(s, AudioCodec.annotateWithHash(batch),
       gate = col("n_samples").between(minSamples, maxSamples),
       landCols = Seq("asset_id", "payload", "sample_rate", "channels", "n_samples"),
-      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming)
+      indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming,
+      sketches = sketches, modality = "audio", sizeMetric = col("n_samples"))
   }
 
   /** Run one ingest cycle over a video batch (`asset_id`, `payload`).
@@ -105,7 +141,8 @@ object AssetIngest {
   def ingestVideoBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, minFrames: Int = 1, maxFrames: Int = 1 << 20,
-      minSide: Int = 8, maxSide: Int = 4096): IngestReport = {
+      minSide: Int = 8, maxSide: Int = 4096,
+      sketches: Option[SketchSink] = None): IngestReport = {
     require(1 <= minFrames && minFrames <= maxFrames,
       s"need 1 <= minFrames <= maxFrames, got ($minFrames, $maxFrames)")
     require(1 <= minSide && minSide <= maxSide,
@@ -151,6 +188,8 @@ object AssetIngest {
     // batch; later batches ride appendVideoHashes' incremental sync
     if (!BandBuckets.exists(s, s"$indexDir/pbands"))
       VideoCodec.writeVideoProbeLayout(s, indexDir)
+    recordSketches(s, sketches, novel.withColumn("modality", lit("video")),
+      nNovel, Seq("modality"), "asset_id", col("n_frames"))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -178,7 +217,8 @@ object AssetIngest {
     * admits nothing. */
   def ingestEmbedBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, threshold: Double = 0.99,
-      maxBucket: Int = 1 << 17): IngestReport = {
+      maxBucket: Int = 1 << 17,
+      sketches: Option[SketchSink] = None): IngestReport = {
     import graft.operators.VectorOps
     val ann = batch.select("vec_id", "label", "embedding").localCheckpoint(false)
     val total = ann.count()
@@ -224,6 +264,10 @@ object AssetIngest {
     if (corpusExists) VectorOps.appendToEmbedLshIndex(s, novel, indexDir)
     else if (nNovel > 0)
       VectorOps.writeEmbedLshIndex(s, novel, indexDir, nPlanes, bands, seed)
+    // size metric = embedding L2 norm: the cheap drift signal for a
+    // mis-calibrated encoder (dim drift is already hard-gated above)
+    recordSketches(s, sketches, novel, nNovel, Seq("label"), "vec_id",
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + double(x) * double(x)))"))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -249,7 +293,8 @@ object AssetIngest {
     * shingles at Jaccard 1.0 and admits nothing. */
   def ingestTextBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, minScore: Double = 0.3,
-      threshold: Double = 0.5): IngestReport = {
+      threshold: Double = 0.5,
+      sketches: Option[SketchSink] = None): IngestReport = {
     import graft.operators.DedupOps
     val ann = batch.select("doc_id", "source", "text").localCheckpoint(false)
     val total = ann.count()
@@ -329,6 +374,8 @@ object AssetIngest {
     else if (nNovel > 0)
       DedupOps.writeMinhashIndex(s,
         novel.select("doc_id", "source", "text"), indexDir, k, bands)
+    recordSketches(s, sketches, novel, nNovel, Seq("source"), "doc_id",
+      col("n_tok"))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -345,7 +392,8 @@ object AssetIngest {
     * for every downstream read. */
   private def ingestCore(s: SparkSession, annotated: DataFrame, gate: Column,
       landCols: Seq[String], indexDir: String, dataDir: String,
-      maxHamming: Int): IngestReport = {
+      maxHamming: Int, sketches: Option[SketchSink], modality: String,
+      sizeMetric: Column): IngestReport = {
     val ann = annotated.localCheckpoint(false)
     val total = ann.count()
     val nOk = ann.where(col("ok")).count()
@@ -391,6 +439,8 @@ object AssetIngest {
       HashBanding.writeProbeLayout(s, indexDir)
     else
       HashBanding.appendProbeLayout(s, indexDir, novel.select("asset_id", "ahash"))
+    recordSketches(s, sketches, novel.withColumn("modality", lit(modality)),
+      nNovel, Seq("modality"), "asset_id", sizeMetric)
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(

@@ -69,22 +69,25 @@ class BuildPipelineSpec extends AnyFunSuite {
     }
     def runBatch(modality: String, bno: Int): Unit = {
       val keyed = ids(modality, bno).zip(batchKeys(bno))
+      // every loop also feeds the per-modality sketch ledgers, keyed by
+      // the batch number — the crawl dashboard accounting
+      val sink = Some(AssetIngest.SketchSink(s"$base/$modality/sketch", s"b$bno"))
       modality match {
         case "text" => AssetIngest.ingestTextBatch(spark,
           keyed.map { case (id, k) => (id, "a", text(k)) }.toDF("doc_id", "source", "text"),
-          s"$base/text/idx", s"$base/text/data")
+          s"$base/text/idx", s"$base/text/data", sketches = sink)
         case "image" => AssetIngest.ingestImageBatch(spark,
           keyed.map { case (id, k) => (id, image(k)) }.toDF("asset_id", "payload"),
-          s"$base/image/idx", s"$base/image/data")
+          s"$base/image/idx", s"$base/image/data", sketches = sink)
         case "audio" => AssetIngest.ingestAudioBatch(spark,
           keyed.map { case (id, k) => (id, audio(k)) }.toDF("asset_id", "payload"),
-          s"$base/audio/idx", s"$base/audio/data", minSamples = 100)
+          s"$base/audio/idx", s"$base/audio/data", minSamples = 100, sketches = sink)
         case "video" => AssetIngest.ingestVideoBatch(spark,
           keyed.map { case (id, k) => (id, video(k)) }.toDF("asset_id", "payload"),
-          s"$base/video/idx", s"$base/video/data")
+          s"$base/video/idx", s"$base/video/data", sketches = sink)
         case "embed" => AssetIngest.ingestEmbedBatch(spark,
           keyed.map { case (id, k) => (id, "x", embed(k)) }.toDF("vec_id", "label", "embedding"),
-          s"$base/embed/idx", s"$base/embed/data")
+          s"$base/embed/idx", s"$base/embed/data", sketches = sink)
       }
       ()
     }
@@ -136,12 +139,36 @@ class BuildPipelineSpec extends AnyFunSuite {
     landed.foreach { case (m, s) =>
       assert(s.size === uniqueKeys, s"$m landed ${s.size} assets, expected $uniqueKeys: $s")
     }
-    // content-level idempotence: re-ingesting a completed batch admits 0
+    // sketch accounting landed: each modality's distinct-id ledger agrees
+    // with the EXACT landed sets (HLL is exact at this cardinality), its
+    // `rows` bookkeeping with the admitted count, and the quantile ledger
+    // serves a sane size metric — all from sketch bytes, no corpus read
+    import graft.sources.SketchLedger
+    modalities.foreach { m =>
+      val d = SketchLedger.distinctByKey(spark, s"$base/$m/sketch/distinct").head()
+      assert(d.getLong(d.fieldIndex("distinct_est")) === uniqueKeys.toLong,
+        s"$m: distinct ledger disagrees with landed set")
+      assert(d.getLong(d.fieldIndex("rows")) === uniqueKeys.toLong,
+        s"$m: ledger rows bookkeeping disagrees with admitted count")
+      assert(SketchLedger.quantileTotal(spark, s"$base/$m/sketch/size", 0.5) > 0.0)
+    }
+    // content-level idempotence: re-ingesting a completed batch admits 0 —
+    // and the retried crawl leaves the sketch ledgers unmoved (nothing
+    // novel means nothing appended; estimates AND exact rows identical)
+    val textLedger = () => (
+      SketchLedger.distinctByKey(spark, s"$base/text/sketch/distinct")
+        .collect().map(_.toSeq).toSeq,
+      SketchLedger.quantileByKey(spark, s"$base/text/sketch/size", Seq(0.5, 0.99))
+        .collect().map(_.toSeq).toSeq)
+    val ledgerBefore = textLedger()
     val retry = AssetIngest.ingestTextBatch(spark,
       ids("text", 1).zip(batchKeys(1)).map { case (id, k) => (id, "a", text(k)) }
         .toDF("doc_id", "source", "text"),
-      s"$base/text/idx", s"$base/text/data")
+      s"$base/text/idx", s"$base/text/data",
+      sketches = Some(AssetIngest.SketchSink(s"$base/text/sketch", "b1")))
     assert(retry.admitted === 0 && retry.corpusDups + retry.inBatchDups === 3)
+    assert(textLedger() === ledgerBefore,
+      "a retried fully-ingested batch moved the sketch ledgers")
     // last mile: landed text corpus → curation → reproducible shard layout
     val sfDir = s"$base/cursf"
     spark.read.parquet(s"$base/text/data/docs")
