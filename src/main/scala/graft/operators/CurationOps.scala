@@ -105,6 +105,57 @@ object CurationOps {
         .orderBy("doc_id", "epoch")
     }),
 
+    // Token-budget corpus selection: rank every document by the quality
+    // score (q_quality_calibrate's arithmetic, verbatim — the two
+    // curation steps must agree on what "quality" means) and keep the
+    // best-first prefix whose cumulative token count fits the budget —
+    // the "give me the best 10B tokens" cut every mixture plan ends in.
+    // The global ordered prefix sum is the packTwoLevel two-level scan
+    // (TextOps.scala:432) transposed to SCORE order: docs range-bucket
+    // into score-descending chunks off one broadcast (min, max) row
+    // (bucketing is monotone in score, so chunk-ascending concatenation
+    // IS the global score order), each chunk cumulates locally in
+    // parallel, and a broadcast exclusive prefix over the per-chunk
+    // totals (a `chunks`-row window) shifts every row to its global
+    // offset — no task ever holds the whole corpus, which is what the
+    // naive Window.orderBy(score) single-partition scan gets wrong at
+    // 100 TB. Budget filter and presentation sort are then per-row.
+    "q_token_budget_select" -> ((s, d) => {
+      val budget = 5000L
+      val chunks = 16
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
+            col("n_tok"))
+        .withColumn("score",
+          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .select("doc_id", "n_tok", "score")
+      val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
+      val withChunk = scored.crossJoin(broadcast(bounds))
+        .withColumn("chunk", expr(
+          s"CAST(CASE WHEN hi = lo THEN 0 ELSE least($chunks - 1, " +
+            s"CAST(floor((hi - score) / (hi - lo) * $chunks) AS BIGINT)) END AS INT)"))
+        .drop("lo", "hi")
+      val wLocal = Window.partitionBy("chunk")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = withChunk.withColumn("cum_local", sum("n_tok").over(wLocal))
+      // per-chunk totals: `chunks` rows, so the exclusive-prefix window
+      // over them is driver-trivial at any corpus size
+      val wShift = Window.orderBy(col("chunk").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val shifts = local.groupBy("chunk").agg(max("cum_local").as("tot"))
+        .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
+        .select("chunk", "shift")
+      local.join(broadcast(shifts), Seq("chunk"))
+        .withColumn("cum_tok", (col("cum_local") + col("shift")).cast("bigint"))
+        .where(col("cum_tok") <= budget)
+        .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tok"), col("cum_tok"))
+        .orderBy(col("cum_tok").asc, col("doc_id").asc)
+    }),
+
     // Deterministic global shuffle: the reproducible random order a
     // training run needs. Key = md5(doc_id:source) — uniform, engine-
     // portable, seedable by changing the salt; shard = first hex nibble
@@ -159,6 +210,29 @@ object CurationOps {
         |       percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr,
         |       percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) >= 0.2 AS keep
         |FROM sc ORDER BY source, doc_id""".stripMargin,
+
+    // Score arithmetic written in the SAME association order as the
+    // Spark column expression (the q_quality_calibrate discipline) so
+    // both engines order by bit-identical doubles; the oracle's plain
+    // global window and the engine's two-level scan agree exactly
+    // because the chunked decomposition preserves the total order.
+    "q_token_budget_select" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST(len(list_filter(toks, t -> list_contains(['a','the','of'], t))) AS DOUBLE)
+        |          / len(toks) AS stop_ratio,
+        |        CAST(len(toks) AS INTEGER) AS nt
+        |      FROM t),
+        |sc AS (SELECT doc_id, nt,
+        |        stop_ratio * 0.3 + CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.7 AS score
+        |      FROM q),
+        |cum AS (SELECT doc_id, nt, score,
+        |        CAST(sum(nt) OVER (ORDER BY score DESC, doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        |      FROM sc)
+        |SELECT doc_id, CAST(nt AS BIGINT) AS n_tok, cum_tok
+        |FROM cum WHERE cum_tok <= 5000
+        |ORDER BY cum_tok ASC, doc_id ASC""".stripMargin,
 
     "q_sample_weighted" ->
       """WITH r AS (SELECT doc_id, source,

@@ -412,6 +412,33 @@ object TextOps {
         .orderBy(col("cnt").desc, col("g").asc)
         .limit(30)
     }),
+
+    // Within-corpus duplicated-ngram profile — the memorization-risk
+    // report a training-data audit runs: which token 8-grams appear in
+    // MORE THAN ONE document, how many documents, how many occurrences
+    // (same output shape as published duplicate-ngram analyses of web
+    // corpora). Explode is linear in corpus tokens; the groupBy shuffles
+    // on the gram key with map-side partial counts, so the only rows
+    // crossing the wire more than once are genuinely repeated grams —
+    // no all-pairs doc comparison ever materializes. countDistinct adds
+    // the standard two-phase distinct expansion, still keyed. The CASE
+    // guard keeps sub-8-token docs from generating a DESCENDING
+    // sequence() (the q_str_ngrams / shingleExpr cross-engine trap).
+    "q_ngram_dup_profile" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(toks) - 7 >= 1 THEN transform(sequence(1, size(toks) - 7), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+            "element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), " +
+            "element_at(toks, i + 5), element_at(toks, i + 6), element_at(toks, i + 7))) " +
+            "ELSE array() END")).as("gram"))
+        .groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+        .limit(100)
+    }),
   )
 
   /** Two-level prefix-sum sequence packing — the distributed-scan layout of
@@ -464,6 +491,14 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ngram_dup_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+        |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i))
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 100""".stripMargin,
+
     "q_text_stats" ->
       """SELECT lang, count(*) AS docs,
         |  round(avg(n_chars),4) AS avg_chars,

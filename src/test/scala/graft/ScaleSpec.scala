@@ -286,6 +286,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(units === 400 && groups > 2, s"expected >2 (source,chunk) units, got $groups")
   }
 
+  test("token-budget selection cumulates per score-chunk, not in one global window task") {
+    // Same scale rule as packing: the doc-bearing cumulative window must
+    // partition on the score-range chunk (parallel units), leaving only
+    // the 16-row per-chunk-totals table to a global window.
+    val sel = SparkEntry.queries("q_token_budget_select")(spark, "/root/testdata/sf0.001")
+    val plan = sel.queryExecution.executedPlan.toString
+    val winSpecs = "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(winSpecs.exists(_.contains("chunk")),
+      s"doc cumsum not chunk-partitioned: $winSpecs\n$plan")
+    // the chunked decomposition must still produce a gapless prefix: in
+    // output order, cum_tok IS the running sum of n_tok (a wrong chunk
+    // shift would leave a gap or an overlap), and the cut fits the budget
+    val rows = sel.collect()
+    assert(rows.nonEmpty && rows.last.getAs[Long]("cum_tok") <= 5000L)
+    val cums = rows.map(_.getAs[Long]("n_tok")).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getAs[Long]("cum_tok")).toSeq === cums.toSeq)
+  }
+
   test("video decode fans one multi-frame container out across multiple tasks") {
     // The r8 straggler magnet: every frame of a container decoded inside
     // the ONE task holding the asset row, so an hour-long video
