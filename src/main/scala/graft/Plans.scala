@@ -68,6 +68,8 @@ object Plans {
     "q_pack_sequences"  -> ("1-row doc_id-bounds broadcast assigning range chunks (two-level " +
       "prefix-sum packing); shows twice — the local-window and per-chunk-totals consumers " +
       "share the chunked base"),
+    "q_token_budget_select" -> ("1-row score-bounds broadcast assigning range chunks (the " +
+      "q_pack_sequences two-level scan transposed to score order)"),
   )
 
   /** Scans with a directly-adjacent filter carrying at least one conjunct
