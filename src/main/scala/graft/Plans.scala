@@ -70,6 +70,8 @@ object Plans {
       "share the chunked base"),
     "q_token_budget_select" -> ("1-row score-bounds broadcast assigning range chunks (the " +
       "q_pack_sequences two-level scan transposed to score order)"),
+    "q_evt_concurrency" -> ("1-row time-bounds broadcast assigning range chunks (the " +
+      "two-level scan keyed by sweep-line instant)"),
   )
 
   /** Scans with a directly-adjacent filter carrying at least one conjunct

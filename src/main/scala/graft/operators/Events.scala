@@ -188,9 +188,150 @@ object Events {
           sum("cnt").as("n_events"))
         .orderBy("user_id")
     }),
+
+    // User-journey transition matrix: adjacent (from → to) event-type
+    // pairs along each user's (ts, event_id)-ordered timeline, with the
+    // per-from-state total alongside — the Markov view (funnel analysis
+    // generalized to every path at once). The counts stay pure BIGINT
+    // (consumers divide n/total_from themselves), so no float rounding
+    // convention ever enters the result. One lead() window keyed by
+    // user (parallelism = users), one keyed groupBy over at most
+    // |types|² rows, and the per-from total is a window over that tiny
+    // aggregate — nothing here grows faster than the event count.
+    "q_evt_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total_from",
+          sum("n").over(Window.partitionBy("from_type")).cast("bigint"))
+        .orderBy(col("from_type").asc, col("to_type").asc)
+    }),
+
+    // Inter-arrival gap statistics per event type: each (user, type)
+    // timeline's successive-event gaps, aggregated to count / mean /
+    // exact interpolated median / max seconds — the arrival-process
+    // profile behind rate-limit and anomaly tuning. The mean is exact
+    // integer µs arithmetic until ONE final double division (no
+    // order-sensitive double summation); median follows q_agg_median's
+    // cross-engine convention; both engines compute the identical
+    // association order before the 4dp round.
+    "q_evt_inter_arrival" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select("user_id", "event_id", "ts_us", "event_type")
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .withColumn("gap_us", col("ts_us") - col("prev_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(sum("gap_us").cast("double") / count(lit(1)) / 1000000.0, 4).as("avg_gap_s"),
+          round(median(col("gap_us")) / 1000000.0, 4).as("p50_gap_s"),
+          round(max("gap_us").cast("double") / 1000000.0, 4).as("max_gap_s"))
+        .orderBy(col("event_type").asc)
+    }),
+
+    // Peak session concurrency per day — the sweep-line interval query
+    // (capacity planning over q_sessionize's sessions): each session
+    // contributes +1 at its start and -1 just past its inclusive end,
+    // deltas collapse per instant (so intra-instant order can't matter),
+    // and the running sum over instants is the live-session level; the
+    // per-day max over change-points is the answer. The global ordered
+    // running sum is the q_token_budget_select two-level scan again,
+    // keyed by time: instants range-bucket into chunks off one broadcast
+    // (min, max) row, chunks cumulate locally, and the 16-row per-chunk
+    // totals (summed, NOT max — deltas are signed, so a chunk's shift is
+    // its sum, not its running peak) shift each chunk to its global
+    // level. No task ever scans the whole timeline.
+    "q_evt_concurrency" -> ((s, d) => {
+      val chunks = 16
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      val sess = Tables.events(s, d)
+        .select("user_id", "event_id", "ts_us")
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > SessionGapUs, 1).otherwise(0))
+        .withColumn("sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      val deltas = sess.select(col("start_us").as("t"), lit(1L).as("delta"))
+        .unionByName(sess.select((col("end_us") + 1L).as("t"), lit(-1L).as("delta")))
+        .groupBy("t").agg(sum("delta").as("d"))
+      val bounds = deltas.agg(min("t").as("lo"), max("t").as("hi"))
+      val withChunk = deltas.crossJoin(broadcast(bounds))
+        .withColumn("chunk", expr(
+          s"CAST(CASE WHEN hi = lo THEN 0 ELSE least($chunks - 1, " +
+            s"(t - lo) * $chunks div (hi - lo + 1)) END AS INT)"))
+        .drop("lo", "hi")
+      val wLoc = Window.partitionBy("chunk").orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = withChunk.withColumn("cum_local", sum("d").over(wLoc))
+      val wShift = Window.orderBy(col("chunk").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val shifts = withChunk.groupBy("chunk").agg(sum("d").as("tot"))
+        .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
+        .select("chunk", "shift")
+      local.join(broadcast(shifts), Seq("chunk"))
+        .withColumn("conc", (col("cum_local") + col("shift")).cast("bigint"))
+        .withColumn("day", expr("t div 86400000000"))
+        .groupBy("day")
+        .agg(max("conc").as("max_conc"), count(lit(1)).as("n_changes"))
+        .orderBy(col("day").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q_evt_transitions" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events)
+        |SELECT event_type AS from_type, to_type, count(*) AS n,
+        |  CAST(sum(count(*)) OVER (PARTITION BY event_type) AS BIGINT) AS total_from
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY event_type, to_type
+        |ORDER BY from_type ASC, to_type ASC""".stripMargin,
+
+    "q_evt_inter_arrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |        (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_gap_s,
+        |  round(median(gap_us) / 1000000.0, 4) AS p50_gap_s,
+        |  round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 4) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+
+    "q_evt_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+        |                (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |            > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |         FROM s GROUP BY user_id, sid),
+        |del AS (SELECT start_us AS t, 1 AS delta FROM sess
+        |        UNION ALL SELECT end_us + 1, -1 FROM sess),
+        |agg AS (SELECT t, sum(delta) AS d FROM del GROUP BY t),
+        |run AS (SELECT t, CAST(sum(d) OVER (ORDER BY t ASC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM agg)
+        |SELECT t // 86400000000 AS day, max(conc) AS max_conc, count(*) AS n_changes
+        |FROM run GROUP BY day ORDER BY day ASC""".stripMargin,
+
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
