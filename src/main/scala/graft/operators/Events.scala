@@ -282,6 +282,49 @@ object Events {
         .agg(max("conc").as("max_conc"), count(lit(1)).as("n_changes"))
         .orderBy(col("day").asc)
     }),
+
+    // Last-touch attribution: for every purchase, the user's most recent
+    // STRICTLY PRECEDING click/signup touch (type + instant) from one
+    // ignore-nulls last() over the user timeline — the marketing-
+    // attribution primitive. Purchases with no prior touch keep NULLs
+    // (organic conversions are a real category, not a dropped row). One
+    // window keyed by user, then a per-row filter: linear, no join.
+    "q_evt_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .withColumn("attr_type",
+          last(when(col("event_type").isin("click", "signup"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .withColumn("attr_ts_us",
+          last(when(col("event_type").isin("click", "signup"), col("ts_us")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "attr_type", "attr_ts_us")
+        .orderBy(col("event_id").asc)
+    }),
+
+    // Cohort time-to-convert: each user's first signup joined to their
+    // first purchase AT OR AFTER it, with the gap in seconds — the
+    // conversion-latency table a growth dashboard medians over. Two
+    // keyed min-aggregations and one user-keyed join (the range predicate
+    // rides the equi-join); never a timeline scan per user pair.
+    "q_evt_time_to_convert" -> ((s, d) => {
+      val t = Tables.events(s, d).select("user_id", "event_type", "ts_us")
+      val signup = t.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("signup_us"))
+      val conv = signup.join(
+          t.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts_us").as("p_us")), Seq("user_id"))
+        .where(col("p_us") >= col("signup_us"))
+        .groupBy("user_id", "signup_us").agg(min("p_us").as("conv_us"))
+      conv
+        .withColumn("tt_s",
+          round((col("conv_us") - col("signup_us")).cast("double") / 1000000.0, 4))
+        .select("user_id", "signup_us", "conv_us", "tt_s")
+        .orderBy(col("user_id").asc)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,6 +374,34 @@ object Events {
         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM agg)
         |SELECT t // 86400000000 AS day, max(conc) AS max_conc, count(*) AS n_changes
         |FROM run GROUP BY day ORDER BY day ASC""".stripMargin,
+
+    "q_evt_attribution" ->
+      """WITH t AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type IN ('click','signup') THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_type,
+        |    last_value(CASE WHEN event_type IN ('click','signup') THEN ts_us END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ts_us
+        |  FROM t)
+        |SELECT event_id, user_id, attr_type, attr_ts_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id ASC""".stripMargin,
+
+    "q_evt_time_to_convert" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s AS (SELECT user_id, min(ts_us) AS signup_us FROM t
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT s.user_id, s.signup_us, min(t.ts_us) AS conv_us
+        |      FROM s JOIN t ON t.user_id = s.user_id
+        |        AND t.event_type = 'purchase' AND t.ts_us >= s.signup_us
+        |      GROUP BY s.user_id, s.signup_us)
+        |SELECT user_id, signup_us, conv_us,
+        |  round(CAST(conv_us - signup_us AS DOUBLE) / 1000000.0, 4) AS tt_s
+        |FROM c ORDER BY user_id ASC""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (
