@@ -408,6 +408,64 @@ object StreamingOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("cts"), col("pts"))
   }
 
+  /** Stateful LAST-TOUCH attribution — q_evt_attribution's streaming
+    * twin over one mixed event stream (the stream-stream join pair
+    * above answers a different question: ALL touch→conversion pairs
+    * within a horizon; this one answers "which single touch gets the
+    * credit", which needs per-user memory, not a join). State is ONE
+    * tiny record per live user — the type and instant of their most
+    * recent touch — expired by event-time timeout after `idle` of
+    * inactivity, so state is bounded by active users, never by event
+    * history. Within a micro-batch the timeline is replayed in
+    * (ts, event_id) order (bit-identical to the batch window for any
+    * batch slicing that respects order); across micro-batches it is
+    * arrival order — the honest streaming contract shared with
+    * rateLimitStream. Conversions with no prior touch emit null
+    * attribution (organic is a category, not a dropped row).
+    * Watermark-late events are dropped explicitly. */
+  def lastTouchAttributionStream(ds: Dataset[Ev],
+      touchTypes: Set[String] = Set("click", "signup"),
+      convertType: String = "purchase",
+      watermark: String = "10 minutes",
+      idleMs: Long = 30L * 86400000L): DataFrame = {
+    import ds.sparkSession.implicits._
+    require(touchTypes.nonEmpty && !touchTypes.contains(convertType),
+      s"touchTypes must be non-empty and exclude the conversion type, got $touchTypes")
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    // full-microsecond instant (Timestamp.getTime is ms-truncated; the
+    // batch twin emits epoch-µs, so the stream must too)
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, evs: Iterator[Ev], state: GroupState[(String, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val batch = evs.filter(_.ts.getTime >= wm).toArray
+              .sortBy(e => (us(e.ts), e.event_id))
+            var touch = state.getOption
+            val out = batch.flatMap { e =>
+              val emitted =
+                if (e.event_type == convertType)
+                  Some((e.event_id, e.user_id, touch.map(_._1).orNull, touch.map(_._2)))
+                else None
+              if (touchTypes.contains(e.event_type))
+                touch = Some((e.event_type, us(e.ts)))
+              emitted
+            }
+            touch.foreach(state.update)
+            if (batch.nonEmpty || state.exists)
+              state.setTimeoutTimestamp(
+                math.max(wm, batch.lastOption.map(_.ts.getTime).getOrElse(wm)) + idleMs)
+            out.iterator
+          }
+      }
+      .toDF("event_id", "user_id", "attr_type", "attr_ts_us")
+  }
+
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

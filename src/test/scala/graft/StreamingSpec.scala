@@ -331,6 +331,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful last-touch attribution: credit survives batches, newer touch wins, organic is null") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](27, spark, None)
+    val q = StreamingOps.lastTouchAttributionStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_out").start()
+    try {
+      // batch 1: an organic purchase (no touch yet), then a click
+      in.addData(ev(1, "10:00", typ = "purchase"), ev(2, "10:05", typ = "click"))
+      q.processAllAvailable()
+      // batch 2: the purchase credits the batch-1 click ACROSS batches;
+      // a signup then replaces the click and takes the next credit
+      in.addData(ev(3, "10:10", typ = "purchase"),
+        ev(4, "10:15", typ = "signup"), ev(5, "10:20", typ = "purchase"))
+      q.processAllAvailable()
+      // batch 3: a non-touch, non-convert event must not disturb the state
+      in.addData(ev(6, "10:25", typ = "view"), ev(7, "10:30", typ = "purchase"))
+      q.processAllAvailable()
+      def usOf(t: String) = ts(t).getTime / 1000 * 1000000L + ts(t).getNanos / 1000
+      val rows = spark.table("attr_out").collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      assert(rows(1L) === ((None, None)), "organic purchase must emit null attribution")
+      assert(rows(3L) === ((Some("click"), Some(usOf("10:05")))),
+        "purchase must credit the previous batch's click")
+      assert(rows(5L) === ((Some("signup"), Some(usOf("10:15")))),
+        "a newer touch must replace the older one")
+      assert(rows(7L) === ((Some("signup"), Some(usOf("10:15")))),
+        "a view must neither take nor clear credit")
+      assert(rows.size === 4)
+    } finally q.stop()
+  }
+
   test("streaming mixture gate: rates applied statelessly, replay reproduces the sample") {
     import spark.implicits._
     val rates = Seq(("keep", 1.0), ("double", 2.0), ("drop", 0.0), ("half", 0.5))
