@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -464,6 +464,36 @@ object StreamingOps {
           }
       }
       .toDF("event_id", "user_id", "attr_type", "attr_ts_us")
+  }
+
+  /** foreachBatch-composable sketch accounting: append one micro-batch's
+    * HLL distinct-count and KLL size-quantile rows to the [[SketchLedger]]
+    * pair under `dir`, keyed by the STREAMING batch id. foreachBatch's
+    * delivery contract is at-least-once — a crashed trigger re-runs the
+    * same micro-batch under the SAME batchId — and that is exactly the
+    * retry the ledgers' (keys, batch_id) read-path dedup absorbs, so the
+    * accounting reads exactly-once without a transactional sink. Call it
+    * inside the same foreachBatch body that lands the data (after the
+    * landing write, the AssetIngest ordering), e.g.:
+    * {{{
+    *   stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *     b.write.mode("append").parquet(outDir)   // the landing
+    *     StreamingOps.sketchLedgerBatch(b, id, Seq("source"), "doc_id",
+    *       length(col("text")), ledgerDir)
+    *   }
+    * }}} */
+  def sketchLedgerBatch(batch: DataFrame, batchId: Long, keys: Seq[String],
+      idCol: String, sizeMetric: Column, dir: String): Unit = {
+    val base = batch.withColumn("size_metric", sizeMetric.cast("double"))
+      .localCheckpoint(true) // one materialization feeds both ledger appends
+    try {
+      if (base.limit(1).count() > 0) {
+        graft.sources.SketchLedger.append(batch.sparkSession, base, keys, idCol,
+          s"$dir/distinct", s"b$batchId")
+        graft.sources.SketchLedger.appendQuantile(batch.sparkSession, base, keys,
+          "size_metric", s"$dir/size", s"b$batchId")
+      }
+    } finally base.unpersist()
   }
 
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */

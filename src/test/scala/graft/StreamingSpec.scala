@@ -363,6 +363,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sketch accounting: ledgers match landed data; a replayed batch is absorbed") {
+    import spark.implicits._
+    import graft.sources.SketchLedger
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("sk_stream").toString
+    val in = MemoryStream[SrcDoc](28, spark, None)
+    val q = in.toDF().writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        StreamingOps.sketchLedgerBatch(b, id, Seq("source"), "doc_id",
+          length(col("source")), dir)
+      }.start()
+    try {
+      in.addData(SrcDoc(1, "a", ts("10:00")), SrcDoc(2, "a", ts("10:01")),
+        SrcDoc(3, "bb", ts("10:02")))
+      q.processAllAvailable()
+      // doc 2 arrives AGAIN in a later batch: rows count it, distinct must not
+      in.addData(SrcDoc(4, "a", ts("10:03")), SrcDoc(2, "a", ts("10:04")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def state() = SketchLedger.distinctByKey(spark, s"$dir/distinct").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byKey = state()
+    assert(byKey("a") === ((3L, 4L)), s"source a: $byKey")  // distinct {1,2,4}, 4 processed
+    assert(byKey("bb") === ((1L, 1L)))
+    // foreachBatch is at-least-once: simulate a crashed trigger replaying
+    // micro-batch 0 under the SAME batch id — the (keys, batch_id) dedup
+    // must leave estimates AND exact rows byte-identical
+    val b0 = Seq(SrcDoc(1, "a", ts("10:00")), SrcDoc(2, "a", ts("10:01")),
+      SrcDoc(3, "bb", ts("10:02"))).toDF()
+    StreamingOps.sketchLedgerBatch(b0, 0L, Seq("source"), "doc_id",
+      length(col("source")), dir)
+    assert(state() === byKey, "a replayed micro-batch moved the ledger")
+    // the quantile twin serves from the same dir pair and stays consistent
+    assert(SketchLedger.quantileTotal(spark, s"$dir/size", 0.5) >= 1.0)
+  }
+
   test("streaming mixture gate: rates applied statelessly, replay reproduces the sample") {
     import spark.implicits._
     val rates = Seq(("keep", 1.0), ("double", 2.0), ("drop", 0.0), ("half", 0.5))
