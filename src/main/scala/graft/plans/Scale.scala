@@ -172,6 +172,99 @@ object Scale {
     * plain `read.parquet(path)` of the table must not pick it up. */
   def manifestPath(path: String): String = path.stripSuffix("/") + "_manifest"
 
+  /** Morton (Z-order) interleave of two non-negative BIGINT keys, `bits`
+    * bits each (default 21 → a 42-bit z, comfortably inside Long): bit i
+    * of `a` lands at z-bit 2i, bit i of `b` at 2i+1. A range sort on z
+    * clusters rows so every file owns a small RECTANGLE of (a, b) space
+    * instead of a stripe of one key — the property that lets a zone map
+    * prune on BOTH dimensions (Delta/Iceberg's OPTIMIZE ZORDER). Pure
+    * HOF arithmetic (aggregate over sequence), codegen-friendly, no UDF. */
+  def zValueExpr(a: String, b: String, bits: Int = 21): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc " +
+      s"| shiftleft(shiftright(CAST($a AS BIGINT), i) & 1, 2 * i) " +
+      s"| shiftleft(shiftright(CAST($b AS BIGINT), i) & 1, 2 * i + 1))"
+  }
+
+  /** Z-order-clustered layout over two keys + a TWO-dimensional per-file
+    * zone-map manifest. Where writeRangeSorted makes one key prunable,
+    * this makes a conjunctive box predicate `a ∈ [x₁,x₂] AND b ∈ [y₁,y₂]`
+    * prune on both: the z sort gives each file a tight bounding box in
+    * (a, b), so far fewer files intersect a small box than under a
+    * single-key sort (where a predicate on the OTHER key keeps every
+    * file). Key domains are validated loudly up front — a negative or
+    * over-wide key would interleave into garbage order, which corrupts
+    * pruning SELECTIVITY silently (never correctness, since pruneByStats2
+    * re-applies the exact predicate — but silent non-pruning at 100 TB is
+    * the failure being bought off here). */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
+      partitions: Int, bits: Int = 21): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val limit = 1L << bits
+    val dom = df.agg(min(keyA).cast("long"), max(keyA).cast("long"),
+      min(keyB).cast("long"), max(keyB).cast("long")).head()
+    require(!dom.anyNull && dom.getLong(0) >= 0 && dom.getLong(1) < limit &&
+      dom.getLong(2) >= 0 && dom.getLong(3) < limit,
+      s"writeZOrdered: $keyA/$keyB must be non-negative and < 2^$bits " +
+        s"(got [${dom.get(0)}, ${dom.get(1)}] / [${dom.get(2)}, ${dom.get(3)}]); " +
+        "shift/scale the keys first")
+    df.withColumn("__z", expr(zValueExpr(keyA, keyB, bits)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    writeManifest2(df.sparkSession, path, keyA, keyB)
+  }
+
+  /** 2-key manifest location, beside the data like manifestPath. */
+  def manifestPath2(path: String): String = path.stripSuffix("/") + "_manifest2"
+
+  /** Per-file (lo, hi) boxes of BOTH keys — fileStats widened to 2-D. */
+  def fileStats2(spark: SparkSession, path: String,
+      keyA: String, keyB: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(keyA), col(keyB), input_file_name().as("file"))
+      .groupBy("file")
+      .agg(min(keyA).as("lo_a"), max(keyA).as("hi_a"),
+        min(keyB).as("lo_b"), max(keyB).as("hi_b"), count(lit(1)).as("rows"))
+
+  /** (Re)collect the 2-D manifest (call after rewrites, as writeManifest). */
+  def writeManifest2(spark: SparkSession, path: String,
+      keyA: String, keyB: String): Unit =
+    fileStats2(spark, path, keyA, keyB).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath2(path))
+
+  /** Box-predicate scan pruned by the 2-D zone map: read only files whose
+    * (a, b) bounding box intersects the query box, then apply the exact
+    * predicate — pruneByStats' contract (graceful no-manifest fallback,
+    * distributed manifest filter, maxKeptFiles driver bound, layout
+    * affects only SPEED) extended to conjunctive two-key ranges. */
+  def pruneByStats2(spark: SparkSession, path: String, keyA: String,
+      fromA: Any, toA: Any, keyB: String, fromB: Any, toB: Any,
+      maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
+    require(maxKeptFiles >= 0, s"maxKeptFiles must be >= 0, got $maxKeptFiles")
+    val mp = new org.apache.hadoop.fs.Path(manifestPath2(path))
+    val hasManifest = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    val stats =
+      (if (hasManifest) spark.read.parquet(manifestPath2(path))
+       else fileStats2(spark, path, keyA, keyB)).localCheckpoint(false)
+    val total = stats.count().toInt
+    val keep = stats
+      .where(col("lo_a") <= lit(toA) && lit(fromA) <= col("hi_a") &&
+        col("lo_b") <= lit(toB) && lit(fromB) <= col("hi_b"))
+      .select("file")
+      .limit(maxKeptFiles + 1)
+      .collect().map(_.getString(0))
+    val exact = col(keyA) >= lit(fromA) && col(keyA) <= lit(toA) &&
+      col(keyB) >= lit(fromB) && col(keyB) <= lit(toB)
+    if (keep.length > maxKeptFiles)
+      (spark.read.parquet(path).where(exact), total, total)
+    else if (keep.isEmpty)
+      (spark.read.parquet(path).limit(0).where(exact), 0, total)
+    else
+      (spark.read.parquet(keep.toIndexedSeq: _*).where(exact), keep.length, total)
+  }
+
   /** (Re)collect the per-file stats manifest. Call after any operation
     * that rewrites data files (compact, append); readers fall back to a
     * live stats scan when the manifest is absent, so a missing or

@@ -420,6 +420,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept0 === 0 && emptyDf.count() === 0)
   }
 
+  test("z-order layout: box predicates prune on BOTH keys; single-key sort cannot") {
+    import spark.implicits._
+    // 64x64 grid: every (x, y) cell once — uniform 2-D key space
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L }
+      yield (x, y, x * 64 + y)).toDF("x", "y", "payload")
+    val zdir = Files.createTempDirectory("zord").toString + "/t"
+    val xdir = Files.createTempDirectory("xsort").toString + "/t"
+    Scale.writeZOrdered(grid, zdir, "x", "y", partitions = 16, bits = 6)
+    Scale.writeRangeSorted(grid, xdir, "x", partitions = 16)
+    Scale.writeManifest2(spark, xdir, "x", "y")
+    // a 16x16 box = 1/16 of the key space
+    val expected = grid.where(col("x").between(0, 15) && col("y").between(0, 15))
+      .select("payload").collect().map(_.getLong(0)).sorted.toSeq
+    val (zDf, zKept, zTotal) = Scale.pruneByStats2(spark, zdir, "x", 0L, 15L, "y", 0L, 15L)
+    val (xDf, xKept, xTotal) = Scale.pruneByStats2(spark, xdir, "x", 0L, 15L, "y", 0L, 15L)
+    assert(zTotal === 16 && xTotal === 16)
+    // both layouts answer identically — layout is a speed dial, never truth
+    assert(zDf.select("payload").collect().map(_.getLong(0)).sorted.toSeq === expected)
+    assert(xDf.select("payload").collect().map(_.getLong(0)).sorted.toSeq === expected)
+    // the point of z-ordering: the x-sorted layout keeps every file whose
+    // x-stripe intersects (y is unconstrained within it); the z layout's
+    // per-file bounding boxes let the SAME manifest machinery skip most
+    assert(zKept < xKept,
+      s"z-order failed to out-prune the single-key sort: z=$zKept x=$xKept of $zTotal")
+    assert(zKept <= zTotal / 4,
+      s"a 1/16-space box should keep few z files, kept $zKept of $zTotal")
+    // a y-only box (full x range): the x-sorted layout can skip NOTHING
+    val (_, xKeptY, _) = Scale.pruneByStats2(spark, xdir, "x", 0L, 63L, "y", 0L, 7L)
+    val (_, zKeptY, _) = Scale.pruneByStats2(spark, zdir, "x", 0L, 63L, "y", 0L, 7L)
+    assert(xKeptY === xTotal, "x-sorted layout cannot prune a y-only predicate")
+    assert(zKeptY < xKeptY, "z layout must prune a y-only predicate at least somewhat")
+    // domain guard: negative keys are refused loudly, not mis-interleaved
+    val bad = Seq((-1L, 2L, 0L)).toDF("x", "y", "payload")
+    val err = intercept[IllegalArgumentException] {
+      Scale.writeZOrdered(bad, zdir + "_bad", "x", "y", partitions = 1, bits = 6)
+    }
+    assert(err.getMessage.contains("non-negative"))
+  }
+
   test("pruneByStats prune path is distributed: capped driver list with full-read fallback") {
     // r10 de-drivering (r9 advisory): the manifest filter runs in Spark
     // and the driver list is bounded by maxKeptFiles — never by total
