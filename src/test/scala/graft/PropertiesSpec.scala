@@ -127,6 +127,37 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("z-order law: SQL interleave matches the reference bit-weave and orders by box") {
+    import spark.implicits._
+    // reference Morton interleave in plain Scala — the SQL HOF expression
+    // (Scale.zValueExpr) must agree bit-for-bit on the whole domain...
+    def zRef(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val bits = 10
+    val keys = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, (1L << bits) - 1), Gen.chooseNum(0L, (1L << bits) - 1)))
+    check(Prop.forAll(keys) { ks0 =>
+      // clamp inside the body: shrunk args can fall below Gen bounds
+      val ks = ks0.map { case (a, b) =>
+        (math.max(0L, math.min(a, (1L << bits) - 1)),
+          math.max(0L, math.min(b, (1L << bits) - 1)))
+      }
+      val got = ks.toDF("a", "b")
+        .withColumn("z", expr(graft.plans.Scale.zValueExpr("a", "b", bits)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.forall { case (a, b, z) => z == zRef(a, b, bits) } &&
+        // ...and the interleave is a bijection into disjoint quadrants:
+        // the top bit pair of z IS the (a, b) half-space pair, so a sort
+        // on z clusters whole quadrants contiguously (the box property
+        // the 2-D zone map rests on)
+        got.forall { case (a, b, z) =>
+          ((z >> (2 * bits - 2)) & 3L) ==
+            (((b >> (bits - 1)) & 1L) << 1 | ((a >> (bits - 1)) & 1L))
+        }
+    }, tests = 20)
+  }
+
   test("salted join equals the plain join for any salt count (rewrite soundness law)") {
     import spark.implicits._
     val facts = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 6L), Gen.chooseNum(-50.0, 50.0)))
