@@ -15,6 +15,48 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Quality-ranked token-budget cut — keep the best-first prefix of
+    * `scored` (needs `doc_id`, `n_tok`, `score`; other columns pass
+    * through) whose cumulative token count fits `budget`, with the
+    * global offset added as `cum_tok`. The global ordered prefix sum is
+    * the packTwoLevel two-level scan transposed to SCORE order: rows
+    * range-bucket into score-descending chunks off one broadcast
+    * (min, max) row (bucketing is monotone in score, so chunk-ascending
+    * concatenation IS the global score order), each chunk cumulates
+    * locally in parallel, and a broadcast exclusive prefix over the
+    * `chunks`-row totals shifts every row to its global offset — no
+    * task ever holds the whole corpus (the trap a bare
+    * Window.orderBy(score) walks into at 100 TB). Chunk totals harvest
+    * as max(cum_local) — valid because n_tok is non-negative (SURVEY
+    * §7.3 G24). Backs `q_token_budget_select` and
+    * CurationPipeline.pretrainingLayout's tokenBudget option. */
+  def budgetCut(scored: org.apache.spark.sql.DataFrame, budget: Long,
+      chunks: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val bounds = scored.agg(min("score").as("__lo"), max("score").as("__hi"))
+    val withChunk = scored.crossJoin(broadcast(bounds))
+      .withColumn("__chunk", expr(
+        s"CAST(CASE WHEN __hi = __lo THEN 0 ELSE least($chunks - 1, " +
+          s"CAST(floor((__hi - score) / (__hi - __lo) * $chunks) AS BIGINT)) END AS INT)"))
+      .drop("__lo", "__hi")
+    val wLocal = Window.partitionBy("__chunk")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withChunk.withColumn("__cum_local", sum("n_tok").over(wLocal))
+    // per-chunk totals: `chunks` rows, so the exclusive-prefix window
+    // over them is driver-trivial at any corpus size
+    val wShift = Window.orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shifts = local.groupBy("__chunk").agg(max("__cum_local").as("__tot"))
+      .withColumn("__shift", coalesce(sum("__tot").over(wShift), lit(0L)))
+      .select("__chunk", "__shift")
+    local.join(broadcast(shifts), Seq("__chunk"))
+      .withColumn("cum_tok", (col("__cum_local") + col("__shift")).cast("bigint"))
+      .where(col("cum_tok") <= budget)
+      .drop("__chunk", "__cum_local", "__shift")
+  }
+
   val queries: Map[String, Q] = Map(
     // Unicode NFC normalization via the native graft_nfc expression
     // (functions/NfcNormalize.scala). The corpus text is ASCII, so the
@@ -121,8 +163,6 @@ object CurationOps {
     // naive Window.orderBy(score) single-partition scan gets wrong at
     // 100 TB. Budget filter and presentation sort are then per-row.
     "q_token_budget_select" -> ((s, d) => {
-      val budget = 5000L
-      val chunks = 16
       val scored = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
@@ -132,26 +172,7 @@ object CurationOps {
         .withColumn("score",
           col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
         .select("doc_id", "n_tok", "score")
-      val bounds = scored.agg(min("score").as("lo"), max("score").as("hi"))
-      val withChunk = scored.crossJoin(broadcast(bounds))
-        .withColumn("chunk", expr(
-          s"CAST(CASE WHEN hi = lo THEN 0 ELSE least($chunks - 1, " +
-            s"CAST(floor((hi - score) / (hi - lo) * $chunks) AS BIGINT)) END AS INT)"))
-        .drop("lo", "hi")
-      val wLocal = Window.partitionBy("chunk")
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = withChunk.withColumn("cum_local", sum("n_tok").over(wLocal))
-      // per-chunk totals: `chunks` rows, so the exclusive-prefix window
-      // over them is driver-trivial at any corpus size
-      val wShift = Window.orderBy(col("chunk").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val shifts = local.groupBy("chunk").agg(max("cum_local").as("tot"))
-        .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
-        .select("chunk", "shift")
-      local.join(broadcast(shifts), Seq("chunk"))
-        .withColumn("cum_tok", (col("cum_local") + col("shift")).cast("bigint"))
-        .where(col("cum_tok") <= budget)
+      budgetCut(scored, budget = 5000L)
         .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tok"), col("cum_tok"))
         .orderBy(col("cum_tok").asc, col("doc_id").asc)
     }),

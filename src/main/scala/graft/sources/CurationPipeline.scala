@@ -77,7 +77,8 @@ object CurationPipeline {
       sfDir: String,
       rates: Map[String, Double],
       shards: Int = 8,
-      minScore: Double = 0.3): DataFrame = {
+      minScore: Double = 0.3,
+      tokenBudget: Option[Long] = None): DataFrame = {
     require(shards >= 1 && shards <= 4096, s"shards must be in [1, 4096], got $shards")
     require(rates.values.forall(r => r >= 0 && r <= 127),
       "rates must be in [0, 127] (epoch counts explode per copy)")
@@ -88,7 +89,17 @@ object CurationPipeline {
         floor(col("rate")).cast("bigint").as("base"),
         round((col("rate") - floor(col("rate"))) * 256).cast("bigint").as("frac256"))
     val nib = "'0123456789abcdef'"
-    val mixed = curate(spark, sfDir, minScore)
+    // optional budget stage: keep only the best-scored prefix whose
+    // UNIQUE-doc token count fits the budget (mixture epochs then
+    // replicate WITHIN that cut — "the best N tokens, mixed", not
+    // "mix, then cut mid-epoch")
+    val curated = tokenBudget match {
+      case Some(b) =>
+        graft.operators.CurationOps.budgetCut(curate(spark, sfDir, minScore), b)
+          .drop("cum_tok")
+      case None => curate(spark, sfDir, minScore)
+    }
+    val mixed = curated
       .withColumn("text", expr("graft_nfc(text)"))
       .join(broadcast(rateDf), Seq("source"), "inner")
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#"), col("source"))))

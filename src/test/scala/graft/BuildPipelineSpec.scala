@@ -299,6 +299,33 @@ class BuildPipelineSpec extends AnyFunSuite {
     assert(s0.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("token-budgeted pretraining layout: best-scored prefix only, unique tokens fit the budget") {
+    import graft.sources.CurationPipeline
+    val sf = "/root/testdata/sf0.001"
+    val sources = Tables.documents(spark, sf).select("source").distinct()
+      .collect().map(_.getString(0))
+    val rates = sources.map(_ -> 1.0).toMap
+    val budget = 2000L
+    val cut = CurationPipeline.pretrainingLayout(spark, sf, rates, shards = 4,
+      tokenBudget = Some(budget)).collect()
+    assert(cut.nonEmpty)
+    // unique docs' token sum fits the budget (epochs replicate WITHIN the cut)
+    val uniq = cut.map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tok")).toMap
+    assert(uniq.values.map(_.toLong).sum <= budget,
+      s"budgeted layout exceeds the token budget: ${uniq.values.sum} > $budget")
+    // the kept set is the best-first prefix of the curated corpus: no
+    // dropped doc outscores a kept one (ties at the boundary allowed)
+    val scores = CurationPipeline.curate(spark, sf).select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uniq.size < scores.size, "budget cut kept everything — test budget too large")
+    val minKept = uniq.keySet.map(scores).min
+    assert((scores.keySet -- uniq.keySet).forall(d => scores(d) <= minKept + 1e-12),
+      "a dropped doc outscores a kept one — not a best-first prefix")
+    // no budget → the full curated corpus flows through, one row per doc at rate 1.0
+    val plain = CurationPipeline.pretrainingLayout(spark, sf, rates, shards = 4).count()
+    assert(plain === scores.size.toLong)
+  }
+
   test("resumable batched build covers the key space exactly once") {
     import spark.implicits._
     val base = Files.createTempDirectory("build").toString
