@@ -282,6 +282,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("budgetCut edges: all-equal scores (hi==lo), sub-first-doc budget, empty input") {
+    import graft.operators.CurationOps
+    import spark.implicits._
+    // all-equal scores exercise the hi==lo single-chunk guard (the
+    // range-bucket divisor would otherwise be zero); the cut is then
+    // purely doc_id-ordered and still a gapless prefix
+    val flat = Seq((1L, 10L, 0.5), (2L, 10L, 0.5), (3L, 10L, 0.5))
+      .toDF("doc_id", "n_tok", "score")
+    val cut = CurationOps.budgetCut(flat, budget = 20L)
+      .orderBy("cum_tok").collect()
+    assert(cut.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "equal scores must cut in doc_id order")
+    assert(cut.map(_.getAs[Long]("cum_tok")).toSeq === Seq(10L, 20L))
+    // a budget smaller than the first (best) doc keeps nothing — and
+    // does not crash or keep a partial doc
+    assert(CurationOps.budgetCut(flat, budget = 5L).count() === 0)
+    // empty input flows through as empty (the bounds row is all-null)
+    assert(CurationOps.budgetCut(flat.limit(0), budget = 100L).count() === 0)
+    // invalid budgets are refused loudly
+    intercept[IllegalArgumentException] { CurationOps.budgetCut(flat, budget = 0L) }
+  }
+
   test("subquery temp views do not accrete in the catalog across invocations") {
     val sf = "/root/testdata/sf0.001"
     // run the view-backed subquery operators repeatedly — each invocation
