@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
   * by batch partition would make that idempotent — pair with
   * StreamingOps.idempotentBatchAppend's dynamic-partition pattern, or
   * gate re-runs with Ledger.step, which is exactly what
-  * BuildPipelineSpec demonstrates for features).
+  * BuildPipelineSpec demonstrates for features). The narrower window
+  * BETWEEN the hashes append and the pbands append leaves the probe
+  * layout blind to the batch — the retry's probe then RE-ADMITS those
+  * assets (pbands is the probed tier), which re-lands them (the caveat
+  * above), appends a tolerated duplicate hashes row (every consumer
+  * distincts matched pairs), and appends the missing pbands rows: the
+  * layout is whole again after one retry, never permanently blind
+  * (BandLayoutSpec pins the repair).
   */
 object AssetIngest {
 

@@ -324,19 +324,19 @@ object HashBanding {
       }
     }
 
-  /** PRUNED batch-vs-corpus probe over the persisted layout: identical
-    * output to [[probe]] (spec law), but the corpus side is a
-    * literal-pruned scan of `pbands` instead of a full `hashes` scan.
-    * Falls back to [[probe]] against `stored` when the layout is
-    * absent. */
   /** The banded batch side of a probe — exposed for family-specific
     * pruned probes (VideoCodec) that share [[probeOnBanded]]. */
   private[sources] def bandedBatch(hashedBatch: DataFrame): DataFrame =
     banded(hashedBatch, "batch_id", "b_hash")
 
+  /** PRUNED batch-vs-corpus probe over the persisted layout under `dir`:
+    * identical output to [[probe]] (spec law), but the corpus side is a
+    * literal-pruned scan of `dir/pbands` instead of a full `dir/hashes`
+    * scan. Falls back to the full-scan [[probe]] shape over `dir/hashes`
+    * when the layout is absent. */
   def probeAgainstDir(s: SparkSession, hashedBatch: DataFrame, dir: String,
       maxHamming: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val b = banded(hashedBatch, "batch_id", "b_hash")
+    val b = bandedBatch(hashedBatch)
     if (BandBuckets.exists(s, s"$dir/pbands")) {
       val c = Tombstones.applyTo(s,
         BandBuckets.prunedRead(s, s"$dir/pbands",

@@ -60,15 +60,24 @@ object StaticCache {
   }
 
   /** The cached post-tombstone static frame for `slot` of `indexDir`,
-    * built (and persisted MEMORY_AND_DISK) only when absent or stale. */
+    * built (and persisted MEMORY_AND_DISK) only when absent or stale.
+    * An entry is also stale when it was built by a DIFFERENT
+    * SparkSession than the caller's: the registry is JVM-global, so
+    * after a session restart a fingerprint-matching entry would
+    * otherwise serve a frame whose plan belongs to the stopped session
+    * (actions then die with "SparkContext stopped" instead of
+    * rebuilding). `build` stays unforced on a hit. */
   def cached(s: SparkSession, indexDir: String, slot: String)
       (build: => DataFrame): DataFrame = synchronized {
     val key = (indexDir, slot)
     val fp = fingerprint(s, indexDir)
     entries.get(key) match {
-      case Some((`fp`, df)) => df
+      case Some((`fp`, df)) if df.sparkSession eq s => df
       case stale =>
-        stale.foreach { case (_, old) => old.unpersist(blocking = false) }
+        // unpersist may face a stopped session's frame — best-effort
+        stale.foreach { case (_, old) =>
+          scala.util.Try(old.unpersist(blocking = false))
+        }
         val df = build.persist(StorageLevel.MEMORY_AND_DISK)
         entries.put(key, (fp, df))
         df
@@ -80,7 +89,9 @@ object StaticCache {
   def release(indexDir: String): Int = synchronized {
     val keys = entries.keys.filter(_._1 == indexDir).toSeq
     keys.foreach { k =>
-      entries.remove(k).foreach { case (_, df) => df.unpersist(blocking = true) }
+      entries.remove(k).foreach { case (_, df) =>
+        scala.util.Try(df.unpersist(blocking = true))
+      }
     }
     keys.size
   }
@@ -89,7 +100,9 @@ object StaticCache {
   def releaseAll(): Int = synchronized {
     val n = entries.size
     entries.keys.toSeq.foreach { k =>
-      entries.remove(k).foreach { case (_, df) => df.unpersist(blocking = true) }
+      entries.remove(k).foreach { case (_, df) =>
+        scala.util.Try(df.unpersist(blocking = true))
+      }
     }
     n
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -128,12 +128,12 @@ object StreamingOps {
     // corpus-wide aggregation — the grouped form is persisted in the
     // index layout for exactly this reason (ProbeStreamPlanSpec pins the
     // static subtree Aggregate/ShuffleExchange-free).
-    val idx = maybeCache(indexDir, "cbuckets", cacheStatic)(
+    val idx = maybeCache(s, indexDir, "cbuckets", cacheStatic)(
         graft.sources.Tombstones.applyTo(
           s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "doc_id"))
       .select(col("doc_id").as("corpus_id"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val csh = maybeCache(indexDir, "shingles", cacheStatic)(
+    val csh = maybeCache(s, indexDir, "shingles", cacheStatic)(
         graft.sources.Tombstones.applyTo(
           s, graft.sources.IdBuckets.read(s, s"$indexDir/shingles"), indexDir, "doc_id")
         .select(col("doc_id").as("corpus_id"), col("sh").as("shc"))
@@ -642,7 +642,7 @@ object StreamingOps {
     // explode are per-row compute, so the per-micro-batch static cost is
     // a scan + generate, never a corpus-wide aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val corpusRows = maybeCache(indexDir, "grouped", cacheStatic)(
+    val corpusRows = maybeCache(s, indexDir, "grouped", cacheStatic)(
         Tombstones.applyTo(
           s, graft.sources.IdBuckets.read(s, s"$indexDir/grouped"), indexDir, "asset_id")
         .select(col("asset_id").as("corpus_id"), col("chashes"),
@@ -720,12 +720,12 @@ object StreamingOps {
     // vector, written at index write/append time), re-exploded per row —
     // never a per-micro-batch corpus re-aggregation
     // (ProbeStreamPlanSpec pins the static subtree).
-    val idx = maybeCache(indexDir, "cbuckets", cacheStatic)(
+    val idx = maybeCache(s, indexDir, "cbuckets", cacheStatic)(
         Tombstones.applyTo(
           s, graft.sources.IdBuckets.read(s, s"$indexDir/cbuckets"), indexDir, "vec_id"))
       .select(col("vec_id").as("corpus_id"), col("label").as("label_c"), col("cbuckets"),
         posexplode(col("cbuckets")).as(Seq("band_c", "bucket_c")))
-    val cemb = maybeCache(indexDir, "embeddings", cacheStatic)(
+    val cemb = maybeCache(s, indexDir, "embeddings", cacheStatic)(
         Tombstones.applyTo(
           s, graft.sources.IdBuckets.read(s, s"$indexDir/embeddings"), indexDir, "vec_id")
         .select(col("vec_id").as("corpus_id"), col("embedding").as("ec")))
@@ -756,12 +756,9 @@ object StreamingOps {
     * bytes are unchanged, rebuilt (stale entry unpersisted) when an
     * append/compaction/tombstone changes the directory fingerprint, and
     * freed explicitly with `StaticCache.release(indexDir)`. */
-  private def maybeCache(indexDir: String, slot: String, on: Boolean)
-      (build: => DataFrame): DataFrame =
-    if (on) {
-      val df = build
-      StaticCache.cached(df.sparkSession, indexDir, slot)(df)
-    } else build
+  private def maybeCache(s: SparkSession, indexDir: String, slot: String,
+      on: Boolean)(build: => DataFrame): DataFrame =
+    if (on) StaticCache.cached(s, indexDir, slot)(build) else build
 
   /** The modality-agnostic engine under the perceptual probe gates: a
     * hashed stream frame (asset_id, ahash) against a stored hash index. */
@@ -774,7 +771,7 @@ object StreamingOps {
       s"banding only guarantees recall for Hamming <= " +
         s"${HashBanding.MaxGuaranteedHamming}, got $maxHamming")
     val streamBands = HashBanding.bandRowsCarried(hashed, "batch_id", "b_hash", "b_bands")
-    val stored = maybeCache(indexDir, "hashes", cacheStatic)(Tombstones.applyTo(
+    val stored = maybeCache(s, indexDir, "hashes", cacheStatic)(Tombstones.applyTo(
       s, s.read.parquet(s"$indexDir/hashes"), indexDir, "asset_id"))
     val corpusBands = HashBanding.bandRowsCarried(stored, "corpus_id", "c_hash", "c_bands")
     streamBands.join(corpusBands, Seq("band_idx", "band_val"))

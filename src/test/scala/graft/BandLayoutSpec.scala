@@ -303,6 +303,44 @@ class BandLayoutSpec extends AnyFunSuite {
     rmDir(java.nio.file.Paths.get(dir))
   }
 
+  test("half-appended ingest batch (hashes without pbands) self-repairs on retry") {
+    // The asymmetric crash window in ingestCore: hashes appended, pbands
+    // not. The retry's probe is pbands-blind for those assets, so they
+    // are RE-ADMITTED — which re-lands them (the documented
+    // crash-between-landing-and-append caveat, Ledger-gated in real
+    // loops), appends a duplicate hashes row (harmless: every consumer
+    // distincts matched pairs), and crucially APPENDS THE MISSING PBANDS
+    // ROWS — after the retry the layout catches duplicates again. This
+    // pins that a crashed batch cannot leave the probe layout
+    // permanently blind.
+    import graft.sources.{AssetIngest, ImageCodec}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("halfapp").toString
+    val (idx, data) = (s"$base/idx", s"$base/data")
+    def img(key: Long) = ImageCodec.encodeGrayPng(20, 20, ImageCodec.texturedLuma(key, 20, 20))
+    // batch 1 bootstraps index + layout
+    val r1 = AssetIngest.ingestImageBatch(spark,
+      Seq((1L, img(1)), (2L, img(2))).toDF("asset_id", "payload"), idx, data)
+    assert(r1.admitted === 2)
+    // simulate the crash: batch 2's hashes land in `hashes`, pbands never
+    // sees them (exactly the state after a death between the two appends)
+    val b2 = Seq((10L, img(10)), (11L, img(11))).toDF("asset_id", "payload")
+    ImageCodec.annotateWithHash(b2).where(col("ok"))
+      .select("asset_id", "ahash").write.mode("append").parquet(s"$idx/hashes")
+    val hashRowsAfterCrash = spark.read.parquet(s"$idx/hashes").count()
+    // retry of batch 2: pbands-blind -> re-admitted (repairs the layout)
+    val r2 = AssetIngest.ingestImageBatch(spark, b2, idx, data)
+    assert(r2.admitted === 2, s"retry must re-admit the half-appended batch: $r2")
+    assert(spark.read.parquet(s"$idx/hashes").count() === hashRowsAfterCrash + 2,
+      "retry appends a (tolerated) duplicate hashes row per asset")
+    // the layout is whole again: perceptual duplicates of batch 2 are
+    // caught as corpus dups by the PRUNED probe path
+    val dupB2 = Seq((20L, img(10)), (21L, img(11))).toDF("asset_id", "payload")
+    val r3 = AssetIngest.ingestImageBatch(spark, dupB2, idx, data)
+    assert(r3.admitted === 0 && r3.corpusDups === 2,
+      s"repaired layout failed to catch duplicates: $r3")
+  }
+
   test("foreachBatch pruned gate emits the same match set as the stream-static gate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
