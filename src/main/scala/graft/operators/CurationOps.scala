@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** THE text-quality score — the one definition every quality-aware
+    * stage shares: the curation gate (CurationPipeline.curate and its
+    * streaming twin), the text ingest loop's admission gate
+    * (AssetIngest.ingestTextBatch), per-source calibration
+    * (q_quality_calibrate), the quality report (q_text_quality) and the
+    * token-budget cut (q_token_budget_select / budgetCut). They must all
+    * agree on what "quality" means — six verbatim copies used to enforce
+    * that by convention; one shared column program enforces it by
+    * construction. Requires `toks` (string array) and `n_tok` (its
+    * size) columns; adds `stop_ratio` and `score`. The arithmetic's
+    * association order is load-bearing: the DuckDB oracles repeat it
+    * term-for-term so both engines produce bit-identical doubles. */
+  def withQualityScore(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("stop_ratio",
+        expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
+          col("n_tok"))
+      .withColumn("score",
+        col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+
   /** Quality-ranked token-budget cut — keep the best-first prefix of
     * `scored` (needs `doc_id`, `n_tok`, `score`; other columns pass
     * through) whose cumulative token count fits `budget`, with the
@@ -110,11 +129,7 @@ object CurationOps {
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
-        .withColumn("stop_ratio",
-          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
-            col("n_tok"))
-        .withColumn("score",
-          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .transform(withQualityScore)
         .withColumn("pr", percent_rank().over(w))
         .withColumn("keep", col("pr") >= 0.2)
         .select("source", "doc_id", "score", "pr", "keep")
@@ -166,11 +181,7 @@ object CurationOps {
       val scored = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
-        .withColumn("stop_ratio",
-          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
-            col("n_tok"))
-        .withColumn("score",
-          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .transform(withQualityScore)
         .select("doc_id", "n_tok", "score")
       budgetCut(scored, budget = 5000L)
         .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tok"), col("cum_tok"))

@@ -89,11 +89,7 @@ object TextOps {
         .withColumn("n_tok", size(col("toks")))
         .withColumn("avg_wlen",
           (col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
-            col("n_tok"))
-        .withColumn("score",
-          col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+        .transform(CurationOps.withQualityScore)
         .withColumn("bucket",
           when(col("score") >= 0.5, "high").when(col("score") >= 0.3, "mid").otherwise("low"))
         .select("doc_id", "n_tok", "avg_wlen", "stop_ratio", "score", "bucket")

@@ -311,15 +311,9 @@ object AssetIngest {
       return IngestReport(0L, 0L, 0L, undecodable = total, gated = 0L)
     // CurationPipeline.curate's score, verbatim — the gate and the
     // curation pipeline must agree on what "quality" means
-    val scored = ann.where(okF)
+    val scored = graft.operators.CurationOps.withQualityScore(ann.where(okF)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tok", size(col("toks")))
-      .withColumn("stop_ratio",
-        expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))")
-          .cast("double") / col("n_tok"))
-      .withColumn("score",
-        col("stop_ratio") * 0.3 +
-          least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+      .withColumn("n_tok", size(col("toks"))))
     val valid = scored.where(col("score") >= minScore)
     // two-tier existence, matching the embed loop: meta carries the
     // signing parameters + layout stamp (requireMinhashMeta fails loudly

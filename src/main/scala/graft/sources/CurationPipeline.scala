@@ -32,11 +32,7 @@ object CurationPipeline {
     val scored = redacted
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tok", size(col("toks")))
-      .withColumn("stop_ratio",
-        expr("size(filter(toks, t -> array_contains(array('a','the','of'), t)))").cast("double") /
-          col("n_tok"))
-      .withColumn("score",
-        col("stop_ratio") * 0.3 + least(col("n_tok"), lit(100)).cast("double") / 100.0 * 0.7)
+      .transform(graft.operators.CurationOps.withQualityScore)
       .where(col("score") >= minScore)
     val keepers = scored
       .withColumn("h", sha2(lower(trim(col("text"))), 256))
