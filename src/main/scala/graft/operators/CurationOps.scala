@@ -53,27 +53,19 @@ object CurationOps {
       chunks: Int = 16): org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(chunks >= 1, s"chunks must be >= 1, got $chunks")
-    val bounds = scored.agg(min("score").as("__lo"), max("score").as("__hi"))
-    val withChunk = scored.crossJoin(broadcast(bounds))
-      .withColumn("__chunk", expr(
-        s"CAST(CASE WHEN __hi = __lo THEN 0 ELSE least($chunks - 1, " +
-          s"CAST(floor((__hi - score) / (__hi - __lo) * $chunks) AS BIGINT)) END AS INT)"))
-      .drop("__lo", "__hi")
-    val wLocal = Window.partitionBy("__chunk")
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = withChunk.withColumn("__cum_local", sum("n_tok").over(wLocal))
-    // per-chunk totals: `chunks` rows, so the exclusive-prefix window
-    // over them is driver-trivial at any corpus size
-    val wShift = Window.orderBy(col("__chunk").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shifts = local.groupBy("__chunk").agg(max("__cum_local").as("__tot"))
-      .withColumn("__shift", coalesce(sum("__tot").over(wShift), lit(0L)))
-      .select("__chunk", "__shift")
-    local.join(broadcast(shifts), Seq("__chunk"))
-      .withColumn("cum_tok", (col("__cum_local") + col("__shift")).cast("bigint"))
+    // score-DESCENDING range bucket (higher score → lower chunk), with
+    // the hi == lo guard a one-value score domain needs; the scan itself
+    // is the shared TwoLevel.prefix engine (signed = false: token counts
+    // are non-negative)
+    TwoLevel.prefix(scored, boundCol = "score",
+        chunkExpr =
+          s"CAST(CASE WHEN __hi = __lo THEN 0 ELSE least($chunks - 1, " +
+            s"CAST(floor((__hi - score) / (__hi - __lo) * $chunks) AS BIGINT)) END AS INT)",
+        groupCols = Seq.empty, orderCols = Seq(col("score").desc, col("doc_id").asc),
+        valueCol = "n_tok", signed = false)
+      .withColumnRenamed("cum", "cum_tok")
       .where(col("cum_tok") <= budget)
-      .drop("__chunk", "__cum_local", "__shift")
+      .drop("chunk", "cum_local")
   }
 
   val queries: Map[String, Q] = Map(

@@ -261,22 +261,16 @@ object Events {
       val deltas = sess.select(col("start_us").as("t"), lit(1L).as("delta"))
         .unionByName(sess.select((col("end_us") + 1L).as("t"), lit(-1L).as("delta")))
         .groupBy("t").agg(sum("delta").as("d"))
-      val bounds = deltas.agg(min("t").as("lo"), max("t").as("hi"))
-      val withChunk = deltas.crossJoin(broadcast(bounds))
-        .withColumn("chunk", expr(
-          s"CAST(CASE WHEN hi = lo THEN 0 ELSE least($chunks - 1, " +
-            s"(t - lo) * $chunks div (hi - lo + 1)) END AS INT)"))
-        .drop("lo", "hi")
-      val wLoc = Window.partitionBy("chunk").orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = withChunk.withColumn("cum_local", sum("d").over(wLoc))
-      val wShift = Window.orderBy(col("chunk").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val shifts = withChunk.groupBy("chunk").agg(sum("d").as("tot"))
-        .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
-        .select("chunk", "shift")
-      local.join(broadcast(shifts), Seq("chunk"))
-        .withColumn("conc", (col("cum_local") + col("shift")).cast("bigint"))
+      // the shared TwoLevel.prefix engine with signed = true: sweep-line
+      // deltas can peak above a chunk's end, so chunk totals re-aggregate
+      // sum(d) from the base rather than harvesting the running max (G24)
+      TwoLevel.prefix(deltas, boundCol = "t",
+          chunkExpr =
+            s"CAST(CASE WHEN __hi = __lo THEN 0 ELSE least($chunks - 1, " +
+              s"(t - __lo) * $chunks div (__hi - __lo + 1)) END AS INT)",
+          groupCols = Seq.empty, orderCols = Seq(col("t").asc),
+          valueCol = "d", signed = true)
+        .withColumnRenamed("cum", "conc")
         .withColumn("day", expr("t div 86400000000"))
         .groupBy("day")
         .agg(max("conc").as("max_conc"), count(lit(1)).as("n_changes"))

@@ -455,32 +455,18 @@ object TextOps {
   def packTwoLevel(docs: org.apache.spark.sql.DataFrame, budget: Int, chunks: Int): org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"pack budget must be >= 1, got $budget")
     require(chunks >= 1, s"chunk count must be >= 1, got $chunks")
-    val base = docs.select(col("source"), col("doc_id"), col("n_tok"))
     // Monotone range bucket over the observed doc_id domain. The scaled
     // multiply stays in Long for any realistic id domain (chunks is small);
-    // least() guards the hi endpoint landing exactly on `chunks`.
-    val bounds = base.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-    val withChunk = base.crossJoin(broadcast(bounds))
-      .withColumn("chunk",
-        expr(s"CAST(least($chunks - 1, (doc_id - lo) * $chunks div (hi - lo + 1)) AS INT)"))
-      .drop("lo", "hi")
-    val wLocal = Window.partitionBy("source", "chunk").orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = withChunk.withColumn("cum_local", sum("n_tok").over(wLocal))
-    // Per-chunk totals are one row per (source, chunk) — tiny at any corpus
-    // size; their exclusive per-source prefix sum is the chunk's global
-    // shift. Derived as max(cum_local) FROM THE WINDOWED OUTPUT (the last
-    // running sum of a chunk IS its total) rather than re-aggregating the
-    // chunked base: both consumers then hang off the same
-    // hashpartitioning(source, chunk) exchange, which Spark reuses — one
-    // corpus shuffle for the whole operator instead of two.
-    val wShift = Window.partitionBy("source").orderBy(col("chunk").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val shifts = local.groupBy("source", "chunk").agg(max("cum_local").as("tot"))
-      .withColumn("shift", coalesce(sum("tot").over(wShift), lit(0L)))
-      .select("source", "chunk", "shift")
-    local.join(broadcast(shifts), Seq("source", "chunk"))
-      .withColumn("cum", col("cum_local") + col("shift"))
+    // least() guards the hi endpoint landing exactly on `chunks`. The scan
+    // itself is the shared TwoLevel.prefix engine (signed = false: token
+    // counts are non-negative, so chunk totals harvest from the windowed
+    // output and reuse its exchange).
+    TwoLevel.prefix(docs.select(col("source"), col("doc_id"), col("n_tok")),
+        boundCol = "doc_id",
+        chunkExpr =
+          s"CAST(least($chunks - 1, (doc_id - __lo) * $chunks div (__hi - __lo + 1)) AS INT)",
+        groupCols = Seq("source"), orderCols = Seq(col("doc_id").asc),
+        valueCol = "n_tok", signed = false)
       .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
       .withColumn("pack_offset", expr(s"(cum - n_tok) % $budget"))
       .select("source", "doc_id", "n_tok", "pack_id", "pack_offset")
