@@ -290,10 +290,14 @@ object DedupOps {
     * layout existed (probes fall back to the full scan until this
     * runs). A husk-dropped empty index leaves no pbands either. */
   def rebuildMinhashProbeLayout(s: SparkSession, dir: String): Unit =
-    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets"))
+    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets")) {
       graft.sources.BandBuckets.write(
         bandRowsOfBuckets(IdBuckets.read(s, s"$dir/cbuckets")),
         s"$dir/pbands", "overwrite")
+      // the layout now reflects the signature table exactly — reconverge
+      // the append-generation stamps (GenStamp) so pruned probes resume
+      graft.sources.GenStamp.syncDerived(s, s"$dir/cbuckets", s"$dir/pbands")
+    }
 
   /** Append a new batch to a persisted MinHash index — signatures use
     * the stored (k, bands), so appended rows are band-compatible with
@@ -321,17 +325,43 @@ object DedupOps {
   def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
-    val buckets = minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
+    val buckets0 = minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val hasLayout = graft.sources.BandBuckets.exists(s, s"$dir/pbands")
+    // barrier when the layout exists: `buckets` then feeds TWO parquet
+    // jobs (cbuckets + pbands) and would re-run the native signing per
+    // job without it (the image/audio append discipline; r15 advice)
+    val buckets = if (hasLayout) buckets0.localCheckpoint(false) else buckets0
+    // Commit order is crash-shaped (see GenStamp): the refine tier
+    // (shingles) lands FIRST — extra shingle rows with no signature are
+    // unreachable, never a false negative — then the fenced
+    // signature/layout pair. A crash anywhere leaves probes correct:
+    // before cbuckets the batch simply isn't admitted (Ledger retry
+    // re-appends); after cbuckets the diverged stamps force the
+    // full-scan fallback until the retry or rebuildMinhashProbeLayout
+    // reconverges.
+    IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
+      "doc_id", s"$dir/shingles", "append")
+    val wasInSync = !hasLayout ||
+      graft.sources.GenStamp.read(s, s"$dir/cbuckets") ==
+        graft.sources.GenStamp.read(s, s"$dir/pbands")
+    val gen = if (hasLayout)
+      graft.sources.GenStamp.beginAppend(s, s"$dir/cbuckets") else 0L
     IdBuckets.write(buckets, "doc_id", s"$dir/cbuckets", "append")
     // keep the probe layout in sync — but never CREATE a partial one:
     // an index persisted before pbands existed stays on the full-scan
-    // fallback until rebuildMinhashProbeLayout derives the whole table
-    if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
-      graft.sources.BandBuckets.write(bandRowsOfBuckets(buckets),
-        s"$dir/pbands", "append")
-    IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
-      "doc_id", s"$dir/shingles", "append")
+    // fallback until rebuildMinhashProbeLayout derives the whole table.
+    // A layout found ALREADY diverged (a previous append crashed in the
+    // window) is healed by re-deriving it whole — an incremental append
+    // would re-stamp it "in sync" while still missing the crashed
+    // batch's rows.
+    if (hasLayout) {
+      if (wasInSync) {
+        graft.sources.BandBuckets.write(bandRowsOfBuckets(buckets),
+          s"$dir/pbands", "append")
+        graft.sources.GenStamp.stamp(s, s"$dir/pbands", gen)
+      } else rebuildMinhashProbeLayout(s, dir)
+    }
   }
 
   /** Operator diagnostic over a persisted MinHash index: the `perBand`
@@ -432,7 +462,9 @@ object DedupOps {
     // Pre-probe-layout indexes fall back to the full scan: band rows
     // derive from the grouped cbuckets table per-row (posexplode after
     // the anti-join — cheapest order, the join sees one row per doc).
-    val usePruned = graft.sources.BandBuckets.exists(s, s"$dir/pbands")
+    val usePruned = graft.sources.GenStamp.prunedProbeOk(s,
+      s"$dir/cbuckets", s"$dir/pbands", "minhash",
+      "DedupOps.rebuildMinhashProbeLayout (or the append retry)")
     val storedBands =
       if (usePruned)
         graft.sources.Tombstones.applyTo(s,

@@ -1505,10 +1505,14 @@ object VectorOps {
     * index write; also the UPGRADE path for a pre-probe-layout index
     * (probes fall back to the full scan until it runs). */
   def rebuildEmbedLshProbeLayout(s: SparkSession, dir: String): Unit =
-    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets"))
+    if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets")) {
       graft.sources.BandBuckets.write(
         bandRowsOfLshBuckets(graft.sources.IdBuckets.read(s, s"$dir/cbuckets")),
         s"$dir/pbands", "overwrite")
+      // reconverge the append-generation fence (GenStamp) — the layout
+      // now reflects the signature table exactly
+      graft.sources.GenStamp.syncDerived(s, s"$dir/cbuckets", s"$dir/pbands")
+    }
 
   /** Read + validate an embed-LSH index's meta row: layout stamp first
     * (IndexMeta — a pre-r11 flat-layout index fails with a rebuild
@@ -1526,21 +1530,44 @@ object VectorOps {
   /** Append a batch — signed with the STORED (nPlanes, bands, dim, seed),
     * so appended rows are band-compatible with the base; O(batch), no
     * corpus re-signing. Caller owns vec_id uniqueness (gate retries
-    * through Ledger.missing, as with every other index family). */
+    * through Ledger.missing, as with every other index family).
+    *
+    * Crash-shaped commit order (the minhash append's discipline): the
+    * refine tier (embeddings) lands FIRST — an embedding row with no
+    * signature is unreachable, never a false negative — then the
+    * signature/layout pair under the GenStamp fence: a crash between
+    * the cbuckets and pbands commits leaves the stamps diverged, probes
+    * fall back to the full scan, and the next append (or
+    * rebuildEmbedLshProbeLayout) heals the layout. */
   def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val meta = requireEmbedLshMeta(s, dir)
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
-    val buckets = lshBucketsOf(batch, meta.getAs[Int]("n_planes"),
+    val buckets0 = lshBucketsOf(batch, meta.getAs[Int]("n_planes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val hasLayout = graft.sources.BandBuckets.exists(s, s"$dir/pbands")
+    // barrier when the layout exists: `buckets` feeds TWO parquet jobs
+    // (cbuckets + pbands) and would re-run the native signing per job
+    // without it (the image/audio append discipline; r15 advice)
+    val buckets = if (hasLayout) buckets0.localCheckpoint(false) else buckets0
+    graft.sources.IdBuckets.write(batch.select("vec_id", "label", "embedding"),
+      "vec_id", s"$dir/embeddings", "append")
+    val wasInSync = !hasLayout ||
+      graft.sources.GenStamp.read(s, s"$dir/cbuckets") ==
+        graft.sources.GenStamp.read(s, s"$dir/pbands")
+    val gen = if (hasLayout)
+      graft.sources.GenStamp.beginAppend(s, s"$dir/cbuckets") else 0L
     graft.sources.IdBuckets.write(buckets, "vec_id", s"$dir/cbuckets", "append")
     // keep the probe layout in sync — but never CREATE a partial one
     // (pre-probe-layout indexes stay on the full-scan fallback until
-    // rebuildEmbedLshProbeLayout derives the whole table)
-    if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
-      graft.sources.BandBuckets.write(bandRowsOfLshBuckets(buckets),
-        s"$dir/pbands", "append")
-    graft.sources.IdBuckets.write(batch.select("vec_id", "label", "embedding"),
-      "vec_id", s"$dir/embeddings", "append")
+    // rebuildEmbedLshProbeLayout derives the whole table); a layout
+    // found ALREADY diverged is healed by re-deriving it whole
+    if (hasLayout) {
+      if (wasInSync) {
+        graft.sources.BandBuckets.write(bandRowsOfLshBuckets(buckets),
+          s"$dir/pbands", "append")
+        graft.sources.GenStamp.stamp(s, s"$dir/pbands", gen)
+      } else rebuildEmbedLshProbeLayout(s, dir)
+    }
   }
 
   /** Operator diagnostic over a persisted embed-LSH index: the `perBand`
@@ -1633,8 +1660,11 @@ object VectorOps {
     // indexes fall back to the full grouped scan: band rows derive from
     // cbuckets per-row (posexplode after the tombstone anti-join — one
     // row per vector through the join, bands x rows only after).
+    val usePruned = graft.sources.GenStamp.prunedProbeOk(s,
+      s"$dir/cbuckets", s"$dir/pbands", "embed-lsh",
+      "VectorOps.rebuildEmbedLshProbeLayout (or the append retry)")
     val stored0 =
-      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands"))
+      if (usePruned)
         graft.sources.Tombstones.applyTo(s,
           graft.sources.BandBuckets.prunedRead(s, s"$dir/pbands",
             bBands.select("band", "bucket")),
@@ -1674,7 +1704,7 @@ object VectorOps {
     // id-bucket directory pruning + pushed id IN filter); tombstones
     // are already applied upstream of the candidate ids
     val storedEmb0 =
-      if (graft.sources.BandBuckets.exists(s, s"$dir/pbands")) {
+      if (usePruned) {
         val idRows = cands.select("corpus_id").distinct()
           .limit(graft.sources.IdBuckets.MaxIdLiterals + 1).collect()
         if (idRows.length <= graft.sources.IdBuckets.MaxIdLiterals)

@@ -38,13 +38,13 @@ import org.apache.spark.sql.functions._
   * StreamingOps.idempotentBatchAppend's dynamic-partition pattern, or
   * gate re-runs with Ledger.step, which is exactly what
   * BuildPipelineSpec demonstrates for features). The narrower window
-  * BETWEEN the hashes append and the pbands append leaves the probe
-  * layout blind to the batch — the retry's probe then RE-ADMITS those
-  * assets (pbands is the probed tier), which re-lands them (the caveat
-  * above), appends a tolerated duplicate hashes row (every consumer
-  * distincts matched pairs), and appends the missing pbands rows: the
-  * layout is whole again after one retry, never permanently blind
-  * (BandLayoutSpec pins the repair).
+  * BETWEEN the hashes append and the pbands append is FENCED (GenStamp,
+  * via HashBanding.appendHashes): a crash there leaves the two tables'
+  * generation stamps diverged, so the retry's probe takes the full-scan
+  * fallback — it SEES the already-landed hashes, admits nothing, and
+  * re-lands nothing — and the retry's (empty) append heals the layout
+  * by re-deriving it from hashes, reconverging the stamps
+  * (BandLayoutSpec pins detection + repair).
   */
 object AssetIngest {
 
@@ -432,14 +432,12 @@ object AssetIngest {
     val metaPath = new Path(s"$indexDir/meta")
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
       HashBanding.writeMeta(s, indexDir)
-    novel.select("asset_id", "ahash").write.mode("append").parquet(s"$indexDir/hashes")
-    // keep the probe layout current: bootstrap (or upgrade a pre-layout
-    // index) by deriving the whole table from hashes — which on the
-    // first batch IS the batch — otherwise append just the novel rows
-    if (!BandBuckets.exists(s, s"$indexDir/pbands"))
-      HashBanding.writeProbeLayout(s, indexDir)
-    else
-      HashBanding.appendProbeLayout(s, indexDir, novel.select("asset_id", "ahash"))
+    // fenced hashes + probe-layout append (GenStamp; a crash between the
+    // commits degrades probes to the full scan, and the next cycle's
+    // append heals the layout); bootstrapLayout derives the whole table
+    // on the first batch / a pre-layout index upgrade
+    HashBanding.appendHashes(s, indexDir, novel.select("asset_id", "ahash"),
+      bootstrapLayout = true)
     recordSketches(s, sketches, novel.withColumn("modality", lit(modality)),
       nNovel, Seq("modality"), "asset_id", sizeMetric)
     val nValid = valid.count()

@@ -209,13 +209,13 @@ object AudioCodec {
 
   /** Assign-only append — deterministic codec path, nothing rewritten.
     * Caller owns id uniqueness (Ledger discipline; a retried batch
-    * duplicates rows — same contract as every other index append). */
+    * duplicates rows — same contract as every other index append).
+    * Fenced dual write: see ImageCodec.appendToImageHashIndex. */
   def appendToAudioHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
     val hashed = audioHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
-    hashed.write.mode("append").parquet(s"$dir/hashes")
-    HashBanding.appendProbeLayout(s, dir, hashed)
+    HashBanding.appendHashes(s, dir, hashed)
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids

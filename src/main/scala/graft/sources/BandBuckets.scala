@@ -68,6 +68,13 @@ object BandBuckets {
   def partOf(band: Column, bucket: Column): Column =
     pmod(xxhash64(band.cast("int"), bucket.cast("bigint")), lit(NumParts)).cast("int")
 
+  /** TEST-ONLY fault injection: when set, the next append-mode [[write]]
+    * throws BEFORE touching disk and clears itself — simulating a crash
+    * in the window between a primary-table commit and its derived
+    * probe-layout commit (the GenStamp fence's crash model). Production
+    * code never sets it. */
+  @volatile private[graft] var failNextAppend: Boolean = false
+
   def exists(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
@@ -81,6 +88,11 @@ object BandBuckets {
     * which is removed so existence checks see "no table". */
   def write(df: DataFrame, path: String, mode: String,
       bandCol: String = "band", bucketCol: String = "bucket"): Unit = {
+    if (mode == "append" && failNextAppend) {
+      failNextAppend = false
+      throw new IllegalStateException(
+        "graft test fault injection: probe-layout append suppressed")
+    }
     df.withColumn(Col, partOf(col(bandCol), col(bucketCol)))
       .repartitionByRange(col(Col), col(bucketCol))
       .sortWithinPartitions(col(Col), col(bucketCol))

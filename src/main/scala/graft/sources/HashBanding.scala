@@ -294,16 +294,54 @@ object HashBanding {
   // probes fall back to the full scan when absent. ---
 
   /** (Re-)derive `dir/pbands` from `dir/hashes` — called by the index
-    * writers; also the upgrade path for a pre-layout index. */
+    * writers; also the upgrade path for a pre-layout index and the HEAL
+    * path for a layout diverged by a crashed append (the re-derivation
+    * ends by reconverging the GenStamp fence, so pruned probes resume). */
   def writeProbeLayout(s: SparkSession, dir: String): Unit =
-    if (BandBuckets.exists(s, s"$dir/hashes"))
+    if (BandBuckets.exists(s, s"$dir/hashes")) {
       BandBuckets.write(
         banded(s.read.parquet(s"$dir/hashes"), "asset_id", "ahash"),
         s"$dir/pbands", "overwrite", bandCol = "band_idx", bucketCol = "band_val")
+      GenStamp.syncDerived(s, s"$dir/hashes", s"$dir/pbands")
+    }
+
+  /** FENCED dual append of a hashed batch: the flat `hashes` table plus
+    * its derived probe layout land as separate parquet jobs, so the pair
+    * is fenced with append-generation stamps (GenStamp's protocol — the
+    * primary's stamp is bumped BEFORE its commit, the layout's after
+    * its own, so a crash anywhere in the window leaves the stamps
+    * diverged and probes take the full-scan fallback instead of
+    * silently missing the batch). An append that FINDS the layout
+    * already diverged (a previous append crashed mid-window) re-derives
+    * the whole layout from `hashes` instead of appending — the batch's
+    * rows AND the crashed batch's missing rows land in one pass, and
+    * the fence reconverges. When the layout doesn't exist: plain append
+    * (never create a partial layout), plus the bootstrap derivation iff
+    * `bootstrapLayout` (the ingest-loop convention; the codec-level
+    * appends leave pre-layout indexes on the full-scan fallback). */
+  def appendHashes(s: SparkSession, dir: String, hashed: DataFrame,
+      bootstrapLayout: Boolean = false): Unit = {
+    val primary = s"$dir/hashes"
+    val derived = s"$dir/pbands"
+    if (!BandBuckets.exists(s, derived)) {
+      hashed.write.mode("append").parquet(primary)
+      if (bootstrapLayout) writeProbeLayout(s, dir)
+    } else {
+      val wasInSync = GenStamp.read(s, primary) == GenStamp.read(s, derived)
+      val gen = GenStamp.beginAppend(s, primary)
+      hashed.write.mode("append").parquet(primary)
+      if (wasInSync) {
+        appendProbeLayout(s, dir, hashed)
+        GenStamp.stamp(s, derived, gen)
+      } else writeProbeLayout(s, dir) // heal: see scaladoc
+    }
+  }
 
   /** Append a hashed batch's band rows — only if the layout already
     * exists (never create a partial table; pre-layout indexes stay on
-    * the full-scan fallback until [[writeProbeLayout]] runs). */
+    * the full-scan fallback until [[writeProbeLayout]] runs). Callers
+    * appending to `hashes` as well must go through [[appendHashes]] so
+    * the pair is fenced. */
   def appendProbeLayout(s: SparkSession, dir: String, hashed: DataFrame): Unit =
     if (BandBuckets.exists(s, s"$dir/pbands"))
       BandBuckets.write(banded(hashed, "asset_id", "ahash"),
@@ -337,7 +375,8 @@ object HashBanding {
   def probeAgainstDir(s: SparkSession, hashedBatch: DataFrame, dir: String,
       maxHamming: Int, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val b = bandedBatch(hashedBatch)
-    if (BandBuckets.exists(s, s"$dir/pbands")) {
+    if (GenStamp.prunedProbeOk(s, s"$dir/hashes", s"$dir/pbands",
+        "perceptual-hash", "HashBanding.writeProbeLayout (or the next append)")) {
       val c = Tombstones.applyTo(s,
         BandBuckets.prunedRead(s, s"$dir/pbands",
           b.select("band_idx", "band_val"),

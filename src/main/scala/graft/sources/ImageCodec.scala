@@ -494,13 +494,16 @@ object ImageCodec {
   /** Assign-only append: hash the batch with the same (deterministic)
     * codec path and append — no retraining, nothing rewritten. Caller
     * owns id uniqueness (Ledger discipline; a retried batch duplicates
-    * rows — same contract as every other index append). */
+    * rows — same contract as every other index append). The hashes +
+    * probe-layout pair lands under the GenStamp fence
+    * (HashBanding.appendHashes): a crash between the two commits leaves
+    * the stamps diverged, probes fall back to the full scan, and the
+    * next append heals the layout by re-deriving it. */
   def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     HashBanding.requireMeta(s, dir)
     val hashed = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
-    hashed.write.mode("append").parquet(s"$dir/hashes")
-    HashBanding.appendProbeLayout(s, dir, hashed)
+    HashBanding.appendHashes(s, dir, hashed)
   }
 
   /** Takedown path: O(ids) tombstone append; probes exclude the ids

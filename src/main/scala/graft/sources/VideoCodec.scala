@@ -565,10 +565,14 @@ object VideoCodec {
     * pre-layout index (probes fall back to the full scan until it
     * runs). */
   def writeVideoProbeLayout(s: SparkSession, dir: String): Unit =
-    if (BandBuckets.exists(s, s"$dir/grouped"))
+    if (BandBuckets.exists(s, s"$dir/grouped")) {
       BandBuckets.write(
         videoProbeRows(collapsedRowsOfGrouped(IdBuckets.read(s, s"$dir/grouped"))),
         s"$dir/pbands", "overwrite", bandCol = "band_idx", bucketCol = "band_val")
+      // reconverge the append-generation fence (GenStamp) — the layout
+      // now reflects the grouped table exactly
+      GenStamp.syncDerived(s, s"$dir/grouped", s"$dir/pbands")
+    }
 
   /** Assign-only append of a new video batch. Caller owns asset_id
     * uniqueness (Ledger discipline — see the image/audio index
@@ -582,15 +586,26 @@ object VideoCodec {
     * by the caller; rows are collapsed + grouped before storage. */
   def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
     requireVideoMeta(s, dir)
+    val hasLayout = BandBuckets.exists(s, s"$dir/pbands")
+    val wasInSync = !hasLayout ||
+      GenStamp.read(s, s"$dir/grouped") == GenStamp.read(s, s"$dir/pbands")
+    val gen = if (hasLayout) GenStamp.beginAppend(s, s"$dir/grouped") else 0L
     IdBuckets.write(groupedVideoRows(hashed.select("asset_id", "frame_idx", "ahash")),
       "asset_id", s"$dir/grouped", "append")
     // keep the probe layout in sync — never CREATE a partial one
     // (pre-layout indexes stay on the full-scan fallback until
-    // writeVideoProbeLayout derives the whole table)
-    if (BandBuckets.exists(s, s"$dir/pbands"))
-      BandBuckets.write(
-        videoProbeRows(collapseFrames(hashed.select("asset_id", "frame_idx", "ahash"))),
-        s"$dir/pbands", "append", bandCol = "band_idx", bucketCol = "band_val")
+    // writeVideoProbeLayout derives the whole table). The grouped +
+    // pbands pair is fenced (GenStamp): a crash between the commits
+    // leaves the stamps diverged and probes take the full-scan
+    // fallback; a layout found ALREADY diverged heals by re-derivation.
+    if (hasLayout) {
+      if (wasInSync) {
+        BandBuckets.write(
+          videoProbeRows(collapseFrames(hashed.select("asset_id", "frame_idx", "ahash"))),
+          s"$dir/pbands", "append", bandCol = "band_idx", bucketCol = "band_val")
+        GenStamp.stamp(s, s"$dir/pbands", gen)
+      } else writeVideoProbeLayout(s, dir)
+    }
   }
 
   /** Takedown: O(ids) tombstone append. */
@@ -664,7 +679,8 @@ object VideoCodec {
     // probe reads O(batch frame keys) row groups at any corpus size —
     // output identical to the full-scan fallback (spec law). Tombstones
     // apply at VIDEO granularity via the carried `vid` column.
-    val usePruned = BandBuckets.exists(s, s"$dir/pbands")
+    val usePruned = GenStamp.prunedProbeOk(s, s"$dir/grouped", s"$dir/pbands",
+      "video", "VideoCodec.writeVideoProbeLayout (or the append retry)")
     val b = HashBanding.bandedBatch(batchUids)
     val (frameMatches, cCnt, corpusCounts) =
       if (usePruned) {

@@ -303,17 +303,31 @@ class BandLayoutSpec extends AnyFunSuite {
     rmDir(java.nio.file.Paths.get(dir))
   }
 
-  test("half-appended ingest batch (hashes without pbands) self-repairs on retry") {
-    // The asymmetric crash window in ingestCore: hashes appended, pbands
-    // not. The retry's probe is pbands-blind for those assets, so they
-    // are RE-ADMITTED — which re-lands them (the documented
-    // crash-between-landing-and-append caveat, Ledger-gated in real
-    // loops), appends a duplicate hashes row (harmless: every consumer
-    // distincts matched pairs), and crucially APPENDS THE MISSING PBANDS
-    // ROWS — after the retry the layout catches duplicates again. This
-    // pins that a crashed batch cannot leave the probe layout
-    // permanently blind.
-    import graft.sources.{AssetIngest, ImageCodec}
+  test("GenStamp: marker semantics (absent = 0, bump-before-commit, syncDerived)") {
+    import graft.sources.GenStamp
+    val base = java.nio.file.Files.createTempDirectory("genstamp").toString
+    val (p, d) = (s"$base/primary", s"$base/derived")
+    assert(GenStamp.read(spark, p) === 0L, "absent marker must read as gen 0")
+    assert(GenStamp.beginAppend(spark, p) === 1L)
+    assert(GenStamp.read(spark, p) === 1L)
+    // derived absent (0) vs primary 1: diverged
+    GenStamp.stamp(spark, d, 0L)
+    assert(GenStamp.read(spark, d) === 0L)
+    GenStamp.syncDerived(spark, p, d)
+    assert(GenStamp.read(spark, d) === 1L, "syncDerived must copy the primary's gen")
+    assert(GenStamp.beginAppend(spark, p) === 2L, "beginAppend must be monotone")
+    rmDir(java.nio.file.Paths.get(base))
+  }
+
+  test("half-appended ingest batch (hashes without pbands): fence detects, retry heals without re-landing") {
+    // The crash window in ingestCore's fenced index append
+    // (HashBanding.appendHashes): the hashes commit lands, the pbands
+    // commit doesn't. The GenStamp fence makes the retry's probe take
+    // the full-scan fallback — it SEES the landed hashes, admits
+    // NOTHING (no duplicate landing, no duplicate hashes rows), and the
+    // retry's append HEALS the layout by re-deriving it; afterwards the
+    // pruned probe catches duplicates again.
+    import graft.sources.{AssetIngest, BandBuckets, GenStamp, ImageCodec}
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("halfapp").toString
     val (idx, data) = (s"$base/idx", s"$base/data")
@@ -322,23 +336,174 @@ class BandLayoutSpec extends AnyFunSuite {
     val r1 = AssetIngest.ingestImageBatch(spark,
       Seq((1L, img(1)), (2L, img(2))).toDF("asset_id", "payload"), idx, data)
     assert(r1.admitted === 2)
-    // simulate the crash: batch 2's hashes land in `hashes`, pbands never
-    // sees them (exactly the state after a death between the two appends)
+    // batch 2 crashes between the hashes and pbands commits (injected)
     val b2 = Seq((10L, img(10)), (11L, img(11))).toDF("asset_id", "payload")
-    ImageCodec.annotateWithHash(b2).where(col("ok"))
-      .select("asset_id", "ahash").write.mode("append").parquet(s"$idx/hashes")
+    BandBuckets.failNextAppend = true
+    val crash = intercept[IllegalStateException] {
+      AssetIngest.ingestImageBatch(spark, b2, idx, data)
+    }
+    assert(crash.getMessage.contains("fault injection"))
+    assert(GenStamp.read(spark, s"$idx/hashes") !== GenStamp.read(spark, s"$idx/pbands"),
+      "crashed append must leave the generation stamps diverged")
     val hashRowsAfterCrash = spark.read.parquet(s"$idx/hashes").count()
-    // retry of batch 2: pbands-blind -> re-admitted (repairs the layout)
+    val landedAfterCrash = spark.read.parquet(s"$data/assets").count()
+    // retry of batch 2: the diverged fence forces the full-scan probe,
+    // which sees the landed hashes -> nothing re-admitted or re-landed
     val r2 = AssetIngest.ingestImageBatch(spark, b2, idx, data)
-    assert(r2.admitted === 2, s"retry must re-admit the half-appended batch: $r2")
-    assert(spark.read.parquet(s"$idx/hashes").count() === hashRowsAfterCrash + 2,
-      "retry appends a (tolerated) duplicate hashes row per asset")
-    // the layout is whole again: perceptual duplicates of batch 2 are
-    // caught as corpus dups by the PRUNED probe path
+    assert(r2.admitted === 0 && r2.corpusDups === 2,
+      s"fenced retry must dedup against the landed hashes, not re-admit: $r2")
+    assert(spark.read.parquet(s"$idx/hashes").count() === hashRowsAfterCrash,
+      "fenced retry must not append duplicate hashes rows")
+    assert(spark.read.parquet(s"$data/assets").count() === landedAfterCrash,
+      "fenced retry must not re-land the batch")
+    // ...and the retry healed the layout: stamps reconverged, pruned
+    // probe catches perceptual duplicates of the crashed batch
+    assert(GenStamp.read(spark, s"$idx/hashes") === GenStamp.read(spark, s"$idx/pbands"),
+      "retry append must re-derive the layout and reconverge the stamps")
     val dupB2 = Seq((20L, img(10)), (21L, img(11))).toDF("asset_id", "payload")
     val r3 = AssetIngest.ingestImageBatch(spark, dupB2, idx, data)
     assert(r3.admitted === 0 && r3.corpusDups === 2,
-      s"repaired layout failed to catch duplicates: $r3")
+      s"healed layout failed to catch duplicates: $r3")
+    rmDir(java.nio.file.Paths.get(base))
+  }
+
+  test("minhash: crashed append diverges the fence; probe falls back (no false negatives) and the retry heals") {
+    import graft.operators.DedupOps
+    import graft.sources.{BandBuckets, GenStamp}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fence_mh").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    assert(GenStamp.read(spark, s"$dir/cbuckets") === GenStamp.read(spark, s"$dir/pbands"))
+    val batch = Seq((9000L, "s", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))
+      .toDF("doc_id", "source", "text")
+    BandBuckets.failNextAppend = true
+    intercept[IllegalStateException] { DedupOps.appendToMinhashIndex(spark, batch, dir) }
+    assert(GenStamp.read(spark, s"$dir/cbuckets") !== GenStamp.read(spark, s"$dir/pbands"),
+      "crashed append must leave the stamps diverged")
+    // THE law this fence exists for: the near-dup of the crashed batch's
+    // doc is in cbuckets but not pbands — a pruned probe would miss it;
+    // the diverged fence must force the full scan, which finds it
+    val probe = Seq((9500L, "z1 z2 z3 z4 z5 z6 z7 z8 z9")).toDF("doc_id", "text")
+    val found = DedupOps.dedupAgainstIndex(spark, probe, dir)
+    assert(found.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(9000L),
+      "diverged layout silently missed the crashed batch's doc (false negative)")
+    assert(!found.queryExecution.executedPlan.toString
+        .contains(graft.sources.BandBuckets.Col + "#"),
+      "diverged probe must not read the stale pbands table")
+    // retry heals: layout re-derived whole, stamps reconverge, probe prunes again
+    DedupOps.appendToMinhashIndex(spark, batch, dir)
+    assert(GenStamp.read(spark, s"$dir/cbuckets") === GenStamp.read(spark, s"$dir/pbands"))
+    val healed = DedupOps.dedupAgainstIndex(spark, probe, dir)
+    assert(healed.select("corpus_id").distinct().collect().map(_.getLong(0)).toSet === Set(9000L))
+    assert(healed.queryExecution.executedPlan.toString
+        .contains(graft.sources.BandBuckets.Col + "#"),
+      "healed probe must be back on the pruned pbands path")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("embed-lsh: crashed append diverges the fence; probe falls back and the retry heals") {
+    import graft.operators.VectorOps
+    import graft.sources.{BandBuckets, GenStamp}
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("fence_el").toString
+    val corp = vectors()
+    VectorOps.writeEmbedLshIndex(spark, corp, dir)
+    // crash while appending an exact copy of vector 0 under a new id
+    val batch = corp.where(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
+    BandBuckets.failNextAppend = true
+    intercept[IllegalStateException] { VectorOps.appendToEmbedLshIndex(spark, batch, dir) }
+    assert(GenStamp.read(spark, s"$dir/cbuckets") !== GenStamp.read(spark, s"$dir/pbands"))
+    // a copy of the crashed vector must still be flagged (full-scan fallback)
+    val probe = corp.where(col("vec_id") === 0)
+      .select((col("vec_id") + 200000).as("vec_id"), col("label"), col("embedding"))
+    val found = VectorOps.dedupEmbedAgainstIndex(spark, probe, dir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(found.contains(100000L),
+      "diverged layout silently missed the crashed batch's vector")
+    // retry heals
+    VectorOps.appendToEmbedLshIndex(spark, batch, dir)
+    assert(GenStamp.read(spark, s"$dir/cbuckets") === GenStamp.read(spark, s"$dir/pbands"))
+    val healed = VectorOps.dedupEmbedAgainstIndex(spark, probe, dir)
+    assert(healed.select("corpus_id").collect().map(_.getLong(0)).toSet.contains(100000L))
+    assert(healed.queryExecution.executedPlan.toString
+      .contains(graft.sources.BandBuckets.Col + "#"))
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("image + audio: crashed append diverges the fence; probe falls back and the retry heals") {
+    import graft.sources.{AudioCodec, BandBuckets, GenStamp, ImageCodec}
+    import spark.implicits._
+    // image
+    val idir = java.nio.file.Files.createTempDirectory("fence_img").toString
+    def img(key: Long) = ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key, 16, 16))
+    ImageCodec.writeImageHashIndex(spark,
+      (0 until 20).map(i => (i.toLong, img(i + 1L))).toDF("asset_id", "payload"), idir)
+    BandBuckets.failNextAppend = true
+    intercept[IllegalStateException] { ImageCodec.appendToImageHashIndex(spark,
+      Seq((900L, img(7777L))).toDF("asset_id", "payload"), idir) }
+    assert(GenStamp.read(spark, s"$idir/hashes") !== GenStamp.read(spark, s"$idir/pbands"))
+    val iprobe = Seq((950L, img(7777L))).toDF("asset_id", "payload")
+    assert(ImageCodec.dedupImagesAgainstIndex(spark, iprobe, idir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet === Set(900L),
+      "diverged image layout silently missed the crashed batch's asset")
+    ImageCodec.appendToImageHashIndex(spark,
+      Seq((901L, img(8888L))).toDF("asset_id", "payload"), idir)
+    assert(GenStamp.read(spark, s"$idir/hashes") === GenStamp.read(spark, s"$idir/pbands"))
+    val ihealed = ImageCodec.dedupImagesAgainstIndex(spark, iprobe, idir)
+    assert(ihealed.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(900L))
+    assert(ihealed.queryExecution.executedPlan.toString
+      .contains(graft.sources.BandBuckets.Col + "#"))
+    rmDir(java.nio.file.Paths.get(idir))
+    // audio (same engine, own fixture — keeps the family law explicit)
+    val adir = java.nio.file.Files.createTempDirectory("fence_aud").toString
+    def wav(key: Long) =
+      AudioCodec.encodeWavPcm16(Array.tabulate(300)(i => AudioCodec.sampleAt(key, i)))
+    AudioCodec.writeAudioHashIndex(spark,
+      (0 until 20).map(i => (i.toLong, wav(i + 1L))).toDF("asset_id", "payload"), adir)
+    BandBuckets.failNextAppend = true
+    intercept[IllegalStateException] { AudioCodec.appendToAudioHashIndex(spark,
+      Seq((900L, wav(7777L))).toDF("asset_id", "payload"), adir) }
+    assert(GenStamp.read(spark, s"$adir/hashes") !== GenStamp.read(spark, s"$adir/pbands"))
+    val aprobe = Seq((950L, wav(7777L))).toDF("asset_id", "payload")
+    // containment, not equality: the synthetic envelope hashes are low-
+    // entropy enough that 7777's clip also near-matches a corpus clip
+    assert(AudioCodec.dedupAudioAgainstIndex(spark, aprobe, adir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet.contains(900L),
+      "diverged audio layout silently missed the crashed batch's clip")
+    AudioCodec.appendToAudioHashIndex(spark,
+      Seq((901L, wav(8888L))).toDF("asset_id", "payload"), adir)
+    assert(GenStamp.read(spark, s"$adir/hashes") === GenStamp.read(spark, s"$adir/pbands"))
+    assert(AudioCodec.dedupAudioAgainstIndex(spark, aprobe, adir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet.contains(900L))
+    rmDir(java.nio.file.Paths.get(adir))
+  }
+
+  test("video: crashed append diverges the fence; probe falls back and the retry heals") {
+    import graft.sources.{BandBuckets, GenStamp, ImageCodec, VideoCodec}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fence_vid").toString
+    def vid(key: Long, frames: Int = 4): Array[Byte] =
+      VideoCodec.encodeContainer((0 until frames).map(f =>
+        ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key * 977 + f, 16, 16))))
+    VideoCodec.writeVideoHashIndex(spark,
+      (0 until 20).map(i => (i.toLong, vid(i + 1L))).toDF("asset_id", "payload"), dir)
+    BandBuckets.failNextAppend = true
+    intercept[IllegalStateException] { VideoCodec.appendToVideoHashIndex(spark,
+      Seq((800L, vid(31337L))).toDF("asset_id", "payload"), dir) }
+    assert(GenStamp.read(spark, s"$dir/grouped") !== GenStamp.read(spark, s"$dir/pbands"))
+    val probe = Seq((850L, vid(31337L, frames = 3))).toDF("asset_id", "payload")
+    assert(VideoCodec.dedupVideosAgainstIndex(spark, probe, dir)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet === Set(800L),
+      "diverged video layout silently missed the crashed batch's video")
+    VideoCodec.appendToVideoHashIndex(spark,
+      Seq((801L, vid(41414L))).toDF("asset_id", "payload"), dir)
+    assert(GenStamp.read(spark, s"$dir/grouped") === GenStamp.read(spark, s"$dir/pbands"))
+    val healed = VideoCodec.dedupVideosAgainstIndex(spark, probe, dir)
+    assert(healed.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(800L))
+    assert(healed.queryExecution.executedPlan.toString
+      .contains(graft.sources.BandBuckets.Col + "#"))
+    rmDir(java.nio.file.Paths.get(dir))
   }
 
   test("foreachBatch pruned gate emits the same match set as the stream-static gate") {
