@@ -30,6 +30,7 @@ object SparkEntry {
     (Extended.queries, Extended.oracle),
     (CurationOps.queries, CurationOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
+    (graft.plans.Scale.queries, graft.plans.Scale.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -311,6 +311,58 @@ object Scale {
     * needed hand-rolled exact-integer cases to avoid 2^53 double
     * round-trips; pushing it into the engine removes that class of bug
     * by construction). */
+  /** Deterministic per-corpus scratch path for a query's temp layout
+    * (same directory every invocation, SaveMode.Overwrite replaces the
+    * previous generation — repeated Verify/Bench runs never accumulate). */
+  private[graft] def scratch(tag: String, sfDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_$key").toString
+  }
+
+  /** Declared layout-independence query (driver-gated): write a
+    * Z-order-clustered copy of lineitem into the query's scratch scope,
+    * read it back through the 2-D zone-map pruned scan with a
+    * conjunctive box predicate, and emit the matching rows. The DuckDB
+    * oracle runs the SAME box predicate over the ORIGINAL table, so a
+    * pruning bug (an off-by-one on a file-boundary min/max, a dropped
+    * surviving file) hash-fails instead of hiding behind "pruning is
+    * only a speed-up". Box bounds derive from the key maxima with
+    * integer arithmetic mirrored exactly in the oracle, so the query
+    * stays selective-but-nonempty at every SF. */
+  val queries: Map[String, graft.Q] = Map(
+    "q_prune_zorder" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_extendedprice")
+      val m = li.agg(max("l_partkey"), max("l_suppkey")).head()
+      val (pkMax, skMax) = (m.getLong(0), m.getLong(1))
+      val store = scratch("zorder", d) + "/li"
+      writeZOrdered(li, store, "l_partkey", "l_suppkey", partitions = 8)
+      val (pruned, kept, total) = pruneByStats2(s, store,
+        "l_partkey", pkMax / 10, pkMax / 5,
+        "l_suppkey", skMax / 10, skMax * 2 / 5)
+      // the zone map must actually skip files on a z-clustered layout —
+      // a silent no-prune regression fails here, not in a bench table
+      // (kept == total would also be CORRECT, which is exactly why the
+      // driver's hash gate alone can't catch it)
+      require(kept < total,
+        s"q_prune_zorder: zone map kept all $total files of the z-ordered " +
+          "layout — pruning selectivity regressed")
+      pruned.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_prune_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN (SELECT max(l_partkey)//10 FROM lineitem)
+        |                    AND (SELECT max(l_partkey)//5 FROM lineitem)
+        |  AND l_suppkey BETWEEN (SELECT max(l_suppkey)//10 FROM lineitem)
+        |                    AND (SELECT max(l_suppkey)*2//5 FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)
+
   def pruneByStats(spark: SparkSession, path: String, key: String,
       from: Any, to: Any, maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
     require(maxKeptFiles >= 0, s"maxKeptFiles must be >= 0, got $maxKeptFiles")
