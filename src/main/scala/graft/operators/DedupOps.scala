@@ -315,7 +315,7 @@ object DedupOps {
     * loop). */
   private[graft] def requireMinhashMeta(s: SparkSession,
       dir: String): org.apache.spark.sql.Row = {
-    val meta = s.read.parquet(s"$dir/meta").head()
+    val meta = graft.sources.IndexMeta.headCached(s, s"$dir/meta")
     graft.sources.IndexMeta.requireLayout(meta,
       graft.sources.IndexMeta.GroupedLayout, "minhash",
       "DedupOps.writeMinhashIndex")
@@ -442,7 +442,7 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
-    val bBands = minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
+    val bBands0 = minhashBandsOf(s, toks.select(col("doc_id"), col("toks")),
       meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
     // deleted corpus docs (tombstones, see deleteFromMinhashIndex) must
     // not veto new batches: apply the delete-aware view of both stored
@@ -465,6 +465,7 @@ object DedupOps {
     val usePruned = graft.sources.GenStamp.prunedProbeOk(s,
       s"$dir/cbuckets", s"$dir/pbands", "minhash",
       "DedupOps.rebuildMinhashProbeLayout (or the append retry)")
+    val bBands = bBands0
     val storedBands =
       if (usePruned)
         graft.sources.Tombstones.applyTo(s,
@@ -473,11 +474,14 @@ object DedupOps {
           dir, "doc_id")
       else bandRowsOfBuckets(graft.sources.Tombstones.applyTo(
         s, IdBuckets.read(s, s"$dir/cbuckets"), dir, "doc_id"))
-    val cands = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
+    val cands0 = bBands.select(col("doc_id").as("batch_id"), col("band"), col("bucket"))
       .join(storedBands.select(col("doc_id").as("corpus_id"),
           col("band").as("band_c"), col("bucket").as("bucket_c")),
         col("band") === col("band_c") && col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
+    // in pruned mode the candidate frame feeds the bounded id collect
+    // AND the refine join — barrier it so the candidate join runs once
+    val cands = if (usePruned) cands0.localCheckpoint(false) else cands0
     val storedSh0 =
       if (usePruned) {
         val idRows = cands.select("corpus_id").distinct()

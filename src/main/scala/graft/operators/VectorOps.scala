@@ -1520,7 +1520,7 @@ object VectorOps {
     * index (append, batch probe, streaming gate, ingest loop). */
   private[graft] def requireEmbedLshMeta(s: SparkSession,
       dir: String): org.apache.spark.sql.Row = {
-    val meta = s.read.parquet(s"$dir/meta").head()
+    val meta = graft.sources.IndexMeta.headCached(s, s"$dir/meta")
     graft.sources.IndexMeta.requireLayout(meta,
       graft.sources.IndexMeta.GroupedLayout, "embed-lsh",
       "VectorOps.writeEmbedLshIndex")
@@ -1692,13 +1692,16 @@ object VectorOps {
             lit(") — degenerate embedding flood; dedup exact duplicates first " +
               "or raise maxBucket knowingly")))))
         .drop("bucket_pop")
-    val cands = bBands.select(col("vec_id").as("batch_id"), col("label"),
+    val cands0 = bBands.select(col("vec_id").as("batch_id"), col("label"),
         col("band"), col("bucket"))
       .join(stored.select(col("vec_id").as("corpus_id"), col("label").as("label_c"),
           col("band").as("band_c"), col("bucket").as("bucket_c")),
         col("label") === col("label_c") && col("band") === col("band_c") &&
           col("bucket") === col("bucket_c"))
       .select("batch_id", "corpus_id").distinct()
+    // in pruned mode the candidate frame feeds the bounded id collect
+    // AND the refine join — barrier it so the candidate join runs once
+    val cands = if (usePruned) cands0.localCheckpoint(false) else cands0
     // refine tier: with the probe layout present, point-read only the
     // candidate ids' embedding rows (bounded candidate collect →
     // id-bucket directory pruning + pushed id IN filter); tombstones

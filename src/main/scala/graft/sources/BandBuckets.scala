@@ -138,7 +138,12 @@ object BandBuckets {
       .distinct().limit(MaxKeyLiterals + 1).collect()
     val full = s.read.parquet(path)
     val pruned =
-      if (kp.length <= MaxKeyLiterals) {
+      if (kp.isEmpty)
+        // empty key set (an empty or all-filtered batch): nothing can
+        // match — skip the scan job entirely (Catalyst folds the false
+        // filter to an empty LocalRelation, so no file is opened)
+        full.where(lit(false))
+      else if (kp.length <= MaxKeyLiterals) {
         val pbs = kp.map(_.getInt(0)).distinct.toSeq
         val bks = kp.map(_.getLong(1)).distinct.toSeq
         full.where(col(Col).isin(pbs: _*) && col(bucketCol).isin(bks: _*))

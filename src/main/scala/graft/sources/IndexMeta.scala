@@ -27,6 +27,42 @@ import org.apache.spark.sql.Row
   */
 object IndexMeta {
 
+  /** Memoized read of a 1-row meta table, keyed by the meta directory's
+    * file fingerprint (name, size, mtime triples). Every per-micro-batch
+    * probe starts by reading its index's meta row; uncached that is one
+    * whole Spark job per trigger per family (~0.1-0.3 s of the pruned
+    * probe's fixed per-trigger constant, BASELINE.md r15). The
+    * fingerprint makes a rewrite of the meta (index rebuild, layout
+    * upgrade) invalidate the entry — same staleness discipline as
+    * StaticCache — and a missing directory is NOT cached (the read
+    * throws, as the uncached path would). */
+  private val metaCache =
+    scala.collection.mutable.HashMap.empty[(String, String), Row]
+
+  private def fingerprint(s: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+  }
+
+  def headCached(s: org.apache.spark.sql.SparkSession, path: String): Row = {
+    val key = (path, fingerprint(s, path))
+    metaCache.synchronized(metaCache.get(key)) match {
+      case Some(r) => r
+      case None =>
+        val r = s.read.parquet(path).head()
+        metaCache.synchronized {
+          // one live generation per path: drop stale fingerprints
+          metaCache.filterInPlace { case ((p, _), _) => p != path }
+          metaCache.update(key, r)
+        }
+        r
+    }
+  }
+
   /** Flat per-item tables (image/audio `hashes`) — the original shape,
     * still current for those families. */
   val FlatLayout = 1

@@ -695,7 +695,12 @@ object VideoCodec {
         // so its multiplicity rides along — no grouped-table read
         val cnts = prunedC
           .select(col("uid").as("corpus_id"), col("cnt").as("cnt_c")).distinct()
+        // barrier: the frame-match frame feeds the bounded vid collect
+        // AND the alignment vote — without it the banded probe join
+        // re-runs per job (the pruned probe's fixed per-trigger
+        // constant, BASELINE.md r15)
         val matches = HashBanding.probeOnBanded(b, c0, maxHamming, maxBucket)
+          .localCheckpoint(false)
         // n_frames only for the candidate VIDEOS: bounded collect ->
         // point-read of the grouped table (full read past the cap)
         val vidRows = matches

@@ -72,13 +72,25 @@ class BandLayoutSpec extends AnyFunSuite {
     val batch = probeBatch()
     val pruned = DedupOps.dedupAgainstIndex(spark, batch, dir)
     assert(pruned.count() > 0, "fixture defect: probe found nothing")
-    // the pbands scan must carry a literal partition IN-filter
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains(graft.sources.BandBuckets.Col + "#"),
-      s"pruned probe plan does not read the pbands table:\n$plan")
+    // the literal-IN pruning machinery, asserted on the scan it drives:
+    // the candidate tier is materialized behind a barrier since r16 (the
+    // per-trigger-constant fix), so the probe's FINAL plan shows the
+    // barrier (ExistingRDD), and the partition-filter shape is pinned on
+    // prunedRead directly
+    import spark.implicits._
+    val prPlan = graft.sources.BandBuckets.prunedRead(spark, s"$dir/pbands",
+        Seq((0, 0L), (1, 7L), (2, 13L), (3, 29L)).toDF("band", "bucket"))
+      .queryExecution.executedPlan.toString
+    assert(prPlan.contains(graft.sources.BandBuckets.Col + "#"),
+      s"prunedRead plan does not read the pbands table:\n$prPlan")
     assert(("PartitionFilters: \\[[^\\]]*" + graft.sources.BandBuckets.Col +
-      "[^\\]]*(IN|in\\()").r.findFirstIn(plan).isDefined,
-      s"pruned probe plan carries no pband IN partition filter:\n$plan")
+      "[^\\]]*(IN|in\\()").r.findFirstIn(prPlan).isDefined,
+      s"prunedRead plan carries no pband IN partition filter:\n$prPlan")
+    // pruned path active: the probe's plan carries the candidate barrier
+    // and never scans the grouped cbuckets table
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") && !plan.contains("cbuckets"),
+      s"probe did not take the pruned candidate path:\n${plan.take(4000)}")
     val prunedRows = rows(pruned)
     // delete the probe layout -> same probe must take the full-scan path
     rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
@@ -387,17 +399,19 @@ class BandLayoutSpec extends AnyFunSuite {
     val found = DedupOps.dedupAgainstIndex(spark, probe, dir)
     assert(found.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(9000L),
       "diverged layout silently missed the crashed batch's doc (false negative)")
-    assert(!found.queryExecution.executedPlan.toString
-        .contains(graft.sources.BandBuckets.Col + "#"),
-      "diverged probe must not read the stale pbands table")
+    // fallback shape: no candidate barrier (that is the pruned path's
+    // signature since r16), scans cbuckets instead of the stale layout
+    val divergedPlan = found.queryExecution.executedPlan.toString
+    assert(!divergedPlan.contains("ExistingRDD") && divergedPlan.contains("cbuckets"),
+      s"diverged probe must take the full-scan fallback:\n${divergedPlan.take(4000)}")
     // retry heals: layout re-derived whole, stamps reconverge, probe prunes again
     DedupOps.appendToMinhashIndex(spark, batch, dir)
     assert(GenStamp.read(spark, s"$dir/cbuckets") === GenStamp.read(spark, s"$dir/pbands"))
     val healed = DedupOps.dedupAgainstIndex(spark, probe, dir)
     assert(healed.select("corpus_id").distinct().collect().map(_.getLong(0)).toSet === Set(9000L))
-    assert(healed.queryExecution.executedPlan.toString
-        .contains(graft.sources.BandBuckets.Col + "#"),
-      "healed probe must be back on the pruned pbands path")
+    val healedPlan = healed.queryExecution.executedPlan.toString
+    assert(healedPlan.contains("ExistingRDD") && !healedPlan.contains("cbuckets"),
+      s"healed probe must be back on the pruned path:\n${healedPlan.take(4000)}")
     rmDir(java.nio.file.Paths.get(dir))
   }
 
@@ -426,8 +440,9 @@ class BandLayoutSpec extends AnyFunSuite {
     assert(GenStamp.read(spark, s"$dir/cbuckets") === GenStamp.read(spark, s"$dir/pbands"))
     val healed = VectorOps.dedupEmbedAgainstIndex(spark, probe, dir)
     assert(healed.select("corpus_id").collect().map(_.getLong(0)).toSet.contains(100000L))
-    assert(healed.queryExecution.executedPlan.toString
-      .contains(graft.sources.BandBuckets.Col + "#"))
+    val healedPlan = healed.queryExecution.executedPlan.toString
+    assert(healedPlan.contains("ExistingRDD") && !healedPlan.contains("cbuckets"),
+      s"healed embed probe must be back on the pruned path:\n${healedPlan.take(4000)}")
     rmDir(java.nio.file.Paths.get(dir))
   }
 
