@@ -199,17 +199,31 @@ class ScaleSpec extends AnyFunSuite {
     // so nprobe=16 is a FULL probe: any recall loss there is only
     // 6dp-rounding boundary ties, hence >= 0.95 not == 1.0.
     val r = ScaleSmoke.runRecall(spark, n = 2000, dim = 16, nQueries = 5,
-      k = 10, nprobes = Seq(1, 16)).map(x => x.name -> x.recall).toMap
-    assert(r.keySet === Set("ivf_nprobe1", "ivf_nprobe16", "pq_rerank50",
-      "pq_rerank200", "ivfadc_np2_rerank50", "ivfadc_np2_rerank200",
-      "sq8_cand100"), s"harness drifted: $r")
+      k = 10, nprobes = Seq(1, 4, 16)).map(x => x.name -> x.recall).toMap
+    assert(r.keySet === Set("ivf_nprobe1", "ivf_nprobe4", "ivf_nprobe16",
+      "pq_rerank50", "pq_rerank200", "ivfadc_np2_rerank50",
+      "ivfadc_np2_rerank200", "sq8_cand100"), s"harness drifted: $r")
     assert(r("pq_rerank200") >= r("pq_rerank50") - 1e-9,
       "deeper rerank reduced PQ recall")
     r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
     assert(r("ivf_nprobe16") >= 0.95, s"full-probe IVF recall ${r("ivf_nprobe16")}")
     assert(r("ivf_nprobe16") >= r("ivf_nprobe1") - 1e-9,
       "widening the probe reduced recall")
-    assert(r("sq8_cand100") >= 0.5, s"SQ8 rerank recall ${r("sq8_cand100")}")
+    // Per-family recall FLOORS on the clustered fixture (r16: a
+    // quantization or codebook regression must FAIL the suite, not
+    // shift a BASELINE table). The fixture is deterministic (hash
+    // centroids, iters=1 k-means), measured on this tree: nprobe4
+    // 0.960, pq_rerank200 1.000, ivfadc_np2_rerank200 0.700,
+    // sq8_cand100 1.000 — floors carry slack for re-platformed float
+    // rounding, not for algorithmic drift.
+    assert(r("ivf_nprobe4") >= 0.90,
+      s"IVF nprobe=4 recall regressed: ${r("ivf_nprobe4")} (measured 0.960)")
+    assert(r("pq_rerank200") >= 0.95,
+      s"PQ rerank=200 recall regressed: ${r("pq_rerank200")} (measured 1.000)")
+    assert(r("ivfadc_np2_rerank200") >= 0.60,
+      s"IVFADC rerank=200 recall regressed: ${r("ivfadc_np2_rerank200")} (measured 0.700)")
+    assert(r("sq8_cand100") >= 0.95,
+      s"SQ8+rerank recall regressed: ${r("sq8_cand100")} (measured 1.000, ≈ exact)")
   }
 
   test("ANN sim-join: candidates hard-capped, probe cost linear when cells scale with n") {
