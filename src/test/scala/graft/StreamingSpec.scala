@@ -799,4 +799,80 @@ class StreamingSpec extends AnyFunSuite {
     // same total event count partitioned two ways (1h windows vs 6h buckets)
     assert(batch.agg(sum("n")).head().getLong(0) === viaBuckets.agg(sum("n")).head().getLong(0))
   }
+
+  test("stream RESTART recovery: a replayed uncommitted ingest batch admits nothing, re-lands nothing, and leaves the ledger unmoved") {
+    // The r15 exactly-once claim covered the sketch LEDGER under an
+    // in-process batch-id replay; this drives the whole crash shape: a
+    // real file source + real checkpointLocation, the query KILLED
+    // after foreachBatch fully ran (landing + index append + ledger)
+    // but BEFORE the engine committed the batch — simulated by deleting
+    // the newest commit marker, exactly the on-disk state a crash in
+    // that window leaves. The restarted query replays the batch under
+    // the same id; the law is that the ingest loop's self-healing retry
+    // admits nothing (every doc now matches its own stored copy), lands
+    // nothing twice, appends nothing to the index, and the ledger is
+    // byte-unmoved — then NEW data after the restart flows normally.
+    import spark.implicits._
+    import graft.sources.{AssetIngest, SketchLedger}
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("restart_law").toString
+    val (src, ckpt, idx, data, led) =
+      (s"$base/src", s"$base/ckpt", s"$base/idx", s"$base/data", s"$base/led")
+    // the composed-text-loop fixture: 60 disjoint tokens pass the
+    // quality gate; cut(i, 55) is a >= 0.5-Jaccard near-dup of mk(i)
+    val mk = (i: Int) => (1 to 60).map(t => s"w${i}_$t").mkString(" ")
+    def cut(i: Int, keep: Int) = (1 to keep).map(t => s"w${i}_$t").mkString(" ")
+    def writeBatch(rows: (Long, String, String)*): Unit =
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("source", "string").add("text", "string")
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, AssetIngest.IngestReport)]
+    def start() = spark.readStream.schema(schema).parquet(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        reports += id -> AssetIngest.ingestTextBatch(spark, b, idx, data,
+          sketches = Some(AssetIngest.SketchSink(led, s"b$id")))
+        ()
+      }.start()
+
+    writeBatch((1L, "a", mk(1)), (2L, "a", mk(2)))
+    val q1 = start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    assert(reports.map { case (id, r) => (id, r.admitted) }.toSeq === Seq((0L, 2L)))
+    def ledgerState() = SketchLedger.distinctByKey(spark, s"$led/distinct")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ledAfterB0 = ledgerState()
+    assert(ledAfterB0("a") === ((2L, 2L)), s"batch 0 accounting: $ledAfterB0")
+
+    // the crash: drop the newest commit marker (offsets log intact) —
+    // including its local-FS .crc sibling, or the replay's own commit
+    // write trips over the stale checksum
+    val commits = new java.io.File(s"$ckpt/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), "fixture: could not delete the commit marker")
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val replay = reports.last
+      assert(replay._1 === 0L, s"restart did not replay batch 0: $reports")
+      assert(replay._2.admitted === 0L && replay._2.corpusDups === 2L,
+        s"replayed batch must self-heal to zero admits: $reports")
+      assert(ledgerState() === ledAfterB0, "the replay moved the ledger")
+      // new data after the restart: one corpus near-dup, one novel doc
+      writeBatch((3L, "a", cut(1, 55)), (4L, "a", mk(9)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(reports.last._1 === 1L && reports.last._2.admitted === 1L &&
+      reports.last._2.corpusDups === 1L, s"post-restart batch: $reports")
+    // landing has each admitted doc exactly once across the crash boundary
+    assert(spark.read.parquet(s"$data/docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    val ledFinal = ledgerState()
+    assert(ledFinal("a") === ((3L, 3L)), s"final accounting: $ledFinal")
+  }
 }
