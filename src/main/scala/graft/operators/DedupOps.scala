@@ -272,6 +272,11 @@ object DedupOps {
   def writeMinhashIndex(s: SparkSession, docs: DataFrame, dir: String,
       k: Int = 16, bands: Int = 4): Unit = {
     val toks = docs.withColumn("toks", split(col("text"), " "))
+    // rebuild fence (GenStamp): a crash between these commits could
+    // leave e.g. new signatures under an old meta's (k, bands) — every
+    // reader goes through requireMinhashMeta, which refuses while the
+    // marker stands
+    graft.sources.GenStamp.beginRebuild(s, dir)
     IdBuckets.write(minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")), k, bands),
       "doc_id", s"$dir/cbuckets", "overwrite")
     IdBuckets.write(toks.select(col("doc_id"), expr(shingleExpr(0)).as("sh")),
@@ -281,6 +286,8 @@ object DedupOps {
     Seq((k, bands, graft.sources.IndexMeta.GroupedLayout))
       .toDF("k", "bands", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/cbuckets", s"$dir/pbands"))
   }
 
   /** (Re-)derive the band-partitioned probe table (`pbands`,
@@ -315,6 +322,8 @@ object DedupOps {
     * loop). */
   private[graft] def requireMinhashMeta(s: SparkSession,
       dir: String): org.apache.spark.sql.Row = {
+    graft.sources.GenStamp.requireNoRebuild(s, dir, "minhash",
+      "DedupOps.writeMinhashIndex")
     val meta = graft.sources.IndexMeta.headCached(s, s"$dir/meta")
     graft.sources.IndexMeta.requireLayout(meta,
       graft.sources.IndexMeta.GroupedLayout, "minhash",

@@ -355,8 +355,14 @@ object VectorOps {
     * probe's scan reads only the probed cells' directories). */
   def writeIvfIndex(e: DataFrame, cells: Int, dir: String, iters: Int = 2): Unit = {
     val (cb, postings) = ivfIndex(e, cells, iters)
+    val s = e.sparkSession
+    // rebuild fence (GenStamp): a crash between the two overwrites would
+    // leave a new codebook against old postings — silent recall loss
+    graft.sources.GenStamp.beginRebuild(s, dir)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     postings.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/codebook", s"$dir/postings"))
   }
 
   /** Load a persisted IVF index: (codebook, postings). The `cell`
@@ -366,9 +372,12 @@ object VectorOps {
     * and ivfSearch's cell === q_cell join against the string-typed
     * codebook ranking would then hinge on implicit numeric-string
     * coercion — matching nothing if cell ids ever became non-numeric. */
-  def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def readIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVF",
+      "VectorOps.writeIvfIndex", Seq(s"$dir/codebook", s"$dir/postings"))
     (s.read.parquet(s"$dir/codebook"),
       graft.sources.Tombstones.applyTo(s, readCellPartitioned(s, s"$dir/postings"), dir, "vec_id"))
+  }
 
   /** Content fingerprint of the corpus behind a persisted demo store:
     * the embeddings parquet's file metadata — sorted (name, size, mtime)
@@ -395,7 +404,22 @@ object VectorOps {
       val name = p.getFileName.toString
       val size = java.nio.file.Files.size(p)
       val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
-      s"$name:$size:$mtime"
+      // content tail (16 bytes — the parquet footer end) closes the
+      // mtime-granularity hole: an in-place regeneration with identical
+      // sizes inside a coarse-mtime window still moves the footer bytes
+      val tail =
+        if (size == 0) ""
+        else {
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val n = math.min(16L, size).toInt
+            val buf = java.nio.ByteBuffer.allocate(n)
+            ch.read(buf, size - n)
+            buf.array().map("%02x".format(_)).mkString
+          } finally ch.close()
+        }
+      s"$name:$size:$mtime:$tail"
     }.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dataDir\n$sig".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -646,9 +670,14 @@ object VectorOps {
   def writeIvfPqIndex(e: DataFrame, cells: Int, m: Int, ks: Int, dir: String,
       iters: Int = 2): Unit = {
     val (coarse, pqcb, codes) = ivfPqIndex(e, cells, m, ks, iters)
+    val s = e.sparkSession
+    // rebuild fence: three tables must agree (see writeIvfIndex)
+    graft.sources.GenStamp.beginRebuild(s, dir)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     pqcb.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
     codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/coarse", s"$dir/pq_codebooks", s"$dir/codes"))
   }
 
   /** Load a persisted IVFADC index: (coarse, pq codebooks, codes). The
@@ -657,9 +686,13 @@ object VectorOps {
     * vec_ids AS STRINGS, so partition-column inference would otherwise
     * guess int and leave the probe equi-join against the string-typed
     * coarse codebook to implicit coercion. */
-  def readIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+  def readIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVFADC",
+      "VectorOps.writeIvfPqIndex",
+      Seq(s"$dir/coarse", s"$dir/pq_codebooks", s"$dir/codes"))
     (s.read.parquet(s"$dir/coarse"), s.read.parquet(s"$dir/pq_codebooks"),
       graft.sources.Tombstones.applyTo(s, readCellPartitioned(s, s"$dir/codes"), dir, "vec_id"))
+  }
 
   /** Fail loudly when an append batch's vector dimension disagrees with
     * the stored index (a mis-wired pipeline would otherwise encode
@@ -712,6 +745,8 @@ object VectorOps {
     * discipline every index append in this library shares (see
     * appendToMinhashIndex's scaladoc and BuildPipelineSpec). */
   def appendToIvfIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVF",
+      "VectorOps.writeIvfIndex", Seq(s"$dir/codebook", s"$dir/postings"))
     val cb = s.read.parquet(s"$dir/codebook")
     requireBatchDim(batch, cb.select(size(col("centroid"))).head().getInt(0), "IVF")
     rankCells(batch, cb)
@@ -726,6 +761,8 @@ object VectorOps {
     * Caller owns vec_id uniqueness (Ledger discipline — see
     * appendToIvfIndex). */
   def appendToPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "PQ",
+      "VectorOps.writePqIndex", Seq(s"$dir/codebooks", s"$dir/codes"))
     val cb = s.read.parquet(s"$dir/codebooks")
     val (m, d) = {
       val r = cb.agg(max(col("j")), max(size(col("centroid")))).head()
@@ -748,6 +785,9 @@ object VectorOps {
     * residual-PQ encode, cell-partition append of the codes. Caller owns
     * vec_id uniqueness (Ledger discipline — see appendToIvfIndex). */
   def appendToIvfPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVFADC",
+      "VectorOps.writeIvfPqIndex",
+      Seq(s"$dir/coarse", s"$dir/pq_codebooks", s"$dir/codes"))
     val coarse = s.read.parquet(s"$dir/coarse")
     val pqcb = s.read.parquet(s"$dir/pq_codebooks")
     val (m, d) = {
@@ -848,14 +888,22 @@ object VectorOps {
     * except for the bounded rerank fetch). */
   def writePqIndex(e: DataFrame, m: Int, ks: Int, dir: String, iters: Int = 2): Unit = {
     val (cb, codes) = pqIndex(e, m, ks, iters)
+    val s = e.sparkSession
+    // rebuild fence: codes encode against THESE codebooks (see writeIvfIndex)
+    graft.sources.GenStamp.beginRebuild(s, dir)
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/codebooks", s"$dir/codes"))
   }
 
   /** Load a persisted PQ index: (codebooks, codes). */
-  def readPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  def readPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "PQ",
+      "VectorOps.writePqIndex", Seq(s"$dir/codebooks", s"$dir/codes"))
     (s.read.parquet(s"$dir/codebooks"),
       graft.sources.Tombstones.applyTo(s, s.read.parquet(s"$dir/codes"), dir, "vec_id"))
+  }
 
   /** Candidate stage of the ANN similarity self-join (`simJoinTopkAnn`),
     * exposed so ScaleSpec can measure candidate-volume growth directly.
@@ -1487,6 +1535,8 @@ object VectorOps {
   def writeEmbedLshIndex(s: SparkSession, corpus: DataFrame, dir: String,
       nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): Unit = {
     val dim = requireCorpusDim(corpus, "embed-lsh")
+    // rebuild fence — see DedupOps.writeMinhashIndex
+    graft.sources.GenStamp.beginRebuild(s, dir)
     graft.sources.IdBuckets.write(lshBucketsOf(corpus, nPlanes, bands, dim, seed),
       "vec_id", s"$dir/cbuckets", "overwrite")
     graft.sources.IdBuckets.write(corpus.select("vec_id", "label", "embedding"),
@@ -1496,6 +1546,8 @@ object VectorOps {
     Seq((nPlanes, bands, dim, seed, graft.sources.IndexMeta.GroupedLayout))
       .toDF("n_planes", "bands", "dim", "seed", "layout")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/cbuckets", s"$dir/pbands"))
   }
 
   /** (Re-)derive the band-partitioned probe table (`pbands`,
@@ -1520,6 +1572,8 @@ object VectorOps {
     * index (append, batch probe, streaming gate, ingest loop). */
   private[graft] def requireEmbedLshMeta(s: SparkSession,
       dir: String): org.apache.spark.sql.Row = {
+    graft.sources.GenStamp.requireNoRebuild(s, dir, "embed-lsh",
+      "VectorOps.writeEmbedLshIndex")
     val meta = graft.sources.IndexMeta.headCached(s, s"$dir/meta")
     graft.sources.IndexMeta.requireLayout(meta,
       graft.sources.IndexMeta.GroupedLayout, "embed-lsh",

@@ -162,15 +162,46 @@ object Scale {
     * footer round-trips, not local byte I/O. */
   def writeRangeSorted(df: DataFrame, path: String, key: String,
       partitions: Int): Unit = {
+    // manifest fence: data + manifest are two commits; a crash between
+    // them leaves a STALE manifest over new files — worse than loud,
+    // a stale manifest whose boxes miss the query range would return an
+    // EMPTY pruned scan over data that has matching rows. The sibling
+    // marker makes pruneByStats* ignore the manifest (live-stats
+    // fallback, correct) until a completed write lifts it.
+    markRebuild(df.sparkSession, path)
     df.repartitionByRange(partitions, col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(path)
     writeManifest(df.sparkSession, path, key)
+    unmarkRebuild(df.sparkSession, path)
   }
 
   /** Manifest location: BESIDE the data directory, never inside it — a
     * plain `read.parquet(path)` of the table must not pick it up. */
   def manifestPath(path: String): String = path.stripSuffix("/") + "_manifest"
+
+  /** Write-in-progress marker, beside the data like the manifests (the
+    * overwrite truncates the data dir, so an in-dir marker would vanish
+    * with the crash evidence). Existence is the whole signal. */
+  private def rebuildMarkerPath(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "_rebuild")
+
+  private def markRebuild(spark: SparkSession, path: String): Unit = {
+    val p = rebuildMarkerPath(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write('1') finally out.close()
+  }
+
+  private def unmarkRebuild(spark: SparkSession, path: String): Unit = {
+    val p = rebuildMarkerPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    ()
+  }
+
+  private def rebuildInProgress(spark: SparkSession, path: String): Boolean = {
+    val p = rebuildMarkerPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Morton (Z-order) interleave of two non-negative BIGINT keys, `bits`
     * bits each (default 21 → a 42-bit z, comfortably inside Long): bit i
@@ -203,17 +234,34 @@ object Scale {
     val limit = 1L << bits
     val dom = df.agg(min(keyA).cast("long"), max(keyA).cast("long"),
       min(keyB).cast("long"), max(keyB).cast("long")).head()
-    require(!dom.anyNull && dom.getLong(0) >= 0 && dom.getLong(1) < limit &&
+    if (dom.anyNull) {
+      // null bounds = zero rows (valid: an empty-but-real table + empty
+      // manifest, the same answer writeRangeSorted gives) or an all-null
+      // key column (invalid: nulls are not z-orderable — say so, not
+      // "keys must be non-negative", the r15 advice's misleading message)
+      require(df.isEmpty,
+        s"writeZOrdered: $keyA/$keyB contain only nulls — null keys are " +
+          "not z-orderable; filter or fill them first")
+      markRebuild(df.sparkSession, path)
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      writeManifest2(df.sparkSession, path, keyA, keyB)
+      unmarkRebuild(df.sparkSession, path)
+      return
+    }
+    require(dom.getLong(0) >= 0 && dom.getLong(1) < limit &&
       dom.getLong(2) >= 0 && dom.getLong(3) < limit,
       s"writeZOrdered: $keyA/$keyB must be non-negative and < 2^$bits " +
         s"(got [${dom.get(0)}, ${dom.get(1)}] / [${dom.get(2)}, ${dom.get(3)}]); " +
         "shift/scale the keys first")
+    // manifest fence — see writeRangeSorted
+    markRebuild(df.sparkSession, path)
     df.withColumn("__z", expr(zValueExpr(keyA, keyB, bits)))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
     writeManifest2(df.sparkSession, path, keyA, keyB)
+    unmarkRebuild(df.sparkSession, path)
   }
 
   /** 2-key manifest location, beside the data like manifestPath. */
@@ -244,7 +292,12 @@ object Scale {
       maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
     require(maxKeptFiles >= 0, s"maxKeptFiles must be >= 0, got $maxKeptFiles")
     val mp = new org.apache.hadoop.fs.Path(manifestPath2(path))
-    val hasManifest = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    // a crashed writeZOrdered leaves the rebuild marker standing: the
+    // manifest may describe DELETED files (loud read failure) or, worse,
+    // skip every file and silently return empty — fall back to live
+    // stats over the files actually on disk (correct, slower)
+    val hasManifest = !rebuildInProgress(spark, path) &&
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
     val stats =
       (if (hasManifest) spark.read.parquet(manifestPath2(path))
        else fileStats2(spark, path, keyA, keyB)).localCheckpoint(false)
@@ -367,7 +420,9 @@ object Scale {
       from: Any, to: Any, maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
     require(maxKeptFiles >= 0, s"maxKeptFiles must be >= 0, got $maxKeptFiles")
     val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
-    val hasManifest = mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    // crashed-write fallback: see pruneByStats2
+    val hasManifest = !rebuildInProgress(spark, path) &&
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
     // lazy barrier: the count and the kept-path collect both read one
     // materialization (for the live-stats fallback that scan is the
     // expensive part; the manifest case is one tiny file either way)

@@ -73,9 +73,19 @@ object AssetIngest {
 
   /** Append one batch's admitted rows to the sink's two ledgers. Runs
     * AFTER the landing + index appends, so a ledgered batch is always a
-    * fully-ingested one (a crash before this point re-runs the batch;
-    * its retry admits nothing and re-appends nothing). Skipped when the
-    * batch admitted nothing: a zero-row append would only stamp meta. */
+    * fully-ingested one. Skipped when the batch admitted nothing: a
+    * zero-row append would only stamp meta.
+    *
+    * Honest crash-window caveat (r15 advice; DURABILITY.md): a crash
+    * AFTER the index append but BEFORE this call permanently
+    * UNDERCOUNTS the ledgers for that batch — the retry probes, finds
+    * everything already ingested, admits nothing, and ledgers nothing.
+    * That is accepted by design: the sketch ledgers are an
+    * OBSERVABILITY tier (dashboard estimates), never a correctness
+    * input, and they are re-derivable at any time from the landed data
+    * (one SketchLedger.append over `dataDir` per key). Making the
+    * ledger part of the completion criterion would couple the ingest's
+    * durability to its telemetry. */
   private def recordSketches(s: SparkSession, sink: Option[SketchSink],
       novel: DataFrame, nNovel: Long, keys: Seq[String], idCol: String,
       size: Column): Unit =

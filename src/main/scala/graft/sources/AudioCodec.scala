@@ -201,10 +201,12 @@ object AudioCodec {
   /** Build the index: decode + envelope-hash every clip, store
     * (asset_id, ahash). */
   def writeAudioHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+    GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     audioHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
     HashBanding.writeProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir)
+    GenStamp.completeRebuild(s, dir, Seq(s"$dir/hashes", s"$dir/pbands"))
   }
 
   /** Assign-only append — deterministic codec path, nothing rewritten.

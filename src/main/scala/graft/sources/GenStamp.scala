@@ -91,6 +91,79 @@ object GenStamp {
   def syncDerived(s: SparkSession, primaryPath: String, derivedPath: String): Unit =
     stamp(s, derivedPath, read(s, primaryPath))
 
+  // ------------------------------------------------------------------
+  // Multi-table REBUILD fence (r16): writeIvfIndex / writePqIndex /
+  // writeIvfPqIndex overwrite 2-3 tables whose contents must agree (the
+  // postings/codes carry cell assignments against THAT codebook). A
+  // crash between the overwrites leaves a new codebook against old
+  // postings — searches then probe the wrong cells and recall degrades
+  // SILENTLY (refine sims stay exact, so nothing errors). Unlike the
+  // append fence there is no safe fallback: the fix is an intent marker
+  // at the index root, dropped before the first overwrite and removed
+  // after every table is committed + stamped to one shared generation.
+  // Readers require the marker absent AND the stamps equal, erroring
+  // with the writer to re-run. Pre-fence indexes (no markers anywhere)
+  // read as generation 0 on every table and pass.
+  // ------------------------------------------------------------------
+
+  val RebuildMarker = "_graft_rebuild"
+
+  /** Drop the rebuild-in-progress marker. Content is irrelevant —
+    * existence is the signal, so a torn write is still a valid fence. */
+  def beginRebuild(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val out = fs.create(new Path(d, RebuildMarker), true)
+    try out.write('1') finally out.close()
+  }
+
+  /** All tables committed: stamp them to one shared generation and lift
+    * the marker. (Overwrites truncate the per-table markers, so the
+    * shared generation restarts at 1 per rebuild — only EQUALITY is
+    * load-bearing.) */
+  def completeRebuild(s: SparkSession, dir: String, tables: Seq[String]): Unit = {
+    val gen = tables.map(read(s, _)).max + 1
+    tables.foreach(stamp(s, _, gen))
+    val d = new Path(dir)
+    d.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new Path(d, RebuildMarker), false)
+    ()
+  }
+
+  /** Marker-only reader fence for the banded index families, whose
+    * table stamps legitimately DIVERGE under the append protocol above:
+    * only a rebuild-in-progress marker means the index root is
+    * mid-overwrite (a crashed write* left e.g. new signatures under an
+    * old meta's parameters — probes would sign batches with the wrong
+    * banding and miss silently). */
+  def requireNoRebuild(s: SparkSession, dir: String, family: String,
+      rebuild: String): Unit = {
+    val d = new Path(dir)
+    require(!d.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(new Path(d, RebuildMarker)),
+      s"$family index at $dir: a full (re)build crashed between its table " +
+        s"commits — meta and data may disagree on signing parameters, which " +
+        s"makes probes miss silently; re-run $rebuild")
+  }
+
+  /** Reader-side fence: fail loudly when a rebuild crashed mid-write
+    * (marker still present, or table stamps disagree). */
+  def requireRebuildComplete(s: SparkSession, dir: String, family: String,
+      rebuild: String, tables: Seq[String]): Unit = {
+    val d = new Path(dir)
+    val marker = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new Path(d, RebuildMarker))
+    val gens = tables.map(t => read(s, t))
+    require(!marker && gens.distinct.size == 1,
+      s"$family index at $dir: a rebuild crashed between table commits " +
+        s"(marker present: $marker; table generations: " +
+        s"${tables.map(_.split('/').last).zip(gens).mkString(", ")}) — " +
+        s"its codebook and postings may disagree on cell assignments, which " +
+        s"degrades recall silently; re-run $rebuild")
+  }
+
   /** Pruned-probe eligibility: the layout exists AND its generation
     * matches the primary's. A mismatch means an append crashed between
     * the two commits — the pruned scan would silently miss that batch's

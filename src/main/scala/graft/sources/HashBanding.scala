@@ -98,6 +98,7 @@ object HashBanding {
   def requireMeta(s: SparkSession, dir: String,
       layout: Int = IndexMeta.FlatLayout,
       rebuild: String = "the index writer"): Unit = {
+    GenStamp.requireNoRebuild(s, dir, "perceptual-hash", rebuild)
     val meta = IndexMeta.headCached(s, s"$dir/meta")
     require(meta.getAs[Int]("bands") == Bands && meta.getAs[Int]("bits") == BandBits,
       s"unsupported index banding (${meta.getAs[Int]("bands")}x${meta.getAs[Int]("bits")}" +

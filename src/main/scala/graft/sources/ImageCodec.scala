@@ -485,10 +485,12 @@ object ImageCodec {
 
   /** Build the index: decode + aHash every asset, store (asset_id, ahash). */
   def writeImageHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+    GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
     HashBanding.writeProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir)
+    GenStamp.completeRebuild(s, dir, Seq(s"$dir/hashes", s"$dir/pbands"))
   }
 
   /** Assign-only append: hash the batch with the same (deterministic)

@@ -74,9 +74,15 @@ object Tombstones {
       val tmp = s"${tablePath}__compact_tmp"
       s.read.parquet(tablePath).join(broadcast(t), col(idCol) === t("id"), "left_anti")
         .write.mode("overwrite").parquet(tmp)
+      // the swap replaces the whole directory, which would drop the
+      // table's GenStamp marker and leave it diverged from its fence
+      // partners (readers would then refuse a perfectly consistent
+      // index); folding changes no cross-table consistency, so the
+      // pre-fold generation carries across the swap
+      val gen = GenStamp.read(s, tablePath)
       val hfs = fs(s, tablePath)
       hfs.delete(new Path(tablePath), true)
       hfs.rename(new Path(tmp), new Path(tablePath))
-      ()
+      if (gen != 0L) GenStamp.stamp(s, tablePath, gen)
     }
 }

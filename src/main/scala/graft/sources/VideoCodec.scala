@@ -544,9 +544,11 @@ object VideoCodec {
     * per-video rows. */
   def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
+    GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     IdBuckets.write(groupedVideoRows(hashed), "asset_id", s"$dir/grouped", "overwrite")
     writeVideoProbeLayout(s, dir)
     HashBanding.writeMeta(s, dir, IndexMeta.GroupedLayout)
+    GenStamp.completeRebuild(s, dir, Seq(s"$dir/grouped", s"$dir/pbands"))
   }
 
   /** The band-partitioned probe rows of a collapsed-frame view: one row

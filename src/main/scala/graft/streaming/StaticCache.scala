@@ -39,10 +39,16 @@ object StaticCache {
   /** (indexDir, slot) -> (fingerprint, persisted frame). */
   private val entries = TrieMap.empty[(String, String), (String, DataFrame)]
 
-  /** Fingerprint of everything under `dir`: sorted (path, len, mtime)
-    * triples hashed. Cheap (a driver FS listing — the same metadata walk
-    * every parquet read performs) and conservative: any byte landing in
-    * the index (append, compact, tombstone, meta restamp) changes it. */
+  /** Fingerprint of everything under `dir`: sorted (path, len, mtime,
+    * tail-16-bytes) tuples hashed. Cheap (a driver FS listing — the same
+    * metadata walk every parquet read performs — plus one 16-byte pread
+    * per file) and conservative: any byte landing in the index (append,
+    * compact, tombstone, meta restamp) changes it. The content tail
+    * closes the mtime-granularity hole (r15 advice): an in-place
+    * regeneration producing identical file sizes within a coarse-mtime
+    * window still moves the parquet footer bytes — and a regeneration
+    * that leaves even the tail bit-identical is serving identical data,
+    * where a "stale" cache is correct anyway. */
   private def fingerprint(s: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -50,9 +56,21 @@ object StaticCache {
     def walk(q: Path): Unit =
       if (fs.exists(q)) fs.listStatus(q).sortBy(_.getPath.toString).foreach { st =>
         if (st.isDirectory) walk(st.getPath)
-        else sb.append(st.getPath.toString).append('|')
-          .append(st.getLen).append('|')
-          .append(st.getModificationTime).append('\n')
+        else {
+          sb.append(st.getPath.toString).append('|')
+            .append(st.getLen).append('|')
+            .append(st.getModificationTime)
+          val tailLen = math.min(16L, st.getLen).toInt
+          if (tailLen > 0) {
+            val in = fs.open(st.getPath)
+            try {
+              val buf = new Array[Byte](tailLen)
+              in.readFully(st.getLen - tailLen, buf)
+              sb.append('|').append(buf.map("%02x".format(_)).mkString)
+            } finally in.close()
+          }
+          sb.append('\n')
+        }
       }
     walk(p)
     java.security.MessageDigest.getInstance("MD5")

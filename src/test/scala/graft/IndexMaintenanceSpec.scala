@@ -662,4 +662,51 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     rm(java.nio.file.Paths.get(store))
     rm(java.nio.file.Paths.get(dataDir))
   }
+
+  test("IVF-family rebuild fence: a crashed multi-table rebuild is detected; a completed one reads clean") {
+    // writeIvfIndex / writePqIndex / writeIvfPqIndex overwrite 2-3
+    // tables that must agree on cell assignments; a crash between the
+    // commits used to leave a new codebook over old postings - searches
+    // then probe the wrong cells and recall degrades SILENTLY. The
+    // GenStamp rebuild fence (intent marker + shared per-table stamps)
+    // turns every crash point into a loud read/append error naming the
+    // writer to re-run.
+    import graft.operators.VectorOps
+    import graft.sources.GenStamp
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val e = clusteredCorpus()
+    val dir = java.nio.file.Files.createTempDirectory("fence_ivf").toString
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    // completed rebuild reads clean (and a pre-fence legacy index would
+    // too: all stamps absent read as one shared generation 0)
+    assert(VectorOps.readIvfIndex(spark, dir)._2.count() === e.count())
+    // crash point 1: intent marker still present (death anywhere inside
+    // the rebuild) - read AND append must refuse
+    GenStamp.beginRebuild(spark, dir)
+    val err1 = intercept[IllegalArgumentException] { VectorOps.readIvfIndex(spark, dir) }
+    assert(err1.getMessage.contains("writeIvfIndex"), err1.getMessage)
+    intercept[IllegalArgumentException] {
+      VectorOps.appendToIvfIndex(spark, e.limit(2), dir)
+    }
+    // a re-run of the writer lifts the fence
+    VectorOps.writeIvfIndex(e, cells = 8, dir = dir)
+    assert(VectorOps.readIvfIndex(spark, dir)._2.count() === e.count())
+    // crash point 2: marker lifted but stamps diverged (death inside
+    // completeRebuild's stamping loop) - still detected
+    GenStamp.stamp(spark, s"$dir/codebook", GenStamp.read(spark, s"$dir/codebook") + 1)
+    val err2 = intercept[IllegalArgumentException] { VectorOps.readIvfIndex(spark, dir) }
+    assert(err2.getMessage.contains("generations"), err2.getMessage)
+    // PQ + IVFADC twins carry the same fence
+    val pdir = java.nio.file.Files.createTempDirectory("fence_pq").toString
+    VectorOps.writePqIndex(e, m = 8, ks = 16, dir = pdir)
+    assert(VectorOps.readPqIndex(spark, pdir)._2.count() === e.count())
+    GenStamp.beginRebuild(spark, pdir)
+    intercept[IllegalArgumentException] { VectorOps.readPqIndex(spark, pdir) }
+    val rdir = java.nio.file.Files.createTempDirectory("fence_radc").toString
+    VectorOps.writeIvfPqIndex(e, cells = 8, m = 8, ks = 16, dir = rdir)
+    assert(VectorOps.readIvfPqIndex(spark, rdir)._3.count() === e.count())
+    GenStamp.beginRebuild(spark, rdir)
+    intercept[IllegalArgumentException] { VectorOps.readIvfPqIndex(spark, rdir) }
+  }
 }
