@@ -77,6 +77,23 @@ object Reshape {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // Incremental SCD2 MERGE under the hash gate: the dimension is built
+    // from pre-1997 events only, the rest arrive as the "day's batch"
+    // through scd2Apply (open-row-seeded rebuild of affected customers,
+    // O(batch) — never a full-history rebuild), and the oracle is the
+    // FULL-history window build. Equality with the from-scratch answer
+    // is the merge's entire contract; the date split guarantees the
+    // strictly-later precondition by construction (open rows' eff_from
+    // < split <= every batch date).
+    "q_scd2_merge" -> ((s, d) => {
+      val ev = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+      val split = lit("1997-01-01").cast("timestamp")
+      val dim = scd2Build(ev.where(col("o_orderdate") < split))
+      scd2Apply(dim, ev.where(col("o_orderdate") >= split))
+        .orderBy("o_custkey", "eff_from", "o_orderkey")
+    }),
+
     // Correlated scalar subquery: customers above their nation's average
     // balance — Catalyst decorrelates to an aggregate + join.
     "q_subquery_correlated" -> ((s, d) => {
@@ -115,6 +132,24 @@ object Reshape {
         |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+        |         lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM ev
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+        |       o_orderdate AS eff_from,
+        |       lead(o_orderdate) OVER w AS eff_to,
+        |       lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, eff_from, o_orderkey""".stripMargin,
+
+    // the merge must equal the from-scratch build — same oracle as q_scd2
+    "q_scd2_merge" ->
       """WITH ev AS (
         |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
         |         lag(o_orderstatus) OVER w AS prev

@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val queries: Map[String, Q] = Map(
+    // The core BPE-training step over the corpus: count ADJACENT token
+    // pairs and emit the top merge candidates — one map-side array
+    // transform per doc (pairs derive from the token array in place, no
+    // positional self-join or per-doc window), then a keyed count and a
+    // TakeOrderedAndProject. At 100 TB this is one scan + one shuffle
+    // whose key space is the pair vocabulary, exactly how a distributed
+    // tokenizer trainer computes merge frequencies per iteration.
+    "q_bpe_pairs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> " +
+            "struct(element_at(toks, i + 1) AS a, element_at(toks, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(100)
+    }),
+
     // Per-language corpus stats: doc counts, avg chars, avg tokens.
     "q_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -486,6 +506,15 @@ object TextOps {
         |  round(avg(n_chars),4) AS avg_chars,
         |  round(avg(len(string_split(text,' '))),4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // list_zip pads with one trailing NULL pair per doc — filtered, so
+    // the pair multiset matches Spark's sequence-transform exactly
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |z AS (SELECT unnest(list_zip(l, l[2:])) AS p FROM t)
+        |SELECT p[1] AS a, p[2] AS b, count(*) AS n FROM z
+        |WHERE p[2] IS NOT NULL
+        |GROUP BY a, b ORDER BY n DESC, a, b LIMIT 100""".stripMargin,
 
     "q_str_split_explode" ->
       """SELECT token, count(*) AS n FROM (
