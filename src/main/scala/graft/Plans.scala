@@ -46,6 +46,7 @@ object Plans {
     * scale with the data. These are audited by hand once and exempted. */
   private val intentionalNestedLoop = Map(
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
+    "q_unigram_logprob" -> "1-row corpus-total broadcast (ln(total) applied per doc)",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
     "q_knn_simd"        -> "1-row query-vector broadcast (q_knn_cosine shape, SIMD-kernel scoring)",
     "q_image_knn"       -> "1-row query-image-features broadcast (q_knn_cosine shape over decoded features)",

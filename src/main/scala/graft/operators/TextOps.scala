@@ -32,6 +32,28 @@ object TextOps {
         .limit(100)
     }),
 
+    // CCNet-style unigram LM quality score: train token frequencies over
+    // the corpus, score each doc by its mean token log-probability
+    // (low = gibberish / rare-token floods, the classic perplexity-style
+    // quality filter). Two shuffles at any scale: the vocab-keyed count
+    // (map-side combined) and the doc-keyed fold; the corpus total rides
+    // as ONE broadcast row, and ln(p) = ln(cnt) - ln(total) keeps the
+    // per-term arithmetic association-free (the q_evt_entropy rounding
+    // discipline).
+    "q_unigram_logprob" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(log(col("cnt"))).as("slp"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("slp") / col("n_tok") - log(col("total")), 4).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Per-language corpus stats: doc counts, avg chars, avg tokens.
     "q_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -506,6 +528,15 @@ object TextOps {
         |  round(avg(n_chars),4) AS avg_chars,
         |  round(avg(len(string_split(text,' '))),4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM counts)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  round(sum(ln(c.cnt)) / count(*) - ln((SELECT total FROM tot)), 4) AS logprob
+        |FROM toks t JOIN counts c USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // list_zip pads with one trailing NULL pair per doc — filtered, so
     // the pair multiset matches Spark's sequence-transform exactly
