@@ -564,4 +564,32 @@ class BandLayoutSpec extends AnyFunSuite {
     assert(refRows.nonEmpty, "fixture defect: no stream matches")
     rmDir(java.nio.file.Paths.get(dir))
   }
+
+  test("ProbeMode.recommend: budget-tiered scan/cached/pruned, falls back to scan on a diverged layout") {
+    import graft.operators.DedupOps
+    import graft.sources.{BandBuckets, GenStamp, ProbeMode}
+    val dir = java.nio.file.Files.createTempDirectory("probemode").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    val bytes = graft.plans.Scale.sourceBytes(spark, dir)
+    assert(bytes > 0)
+    // fits the cache budget -> cached scan, regardless of crossover
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = bytes, crossoverBytes = 0) === ProbeMode.ScanCached)
+    // over budget, under crossover -> plain scan
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 0, crossoverBytes = bytes) === ProbeMode.Scan)
+    // over both, layout present + in sync -> pruned
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Pruned)
+    // a diverged layout (crashed append) must NOT be recommended:
+    // the probe itself would fall back, so the selector says Scan
+    GenStamp.stamp(spark, s"$dir/cbuckets", GenStamp.read(spark, s"$dir/cbuckets") + 1)
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Scan)
+    // absent layout -> Scan too
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Scan)
+    rmDir(java.nio.file.Paths.get(dir))
+  }
 }
