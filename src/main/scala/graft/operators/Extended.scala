@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
 object Extended {
 
   val queries: Map[String, Q] = Map(
+    // Per-group winsorization — the standard outlier-clipping step of a
+    // feature/metrics pipeline: clip each row's value to its group's
+    // [p05, p95] band and report clipped-row counts + the winsorized
+    // sum. The band is ONE tiny per-group aggregate broadcast back onto
+    // the fact scan (no window over the fact table, no second shuffle of
+    // it), so the plan is two passes at any scale. Bounds are rounded to
+    // 6dp on BOTH engines before comparing — the interpolated percentile
+    // is the only cross-engine float in a comparison position.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val b = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+      li.join(broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo") ||
+            col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clipped"),
+          round(sum(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))), 2)
+            .as("sum_winsorized"))
+        .orderBy("l_returnflag")
+    }),
+
     // Distribution windows per market segment. The partition key keeps the
     // sort per-segment (a GLOBAL ntile would single-partition the sort at
     // scale); ties broken by c_custkey for a total order (G6).
@@ -286,6 +310,19 @@ object Extended {
         |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]+ing'), ' '), '') AS ings,
         |  CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INTEGER) AS n_ing
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 2) AS sum_winsorized
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q_agg_bitwise" ->
       """SELECT l_returnflag,
