@@ -415,7 +415,17 @@ object VectorOps {
           try {
             val n = math.min(16L, size).toInt
             val buf = java.nio.ByteBuffer.allocate(n)
-            ch.read(buf, size - n)
+            // readFully discipline (r16 advice): a single positional
+            // read may return short, leaving zero bytes in the buffer —
+            // a fingerprint that differs across runs for identical
+            // files (conservative direction, but nondeterministic)
+            var pos = size - n
+            while (buf.hasRemaining) {
+              val r = ch.read(buf, pos)
+              if (r < 0) throw new java.io.EOFException(
+                s"$p truncated while fingerprinting (at $pos of $size)")
+              pos += r
+            }
             buf.array().map("%02x".format(_)).mkString
           } finally ch.close()
         }

@@ -364,14 +364,52 @@ object Scale {
     * needed hand-rolled exact-integer cases to avoid 2^53 double
     * round-trips; pushing it into the engine removes that class of bug
     * by construction). */
-  /** Deterministic per-corpus scratch path for a query's temp layout
-    * (same directory every invocation, SaveMode.Overwrite replaces the
-    * previous generation — repeated Verify/Bench runs never accumulate). */
-  private[graft] def scratch(tag: String, sfDir: String): String = {
+  /** Per-RUN scratch path for a query's temp layout. Scoped by corpus
+    * dir AND a JVM-unique run id (r16 advice): a fixed corpus-keyed
+    * path let two concurrent runs over the same testdata clobber each
+    * other mid-read (one run's overwrite deletes files under the other
+    * run's scan). Within one JVM the path IS stable, so a Verify+Bench
+    * sweep still reuses/overwrites one directory per (tag, corpus); a
+    * shutdown hook removes everything this run created, so repeated
+    * runs don't accumulate either.
+    *
+    * The base defaults to the driver's `java.io.tmpdir` — correct in
+    * local mode, where driver and executors share one disk. On a
+    * multi-node cluster a `file:` tmp path resolves to EACH NODE'S OWN
+    * disk and the round-trip breaks; deployments there must point
+    * `spark.graft.scratch.dir` at a shared filesystem (HDFS/S3 URI),
+    * which this honors verbatim. */
+  private val scratchDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchRunId: String = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+              .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        } catch { case _: Exception => () } // best-effort tmp cleanup
+      }))
+    s"${ProcessHandle.current.pid}_${java.lang.Long.toHexString(System.nanoTime())}"
+  }
+
+  private[graft] def scratch(s: SparkSession, tag: String, sfDir: String): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_$key").toString
+    val base = s.conf.getOption("spark.graft.scratch.dir")
+    val dir = base match {
+      case Some(b) => s"${b.stripSuffix("/")}/graft_${tag}_${key}_$scratchRunId"
+      case None => java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_${tag}_${key}_$scratchRunId").toString
+    }
+    // only local paths are cleaned by the hook; a shared-FS scratch is
+    // the deployment's to lifecycle (it outlives any one driver)
+    if (base.isEmpty) scratchDirs.add(dir)
+    dir
   }
 
   /** Declared layout-independence query (driver-gated): write a
@@ -391,7 +429,7 @@ object Scale {
           "l_extendedprice")
       val m = li.agg(max("l_partkey"), max("l_suppkey")).head()
       val (pkMax, skMax) = (m.getLong(0), m.getLong(1))
-      val store = scratch("zorder", d) + "/li"
+      val store = scratch(s, "zorder", d) + "/li"
       writeZOrdered(li, store, "l_partkey", "l_suppkey", partitions = 8)
       val (pruned, kept, total) = pruneByStats2(s, store,
         "l_partkey", pkMax / 10, pkMax / 5,

@@ -75,9 +75,17 @@ object BandBuckets {
     * code never sets it. */
   @volatile private[graft] var failNextAppend: Boolean = false
 
+  /** Table existence = directory present AND holding at least one
+    * non-underscore entry (a partition dir or data file). A directory
+    * containing only `_`-prefixed markers (`_SUCCESS`, `_graft_gen`) is
+    * "no table": parquet cannot infer a schema from it, so callers that
+    * trusted a bare-dir check would crash where the husk-drop rule
+    * means "fall back to the full scan / empty result" (r16 advice,
+    * medium — a resurrected marker-only husk). One listing, no job. */
   def exists(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
   }
 
   /** Write band rows under `path` partitioned by [[Col]] and clustered

@@ -62,12 +62,21 @@ object GenStamp {
   }
 
   /** Write `gen` as the table's marker, temp-then-atomic-rename so a
-    * reader never sees a torn stamp. */
+    * reader never sees a torn stamp.
+    *
+    * NO-OP when the table directory does not exist: a zero-row
+    * partitioned write husk-drops its directory (IdBuckets/BandBuckets
+    * `dropIfPartless`), and creating the dir here just to hold the
+    * marker would RESURRECT the husk — existence checks then report a
+    * real table whose read crashes with "Unable to infer schema",
+    * where the partless-drop rule fell back cleanly to the full scan /
+    * empty result (r16 advice, medium). An absent table reads as
+    * generation 0 either way, so skipping the stamp loses nothing. */
   def stamp(s: SparkSession, tablePath: String, gen: Long): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val dir = new Path(tablePath)
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) fs.mkdirs(dir)
+    if (!fs.exists(dir)) return
     val qdir = fs.makeQualified(dir)
     val tmp = new Path(qdir, s"$Marker.tmp.${ProcessHandle.current.pid}")
     val out = fs.create(tmp, true)

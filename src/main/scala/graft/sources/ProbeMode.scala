@@ -56,7 +56,11 @@ object ProbeMode {
     require(cacheBudgetBytes >= 0, s"cacheBudgetBytes must be >= 0, got $cacheBudgetBytes")
     require(crossoverBytes >= 0, s"crossoverBytes must be >= 0, got $crossoverBytes")
     val bytes = graft.plans.Scale.sourceBytes(s, indexDir)
-    if (bytes <= cacheBudgetBytes) ScanCached
+    // strict guard (r16 advice): an empty / not-yet-written index
+    // (bytes = 0) must not satisfy a DISABLED cache budget (0 means
+    // "never pin") — and pinning nothing buys nothing, so a 0-byte
+    // index takes the Scan path regardless of budget
+    if (cacheBudgetBytes > 0 && bytes > 0 && bytes <= cacheBudgetBytes) ScanCached
     else if (bytes <= crossoverBytes) Scan
     else {
       val layoutUsable = GenStamp.prunedProbeOk(s,

@@ -58,7 +58,7 @@ object Scans {
     // the hash gate (a lossy round-trip changes the sums).
     "q_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val store = graft.plans.Scale.scratch("csv", d) + "/docs"
+      val store = graft.plans.Scale.scratch(s, "csv", d) + "/docs"
       s.read.parquet(s"$d/documents.parquet")
         .select("doc_id", "lang", "source", "n_chars", "text")
         .write.mode("overwrite").option("header", "true").csv(store)

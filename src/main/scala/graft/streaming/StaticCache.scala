@@ -41,14 +41,25 @@ object StaticCache {
 
   /** Fingerprint of everything under `dir`: sorted (path, len, mtime,
     * tail-16-bytes) tuples hashed. Cheap (a driver FS listing — the same
-    * metadata walk every parquet read performs — plus one 16-byte pread
-    * per file) and conservative: any byte landing in the index (append,
-    * compact, tombstone, meta restamp) changes it. The content tail
-    * closes the mtime-granularity hole (r15 advice): an in-place
-    * regeneration producing identical file sizes within a coarse-mtime
-    * window still moves the parquet footer bytes — and a regeneration
-    * that leaves even the tail bit-identical is serving identical data,
-    * where a "stale" cache is correct anyway. */
+    * metadata walk every parquet read performs) and conservative: any
+    * byte landing in the index (append, compact, tombstone, meta
+    * restamp) changes it. The content tail closes the mtime-granularity
+    * hole (r15 advice): an in-place regeneration producing identical
+    * file sizes within a coarse-mtime window still moves the parquet
+    * footer bytes — and a regeneration that leaves even the tail
+    * bit-identical is serving identical data, where a "stale" cache is
+    * correct anyway.
+    *
+    * The tail read is MEMOIZED per (path, len, mtime) (r16 advice): an
+    * unmemoized pread per file per call turns the listing-only
+    * fingerprint into O(files) GETs per stream construction on an
+    * object store, undercutting ScanCached's low-constant rationale.
+    * Only entries whose listing triple changed are re-read — exactly
+    * the staleness rule the fingerprint itself encodes, so the memo can
+    * never serve a tail the fingerprint would have judged stale. */
+  private val tailMemo = TrieMap.empty[(String, Long, Long), String]
+  private val TailMemoCap = 1 << 16
+
   private def fingerprint(s: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -62,12 +73,22 @@ object StaticCache {
             .append(st.getModificationTime)
           val tailLen = math.min(16L, st.getLen).toInt
           if (tailLen > 0) {
-            val in = fs.open(st.getPath)
-            try {
-              val buf = new Array[Byte](tailLen)
-              in.readFully(st.getLen - tailLen, buf)
-              sb.append('|').append(buf.map("%02x".format(_)).mkString)
-            } finally in.close()
+            val key = (st.getPath.toString, st.getLen, st.getModificationTime)
+            val hex = tailMemo.getOrElse(key, {
+              val in = fs.open(st.getPath)
+              val h = try {
+                val buf = new Array[Byte](tailLen)
+                in.readFully(st.getLen - tailLen, buf)
+                buf.map("%02x".format(_)).mkString
+              } finally in.close()
+              // crude growth bound: a rewrite-heavy JVM keeps stale
+              // triples forever otherwise; dropping everything is safe
+              // (the memo is a pure read-cost optimization)
+              if (tailMemo.size >= TailMemoCap) tailMemo.clear()
+              tailMemo.put(key, h)
+              h
+            })
+            sb.append('|').append(hex)
           }
           sb.append('\n')
         }

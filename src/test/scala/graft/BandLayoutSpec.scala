@@ -320,6 +320,14 @@ class BandLayoutSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("genstamp").toString
     val (p, d) = (s"$base/primary", s"$base/derived")
     assert(GenStamp.read(spark, p) === 0L, "absent marker must read as gen 0")
+    // stamps only ever land on EXISTING table dirs (stamp() no-ops on an
+    // absent one rather than resurrecting a husk — see the husk test);
+    // materialize both tables the way production does: with data
+    Seq(p, d).foreach { t =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+      java.nio.file.Files.write(java.nio.file.Paths.get(t, "part-0"),
+        Array[Byte](1))
+    }
     assert(GenStamp.beginAppend(spark, p) === 1L)
     assert(GenStamp.read(spark, p) === 1L)
     // derived absent (0) vs primary 1: diverged
@@ -590,6 +598,71 @@ class BandLayoutSpec extends AnyFunSuite {
     rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
       cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Scan)
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("ProbeMode.recommend: an empty index never lands in ScanCached (0-byte / disabled-budget guard)") {
+    import graft.sources.ProbeMode
+    // not-yet-written index: sourceBytes = 0. Budget 0 means "never
+    // pin" — the old <= comparison returned ScanCached here (r16
+    // advice), contradicting the scaladoc.
+    val dir = java.nio.file.Files.createTempDirectory("probemode_empty").toString
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 0, crossoverBytes = 0) !== ProbeMode.ScanCached)
+    // a positive budget over a 0-byte index pins nothing — Scan as well
+    assert(ProbeMode.recommend(spark, dir, "cbuckets",
+      cacheBudgetBytes = 1L << 30) === ProbeMode.Scan)
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("GenStamp.stamp on an absent table dir is a no-op (no marker-only husk resurrection)") {
+    import graft.sources.{BandBuckets, GenStamp}
+    val dir = java.nio.file.Files.createTempDirectory("genstamp_husk").toString
+    val table = s"$dir/pbands"
+    GenStamp.stamp(spark, table, 3L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table)),
+      "stamp resurrected a husk-dropped table dir to hold its marker")
+    assert(GenStamp.read(spark, table) === 0L)
+    // and a marker-only dir that somehow exists (pre-fix residue) still
+    // reads as "no table" to the layout existence check
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, GenStamp.Marker), "7".getBytes("UTF-8"))
+    assert(!BandBuckets.exists(spark, table),
+      "a marker-only directory must read as 'no table' — its parquet read " +
+        "would crash with 'Unable to infer schema'")
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("all-failed-decode image index: no husk resurrection, probes and appends degrade cleanly") {
+    import graft.sources.{BandBuckets, GenStamp, HashBanding, ImageCodec}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bandlaw_empty_img").toString
+    // every payload is undecodable garbage -> zero hash rows; the
+    // zero-row pbands write husk-drops, and completeRebuild must NOT
+    // resurrect it as a marker-only dir (pre-fix: BandBuckets.exists
+    // then said "real table" and prunedRead crashed on schema inference)
+    val garbage = (0 until 8).map(i => (i.toLong, Array[Byte](1, 2, 3, i.toByte)))
+      .toDF("asset_id", "payload")
+    ImageCodec.writeImageHashIndex(spark, garbage, dir)
+    assert(!BandBuckets.exists(spark, s"$dir/pbands"),
+      "empty-corpus build left a probe-layout husk")
+    assert(!GenStamp.prunedProbeOk(spark, s"$dir/hashes", s"$dir/pbands",
+      "test", "n/a"), "pruned probe eligible over an absent layout")
+    def img(key: Long): Array[Byte] =
+      ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key, 16, 16))
+    val batch = Seq((500L, img(42L))).toDF("asset_id", "payload")
+    // probe over the empty index: clean empty result, not a crash
+    assert(ImageCodec.dedupImagesAgainstIndex(spark, batch, dir).count() === 0L)
+    // first real append lands through the plain-append path and is findable
+    ImageCodec.appendToImageHashIndex(spark, batch, dir)
+    val found = ImageCodec.dedupImagesAgainstIndex(spark,
+      Seq((600L, img(42L))).toDF("asset_id", "payload"), dir)
+    assert(found.select("corpus_id").collect().map(_.getLong(0)).toSet === Set(500L),
+      "append over the empty index not found by a later probe")
+    // the layout upgrade path then derives pbands and probes stay equal
+    HashBanding.writeProbeLayout(spark, dir)
+    assert(BandBuckets.exists(spark, s"$dir/pbands"))
     rmDir(java.nio.file.Paths.get(dir))
   }
 }
