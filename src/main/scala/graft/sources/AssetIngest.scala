@@ -32,14 +32,21 @@ import org.apache.spark.sql.functions._
   * retried fully-successful batch is self-healing — every asset now
   * matches its own stored hash at Hamming 0 and is skipped as a
   * duplicate (PropertiesSpec's ingest law pins this, along with
-  * sequential-equals-combined ingestion). A batch that failed BETWEEN
-  * landing and index append will re-land its files on retry (overwrite
-  * by batch partition would make that idempotent — pair with
-  * StreamingOps.idempotentBatchAppend's dynamic-partition pattern, or
-  * gate re-runs with Ledger.step, which is exactly what
-  * BuildPipelineSpec demonstrates for features). The narrower window
-  * BETWEEN the hashes append and the pbands append is FENCED (GenStamp,
-  * via HashBanding.appendHashes): a crash there leaves the two tables'
+  * sequential-equals-combined ingestion). The window BETWEEN landing
+  * and index append is closed IN CODE (r16 verdict, next-round #1):
+  * every loop lands its admitted rows as a per-batch DYNAMIC-PARTITION
+  * OVERWRITE ([[landIdempotent]] — partition column `ingest_batch`,
+  * the StreamingOps.idempotentBatchAppend pattern), so a retry of a
+  * batch that crashed before its index append RE-LANDS INTO THE SAME
+  * PARTITION instead of appending duplicates — no Ledger wiring
+  * required of the caller. The partition id is the caller's `batchId`
+  * when given (or the SketchSink's), else a deterministic fingerprint
+  * of the batch's ids ([[derivedBatchId]]) — stable across retries by
+  * construction. Callers that DO pass ids own their uniqueness: two
+  * different logical batches under one id would overwrite each other's
+  * landings (the Ledger.step contract). The narrower window BETWEEN
+  * the hashes append and the pbands append is FENCED (GenStamp, via
+  * HashBanding.appendHashes): a crash there leaves the two tables'
   * generation stamps diverged, so the retry's probe takes the full-scan
   * fallback — it SEES the already-landed hashes, admits nothing, and
   * re-lands nothing — and the retry's (empty) append heals the layout
@@ -76,20 +83,34 @@ object AssetIngest {
     * fully-ingested one. Skipped when the batch admitted nothing: a
     * zero-row append would only stamp meta.
     *
-    * Honest crash-window caveat (r15 advice; DURABILITY.md): a crash
-    * AFTER the index append but BEFORE this call permanently
-    * UNDERCOUNTS the ledgers for that batch — the retry probes, finds
-    * everything already ingested, admits nothing, and ledgers nothing.
-    * That is accepted by design: the sketch ledgers are an
-    * OBSERVABILITY tier (dashboard estimates), never a correctness
-    * input, and they are re-derivable at any time from the landed data
-    * (one SketchLedger.append over `dataDir` per key). Making the
-    * ledger part of the completion criterion would couple the ingest's
-    * durability to its telemetry. */
+    * Crash-window caveat (r15 advice; DURABILITY.md row (b)): a crash
+    * AFTER the index append but BEFORE this call UNDERCOUNTS the
+    * ledgers for that batch — the retry probes, finds everything
+    * already ingested, admits nothing, and ledgers nothing. The
+    * ledgers stay an OBSERVABILITY tier (never a correctness input),
+    * so the window is not fenced in-line — making the ledger part of
+    * the completion criterion would couple the ingest's durability to
+    * its telemetry. It is RECOVERABLE instead (r17): the landed tables
+    * carry their batch id as a partition column, so
+    * [[reconcileSketches]] re-derives exactly the missing batches from
+    * the landed data — run it whenever the dashboards matter after a
+    * mid-loop crash, or on a maintenance cadence. */
+  /** TEST-ONLY fault injection: when set, the next [[recordSketches]]
+    * with a sink throws BEFORE touching the ledgers and clears itself —
+    * simulating a crash in the window between the index append and the
+    * sketch accounting (DURABILITY row (b); [[reconcileSketches]] is
+    * the repair). Production never sets it. */
+  @volatile private[graft] var failBeforeSketches: Boolean = false
+
   private def recordSketches(s: SparkSession, sink: Option[SketchSink],
       novel: DataFrame, nNovel: Long, keys: Seq[String], idCol: String,
       size: Column): Unit =
     sink.foreach { sk =>
+      if (failBeforeSketches) {
+        failBeforeSketches = false
+        throw new IllegalStateException(
+          "graft test fault injection: crash between index append and recordSketches")
+      }
       if (nNovel > 0) {
         val base = novel.withColumn("size_metric", size.cast("double"))
         SketchLedger.append(s, base, keys, idCol, s"${sk.dir}/distinct", sk.batchId)
@@ -97,6 +118,72 @@ object AssetIngest {
           s"${sk.dir}/size", sk.batchId)
       }
     }
+
+  /** Partition column of every landed table — one directory per ingest
+    * batch. At a crawl cadence (thousands of batches over a corpus
+    * lifetime) the partition count stays directory-listing-cheap, and
+    * per-batch lineage is a free side effect (which crawl landed this
+    * row). */
+  val LandCol = "ingest_batch"
+
+  /** TEST-ONLY fault injection: when set, the next [[landIdempotent]]
+    * throws AFTER its landing commit and clears itself — simulating a
+    * crash in the window between landing and index append (the crash
+    * model the idempotent landing closes). Production never sets it. */
+  @volatile private[graft] var failAfterLanding: Boolean = false
+
+  /** Land one batch's admitted rows idempotently: constant
+    * `ingest_batch = batchId` partition, dynamic-partition overwrite —
+    * a retry of the same logical batch replaces its own partition and
+    * touches no other (StreamingOps.idempotentBatchAppend, adopted
+    * library-side so the crash window between landing and index append
+    * is closed without caller discipline). */
+  private def landIdempotent(df: DataFrame, path: String, batchId: String): Unit = {
+    df.withColumn(LandCol, lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(LandCol)
+      .parquet(path)
+    if (failAfterLanding) {
+      failAfterLanding = false
+      throw new IllegalStateException(
+        "graft test fault injection: crash between landing and index append")
+    }
+  }
+
+  /** Deterministic landing-partition id when the caller supplies none:
+    * an order-independent fingerprint of the batch's id column (count +
+    * two independent xxhash64 xors — 128 effective bits; xor, not sum,
+    * stays overflow-free under ANSI mode), so a RETRY of the same batch
+    * derives the same id and overwrites its own partition. One 1-row
+    * map-side aggregate over ids only, never payloads. */
+  private def derivedBatchId(ids: DataFrame): String = {
+    val idc = ids.columns(0)
+    val r = ids.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64($idc))"), lit(0L)).as("x1"),
+      coalesce(expr(s"bit_xor(xxhash64($idc, 1337))"), lit(0L)).as("x2")).head()
+    f"auto_${r.getLong(0)}_${r.getLong(1)}%016x_${r.getLong(2)}%016x"
+  }
+
+  /** Repair a [[SketchSink]]'s ledgers after the one ingest crash
+    * window that is recovered rather than fenced (a crash between the
+    * index append and [[recordSketches]] — DURABILITY row (b)): diff
+    * the landed batch ids against each ledger's and re-derive exactly
+    * the missing batches' sketch rows from the landed data, producing
+    * the estimates a never-crashed run would hold. `landed` is the
+    * landed table PLUS whatever key columns the loop synthesized at
+    * record time (e.g. `withColumn("modality", lit("image"))`);
+    * `keys`/`idCol`/`sizeMetric` mirror the loop's recordSketches
+    * arguments. Idempotent; returns (distinct-ledger ids repaired,
+    * size-ledger ids repaired). */
+  def reconcileSketches(s: SparkSession, sinkDir: String, landed: DataFrame,
+      keys: Seq[String], idCol: String,
+      sizeMetric: Column): (Seq[String], Seq[String]) = {
+    val base = landed.withColumn("size_metric", sizeMetric.cast("double"))
+    (SketchLedger.reconcile(s, base, keys, idCol, s"$sinkDir/distinct", LandCol),
+      SketchLedger.reconcileQuantile(s, base, keys, "size_metric",
+        s"$sinkDir/size", LandCol))
+  }
 
   private def storedHashes(s: SparkSession, indexDir: String): DataFrame = {
     val p = new Path(s"$indexDir/hashes")
@@ -118,7 +205,8 @@ object AssetIngest {
   def ingestImageBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minSide: Int = 8, maxSide: Int = 4096,
-      sketches: Option[SketchSink] = None): IngestReport = {
+      sketches: Option[SketchSink] = None,
+      batchId: Option[String] = None): IngestReport = {
     require(1 <= minSide && minSide <= maxSide,
       s"need 1 <= minSide <= maxSide, got ($minSide, $maxSide)")
     ingestCore(s, ImageCodec.annotateWithHash(batch),
@@ -127,7 +215,7 @@ object AssetIngest {
       landCols = Seq("asset_id", "payload", "width", "height", "channels"),
       indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming,
       sketches = sketches, modality = "image",
-      sizeMetric = col("width") * col("height"))
+      sizeMetric = col("width") * col("height"), batchId = batchId)
   }
 
   /** Run one ingest cycle over an audio batch (`asset_id`, `payload`):
@@ -138,14 +226,16 @@ object AssetIngest {
   def ingestAudioBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minSamples: Int = 1, maxSamples: Int = 16000 * 60 * 10,
-      sketches: Option[SketchSink] = None): IngestReport = {
+      sketches: Option[SketchSink] = None,
+      batchId: Option[String] = None): IngestReport = {
     require(1 <= minSamples && minSamples <= maxSamples,
       s"need 1 <= minSamples <= maxSamples, got ($minSamples, $maxSamples)")
     ingestCore(s, AudioCodec.annotateWithHash(batch),
       gate = col("n_samples").between(minSamples, maxSamples),
       landCols = Seq("asset_id", "payload", "sample_rate", "channels", "n_samples"),
       indexDir = indexDir, dataDir = dataDir, maxHamming = maxHamming,
-      sketches = sketches, modality = "audio", sizeMetric = col("n_samples"))
+      sketches = sketches, modality = "audio", sizeMetric = col("n_samples"),
+      batchId = batchId)
   }
 
   /** Run one ingest cycle over a video batch (`asset_id`, `payload`).
@@ -159,7 +249,8 @@ object AssetIngest {
       dataDir: String, maxHamming: Int = HashBanding.DefaultMaxHamming,
       minFrac: Double = 0.5, minFrames: Int = 1, maxFrames: Int = 1 << 20,
       minSide: Int = 8, maxSide: Int = 4096,
-      sketches: Option[SketchSink] = None): IngestReport = {
+      sketches: Option[SketchSink] = None,
+      batchId: Option[String] = None): IngestReport = {
     require(1 <= minFrames && minFrames <= maxFrames,
       s"need 1 <= minFrames <= maxFrames, got ($minFrames, $maxFrames)")
     require(1 <= minSide && minSide <= maxSide,
@@ -191,8 +282,11 @@ object AssetIngest {
     val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
       .localCheckpoint(false)
     val nNovel = novel.count()
-    novel.select("asset_id", "payload", "n_frames", "width", "height")
-      .write.mode("append").parquet(s"$dataDir/assets")
+    if (nNovel > 0)
+      landIdempotent(novel.select("asset_id", "payload", "n_frames", "width", "height"),
+        s"$dataDir/assets",
+        batchId.orElse(sketches.map(_.batchId))
+          .getOrElse(derivedBatchId(ann.select("asset_id"))))
     val metaPath = new Path(s"$indexDir/meta")
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
       HashBanding.writeMeta(s, indexDir, IndexMeta.GroupedLayout)
@@ -235,7 +329,8 @@ object AssetIngest {
   def ingestEmbedBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, threshold: Double = 0.99,
       maxBucket: Int = 1 << 17,
-      sketches: Option[SketchSink] = None): IngestReport = {
+      sketches: Option[SketchSink] = None,
+      batchId: Option[String] = None): IngestReport = {
     import graft.operators.VectorOps
     val ann = batch.select("vec_id", "label", "embedding").localCheckpoint(false)
     val total = ann.count()
@@ -274,7 +369,10 @@ object AssetIngest {
     val novel = keepers.join(corpusDupIds, Seq("vec_id"), "left_anti")
       .localCheckpoint(false) // landing + index append + count read it once
     val nNovel = novel.count()
-    novel.write.mode("append").parquet(s"$dataDir/vectors")
+    if (nNovel > 0)
+      landIdempotent(novel, s"$dataDir/vectors",
+        batchId.orElse(sketches.map(_.batchId))
+          .getOrElse(derivedBatchId(ann.select("vec_id"))))
     // an empty novel set appends nothing and must not BOOTSTRAP either:
     // writing a zero-row index would just re-create the meta-only husk
     // (and writeEmbedLshIndex rightly refuses an empty corpus)
@@ -311,7 +409,8 @@ object AssetIngest {
   def ingestTextBatch(s: SparkSession, batch: DataFrame, indexDir: String,
       dataDir: String, minScore: Double = 0.3,
       threshold: Double = 0.5,
-      sketches: Option[SketchSink] = None): IngestReport = {
+      sketches: Option[SketchSink] = None,
+      batchId: Option[String] = None): IngestReport = {
     import graft.operators.DedupOps
     val ann = batch.select("doc_id", "source", "text").localCheckpoint(false)
     val total = ann.count()
@@ -374,8 +473,11 @@ object AssetIngest {
     val novel = keepers.join(corpusDupIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(false) // landing + index append + count read it once
     val nNovel = novel.count()
-    novel.select("doc_id", "source", "text", "n_tok", "score")
-      .write.mode("append").parquet(s"$dataDir/docs")
+    if (nNovel > 0)
+      landIdempotent(novel.select("doc_id", "source", "text", "n_tok", "score"),
+        s"$dataDir/docs",
+        batchId.orElse(sketches.map(_.batchId))
+          .getOrElse(derivedBatchId(ann.select("doc_id"))))
     // an empty novel set appends nothing and must not bootstrap either —
     // a zero-row writeMinhashIndex would just re-create the meta-only
     // husk this block exists to survive
@@ -404,7 +506,7 @@ object AssetIngest {
   private def ingestCore(s: SparkSession, annotated: DataFrame, gate: Column,
       landCols: Seq[String], indexDir: String, dataDir: String,
       maxHamming: Int, sketches: Option[SketchSink], modality: String,
-      sizeMetric: Column): IngestReport = {
+      sizeMetric: Column, batchId: Option[String]): IngestReport = {
     val ann = annotated.localCheckpoint(false)
     val total = ann.count()
     val nOk = ann.where(col("ok")).count()
@@ -437,8 +539,11 @@ object AssetIngest {
     val novel = keepers.join(corpusDupIds, Seq("asset_id"), "left_anti")
       .localCheckpoint(false) // landing + index append + count read it once
     val nNovel = novel.count()
-    novel.select(landCols.head, landCols.tail: _*)
-      .write.mode("append").parquet(s"$dataDir/assets")
+    if (nNovel > 0)
+      landIdempotent(novel.select(landCols.head, landCols.tail: _*),
+        s"$dataDir/assets",
+        batchId.orElse(sketches.map(_.batchId))
+          .getOrElse(derivedBatchId(ann.select("asset_id"))))
     val metaPath = new Path(s"$indexDir/meta")
     if (!metaPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaPath))
       HashBanding.writeMeta(s, indexDir)

@@ -136,6 +136,64 @@ object SketchLedger {
     s.read.parquet(s"$dir/sketches")
   }
 
+  // ------------------------------------------------------------------
+  // Reconciliation (r17, closing DURABILITY's AssetIngest row (b)): the
+  // ledgers are RE-DERIVABLE BY DESIGN — every sketch row is a pure
+  // function of (one batch's landed rows, the meta's parameters), and
+  // the landed tables carry their batch id as a partition column
+  // (AssetIngest.landIdempotent). So a batch whose recordSketches call
+  // was lost to a crash AFTER the index append is not a permanent
+  // undercount: reconcile() diffs the landed batch ids against the
+  // ledger's batch ids and re-appends exactly the missing ones, with
+  // the meta's own parameters. Idempotent (a second reconcile finds
+  // nothing missing) and retry-safe (an id that raced in anyway is
+  // absorbed by the (keys, batch_id) read-path dedup).
+  // ------------------------------------------------------------------
+
+  /** Batch ids present in `landed` (under `batchCol`) but absent from
+    * the ledger's sketch table. Bounded driver collect: one id per
+    * ingest batch, crawl-cadence small by construction. */
+  private def missingBatches(s: SparkSession, dir: String, landed: DataFrame,
+      batchCol: String): Seq[String] = {
+    val inLedger: Set[String] =
+      if (!fs(s, dir).exists(new Path(s"$dir/sketches"))) Set.empty
+      else s.read.parquet(s"$dir/sketches").select("batch_id").distinct()
+        .collect().map(_.getString(0)).toSet
+    landed.select(col(batchCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(inLedger).sorted.toSeq
+  }
+
+  /** Re-derive the distinct-count ledger's missing batch rows from the
+    * landed data: one [[append]] per landed batch id the sketch table
+    * does not carry, grouped exactly as the original recordSketches
+    * would have (the meta's parameters win over the defaults, so a
+    * reconcile can never mix precisions). Returns the repaired ids —
+    * empty when the ledger was already complete. */
+  def reconcile(s: SparkSession, landed: DataFrame, keys: Seq[String],
+      value: String, dir: String, batchCol: String = "ingest_batch",
+      lgConfigK: Int = 12): Seq[String] = {
+    val lgk = readMeta(s, dir).map(_._1).getOrElse(lgConfigK)
+    val missing = missingBatches(s, dir, landed, batchCol)
+    missing.foreach { id =>
+      append(s, landed.where(col(batchCol).cast("string") === id),
+        keys, value, dir, id, lgk)
+    }
+    missing
+  }
+
+  /** Quantile-ledger twin of [[reconcile]]. */
+  def reconcileQuantile(s: SparkSession, landed: DataFrame, keys: Seq[String],
+      value: String, dir: String, batchCol: String = "ingest_batch",
+      k: Int = 200): Seq[String] = {
+    val kk = readQuantileMeta(s, dir).map(_._1).getOrElse(k)
+    val missing = missingBatches(s, dir, landed, batchCol)
+    missing.foreach { id =>
+      appendQuantile(s, landed.where(col(batchCol).cast("string") === id),
+        keys, value, dir, id, kk)
+    }
+    missing
+  }
+
   /** Distinct estimate + exact processed rows per key, merged across
     * every appended batch — reads only the sketch table (bytes per
     * key·batch), never the corpus. */

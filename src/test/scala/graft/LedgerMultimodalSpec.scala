@@ -137,4 +137,121 @@ class LedgerMultimodalSpec extends AnyFunSuite {
       s"unreliable stats inflated task count: $rddPartCount vs $filePartCount")
     assert(rddPartCount < 100)
   }
+
+  // ------------------------------------------------------------------
+  // Landing→index-append crash law (r16 verdict next-round #1): every
+  // ingest loop lands via a per-batch dynamic-partition overwrite, so a
+  // crash BETWEEN landing and index append re-runs WITHOUT duplicating
+  // the landed rows — no Ledger wiring required of the caller. One
+  // fixture per modality; each kills the loop in the window (the
+  // AssetIngest.failAfterLanding fault), retries, and asserts
+  // (a) no id landed twice, (b) the index converged to the landed set,
+  // (c) a third run admits zero.
+  // ------------------------------------------------------------------
+
+  /** One modality's crash-retry drive. `ingest` runs the loop over
+    * (ids → batch df); `landedTable`/`indexTable` are the paths (under
+    * data/index dirs) holding the landed and indexed id columns. */
+  private def crashRetryLaw(tag: String,
+      mkBatch: Seq[Long] => org.apache.spark.sql.DataFrame,
+      ingest: (org.apache.spark.sql.DataFrame, String, String) => graft.sources.AssetIngest.IngestReport,
+      landedTable: String, landedId: String,
+      indexTable: String, indexId: String): Unit = {
+    import graft.sources.AssetIngest
+    val base = Files.createTempDirectory(s"crashland_$tag").toString
+    val (idx, data) = (s"$base/idx", s"$base/data")
+    def landedCounts: Map[Long, Long] = {
+      val p = new java.io.File(s"$data/$landedTable")
+      if (!p.exists()) Map.empty
+      else spark.read.parquet(s"$data/$landedTable").groupBy(landedId).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def indexedIds: Set[Long] = {
+      val p = new java.io.File(s"$idx/$indexTable")
+      if (!p.exists()) Set.empty
+      else spark.read.parquet(s"$idx/$indexTable").select(indexId).distinct()
+        .collect().map(_.getLong(0)).toSet
+    }
+    // seed the corpus so the crashing batch exercises the APPEND path
+    val r0 = ingest(mkBatch(Seq(1L, 2L)), idx, data)
+    assert(r0.admitted === 2, s"$tag: seed batch not admitted")
+    // kill between landing and index append
+    AssetIngest.failAfterLanding = true
+    intercept[IllegalStateException] { ingest(mkBatch(Seq(3L, 4L)), idx, data) }
+    assert(landedCounts.keySet === Set(1L, 2L, 3L, 4L),
+      s"$tag: crash landed the batch exactly once before dying")
+    assert(indexedIds === Set(1L, 2L),
+      s"$tag: index must NOT contain the crashed batch")
+    // retry the same logical batch: probe sees nothing indexed, re-admits,
+    // and the idempotent landing REPLACES its own partition
+    val r1 = ingest(mkBatch(Seq(3L, 4L)), idx, data)
+    assert(r1.admitted === 2, s"$tag: retry must re-admit the crashed batch")
+    val counts = landedCounts
+    assert(counts.keySet === Set(1L, 2L, 3L, 4L), s"$tag: landed set diverged")
+    assert(counts.values.forall(_ == 1L),
+      s"$tag: retry duplicated landed rows: $counts")
+    assert(indexedIds === Set(1L, 2L, 3L, 4L),
+      s"$tag: index did not converge on retry")
+    // a third run is a fully-successful retry: self-healing zero admit
+    val r2 = ingest(mkBatch(Seq(3L, 4L)), idx, data)
+    assert(r2.admitted === 0, s"$tag: fully-ingested retry admitted rows")
+    assert(landedCounts.values.forall(_ == 1L), s"$tag: third run re-landed")
+  }
+
+  test("crash between landing and index append: image loop retries without duplicate landings") {
+    import graft.sources.{AssetIngest, ImageCodec}
+    import spark.implicits._
+    crashRetryLaw("image",
+      ids => ids.map(i => (i, ImageCodec.encodeGrayPng(16, 16,
+        ImageCodec.texturedLuma(i * 31 + 7, 16, 16)))).toDF("asset_id", "payload"),
+      (b, idx, data) => AssetIngest.ingestImageBatch(spark, b, idx, data),
+      "assets", "asset_id", "hashes", "asset_id")
+  }
+
+  test("crash between landing and index append: audio loop retries without duplicate landings") {
+    import graft.sources.{AssetIngest, AudioCodec}
+    import spark.implicits._
+    crashRetryLaw("audio",
+      ids => ids.map(i => (i, AudioCodec.encodeWavPcm16(
+        Array.tabulate(500)(t => AudioCodec.sampleAt(i, t))))).toDF("asset_id", "payload"),
+      (b, idx, data) => AssetIngest.ingestAudioBatch(spark, b, idx, data),
+      "assets", "asset_id", "hashes", "asset_id")
+  }
+
+  test("crash between landing and index append: video loop retries without duplicate landings") {
+    import graft.sources.{AssetIngest, ImageCodec, VideoCodec}
+    import spark.implicits._
+    crashRetryLaw("video",
+      ids => ids.map(i => (i, VideoCodec.encodeContainer((0 until 3).map(f =>
+        ImageCodec.encodeGrayPng(16, 16,
+          ImageCodec.texturedLuma(i * 991 + f * 17 + 5, 16, 16))))))
+        .toDF("asset_id", "payload"),
+      (b, idx, data) => AssetIngest.ingestVideoBatch(spark, b, idx, data),
+      "assets", "asset_id", "grouped", "asset_id")
+  }
+
+  test("crash between landing and index append: embedding loop retries without duplicate landings") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    def unitOf(key: Long): Array[Float] = {
+      val r = new scala.util.Random(key * 7919 + 13)
+      val v = Array.fill(12)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    crashRetryLaw("embed",
+      ids => ids.map(i => (i, (i % 3).toString, unitOf(i)))
+        .toDF("vec_id", "label", "embedding"),
+      (b, idx, data) => AssetIngest.ingestEmbedBatch(spark, b, idx, data),
+      "vectors", "vec_id", "embeddings", "vec_id")
+  }
+
+  test("crash between landing and index append: text loop retries without duplicate landings") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    crashRetryLaw("text",
+      ids => ids.map(i => (i, "s",
+        (1 to 60).map(t => s"k${i}_$t").mkString(" "))).toDF("doc_id", "source", "text"),
+      (b, idx, data) => AssetIngest.ingestTextBatch(spark, b, idx, data),
+      "docs", "doc_id", "cbuckets", "doc_id")
+  }
 }
