@@ -582,22 +582,96 @@ class BandLayoutSpec extends AnyFunSuite {
     assert(bytes > 0)
     // fits the cache budget -> cached scan, regardless of crossover
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = bytes, crossoverBytes = 0) === ProbeMode.ScanCached)
+      cacheBudgetBytes = bytes, crossoverBytes = Some(0)) === ProbeMode.ScanCached)
     // over budget, under crossover -> plain scan
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = 0, crossoverBytes = bytes) === ProbeMode.Scan)
+      cacheBudgetBytes = 0, crossoverBytes = Some(bytes)) === ProbeMode.Scan)
     // over both, layout present + in sync -> pruned
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Pruned)
+      cacheBudgetBytes = 0, crossoverBytes = Some(0)) === ProbeMode.Pruned)
     // a diverged layout (crashed append) must NOT be recommended:
     // the probe itself would fall back, so the selector says Scan
     GenStamp.stamp(spark, s"$dir/cbuckets", GenStamp.read(spark, s"$dir/cbuckets") + 1)
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Scan)
+      cacheBudgetBytes = 0, crossoverBytes = Some(0)) === ProbeMode.Scan)
     // absent layout -> Scan too
     rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = 0, crossoverBytes = 0) === ProbeMode.Scan)
+      cacheBudgetBytes = 0, crossoverBytes = Some(0)) === ProbeMode.Scan)
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("OpenProbe.open heals a diverged layout; the next recommend is Pruned again") {
+    import graft.operators.DedupOps
+    import graft.sources.{GenStamp, OpenProbe, ProbeMode}
+    val dir = java.nio.file.Files.createTempDirectory("openprobe").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    // healthy + pruned tier: no heal, Pruned straight away
+    val ok = OpenProbe.open(spark, dir, OpenProbe.MinhashText,
+      cacheBudgetBytes = 0, crossoverBytes = Some(0))
+    assert(ok === OpenProbe.Opened(ProbeMode.Pruned, OpenProbe.InSync,
+      OpenProbe.InSync, healed = false))
+    // diverge the fence (the crashed-append state)
+    GenStamp.stamp(spark, s"$dir/cbuckets", GenStamp.read(spark, s"$dir/cbuckets") + 1)
+    assert(OpenProbe.layoutStatus(spark, dir, OpenProbe.MinhashText) ===
+      OpenProbe.Diverged)
+    // heal = false: machine-readable fallback, layout untouched
+    val noHeal = OpenProbe.open(spark, dir, OpenProbe.MinhashText,
+      cacheBudgetBytes = 0, crossoverBytes = Some(0), heal = false)
+    assert(noHeal === OpenProbe.Opened(ProbeMode.Scan, OpenProbe.Diverged,
+      OpenProbe.Diverged, healed = false))
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0, Some(0L)) === ProbeMode.Scan,
+      "fixture defect: recommend did not see the divergence")
+    // heal = true (default): the open reconverges the layout eagerly...
+    val healed = OpenProbe.open(spark, dir, OpenProbe.MinhashText,
+      cacheBudgetBytes = 0, crossoverBytes = Some(0))
+    assert(healed === OpenProbe.Opened(ProbeMode.Pruned, OpenProbe.InSync,
+      OpenProbe.Diverged, healed = true))
+    // ...and the NEXT plain recommend is Pruned again — the read-mostly
+    // index is off the full-scan path without waiting for an append
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0, Some(0L)) === ProbeMode.Pruned)
+    // absent layout at the pruned tier: open derives it (upgrade path)
+    rmDir(java.nio.file.Paths.get(s"$dir/pbands"))
+    val fromAbsent = OpenProbe.open(spark, dir, OpenProbe.MinhashText,
+      cacheBudgetBytes = 0, crossoverBytes = Some(0))
+    assert(fromAbsent === OpenProbe.Opened(ProbeMode.Pruned, OpenProbe.InSync,
+      OpenProbe.Absent, healed = true))
+    // small tier: a diverged layout is NOT healed (never read there) and
+    // the divergence is still reported for the operator to act on
+    GenStamp.stamp(spark, s"$dir/cbuckets", GenStamp.read(spark, s"$dir/cbuckets") + 1)
+    val small = OpenProbe.open(spark, dir, OpenProbe.MinhashText,
+      cacheBudgetBytes = 0, crossoverBytes = Some(Long.MaxValue))
+    assert(small === OpenProbe.Opened(ProbeMode.Scan, OpenProbe.Diverged,
+      OpenProbe.Diverged, healed = false))
+    rmDir(java.nio.file.Paths.get(dir))
+  }
+
+  test("ProbeMode calibration file flips recommend's modes — the crossover is measured, not hardcoded") {
+    import graft.operators.DedupOps
+    import graft.sources.ProbeMode
+    val dir = java.nio.file.Files.createTempDirectory("probemode_cal").toString
+    DedupOps.writeMinhashIndex(spark, corpus(), dir)
+    val bytes = graft.plans.Scale.sourceBytes(spark, dir)
+    assert(bytes > 0 && bytes < ProbeMode.DefaultCrossoverBytes)
+    // no calibration: the built-in default binds (index is far under
+    // 256 MiB -> Scan)
+    assert(ProbeMode.readCalibration(spark, dir).isEmpty)
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0) === ProbeMode.Scan)
+    // a measured calibration below the index size flips the SAME call
+    // to Pruned — no code change, no hardcoded constant
+    ProbeMode.writeCalibration(spark, dir, crossoverBytes = bytes - 1,
+      note = "BandLayoutSpec fixture")
+    assert(ProbeMode.readCalibration(spark, dir) === Some(bytes - 1))
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0) === ProbeMode.Pruned)
+    // re-measuring (overwrite) flips it back
+    ProbeMode.writeCalibration(spark, dir, crossoverBytes = bytes * 10)
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0) === ProbeMode.Scan)
+    // an explicit argument still has the final word over the file
+    assert(ProbeMode.recommend(spark, dir, "cbuckets", 0,
+      crossoverBytes = Some(0L)) === ProbeMode.Pruned)
+    // the ScaleSmoke-number derivation: scan cost linear in bytes,
+    // pruned flat — crossover = measuredBytes * pruned/scan
+    assert(ProbeMode.crossoverFrom(1000L, 0.5, 1.5) === 3000L)
     rmDir(java.nio.file.Paths.get(dir))
   }
 
@@ -608,7 +682,7 @@ class BandLayoutSpec extends AnyFunSuite {
     // advice), contradicting the scaladoc.
     val dir = java.nio.file.Files.createTempDirectory("probemode_empty").toString
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
-      cacheBudgetBytes = 0, crossoverBytes = 0) !== ProbeMode.ScanCached)
+      cacheBudgetBytes = 0, crossoverBytes = Some(0)) !== ProbeMode.ScanCached)
     // a positive budget over a 0-byte index pins nothing — Scan as well
     assert(ProbeMode.recommend(spark, dir, "cbuckets",
       cacheBudgetBytes = 1L << 30) === ProbeMode.Scan)
