@@ -130,9 +130,19 @@ object Plans {
   private def pushdownLost(qe: org.apache.spark.sql.execution.QueryExecution,
       v2Fallback: Int => Boolean): Boolean = {
     val (v1Refs, v2Count) = pushableFilterScans(qe.optimizedPlan)
+    // A filter on a PARTITION column never shows in PushedFilters — the
+    // planner promotes it to PartitionFilters (whole-directory pruning,
+    // strictly better than row-group pushdown). Count a scan as "pushed"
+    // when either carries a real predicate, else q_prune_partitioned's
+    // o_orderpriority = '1-URGENT' false-flags as lost (r17).
+    def partitionPruned(md: Map[String, String]): Boolean =
+      md.get("PartitionFilters").exists(pf =>
+        pf != "[]" && pf.stripPrefix("[").stripSuffix("]").split(", ")
+          .exists(t => t.trim.nonEmpty && !t.contains("isnotnull")))
     val physRefs = qe.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("PushedFilters").exists(_ != "[]") => f.relation: AnyRef
+          if f.metadata.get("PushedFilters").exists(_ != "[]") ||
+            partitionPruned(f.metadata) => f.relation: AnyRef
     }
     // Count by REFERENCE identity, not identityHashCode: two distinct
     // relation instances can collide on hash code, which would merge

@@ -18,6 +18,58 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
+  /** How [[winsorize]] computes its per-group clipping band. */
+  sealed trait Bounds
+  /** Exact `percentile`. CAVEAT (the q_stats_histogram rule): Spark's
+    * exact Percentile buffers a value→count map PER GROUP in the
+    * merging task — O(distinct values per group) on one reducer each.
+    * Fine for bounded domains (prices, small int metrics); on the
+    * continuous-valued columns a feature pipeline clips, that buffer is
+    * unbounded. Use [[Approx]] at scale. */
+  case object Exact extends Bounds
+  /** `approx_percentile(…, accuracy)` — the 100 TB path: a mergeable
+    * sketch with bounded memory per group and rank error ≤ 1/accuracy,
+    * aggregated map-side like any partial agg. */
+  final case class Approx(accuracy: Int = 10000) extends Bounds
+
+  /** Library face of the q_winsorize operator: clip `valueCol` to its
+    * group's [lower, upper] percentile band. Returns the input rows
+    * plus `lo`, `hi` and `<valueCol>_winsorized` (all DOUBLE).
+    *
+    * Plan shape: ONE tiny per-group bounds aggregate joined back onto
+    * the fact scan — never a window over the fact table. The join
+    * strategy is left to Catalyst: with few groups the bounds side
+    * broadcasts (the declared query's case); with a high-cardinality
+    * group column the bounds table is itself large and the shuffle
+    * join on the group key is the correct plan.
+    *
+    * `bounds = Exact` matches the declared oracle bit-for-bit but
+    * carries the per-group percentile buffer caveat (see [[Exact]]);
+    * the default [[Approx]] is the scale path. PropertiesSpec bounds
+    * the clipped-count drift between the two modes. */
+  def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      valueCol: String, lower: Double = 0.05, upper: Double = 0.95,
+      bounds: Bounds = Approx()): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "winsorize: at least one group column required")
+    require(0.0 <= lower && lower < upper && upper <= 1.0,
+      s"winsorize needs 0 <= lower < upper <= 1, got ($lower, $upper)")
+    val pct = bounds match {
+      case Exact => s"percentile($valueCol, array($lower, $upper))"
+      case Approx(acc) =>
+        require(acc >= 1, s"accuracy must be >= 1, got $acc")
+        s"approx_percentile($valueCol, array(cast($lower as double), " +
+          s"cast($upper as double)), $acc)"
+    }
+    val b = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(pct).as("__wband"))
+      .select(groupCols.map(col) :+
+        expr("cast(__wband[0] as double)").as("lo") :+
+        expr("cast(__wband[1] as double)").as("hi"): _*)
+    df.join(b, groupCols)
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol).cast("double"), col("lo")), col("hi")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Per-group winsorization — the standard outlier-clipping step of a
     // feature/metrics pipeline: clip each row's value to its group's
@@ -27,6 +79,11 @@ object Extended {
     // it), so the plan is two passes at any scale. Bounds are rounded to
     // 6dp on BOTH engines before comparing — the interpolated percentile
     // is the only cross-engine float in a comparison position.
+    // EXACT-percentile caveat (r16 verdict): the DECLARED query keeps
+    // exact `percentile` because the DuckDB oracle needs it, and
+    // l_extendedprice's bounded domain keeps the per-group buffer sane;
+    // the library face ([[winsorize]]) defaults to approx_percentile —
+    // the scale path for continuous-valued metrics.
     "q_winsorize" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
       val b = li.groupBy("l_returnflag").agg(

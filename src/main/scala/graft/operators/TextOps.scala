@@ -45,6 +45,15 @@ object TextOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum("cnt").as("total"))
+      // NAMED SKEW (r16 audit): this joins the exploded token stream on
+      // the Zipf-distributed `tok` key — the head token carries a
+      // constant fraction of all rows. At bench scale the vocab side
+      // broadcasts (no skew cost); at 100 TB it outgrows broadcast and
+      // the SMJ shuffle keys on the skewed stream, where AQE skew-split
+      // is the mitigation. A per-doc partial count (doc_id × tok → n)
+      // before the join would shrink the stream by the in-doc
+      // repetition factor; it is left out here because the oracle's
+      // per-token sum(log(cnt)) arithmetic must match term-for-term.
       toks.join(counts, "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum(log(col("cnt"))).as("slp"))

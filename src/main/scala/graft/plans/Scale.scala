@@ -442,6 +442,55 @@ object Scale {
         s"q_prune_zorder: zone map kept all $total files of the z-ordered " +
           "layout — pruning selectivity regressed")
       pruned.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // Hive-partitioned directory pruning under the driver's hash gate
+    // (r16 verdict, next-round #5 — the q_prune_zorder recipe applied to
+    // the previously spec-only writePartitioned surface): write a copy
+    // of orders partitioned by o_orderpriority, read it back through a
+    // partition-column filter, and emit the matching rows; the oracle is
+    // the plain filter over the ORIGINAL table. The in-query guard
+    // asserts the scan actually PRUNED directories — files read
+    // (distinct `_metadata.file_path`) must be fewer than the layout's
+    // total — because a no-prune scan returns the same rows and the
+    // hash gate alone cannot see the regression. The partition value
+    // round-trips through a directory name, so an escaping bug ("4-NOT
+    // SPECIFIED" carries a space) hash-fails loudly too.
+    "q_prune_partitioned" -> ((s, d) => {
+      val store = scratch(s, "hivepart", d) + "/orders"
+      writePartitioned(
+        s.read.parquet(s"$d/orders.parquet")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"),
+        store, Seq("o_orderpriority"))
+      val back = s.read.parquet(store)
+      val totalFiles = back.select(col("_metadata.file_path")).distinct().count()
+      val pruned = back.where(col("o_orderpriority") === "1-URGENT")
+      val keptFiles = pruned.select(col("_metadata.file_path")).distinct().count()
+      require(keptFiles < totalFiles,
+        s"q_prune_partitioned: the partition filter read all $totalFiles files " +
+          "of the 5-directory layout — directory pruning regressed")
+      pruned.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // 1-D min/max zone-map pruning under the driver's hash gate — the
+    // writeRangeSorted + pruneByStats single-key path (q_prune_zorder
+    // gates only the 2-D pruneByStats2 twin; this closes the "same
+    // off-by-one class, ungated" gap for the 1-D surface). Band bounds
+    // derive from the key maximum with integer arithmetic mirrored
+    // exactly in the oracle.
+    "q_prune_range1d" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      val pkMax = li.agg(max("l_partkey")).head().getLong(0)
+      val store = scratch(s, "range1d", d) + "/li"
+      writeRangeSorted(li, store, "l_partkey", partitions = 8)
+      val (pruned, kept, total) = pruneByStats(s, store,
+        "l_partkey", pkMax / 10, pkMax / 5)
+      require(kept < total,
+        s"q_prune_range1d: zone map kept all $total files of the " +
+          "range-sorted layout — pruning selectivity regressed")
+      pruned.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -452,6 +501,19 @@ object Scale {
         |                    AND (SELECT max(l_partkey)//5 FROM lineitem)
         |  AND l_suppkey BETWEEN (SELECT max(l_suppkey)//10 FROM lineitem)
         |                    AND (SELECT max(l_suppkey)*2//5 FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_prune_partitioned" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_prune_range1d" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN (SELECT max(l_partkey)//10 FROM lineitem)
+        |                    AND (SELECT max(l_partkey)//5 FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)
 
   def pruneByStats(spark: SparkSession, path: String, key: String,

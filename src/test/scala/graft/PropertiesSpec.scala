@@ -618,6 +618,46 @@ class PropertiesSpec extends AnyFunSuite {
     }, tests = 3)
   }
 
+  test("winsorize law: Approx(acc >= n) clips within 1 row per side of Exact; clipping preserves rows") {
+    import graft.operators.Extended
+    import spark.implicits._
+    // For random per-group data with DISTINCT values and accuracy >= the
+    // group size, approx_percentile's GK sketch is rank-exact; the only
+    // residual difference vs exact `percentile` is interpolation (exact
+    // interpolates BETWEEN data values, approx returns a data value), so
+    // the per-group clipped-row drift is at most 1 per side. This is the
+    // law that makes Approx the honest 100 TB default for the library
+    // face: same clipping semantics to within interpolation, bounded
+    // memory per group.
+    val gen = Gen.zip(Gen.chooseNum(20, 120), Gen.chooseNum(2, 4), Gen.long)
+    check(Prop.forAll(gen) { case (nRaw, gRaw, seed) =>
+      // clamp inside the body — shrinking ignores chooseNum bounds
+      val n = math.max(20, nRaw); val g = math.max(2, gRaw)
+      val rnd = new scala.util.Random(seed)
+      // distinct values by construction: index-spread base + tiny jitter
+      val rows = (0 until n).map(i =>
+        ((i % g).toString, i * 1000.0 + rnd.nextDouble()))
+      val df = rows.toDF("grp", "v")
+      def clippedPerGroup(b: Extended.Bounds): Map[String, Long] =
+        Extended.winsorize(df, Seq("grp"), "v", 0.1, 0.9, b)
+          .where(col("v") < col("lo") || col("v") > col("hi"))
+          .groupBy("grp").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = clippedPerGroup(Extended.Exact)
+      val approx = clippedPerGroup(Extended.Approx(accuracy = n + 1))
+      val groups = rows.map(_._1).distinct
+      val driftOk = groups.forall { k =>
+        math.abs(exact.getOrElse(k, 0L) - approx.getOrElse(k, 0L)) <= 2
+      }
+      // row preservation + in-band clipping, both modes
+      val w = Extended.winsorize(df, Seq("grp"), "v", 0.1, 0.9, Extended.Approx())
+      val kept = w.count() == n
+      val inBand = w.where(col("v_winsorized") < col("lo") ||
+        col("v_winsorized") > col("hi")).count() == 0L
+      driftOk && kept && inBand
+    }, tests = 6)
+  }
+
   test("resize law: output pixel (x,y) is exactly the integer-NN source sample") {
     import graft.sources.ImageCodec
     import spark.implicits._
