@@ -510,6 +510,90 @@ object ScaleSmoke {
             f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
+      case "calibrate" =>
+        // calibrate <sfDir> <factor> [triggers] [batchDocs] [targetIndexDir]
+        // — measure the scan-vs-pruned probe economics ON THIS BOX (the
+        // text family as the representative: one MinHash index, both
+        // probe shapes over the SAME index) and derive the crossover
+        // ProbeMode.recommend should use (crossoverFrom's linear-scan /
+        // flat-pruned model). With a target index dir, PERSIST it as the
+        // index's `_graft_probe_calibration` so recommend() picks it up
+        // with no code change — the executable end of the r16 verdict's
+        // "the default crossover is a documented KNOB" caveat.
+        {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          import org.apache.spark.sql.streaming.OutputMode
+          import org.apache.spark.sql.SQLContext
+          import graft.operators.DedupOps
+          import graft.streaming.DocEv
+          import s.implicits._
+          implicit val sqlCtx: SQLContext = s.sqlContext
+          graft.functions.GraftFunctions.register(s)
+          val src = args(1)
+          val factor = args(2).toInt
+          val triggers = if (args.length > 3) args(3).toInt else 5
+          val batchDocs = if (args.length > 4) args(4).toInt else 200
+          val target = if (args.length > 5) Some(args(5)) else None
+          val dataDir =
+            if (factor <= 1) src
+            else {
+              val blown = java.nio.file.Files.createTempDirectory("cal_corpus").toString
+              val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+              println(f"CALIBRATE upsample factor=$factor secs=$upSecs%.1f")
+              blown
+            }
+          val docs = Tables.documents(s, dataDir)
+          val idx = java.nio.file.Files.createTempDirectory("cal_idx").toString
+          DedupOps.writeMinhashIndex(s, docs.select("doc_id", "source", "text"), idx)
+          val bytes = graft.plans.Scale.sourceBytes(s, idx)
+          val sample = docs.select("doc_id", "text")
+            .limit(triggers * batchDocs).collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          def batches = (0 until triggers).map { t =>
+            (0 until batchDocs).map { i =>
+              val (cid, text) = sample((t * batchDocs + i) % sample.length)
+              val toks = text.split(" ")
+              DocEv(1000000000L + cid, new java.sql.Timestamp(1000L * i),
+                toks.take(math.max(4, toks.length - 2)).mkString(" "))
+            }
+          }
+          def steadyOf(secs: Seq[Double]): Double = {
+            val tail = secs.drop(1)
+            if (tail.isEmpty) secs.head else tail.sum / tail.length
+          }
+          // scan shape: the uncached stream-static gate
+          val scanSecs = {
+            val mem = MemoryStream[DocEv]
+            val q = graft.streaming.StreamingOps
+              .dedupAgainstIndexStream(mem.toDF(), idx)
+              .writeStream.format("memory")
+              .queryName(s"cal_scan_${System.nanoTime()}")
+              .outputMode(OutputMode.Append()).start()
+            try batches.map { b => mem.addData(b: _*); timed(q.processAllAvailable())._2 }
+            finally q.stop()
+          }
+          // pruned shape: the literal-pruned foreachBatch probe, SAME index
+          val prunedSecs = {
+            val mem = MemoryStream[DocEv]
+            val q = mem.toDF().writeStream.outputMode(OutputMode.Append())
+              .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+                DedupOps.dedupAgainstIndex(s, b.toDF().select("doc_id", "text"), idx)
+                  .count(); ()
+              }.start()
+            try batches.map { b => mem.addData(b: _*); timed(q.processAllAvailable())._2 }
+            finally q.stop()
+          }
+          val (scanS, prunedS) = (steadyOf(scanSecs), steadyOf(prunedSecs))
+          val xover = graft.sources.ProbeMode.crossoverFrom(bytes, scanS, prunedS)
+          println(f"CALIBRATE family=text index_bytes=$bytes scan_steady=$scanS%.3f " +
+            f"pruned_steady=$prunedS%.3f crossover_bytes=$xover")
+          target.foreach { t =>
+            graft.sources.ProbeMode.writeCalibration(s, t, xover,
+              note = s"ScaleSmoke calibrate sf=$src factor=$factor " +
+                s"scan=$scanS pruned=$prunedS bytes=$bytes")
+            println(s"CALIBRATE written to $t/${graft.sources.ProbeMode.CalibrationFile}")
+          }
+        }
       case "bloom" =>
         // bloom <sfDir> <factor> — exact vs bloom-prefiltered
         // contamination gate at an upsampled corpus (BASELINE.md
