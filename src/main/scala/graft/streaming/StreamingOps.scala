@@ -496,6 +496,113 @@ object StreamingOps {
     } finally base.unpersist()
   }
 
+  // --------------------------------------------------------------------
+  // Continuous-ingest sinks (r17): one writer per modality composing the
+  // full batch ingest loop (AssetIngest.ingest*Batch) with Structured
+  // Streaming's foreachBatch. What the composition buys over hand-rolled
+  // wiring, spelled out once:
+  //  - the STREAMING batch id is threaded as both the landing partition
+  //    id (AssetIngest.landIdempotent) and the SketchSink ledger id —
+  //    stable across replays, so foreachBatch's at-least-once delivery
+  //    becomes exactly-once landing (overwrite-own-partition) and
+  //    exactly-once accounting ((keys, batch_id) read-path dedup);
+  //  - a replayed fully-ingested batch self-heals to zero admits (every
+  //    row matches its own stored copy) — the StreamingSpec restart law;
+  //  - the index appends inside the loop ride their own GenStamp fences.
+  // The caller supplies the checkpointLocation (stream progress) and
+  // .start()s the returned writer; `onReport` surfaces each trigger's
+  // IngestReport for operational accounting (driver-side, tiny).
+  // --------------------------------------------------------------------
+
+  private def ingestSink(stream: DataFrame, checkpointDir: String,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit)(
+      loop: (DataFrame, Long) => graft.sources.AssetIngest.IngestReport)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onReport(id, loop(b.toDF(), id))
+      }
+
+  /** Continuous text ingest: the composed [[graft.sources.AssetIngest
+    * .ingestTextBatch]] loop per micro-batch (quality gate → in-batch
+    * near-dup collapse → O(batch) corpus probe → idempotent landing →
+    * fenced index append → optional sketch ledgers). */
+  def textIngestSink(stream: DataFrame, indexDir: String, dataDir: String,
+      checkpointDir: String, minScore: Double = 0.3, threshold: Double = 0.5,
+      ledgerDir: Option[String] = None,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestSink(stream, checkpointDir, onReport) { (b, id) =>
+      graft.sources.AssetIngest.ingestTextBatch(b.sparkSession, b, indexDir,
+        dataDir, minScore, threshold,
+        sketches = ledgerDir.map(graft.sources.AssetIngest.SketchSink(_, s"b$id")),
+        batchId = Some(s"b$id"))
+    }
+
+  /** Continuous image ingest — [[graft.sources.AssetIngest.ingestImageBatch]]
+    * per micro-batch; see [[textIngestSink]] for the delivery contract. */
+  def imageIngestSink(stream: DataFrame, indexDir: String, dataDir: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      minSide: Int = 8, maxSide: Int = 4096,
+      ledgerDir: Option[String] = None,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestSink(stream, checkpointDir, onReport) { (b, id) =>
+      graft.sources.AssetIngest.ingestImageBatch(b.sparkSession, b, indexDir,
+        dataDir, maxHamming, minSide, maxSide,
+        sketches = ledgerDir.map(graft.sources.AssetIngest.SketchSink(_, s"b$id")),
+        batchId = Some(s"b$id"))
+    }
+
+  /** Continuous audio ingest — [[graft.sources.AssetIngest.ingestAudioBatch]]
+    * per micro-batch; see [[textIngestSink]] for the delivery contract. */
+  def audioIngestSink(stream: DataFrame, indexDir: String, dataDir: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      minSamples: Int = 1, maxSamples: Int = 16000 * 60 * 10,
+      ledgerDir: Option[String] = None,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestSink(stream, checkpointDir, onReport) { (b, id) =>
+      graft.sources.AssetIngest.ingestAudioBatch(b.sparkSession, b, indexDir,
+        dataDir, maxHamming, minSamples, maxSamples,
+        sketches = ledgerDir.map(graft.sources.AssetIngest.SketchSink(_, s"b$id")),
+        batchId = Some(s"b$id"))
+    }
+
+  /** Continuous video ingest — [[graft.sources.AssetIngest.ingestVideoBatch]]
+    * per micro-batch; see [[textIngestSink]] for the delivery contract. */
+  def videoIngestSink(stream: DataFrame, indexDir: String, dataDir: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.sources.HashBanding.DefaultMaxHamming,
+      minFrac: Double = 0.5,
+      ledgerDir: Option[String] = None,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestSink(stream, checkpointDir, onReport) { (b, id) =>
+      graft.sources.AssetIngest.ingestVideoBatch(b.sparkSession, b, indexDir,
+        dataDir, maxHamming, minFrac,
+        sketches = ledgerDir.map(graft.sources.AssetIngest.SketchSink(_, s"b$id")),
+        batchId = Some(s"b$id"))
+    }
+
+  /** Continuous embedding ingest — [[graft.sources.AssetIngest
+    * .ingestEmbedBatch]] per micro-batch; see [[textIngestSink]] for the
+    * delivery contract. */
+  def embedIngestSink(stream: DataFrame, indexDir: String, dataDir: String,
+      checkpointDir: String, threshold: Double = 0.99,
+      maxBucket: Int = 1 << 17,
+      ledgerDir: Option[String] = None,
+      onReport: (Long, graft.sources.AssetIngest.IngestReport) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ingestSink(stream, checkpointDir, onReport) { (b, id) =>
+      graft.sources.AssetIngest.ingestEmbedBatch(b.sparkSession, b, indexDir,
+        dataDir, threshold, maxBucket,
+        sketches = ledgerDir.map(graft.sources.AssetIngest.SketchSink(_, s"b$id")),
+        batchId = Some(s"b$id"))
+    }
+
   /** Streaming dedup with bounded state — twin of q_evt_dedup. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -875,4 +875,68 @@ class StreamingSpec extends AnyFunSuite {
     val ledFinal = ledgerState()
     assert(ledFinal("a") === ((3L, 3L)), s"final accounting: $ledFinal")
   }
+
+  test("imageIngestSink restart law: replayed batch lands nothing twice; the sink wires batch id into landing + ledgers") {
+    // The text restart law above hand-rolls the foreachBatch wiring;
+    // this drives the same crash shape through the r17 library face
+    // (StreamingOps.imageIngestSink) on a SECOND modality — the sink
+    // must thread the streaming batch id into BOTH the idempotent
+    // landing partition and the sketch-ledger batch id, so a replay
+    // under the same id moves nothing.
+    import spark.implicits._
+    import graft.sources.{AssetIngest, ImageCodec, SketchLedger}
+    val base = java.nio.file.Files.createTempDirectory("restart_img").toString
+    val (src, ckpt, idx, data, led) =
+      (s"$base/src", s"$base/ckpt", s"$base/idx", s"$base/data", s"$base/led")
+    def img(key: Long): Array[Byte] =
+      ImageCodec.encodeGrayPng(16, 16, ImageCodec.texturedLuma(key, 16, 16))
+    def writeBatch(rows: (Long, Array[Byte])*): Unit =
+      rows.toDF("asset_id", "payload").coalesce(1)
+        .write.mode("append").parquet(src)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("asset_id", "long").add("payload", "binary")
+    val reports =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, AssetIngest.IngestReport)]
+    def start() = StreamingOps.imageIngestSink(
+      spark.readStream.schema(schema).parquet(src), idx, data, ckpt,
+      ledgerDir = Some(led),
+      onReport = (id, r) => { reports += id -> r; () }).start()
+
+    writeBatch((1L, img(11L)), (2L, img(22L)))
+    val q1 = start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    assert(reports.toSeq.map { case (id, r) => (id, r.admitted) } === Seq((0L, 2L)))
+    // landing rode the streaming batch id, not a derived fingerprint
+    assert(spark.read.parquet(s"$data/assets")
+      .select(AssetIngest.LandCol).distinct().collect().map(_.getString(0)).toSeq
+      === Seq("b0"))
+    def ledgerState() = SketchLedger.distinctByKey(spark, s"$led/distinct")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ledAfterB0 = ledgerState()
+    assert(ledAfterB0("image") === ((2L, 2L)), s"batch 0 accounting: $ledAfterB0")
+
+    // crash between foreachBatch completion and the engine's commit
+    val commits = new java.io.File(s"$ckpt/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete(), "fixture: could not delete the commit marker")
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val replay = reports.last
+      assert(replay._1 === 0L && replay._2.admitted === 0L &&
+        replay._2.corpusDups === 2L,
+        s"replayed batch must self-heal to zero admits: $reports")
+      assert(ledgerState() === ledAfterB0, "the replay moved the ledger")
+      writeBatch((3L, img(11L)), (4L, img(44L))) // one corpus dup, one novel
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(reports.last._1 === 1L && reports.last._2.admitted === 1L &&
+      reports.last._2.corpusDups === 1L, s"post-restart batch: $reports")
+    assert(spark.read.parquet(s"$data/assets").select("asset_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    assert(ledgerState()("image") === ((3L, 3L)))
+  }
 }
