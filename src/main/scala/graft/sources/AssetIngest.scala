@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,119 @@ object AssetIngest {
       coalesce(expr(s"bit_xor(xxhash64($idc))"), lit(0L)).as("x1"),
       coalesce(expr(s"bit_xor(xxhash64($idc, 1337))"), lit(0L)).as("x2")).head()
     f"auto_${r.getLong(0)}_${r.getLong(1)}%016x_${r.getLong(2)}%016x"
+  }
+
+  // --------------------------------------------------------------------
+  // Landing-layout lifecycle: the idempotent landing writes ONE
+  // partition per ingest batch, which at crawl cadence accumulates
+  // small files (the classic streaming-sink pathology Scale.compact
+  // exists for, re-created here by the retry fence itself). The fold
+  // below consolidates batch partitions OUTSIDE the caller's retry
+  // horizon into size-targeted `compacted_<foldid>` partitions.
+  // --------------------------------------------------------------------
+
+  private val LandCompactedPrefix = "compacted_"
+  private val FoldCompleteMarker = "_graft_fold_complete"
+
+  /** TEST-ONLY fault injection for [[compactLanding]]'s two crash
+    * windows: 1 = after the consolidated write but BEFORE the complete
+    * marker; 2 = after the marker but BEFORE the source deletes.
+    * Cleared on trip. Production never sets it. */
+  @volatile private[graft] var failDuringCompact: Int = 0
+  private def maybeFailCompact(at: Int): Unit =
+    if (failDuringCompact == at) {
+      failDuringCompact = 0
+      throw new IllegalStateException(
+        s"graft test fault injection: compactLanding crash window $at")
+    }
+
+  /** Fold landed `ingest_batch` partitions into one size-targeted
+    * consolidated partition (`compacted_<foldid>`), returning the
+    * folded ids. Previous consolidated partitions are folded forward
+    * too, so steady state is ONE big partition plus the retry-horizon
+    * tail.
+    *
+    * RETRY CONTRACT: a batch id that may still be retried must be in
+    * `retain` — folding it would break the landing's
+    * overwrite-own-partition idempotency (a later retry of a folded id
+    * would land NEXT TO the folded copy, not replace it). Everything a
+    * deployment's Ledger still considers in-flight belongs in `retain`.
+    *
+    * Crash shape (kill-tested in LedgerMultimodalSpec): the
+    * consolidated partition is WRITTEN FIRST, then its `_`-prefixed
+    * complete-marker (temp-then-atomic-rename; it names the folded
+    * ids), then the source partitions are deleted. Every window
+    * degrades to a BOUNDED duplicate-visibility interval that the next
+    * [[compactLanding]] call heals — never to data loss: a fold dir
+    * without its marker is a crashed write and is dropped (sources
+    * intact) before re-folding; a marker present means the fold data is
+    * complete, so the heal just finishes the source deletes. Batch ids
+    * are filesystem-safe by construction (the library-generated
+    * `b<streaming id>` / `auto_<fingerprint>` forms); callers supplying
+    * their own ids own that property. */
+  def compactLanding(s: SparkSession, path: String,
+      retain: Set[String] = Set.empty,
+      targetBytesPerFile: Long = 128L << 20): Seq[String] = {
+    require(targetBytesPerFile > 0,
+      s"targetBytesPerFile must be > 0, got $targetBytesPerFile")
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    def partDirs(): Map[String, Path] = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$LandCol="))
+      .map(st => st.getPath.getName.drop(LandCol.length + 1) -> st.getPath).toMap
+
+    // heal a previous crashed run FIRST (see the crash shape above)
+    partDirs().foreach { case (id, dir) =>
+      if (id.startsWith(LandCompactedPrefix)) {
+        val marker = new Path(dir, FoldCompleteMarker)
+        if (fs.exists(marker)) {
+          val len = fs.getFileStatus(marker).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(marker)
+          try in.readFully(0, buf) finally in.close()
+          val live = partDirs()
+          new String(buf, "UTF-8").linesIterator.filter(_.nonEmpty)
+            .foreach(i => if (i != id) live.get(i).foreach(p => fs.delete(p, true)))
+        } else {
+          fs.delete(dir, true) // crashed mid-write; sources are intact
+        }
+      }
+    }
+
+    val parts = partDirs()
+    val toFold = parts.keys.filterNot(retain).toSeq.sorted
+    // nothing to do when the horizon tail is all that's left, or when
+    // the only foldable partition is already a single consolidated one
+    if (toFold.isEmpty ||
+        (toFold.size == 1 && toFold.head.startsWith(LandCompactedPrefix)))
+      return Seq.empty
+    val foldId = java.security.MessageDigest.getInstance("MD5")
+      .digest(toFold.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val target = s"$LandCompactedPrefix$foldId"
+    val bytes = toFold.map(id => fs.getContentSummary(parts(id)).getLength).sum
+    val files = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    s.read.parquet(path)
+      .where(col(LandCol).isin(toFold: _*))
+      .drop(LandCol)
+      .repartition(files)
+      .withColumn(LandCol, lit(target))
+      .write.mode("append").partitionBy(LandCol).parquet(path)
+    maybeFailCompact(1)
+    // complete marker: temp-then-atomic-rename — a torn id list would
+    // leave sources the heal pass never deletes (permanent duplicates)
+    val qdir = fs.makeQualified(new Path(root, s"$LandCol=$target"))
+    val tmp = new Path(qdir, s"$FoldCompleteMarker.tmp.${ProcessHandle.current.pid}")
+    val out = fs.create(tmp, true)
+    try out.write(toFold.mkString("\n").getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(qdir.toUri, conf)
+      .rename(tmp, new Path(qdir, FoldCompleteMarker), Options.Rename.OVERWRITE)
+    maybeFailCompact(2)
+    toFold.foreach(id => fs.delete(parts(id), true))
+    s.catalog.refreshByPath(path)
+    toFold
   }
 
   /** Repair a [[SketchSink]]'s ledgers after the one ingest crash

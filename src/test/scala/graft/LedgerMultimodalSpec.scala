@@ -198,6 +198,72 @@ class LedgerMultimodalSpec extends AnyFunSuite {
     assert(landedCounts.values.forall(_ == 1L), s"$tag: third run re-landed")
   }
 
+  test("compactLanding folds batch partitions outside the retry horizon; both crash windows heal without loss or lasting duplicates") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = Files.createTempDirectory("compactland").toString
+    val (idx, data) = (s"$base/idx", s"$base/data")
+    def batch(ids: Seq[Long]) = ids.map(i => (i, "s",
+      (1 to 60).map(t => s"k${i}_$t").mkString(" "))).toDF("doc_id", "source", "text")
+    def landedDocs: Seq[Long] = spark.read.parquet(s"$data/docs")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def partitions: Set[String] = new java.io.File(s"$data/docs").listFiles()
+      .filter(_.getName.startsWith("ingest_batch="))
+      .map(_.getName.stripPrefix("ingest_batch=")).toSet
+    // three batches under explicit ids; b2 stays inside the retry horizon
+    AssetIngest.ingestTextBatch(spark, batch(Seq(1L, 2L)), idx, data, batchId = Some("b0"))
+    AssetIngest.ingestTextBatch(spark, batch(Seq(3L, 4L)), idx, data, batchId = Some("b1"))
+    AssetIngest.ingestTextBatch(spark, batch(Seq(5L, 6L)), idx, data, batchId = Some("b2"))
+    assert(partitions === Set("b0", "b1", "b2"))
+    val before = landedDocs
+
+    // plain fold: b0+b1 consolidate, b2 (retained) is untouched
+    val folded = AssetIngest.compactLanding(spark, s"$data/docs", retain = Set("b2"))
+    assert(folded === Seq("b0", "b1"))
+    assert(landedDocs === before, "fold changed the landed rows")
+    val p1 = partitions
+    assert(p1.contains("b2") && p1.size === 2 &&
+      p1.exists(_.startsWith("compacted_")), s"unexpected layout: $p1")
+
+    // land more, then CRASH WINDOW 1 (data written, marker missing):
+    // heal must drop the partial fold and re-fold without loss
+    AssetIngest.ingestTextBatch(spark, batch(Seq(7L, 8L)), idx, data, batchId = Some("b3"))
+    AssetIngest.failDuringCompact = 1
+    intercept[IllegalStateException] {
+      AssetIngest.compactLanding(spark, s"$data/docs", retain = Set("b3"))
+    }
+    val folded2 = AssetIngest.compactLanding(spark, s"$data/docs", retain = Set("b3"))
+    assert(folded2.nonEmpty, "heal+refold did nothing after crash window 1")
+    assert(landedDocs === (before ++ Seq(7L, 8L)).sorted,
+      s"crash window 1 lost or duplicated rows: $landedDocs")
+    val p2 = partitions
+    assert(p2.contains("b3") && p2.count(_.startsWith("compacted_")) === 1,
+      s"layout did not converge after window 1: $p2")
+
+    // CRASH WINDOW 2 (marker written, sources not yet deleted): readers
+    // may briefly see duplicates; the next call finishes the deletes
+    AssetIngest.ingestTextBatch(spark, batch(Seq(9L, 10L)), idx, data, batchId = Some("b4"))
+    AssetIngest.failDuringCompact = 2
+    intercept[IllegalStateException] {
+      AssetIngest.compactLanding(spark, s"$data/docs", retain = Set.empty)
+    }
+    // the documented bounded window: fold data + undeleted sources are
+    // BOTH visible (duplicates), never a loss
+    val windowCount = spark.read.parquet(s"$data/docs").count()
+    assert(windowCount > before.size + 4,
+      s"window 2 should show transient duplicates, saw $windowCount rows")
+    assert(landedDocs.distinct === (before ++ Seq(7L, 8L, 9L, 10L)).sorted,
+      "window 2 lost rows")
+    AssetIngest.compactLanding(spark, s"$data/docs", retain = Set.empty)
+    assert(landedDocs === (before ++ Seq(7L, 8L, 9L, 10L)).sorted,
+      s"crash window 2 did not heal: $landedDocs")
+    val p3 = partitions
+    assert(p3.size === 1 && p3.head.startsWith("compacted_"),
+      s"steady state should be one consolidated partition: $p3")
+    // idempotent: nothing left to fold
+    assert(AssetIngest.compactLanding(spark, s"$data/docs", retain = Set.empty).isEmpty)
+  }
+
   test("crash between landing and index append: image loop retries without duplicate landings") {
     import graft.sources.{AssetIngest, ImageCodec}
     import spark.implicits._
