@@ -278,6 +278,113 @@ object AssetIngest {
     toFold
   }
 
+  // --------------------------------------------------------------------
+  // Landed-corpus takedown (r17): delete/compact of the INDEXES was
+  // already first-class (Tombstones + compact*Index), but a takedown's
+  // actual subject is the landed payload. deleteFromLanding physically
+  // removes rows from the landing layout, rewriting ONLY the partitions
+  // that hold the victims. Unlike the index tables the landed corpus is
+  // NOT re-derivable, so the swap is loss-proof by construction:
+  // survivors are written to a sibling tmp root FIRST, each original
+  // partition is MOVED (atomic rename) to a sibling trash root before
+  // its survivors move in, and the roots are dropped last. Every crash
+  // window leaves the originals in either place; the heal pass at the
+  // head of the next call finishes the swap. The only reader-visible
+  // artifact in a window is CONSERVATIVE for a takedown: an affected
+  // partition's survivors may be briefly absent — never duplicated,
+  // never lost.
+  // --------------------------------------------------------------------
+
+  private def takedownTmp(path: String) = path.stripSuffix("/") + "__takedown_tmp"
+  private def takedownTrash(path: String) = path.stripSuffix("/") + "__takedown_trash"
+
+  /** TEST-ONLY fault injection for [[deleteFromLanding]]'s windows:
+    * 1 = after the survivor write, before any move; 2 = after the first
+    * partition's move-out, before its move-in; 3 = after all swaps,
+    * before the root deletes. Cleared on trip. */
+  @volatile private[graft] var failDuringTakedown: Int = 0
+  private def maybeFailTakedown(at: Int): Unit =
+    if (failDuringTakedown == at) {
+      failDuringTakedown = 0
+      throw new IllegalStateException(
+        s"graft test fault injection: deleteFromLanding crash window $at")
+    }
+
+  /** Finish a crashed [[deleteFromLanding]]: restore or complete every
+    * in-flight partition swap, then drop the sibling roots. Trash-first
+    * delete order makes "tmp root with no trash root" unambiguous
+    * debris. Runs automatically at the head of every takedown. */
+  private def healTakedown(s: SparkSession, path: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val trash = new Path(takedownTrash(path))
+    val tmp = new Path(takedownTmp(path))
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).filter(_.getPath.getName.startsWith(s"$LandCol=")).foreach { st =>
+        val dst = new Path(path, st.getPath.getName)
+        val tmpPart = new Path(tmp, st.getPath.getName)
+        if (!fs.exists(dst)) {
+          // crash between move-out and move-in: the survivors (tmp) are
+          // the correct final state; a missing tmp partition means every
+          // row of it was a victim — absence IS the final state
+          if (fs.exists(tmpPart)) { fs.rename(tmpPart, dst); () }
+        }
+      }
+      fs.delete(trash, true)
+    }
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+  }
+
+  /** Physically delete `ids` (a single-column frame, the
+    * Tombstones.append convention) from the landed table at `path`,
+    * rewriting only the partitions that hold them. Returns the number
+    * of rows removed. Idempotent and re-runnable: a takedown that
+    * crashed mid-swap heals at the next call's head and can simply be
+    * re-issued. Pair with the family's `deleteFrom*Index` — this is
+    * the payload half of the takedown; the index half stays
+    * tombstone-then-compact. */
+  def deleteFromLanding(s: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Long = {
+    require(ids.columns.length == 1,
+      s"takedown ids must be a single-column frame, got ${ids.columns.mkString(",")}")
+    healTakedown(s, path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    val t = ids.select(col(ids.columns(0)).as("__victim")).distinct()
+    val landed = s.read.parquet(path)
+    // one projection-only pass over (idCol, partition col): which
+    // partitions hold victims, and how many rows die (bounded collect —
+    // at most the partition count)
+    val hits = landed.select(col(idCol), col(LandCol))
+      .join(broadcast(t), col(idCol) === col("__victim"), "left_semi")
+      .groupBy(LandCol).count().collect()
+    if (hits.isEmpty) return 0L
+    val affected = hits.map(_.getString(0)).sorted
+    val nVictims = hits.map(_.getLong(1)).sum
+    // survivors of the affected partitions only — untouched partitions'
+    // files are never opened, let alone rewritten
+    val base = landed.where(col(LandCol).isin(affected.toIndexedSeq: _*))
+    base.join(broadcast(t), base(idCol) === t("__victim"), "left_anti")
+      .write.mode("overwrite").partitionBy(LandCol).parquet(takedownTmp(path))
+    maybeFailTakedown(1)
+    val trash = new Path(takedownTrash(path))
+    fs.mkdirs(trash)
+    affected.foreach { p =>
+      val dst = new Path(root, s"$LandCol=$p")
+      fs.rename(dst, new Path(trash, s"$LandCol=$p"))
+      maybeFailTakedown(2)
+      val tmpPart = new Path(takedownTmp(path), s"$LandCol=$p")
+      if (fs.exists(tmpPart)) { fs.rename(tmpPart, dst); () }
+    }
+    maybeFailTakedown(3)
+    fs.delete(trash, true)
+    fs.delete(new Path(takedownTmp(path)), true)
+    s.catalog.refreshByPath(path)
+    nVictims
+  }
+
   /** Repair a [[SketchSink]]'s ledgers after the one ingest crash
     * window that is recovered rather than fenced (a crash between the
     * index append and [[recordSketches]] — DURABILITY row (b)): diff

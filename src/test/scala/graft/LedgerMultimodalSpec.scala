@@ -264,6 +264,63 @@ class LedgerMultimodalSpec extends AnyFunSuite {
     assert(AssetIngest.compactLanding(spark, s"$data/docs", retain = Set.empty).isEmpty)
   }
 
+  test("deleteFromLanding removes victims from only their partitions; every crash window heals without losing survivors") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = Files.createTempDirectory("takedown").toString
+    val (idx, data) = (s"$base/idx", s"$base/data")
+    val docs = s"$data/docs"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, "s",
+      (1 to 60).map(t => s"k${i}_$t").mkString(" "))).toDF("doc_id", "source", "text")
+    def landedDocs: Seq[Long] = spark.read.parquet(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    AssetIngest.ingestTextBatch(spark, batch(Seq(1L, 2L, 3L)), idx, data, batchId = Some("b0"))
+    AssetIngest.ingestTextBatch(spark, batch(Seq(4L, 5L)), idx, data, batchId = Some("b1"))
+    // untouched-partition discipline: b1's files must be byte-identical
+    // after a takedown that only hits b0
+    def b1Files: Set[(String, Long, Long)] =
+      new java.io.File(s"$docs/ingest_batch=b1").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    val b1Before = b1Files
+    assert(AssetIngest.deleteFromLanding(spark, docs, Seq(2L).toDF("id"), "doc_id") === 1L)
+    assert(landedDocs === Seq(1L, 3L, 4L, 5L))
+    assert(b1Files === b1Before, "takedown rewrote an unaffected partition")
+    // absent victim: no-op, returns 0
+    assert(AssetIngest.deleteFromLanding(spark, docs, Seq(99L).toDF("id"), "doc_id") === 0L)
+
+    // window 1 (survivors written, nothing moved): heal drops the tmp,
+    // originals intact; a re-issued takedown completes
+    AssetIngest.failDuringTakedown = 1
+    intercept[IllegalStateException] {
+      AssetIngest.deleteFromLanding(spark, docs, Seq(3L).toDF("id"), "doc_id")
+    }
+    assert(landedDocs === Seq(1L, 3L, 4L, 5L), "window 1 changed the table")
+    assert(AssetIngest.deleteFromLanding(spark, docs, Seq(3L).toDF("id"), "doc_id") === 1L)
+    assert(landedDocs === Seq(1L, 4L, 5L))
+
+    // window 2 (first partition moved out, survivors not yet moved in):
+    // the heal at the next call's head completes the swap — survivors
+    // reappear, the victim stays gone — and the re-issue is a no-op
+    AssetIngest.failDuringTakedown = 2
+    intercept[IllegalStateException] {
+      AssetIngest.deleteFromLanding(spark, docs, Seq(4L).toDF("id"), "doc_id")
+    }
+    assert(AssetIngest.deleteFromLanding(spark, docs, Seq(4L).toDF("id"), "doc_id") === 0L)
+    assert(landedDocs === Seq(1L, 5L), "window 2 lost survivors or kept the victim")
+
+    // window 3 (all swaps done, roots not yet dropped): heal just cleans
+    AssetIngest.failDuringTakedown = 3
+    intercept[IllegalStateException] {
+      AssetIngest.deleteFromLanding(spark, docs, Seq(5L).toDF("id"), "doc_id")
+    }
+    assert(AssetIngest.deleteFromLanding(spark, docs, Seq(5L).toDF("id"), "doc_id") === 0L)
+    assert(landedDocs === Seq(1L))
+    assert(!new java.io.File(s"${docs}__takedown_tmp").exists() &&
+      !new java.io.File(s"${docs}__takedown_trash").exists(),
+      "takedown left sibling roots behind")
+  }
+
   test("crash between landing and index append: image loop retries without duplicate landings") {
     import graft.sources.{AssetIngest, ImageCodec}
     import spark.implicits._
