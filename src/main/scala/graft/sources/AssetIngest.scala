@@ -342,7 +342,14 @@ object AssetIngest {
     * crashed mid-swap heals at the next call's head and can simply be
     * re-issued. Pair with the family's `deleteFrom*Index` — this is
     * the payload half of the takedown; the index half stays
-    * tombstone-then-compact. */
+    * tombstone-then-compact.
+    *
+    * Retry-horizon note (the [[compactLanding]] contract's mirror): a
+    * takedown hitting a batch STILL INSIDE the caller's retry horizon
+    * can be undone by that batch's replay (the replay overwrites the
+    * rewritten partition, victim included). Take down after the
+    * horizon, or re-issue the takedown after the replay — it is
+    * idempotent either way. */
   def deleteFromLanding(s: SparkSession, path: String, ids: DataFrame,
       idCol: String): Long = {
     require(ids.columns.length == 1,

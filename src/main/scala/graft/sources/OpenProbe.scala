@@ -24,6 +24,14 @@ import org.apache.spark.sql.SparkSession
   * [[Diverged]] instead of discovering the slow path from a latency
   * dashboard.
   *
+  * Acting on the returned mode, per family:
+  *
+  *  | mode       | construct to run                                      |
+  *  |------------|-------------------------------------------------------|
+  *  | ScanCached | the family's `*DedupProbeStream` / gate with `cacheStatic = true` (StaticCache slot reuse) |
+  *  | Scan       | the same gate with `cacheStatic = false` (per-trigger re-scan) |
+  *  | Pruned     | foreachBatch over the family's batch probe (`dedupAgainstIndex` / `dedupEmbedAgainstIndex` / `dedup*AgainstIndex`), which takes the literal-pruned `pbands` path — ScaleSmoke's `pruned` probe mode |
+  *
   * What this does NOT do: it never heals an index whose size tier is
   * ScanCached/Scan (the layout is irrelevant at that tier — healing
   * would be work the probe never reads), and it never CREATES a layout
