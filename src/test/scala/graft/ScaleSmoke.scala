@@ -594,6 +594,57 @@ object ScaleSmoke {
             println(s"CALIBRATE written to $t/${graft.sources.ProbeMode.CalibrationFile}")
           }
         }
+      case "landing" =>
+        // landing <sfDir> <batches> [docsPerBatch] — the small-files
+        // arithmetic behind AssetIngest.compactLanding: land N small
+        // ingest batches (one ingest_batch partition each), time a
+        // representative scan over the fragmented layout, fold
+        // everything outside a 1-batch retry horizon, re-time. Reported:
+        // file counts, partition counts, scan seconds before/after —
+        // the BASELINE.md table for the landing lifecycle.
+        {
+          import graft.sources.AssetIngest
+          import s.implicits._
+          val src = args(1)
+          val batches = args(2).toInt
+          val perBatch = if (args.length > 3) args(3).toInt else 40
+          val docs = Tables.documents(s, src).select("doc_id", "source", "text")
+            .limit(batches * perBatch).collect()
+          val base = java.nio.file.Files.createTempDirectory("landing_smoke").toString
+          val (idx, data) = (s"$base/idx", s"$base/data")
+          val (_, ingestSecs) = timed {
+            (0 until batches).foreach { b =>
+              val rows = docs.slice(b * perBatch, (b + 1) * perBatch)
+                .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+              AssetIngest.ingestTextBatch(s, rows.toDF("doc_id", "source", "text"),
+                idx, data, batchId = Some(f"b$b%04d"))
+            }
+          }
+          def stats(): (Long, Long) = {
+            val root = new java.io.File(s"$data/docs")
+            val parts = root.listFiles().filter(_.getName.startsWith("ingest_batch="))
+            (parts.length.toLong,
+              parts.map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum)
+          }
+          def scanSecs(): Double = {
+            s.catalog.refreshByPath(s"$data/docs")
+            // representative read: full scan + a keyed aggregate
+            val (_, t) = timed(s.read.parquet(s"$data/docs")
+              .groupBy("source").agg(count(lit(1)), avg(length(col("text"))))
+              .collect())
+            t
+          }
+          val (p0, f0) = stats()
+          val before = (1 to 3).map(_ => scanSecs()).min
+          val retain = Set(f"b${batches - 1}%04d") // the retry horizon
+          val (folded, foldSecs) = timed(
+            AssetIngest.compactLanding(s, s"$data/docs", retain))
+          val (p1, f1) = stats()
+          val after = (1 to 3).map(_ => scanSecs()).min
+          println(f"LANDING batches=$batches per_batch=$perBatch ingest=$ingestSecs%.1f " +
+            f"before: parts=$p0 files=$f0 scan=$before%.3f | fold: n=${folded.size} " +
+            f"secs=$foldSecs%.2f | after: parts=$p1 files=$f1 scan=$after%.3f")
+        }
       case "bloom" =>
         // bloom <sfDir> <factor> — exact vs bloom-prefiltered
         // contamination gate at an upsampled corpus (BASELINE.md
