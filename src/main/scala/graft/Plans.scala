@@ -71,6 +71,8 @@ object Plans {
       "share the chunked base"),
     "q_token_budget_select" -> ("1-row score-bounds broadcast assigning range chunks (the " +
       "q_pack_sequences two-level scan transposed to score order)"),
+    "q_mixture_plan"    -> ("1-row corpus-total broadcasts (sum of tokens, sum of raw weights) " +
+      "onto the 20-row per-source aggregate — both sides bounded by the source-key cardinality"),
     "q_evt_concurrency" -> ("1-row time-bounds broadcast assigning range chunks (the " +
       "two-level scan keyed by sweep-line instant)"),
   )

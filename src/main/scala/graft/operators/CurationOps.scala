@@ -199,6 +199,35 @@ object CurationOps {
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy("shard", "pos")
     }),
+
+    // Mixture plan — the arithmetic every multi-source training run
+    // starts from: per-source token totals → temperature-scaled sampling
+    // weights (sqrt share, the standard t=2 rebalancing that upweights
+    // small sources without letting any source dominate) → epochs over
+    // each source at a fixed token budget (epochs > 1 = the source
+    // repeats; the over-repetition warning a curation review reads).
+    // Shape at any scale: ONE map-side-combined aggregate keyed on the
+    // 20-key source column; the two corpus totals (sum of tokens, sum of
+    // raw weights) ride as 1-row broadcasts. The weight stays UNROUNDED
+    // through the epochs arithmetic and both engines evaluate the same
+    // left-to-right expression, so the rounded outputs agree exactly.
+    "q_mixture_plan" -> ((s, d) => {
+      val tokc = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
+        .groupBy("source").agg(sum("t").as("toks"))
+      val allToks = tokc.agg(sum("toks").as("all_toks"))
+      val w = tokc.crossJoin(broadcast(allToks))
+        .withColumn("rawW", sqrt(col("toks").cast("double") / col("all_toks")))
+      val sumW = w.agg(sum("rawW").as("sum_w"))
+      w.crossJoin(broadcast(sumW))
+        .select(
+          col("source"), col("toks"),
+          round(col("toks").cast("double") / col("all_toks"), 6).as("share"),
+          round(col("rawW") / col("sum_w"), 6).as("weight"),
+          round(col("rawW") / col("sum_w") * lit(1000000L) / col("toks"), 4)
+            .as("epochs"))
+        .orderBy("source")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -276,5 +305,19 @@ object CurationOps {
         |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS shard FROM h)
         |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h) AS pos, doc_id
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q_mixture_plan" ->
+      """WITH tokc AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, toks,
+        |    sqrt(CAST(toks AS DOUBLE) / (SELECT sum(toks) FROM tokc)) AS rawW
+        |  FROM tokc)
+        |SELECT source, toks,
+        |  round(CAST(toks AS DOUBLE) / (SELECT sum(toks) FROM tokc), 6) AS share,
+        |  round(rawW / (SELECT sum(rawW) FROM w), 6) AS weight,
+        |  round(rawW / (SELECT sum(rawW) FROM w) * 1000000 / toks, 4) AS epochs
+        |FROM w ORDER BY source""".stripMargin,
   )
 }

@@ -486,6 +486,70 @@ object TextOps {
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
         .limit(100)
     }),
+
+    // CROSS-SOURCE n-gram leakage report — the inter-source twin of
+    // q_ngram_dup_profile. Where that query asks "which grams repeat
+    // within the corpus", this asks the curation question "how much of
+    // each source's gram inventory ALSO appears in another source" —
+    // the scraped-mirror / syndicated-content signal a mixture plan
+    // weights sources down by. Shape at 100 TB: the gram derivation is
+    // linear in corpus tokens and collapses map-side to DISTINCT
+    // (source, gram) before any wire traffic; the leak mark is one
+    // window count keyed on the gram (the same shuffle a groupBy(gram)
+    // would pay, reused in place so the per-source rollup follows
+    // without a join back); the final source rollup is a 20-row
+    // aggregate. No doc×doc or source×source pair ever materializes.
+    // The CASE guard is the q_str_ngrams descending-sequence() trap.
+    "q_xsource_leakage" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"), explode(expr(
+          "CASE WHEN size(toks) - 7 >= 1 THEN transform(sequence(1, size(toks) - 7), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+            "element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4), " +
+            "element_at(toks, i + 5), element_at(toks, i + 6), element_at(toks, i + 7))) " +
+            "ELSE array() END")).as("g"))
+        .distinct()
+      grams
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          count(when(col("ns") > 1, 1)).as("n_leaked"),
+          round(count(when(col("ns") > 1, 1)).cast("double") / count(lit(1)), 6)
+            .as("leak_ratio"))
+        .orderBy("source")
+    }),
+
+    // Zipf-fit corpus health check: regress ln(frequency) on ln(rank)
+    // over each source's top-50 token ranks. Natural-language token
+    // distributions sit near slope -1; a source whose slope collapses
+    // toward 0 (flat = synthetic/templated text) or whose r² craters is
+    // the classic automated "this scrape went wrong" detector. Scale
+    // shape: the vocab count is one map-side-combined shuffle keyed on
+    // (source, token) — the stream leaving the scan is the VOCABULARY,
+    // not the corpus; the rank window then shuffles only vocab rows on
+    // the 20-key source partition (bounded by vocab size per source,
+    // the post-agg quantity, never corpus tokens), and the regression
+    // runs over ≤50 rows per source. Rank ties break on the token for
+    // cross-engine determinism.
+    "q_zipf_fit" -> ((s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      cnt
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy(col("n").desc, col("tok").asc)))
+        .where(col("r") <= 50)
+        .groupBy("source")
+        .agg(
+          round(expr("regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4)
+            .as("zipf_slope"),
+          round(expr("regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4)
+            .as("zipf_r2"),
+          count(lit(1)).as("k"))
+        .orderBy("source")
+    }),
   )
 
   /** Two-level prefix-sum sequence packing — the distributed-scan layout of
@@ -531,6 +595,32 @@ object TextOps {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
         |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 100""".stripMargin,
+
+    "q_xsource_leakage" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT source, array_to_string(toks[i : i + 7], ' ') AS g
+        |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+        |m AS (SELECT source, count(*) OVER (PARTITION BY g) AS ns FROM g)
+        |SELECT source, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE ns > 1) AS n_leaked,
+        |  round(CAST(count(*) FILTER (WHERE ns > 1) AS DOUBLE) / count(*), 6)
+        |    AS leak_ratio
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_zipf_fit" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, n,
+        |         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS r
+        |       FROM cnt)
+        |SELECT source,
+        |  round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+        |    AS zipf_slope,
+        |  round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+        |    AS zipf_r2,
+        |  count(*) AS k
+        |FROM rk WHERE r <= 50 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS docs,

@@ -1059,6 +1059,31 @@ object VectorOps {
         .limit(20)
     }),
 
+    // Per-label centroid norm — the cluster-coherence report for an
+    // embedding corpus of unit vectors: ||mean(v)|| equals the average
+    // cosine of members to their own centroid direction, so ~1 means the
+    // label is a tight cluster and ~1/sqrt(n) means it is statistically
+    // noise (random unit vectors cancel). The audit a labeled embedding
+    // table gets before anyone trusts per-label ANN or a per-label
+    // mixture decision. Scale shape: posexplode expands rows × dim but
+    // the (label, i) partial aggregate collapses it map-side — the wire
+    // carries labels × dim component rows, never the corpus; the norm
+    // fold is then labels-many rows and the member count rides a
+    // broadcast join keyed on the label.
+    "q_embed_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val comp = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("label", "i")
+        .agg(avg(col("v").cast("double")).as("c"))
+      val norms = comp.groupBy("label")
+        .agg(round(sqrt(sum(col("c") * col("c"))), 4).as("centroid_norm"))
+      val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+      norms.join(broadcast(counts), "label")
+        .select("label", "centroid_norm", "n")
+        .orderBy("label")
+    }),
+
     // The SAME brute-force scan through the Panama SIMD kernel
     // (knnBruteForce(simd = true) → graft_dot_simd) — declared so the
     // driver gate exercises the kernel + module probe + scalar fallback
@@ -1343,6 +1368,22 @@ object VectorOps {
         |    (acc, x) -> acc + x), 6) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, e.vec_id ASC LIMIT 20""".stripMargin,
+
+    // Component averages accumulate in DOUBLE on both sides (the cast
+    // sits inside the avg), so only summation order can differ — noise
+    // around 1e-16 against a 4dp rounding of an O(0.1) norm.
+    "q_embed_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY label, i),
+        |norms AS (
+        |  SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm
+        |  FROM comp GROUP BY label),
+        |cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT norms.label, centroid_norm, n
+        |FROM norms JOIN cnt ON norms.label = cnt.label
+        |ORDER BY norms.label""".stripMargin,
 
     // The dot is a sequential left-fold in DOUBLE (list_reduce), bit-
     // identical to graft_dot's accumulation. DuckDB's list_dot_product /

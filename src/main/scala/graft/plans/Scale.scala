@@ -53,11 +53,16 @@ object Scale {
 
   /** Bucketed layout: co-locates join/agg keys so equal-bucketed joins
     * skip their shuffle entirely. Table-catalog based (bucketing metadata
-    * lives in the catalog, not the files). */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    * lives in the catalog, not the files). `path` makes the table
+    * EXTERNAL with its data rooted there (a scratch-scoped location for
+    * in-query layouts); None keeps the default warehouse location. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Compact a parquet dataset into files of ~`targetBytesPerFile`: the
     * small-files fix for streaming/incremental sinks (thousands of tiny
@@ -491,6 +496,49 @@ object Scale {
         s"q_prune_range1d: zone map kept all $total files of the " +
           "range-sorted layout — pruning selectivity regressed")
       pruned.orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // Shuffle-FREE co-located join through the bucketed layout, under the
+    // driver's hash gate — the q_prune_zorder recipe applied to the last
+    // spec-only layout surface (writeBucketed). Both sides land bucketed
+    // by their join key into the same bucket count (the one-time shuffle
+    // a 100 TB deployment pays at WRITE so every subsequent join/agg on
+    // that key pays none); the repartition before each write aligns task
+    // hashing with bucket hashing so each bucket is exactly one file.
+    // The in-query guard asserts what the hash gate cannot see: the
+    // joined plan must contain NO shuffle exchange — a silent regression
+    // to a shuffled join returns identical rows. The merge hint keeps
+    // the planner on SMJ even where the dimension side would broadcast
+    // at test scale (a broadcast plan would also be exchange-free on the
+    // bucket columns and would hide a bucketing regression). Catalog
+    // names are per-JVM (in-memory catalog); the data lives in the
+    // per-run scratch scope like the other layout queries.
+    "q_join_bucketed" -> ((s, d) => {
+      val run = scratch(s, "bucketed", d)
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      writeBucketed(o.repartition(8, col("o_orderkey")),
+        "graft_bkt_orders", "o_orderkey", 8, Some(s"$run/orders"))
+      writeBucketed(li.repartition(8, col("l_orderkey")),
+        "graft_bkt_lineitem", "l_orderkey", 8, Some(s"$run/lineitem"))
+      val joined = s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        "q_join_bucketed: the bucketed join planned a shuffle exchange — " +
+          "bucket co-location regressed (bucket counts or keys no longer align)")
+      require(plan.contains("SortMergeJoin"),
+        "q_join_bucketed: expected a sort-merge join over the bucketed scans")
+      joined.groupBy("o_orderpriority")
+        .agg(
+          round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -514,7 +562,14 @@ object Scale {
         |FROM lineitem
         |WHERE l_partkey BETWEEN (SELECT max(l_partkey)//10 FROM lineitem)
         |                    AND (SELECT max(l_partkey)//5 FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
   def pruneByStats(spark: SparkSession, path: String, key: String,
       from: Any, to: Any, maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the r17 corpus-audit queries (q_mixture_plan,
+  * q_zipf_fit, q_xsource_leakage, q_embed_centroids, q_join_bucketed).
+  * The driver's DuckDB gate proves cross-engine value equality; these laws
+  * prove the MATH is the intended math, on fixtures where the right answer
+  * is known in closed form — a regression that changed both engines the
+  * same way (e.g. a dropped sqrt) would pass the hash gate and fail here.
+  */
+class CorpusAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Scratch dir shaped like a testdata SF dir (only the tables a given
+    * query reads need to exist). */
+  private def fixtureDir(): String =
+    Files.createTempDirectory("graft_audit_fixture").toString
+
+  test("q_mixture_plan: shares and weights are distributions; epochs recompute") {
+    val rows = SparkEntry.queries("q_mixture_plan")(spark, sf).collect()
+    assert(rows.length > 1, "fixture defect: need multiple sources")
+    val share = rows.map(_.getDouble(2)).sum
+    val weight = rows.map(_.getDouble(3)).sum
+    // each of ~20 addends is rounded to 1e-6
+    assert(math.abs(share - 1.0) < 2e-5, s"shares sum to $share, not 1")
+    assert(math.abs(weight - 1.0) < 2e-5, s"weights sum to $weight, not 1")
+    rows.foreach { r =>
+      val (toks, w, ep) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      val expected = w * 1000000L / toks
+      assert(math.abs(ep - expected) <= expected * 0.01 + 1e-4,
+        s"source ${r.getString(0)}: epochs $ep vs recomputed $expected")
+      assert(ep > 0, s"source ${r.getString(0)}: non-positive epochs")
+    }
+    // sqrt temperature UPWEIGHTS small sources: weight/share must be
+    // monotone-decreasing in token count (the whole point of t=2 mixing)
+    val boost = rows.map(r => r.getLong(1) -> r.getDouble(3) / r.getDouble(2))
+      .sortBy(_._1)
+    assert(boost.head._2 >= boost.last._2,
+      s"smallest source boosted ${boost.head._2}x < largest ${boost.last._2}x")
+  }
+
+  test("q_zipf_fit: an exact power-law source fits slope -1 with r2 ~ 1") {
+    val dir = fixtureDir()
+    import spark.implicits._
+    // token i appears round(1000/i) times, i = 1..50: ln n = ln 1000 - ln r
+    val text = (1 to 50).flatMap(i =>
+      Seq.fill(math.round(1000.0 / i).toInt)(f"t$i%02d")).mkString(" ")
+    Seq((1L, "powerlaw", text)).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_zipf_fit")(spark, dir).collect()
+    assert(r.length == 1)
+    val (slope, r2, k) = (r(0).getDouble(1), r(0).getDouble(2), r(0).getLong(3))
+    assert(k == 50, s"expected 50 ranks, got $k")
+    assert(math.abs(slope + 1.0) < 0.05, s"power-law slope $slope not ~ -1")
+    assert(r2 > 0.995, s"power-law r2 $r2 not ~ 1")
+  }
+
+  test("q_xsource_leakage: mirrored sources leak fully, unique source leaks zero") {
+    val dir = fixtureDir()
+    import spark.implicits._
+    val mirrored = (1 to 30).map(i => s"m$i").mkString(" ")
+    val unique = (1 to 30).map(i => s"u$i").mkString(" ")
+    Seq((1L, "site_a", mirrored), (2L, "site_b", mirrored),
+        (3L, "site_c", unique))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_xsource_leakage")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // 30 tokens → 23 8-grams per doc
+    assert(got("site_a") == ((23L, 23L, 1.0)), s"site_a: ${got("site_a")}")
+    assert(got("site_b") == ((23L, 23L, 1.0)), s"site_b: ${got("site_b")}")
+    assert(got("site_c") == ((23L, 0L, 0.0)), s"site_c: ${got("site_c")}")
+  }
+
+  test("q_embed_centroids: closed-form norms for identical/opposed/orthogonal labels") {
+    val dir = fixtureDir()
+    import spark.implicits._
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val neg = Array(-1f, 0f, 0f, 0f)
+    Seq(
+      (1L, e1, 1), (2L, e1, 1), (3L, e1, 1), (4L, e1, 1), // tight cluster
+      (5L, e1, 2), (6L, neg, 2),                          // cancels exactly
+      (7L, e1, 3), (8L, e2, 3),                           // orthogonal pair
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_embed_centroids")(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1) == ((1.0, 4L)), s"identical vectors: ${got(1)}")
+    assert(got(2) == ((0.0, 2L)), s"opposed vectors: ${got(2)}")
+    assert(got(3) == ((0.7071, 2L)), s"orthogonal pair: ${got(3)}")
+  }
+
+  test("q_join_bucketed: layout independence — bucketed result equals the plain shuffled join") {
+    val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(bucketed.sameElements(plain),
+      s"bucketed join diverged from the plain join:\n  bucketed=${bucketed.toSeq}\n  plain=${plain.toSeq}")
+  }
+}
