@@ -73,6 +73,8 @@ object Plans {
       "q_pack_sequences two-level scan transposed to score order)"),
     "q_mixture_plan"    -> ("1-row corpus-total broadcasts (sum of tokens, sum of raw weights) " +
       "onto the 20-row per-source aggregate — both sides bounded by the source-key cardinality"),
+    "q_corpus_report"   -> ("the q_mixture_plan component's 1-row corpus-total broadcasts, " +
+      "composed unchanged inside corpusHealthReport (same bounded shape)"),
     "q_evt_concurrency" -> ("1-row time-bounds broadcast assigning range chunks (the " +
       "two-level scan keyed by sweep-line instant)"),
   )

@@ -68,6 +68,63 @@ object CurationOps {
       .drop("chunk", "cum_local")
   }
 
+  /** Per-source exact-duplicate rate over any documents frame (needs
+    * `source` and `text`). The md5 collapses full-text comparison to a
+    * 32-hex-char key before the distinct, so the shuffle carries digests,
+    * never document bodies — the same reason q_dedup_exact hashes before
+    * grouping. The rate is the curation-review number ("which source is
+    * mostly mirrors"); keep/drop decisions stay with the dedup family. */
+  def dupRateBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(md5(col("text"))).as("uniq"))
+      .select(col("source"), col("docs"), col("uniq"),
+        round(lit(1.0) - col("uniq").cast("double") / col("docs"), 6).as("dup_rate"))
+
+  /** Snapshot diff: classify every doc id across two corpus versions as
+    * added / removed / changed / unchanged by CONTENT HASH. Both inputs
+    * need (`idCol`, `srcCol`, `hashCol`) — hash upstream (md5/sha2) so
+    * the full-outer join shuffles ids + digests, never document bodies;
+    * at 100 TB this is one equi-shuffle per side on the id, the plan a
+    * between-crawl-snapshots audit wants. Added rows take their source
+    * from v2, removed from v1 (coalesce). */
+  def snapshotDiff(v1: org.apache.spark.sql.DataFrame, v2: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", srcCol: String = "source",
+      hashCol: String = "h"): org.apache.spark.sql.DataFrame = {
+    val a = v1.select(col(idCol).as("id1"), col(srcCol).as("src1"), col(hashCol).as("h1"))
+    val b = v2.select(col(idCol).as("id2"), col(srcCol).as("src2"), col(hashCol).as("h2"))
+    a.join(b, col("id1") === col("id2"), "full_outer")
+      .select(
+        coalesce(col("src1"), col("src2")).as("source"),
+        coalesce(col("id1"), col("id2")).as("doc_id"),
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("cls"))
+  }
+
+  /** The one-call corpus health report a curation review starts from:
+    * per-source mixture arithmetic (q_mixture_plan), Zipf fit
+    * (q_zipf_fit), cross-source leakage (q_xsource_leakage) and the RAW
+    * exact-dup rate, joined on the source key. Each component keeps its
+    * own at-scale shape; the joins are source-cardinality rows (tens),
+    * so they broadcast. Declared as q_corpus_report. */
+  def corpusHealthReport(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val mix = queries("q_mixture_plan")(s, d)
+    val zipf = TextOps.queries("q_zipf_fit")(s, d)
+      .select("source", "zipf_slope", "zipf_r2")
+    val leak = TextOps.queries("q_xsource_leakage")(s, d)
+      .select("source", "leak_ratio")
+    val dup = dupRateBySource(Tables.documents(s, d))
+      .select("source", "docs", "dup_rate")
+    mix.join(zipf, "source").join(leak, "source").join(dup, "source")
+      .select("source", "docs", "toks", "share", "weight", "epochs",
+        "zipf_slope", "zipf_r2", "leak_ratio", "dup_rate")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     // Unicode NFC normalization via the native graft_nfc expression
     // (functions/NfcNormalize.scala). The corpus text is ASCII, so the
@@ -228,6 +285,55 @@ object CurationOps {
             .as("epochs"))
         .orderBy("source")
     }),
+
+    // Snapshot diff between two corpus versions, rolled up per source —
+    // the between-crawls audit ("what did this refresh actually change").
+    // v2 is derived deterministically in-query (removals % 7, content
+    // edits % 11, additions % 13 re-id'd +10M) so both engines diff the
+    // same pair. Scale shape: both sides reduce to (id, source, digest)
+    // at the scan, the full-outer join shuffles ONLY those three columns
+    // keyed on the id, and the rollup is source-cardinality rows. The
+    // hash never crosses engines — only the class counts do — so md5
+    // here is a within-engine equality witness, not an oracle surface.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val v2 = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 11 === 3, md5(concat(col("text"), lit(" rev2"))))
+            .otherwise(md5(col("text"))).as("h"))
+        .unionByName(docs.where(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            md5(concat(col("text"), lit(" new"))).as("h")))
+      snapshotDiff(v1, v2)
+        .groupBy("source")
+        .agg(
+          count(when(col("cls") === "added", 1)).as("n_added"),
+          count(when(col("cls") === "removed", 1)).as("n_removed"),
+          count(when(col("cls") === "changed", 1)).as("n_changed"),
+          count(when(col("cls") === "unchanged", 1)).as("n_unchanged"))
+        .orderBy("source")
+    }),
+
+    // Per-source exact-dup rate on a corpus with planted source-skewed
+    // duplicates (doc_id % 7 > doc_id % 20 replants a copy, so low-index
+    // sources carry rates up to ~0.46 and sources >= src7 carry none —
+    // the "which source is mostly mirrors" distribution a real crawl
+    // shows). The library face (dupRateBySource) takes any frame; the
+    // declared query fixes the planting so the oracle can replay it.
+    "q_dup_rate_by_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 7 > col("doc_id") % 20))
+      dupRateBySource(planted).orderBy("source")
+    }),
+
+    // The composed per-source health report (corpusHealthReport) under
+    // the driver gate: mixture + Zipf + leakage + raw dup rate in one
+    // frame. The dup_rate column is genuinely 0.0 on this corpus (every
+    // text is unique) — the gate proves the JOIN and column plumbing,
+    // the component queries prove the signals.
+    "q_corpus_report" -> ((s, d) => corpusHealthReport(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,5 +425,79 @@ object CurationOps {
         |  round(rawW / (SELECT sum(rawW) FROM w), 6) AS weight,
         |  round(rawW / (SELECT sum(rawW) FROM w) * 1000000 / toks, 4) AS epochs
         |FROM w ORDER BY source""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 3 THEN md5(text || ' rev2') ELSE md5(text) END AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, md5(text || ' new')
+        |  FROM documents WHERE doc_id % 13 = 1),
+        |d AS (
+        |  SELECT coalesce(v1.source, v2.source) AS source,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'changed' ELSE 'unchanged' END AS cls
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source,
+        |  count(*) FILTER (WHERE cls = 'added') AS n_added,
+        |  count(*) FILTER (WHERE cls = 'removed') AS n_removed,
+        |  count(*) FILTER (WHERE cls = 'changed') AS n_changed,
+        |  count(*) FILTER (WHERE cls = 'unchanged') AS n_unchanged
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dup_rate_by_source" ->
+      """WITH c AS (
+        |  SELECT source, md5(text) AS h FROM documents
+        |  UNION ALL
+        |  SELECT source, md5(text) AS h FROM documents WHERE doc_id % 7 > doc_id % 20)
+        |SELECT source, count(*) AS docs, count(DISTINCT h) AS uniq,
+        |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH tokc AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, toks,
+        |    sqrt(CAST(toks AS DOUBLE) / (SELECT sum(toks) FROM tokc)) AS rawW
+        |  FROM tokc),
+        |mix AS (
+        |  SELECT source, toks,
+        |    round(CAST(toks AS DOUBLE) / (SELECT sum(toks) FROM tokc), 6) AS share,
+        |    round(rawW / (SELECT sum(rawW) FROM w), 6) AS weight,
+        |    round(rawW / (SELECT sum(rawW) FROM w) * 1000000 / toks, 4) AS epochs
+        |  FROM w),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, n,
+        |         row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS r
+        |       FROM cnt),
+        |zipf AS (
+        |  SELECT source,
+        |    round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS zipf_slope,
+        |    round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4) AS zipf_r2
+        |  FROM rk WHERE r <= 50 GROUP BY source),
+        |t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT DISTINCT source, array_to_string(toks[i : i + 7], ' ') AS g
+        |      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)),
+        |m AS (SELECT source, count(*) OVER (PARTITION BY g) AS ns FROM g),
+        |leak AS (
+        |  SELECT source,
+        |    round(CAST(count(*) FILTER (WHERE ns > 1) AS DOUBLE) / count(*), 6) AS leak_ratio
+        |  FROM m GROUP BY source),
+        |dup AS (
+        |  SELECT source, count(*) AS docs,
+        |    round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+        |  FROM documents GROUP BY source)
+        |SELECT mix.source, docs, toks, share, weight, epochs,
+        |       zipf_slope, zipf_r2, leak_ratio, dup_rate
+        |FROM mix JOIN zipf ON mix.source = zipf.source
+        |         JOIN leak ON mix.source = leak.source
+        |         JOIN dup ON mix.source = dup.source
+        |ORDER BY mix.source""".stripMargin,
   )
 }

@@ -105,6 +105,68 @@ class CorpusAuditSpec extends AnyFunSuite {
     assert(got(3) == ((0.7071, 2L)), s"orthogonal pair: ${got(3)}")
   }
 
+  test("snapshotDiff: exact per-id classification on a four-way fixture") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val v1 = Seq((1L, "s", "h_a"), (2L, "s", "h_b"), (3L, "s", "h_c"))
+      .toDF("doc_id", "source", "h")
+    val v2 = Seq((2L, "s", "h_b"), (3L, "s", "h_c2"), (4L, "s", "h_d"))
+      .toDF("doc_id", "source", "h")
+    val got = CurationOps.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), s"got $got")
+  }
+
+  test("q_corpus_diff: class totals recompute from the derivation arithmetic") {
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val diff = SparkEntry.queries("q_corpus_diff")(spark, sf).collect()
+    def total(i: Int) = diff.map(_.getLong(i)).sum
+    assert(total(1) == ids.count(_ % 13 == 1), "added != % 13 == 1 docs")
+    assert(total(2) == ids.count(_ % 7 == 0), "removed != % 7 == 0 docs")
+    assert(total(3) == ids.count(i => i % 7 != 0 && i % 11 == 3),
+      "changed != surviving % 11 == 3 docs")
+    assert(total(1) + total(2) + total(3) + total(4) ==
+      ids.length + ids.count(_ % 13 == 1), "classes don't partition the id union")
+  }
+
+  test("dupRateBySource: closed-form rate on a planted fixture") {
+    import spark.implicits._
+    import graft.operators.CurationOps
+    val docs = Seq(
+      (1L, "x", "same text"), (2L, "x", "same text"), (3L, "x", "other"),
+      (4L, "y", "unique a"), (5L, "y", "unique b"),
+    ).toDF("doc_id", "source", "text")
+    val got = CurationOps.dupRateBySource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("x") == ((3L, 2L, 0.333333)), s"x: ${got("x")}")
+    assert(got("y") == ((2L, 2L, 0.0)), s"y: ${got("y")}")
+  }
+
+  test("q_corpus_report: equals the column-wise join of its component queries") {
+    val report = SparkEntry.queries("q_corpus_report")(spark, sf).collect()
+    val mix = SparkEntry.queries("q_mixture_plan")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val zipf = SparkEntry.queries("q_zipf_fit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val leak = SparkEntry.queries("q_xsource_leakage")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(report.length == mix.size, "report dropped or duplicated sources")
+    report.foreach { r =>
+      val s = r.getString(0)
+      assert((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)) == mix(s),
+        s"$s: mixture columns diverge from q_mixture_plan")
+      assert((r.getDouble(6), r.getDouble(7)) == zipf(s),
+        s"$s: zipf columns diverge from q_zipf_fit")
+      assert(r.getDouble(8) == leak(s),
+        s"$s: leak_ratio diverges from q_xsource_leakage")
+      assert(r.getDouble(9) == 0.0,
+        s"$s: raw corpus has no exact dups, dup_rate must be 0")
+    }
+  }
+
   test("q_join_bucketed: layout independence — bucketed result equals the plain shuffled join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
