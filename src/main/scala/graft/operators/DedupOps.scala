@@ -270,7 +270,7 @@ object DedupOps {
     * writeIvfIndex/writePqIndex — built once over the corpus, then
     * every new crawl batch probes and appends in O(batch). */
   def writeMinhashIndex(s: SparkSession, docs: DataFrame, dir: String,
-      k: Int = 16, bands: Int = 4): Unit = {
+      k: Int = 16, bands: Int = 4): Unit = graft.sources.WriterLock.withLock(dir) {
     val toks = docs.withColumn("toks", split(col("text"), " "))
     // rebuild fence (GenStamp): a crash between these commits could
     // leave e.g. new signatures under an old meta's (k, bands) — every
@@ -297,6 +297,7 @@ object DedupOps {
     * layout existed (probes fall back to the full scan until this
     * runs). A husk-dropped empty index leaves no pbands either. */
   def rebuildMinhashProbeLayout(s: SparkSession, dir: String): Unit =
+    graft.sources.WriterLock.withLock(dir) {
     if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets")) {
       graft.sources.BandBuckets.write(
         bandRowsOfBuckets(IdBuckets.read(s, s"$dir/cbuckets")),
@@ -304,6 +305,7 @@ object DedupOps {
       // the layout now reflects the signature table exactly — reconverge
       // the append-generation stamps (GenStamp) so pruned probes resume
       graft.sources.GenStamp.syncDerived(s, s"$dir/cbuckets", s"$dir/pbands")
+    }
     }
 
   /** Append a new batch to a persisted MinHash index — signatures use
@@ -331,7 +333,8 @@ object DedupOps {
     meta
   }
 
-  def appendToMinhashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToMinhashIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
     val meta = requireMinhashMeta(s, dir)
     val toks = batch.withColumn("toks", split(col("text"), " "))
     val buckets0 = minhashBucketsOf(s, toks.select(col("doc_id"), col("toks")),
@@ -409,7 +412,8 @@ object DedupOps {
     * id-bucketed layout, so only the partitions holding tombstoned ids
     * are rewritten (IndexMaintenanceSpec pins untouched partitions
     * byte-identical). */
-  def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
+  def compactMinhashIndex(s: SparkSession, dir: String): Unit =
+    graft.sources.WriterLock.withLock(dir) {
     // The probe layout folds FIRST, and the two partition schemes
     // COMPOSE: the deleted docs' band rows are located from the grouped
     // table via its id-bucket directories (a pruned read — cbuckets is

@@ -353,7 +353,8 @@ object VectorOps {
   /** Persist an IVF index under `dir`: codebook + cell-partitioned
     * postings (partitionBy makes the per-cell file pruning real — a
     * probe's scan reads only the probed cells' directories). */
-  def writeIvfIndex(e: DataFrame, cells: Int, dir: String, iters: Int = 2): Unit = {
+  def writeIvfIndex(e: DataFrame, cells: Int, dir: String,
+      iters: Int = 2): Unit = graft.sources.WriterLock.withLock(dir) {
     val (cb, postings) = ivfIndex(e, cells, iters)
     val s = e.sparkSession
     // rebuild fence (GenStamp): a crash between the two overwrites would
@@ -678,7 +679,7 @@ object VectorOps {
     * float vector (those live with the source table for the bounded
     * rerank fetch only). */
   def writeIvfPqIndex(e: DataFrame, cells: Int, m: Int, ks: Int, dir: String,
-      iters: Int = 2): Unit = {
+      iters: Int = 2): Unit = graft.sources.WriterLock.withLock(dir) {
     val (coarse, pqcb, codes) = ivfPqIndex(e, cells, m, ks, iters)
     val s = e.sparkSession
     // rebuild fence: three tables must agree (see writeIvfIndex)
@@ -754,7 +755,8 @@ object VectorOps {
     * duplicate candidates) — gate retries through Ledger.missing, the
     * discipline every index append in this library shares (see
     * appendToMinhashIndex's scaladoc and BuildPipelineSpec). */
-  def appendToIvfIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToIvfIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
     graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVF",
       "VectorOps.writeIvfIndex", Seq(s"$dir/codebook", s"$dir/postings"))
     val cb = s.read.parquet(s"$dir/codebook")
@@ -770,7 +772,8 @@ object VectorOps {
     * stays self-describing), appended to the codes table. No retrain.
     * Caller owns vec_id uniqueness (Ledger discipline — see
     * appendToIvfIndex). */
-  def appendToPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToPqIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
     graft.sources.GenStamp.requireRebuildComplete(s, dir, "PQ",
       "VectorOps.writePqIndex", Seq(s"$dir/codebooks", s"$dir/codes"))
     val cb = s.read.parquet(s"$dir/codebooks")
@@ -794,7 +797,8 @@ object VectorOps {
     * assignment, residual against the frozen coarse centroid, frozen
     * residual-PQ encode, cell-partition append of the codes. Caller owns
     * vec_id uniqueness (Ledger discipline — see appendToIvfIndex). */
-  def appendToIvfPqIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToIvfPqIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
     graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVFADC",
       "VectorOps.writeIvfPqIndex",
       Seq(s"$dir/coarse", s"$dir/pq_codebooks", s"$dir/codes"))
@@ -878,11 +882,14 @@ object VectorOps {
   /** Compact a persisted IVF index after deletions (affected cell
     * partitions only). */
   def compactIvfIndex(s: SparkSession, dir: String): Unit =
-    compactCellPartitioned(s, s"$dir/postings", dir)
+    graft.sources.WriterLock.withLock(dir) {
+      compactCellPartitioned(s, s"$dir/postings", dir)
+    }
 
   /** Compact a persisted PQ index after deletions (flat codes table —
     * full rewrite). */
-  def compactPqIndex(s: SparkSession, dir: String): Unit = {
+  def compactPqIndex(s: SparkSession, dir: String): Unit =
+    graft.sources.WriterLock.withLock(dir) {
     graft.sources.Tombstones.foldIntoFlat(s, s"$dir/codes", dir, "vec_id")
     graft.sources.Tombstones.clear(s, dir)
   }
@@ -890,13 +897,16 @@ object VectorOps {
   /** Compact a persisted IVFADC index after deletions (affected cell
     * partitions of the codes table only). */
   def compactIvfPqIndex(s: SparkSession, dir: String): Unit =
-    compactCellPartitioned(s, s"$dir/codes", dir)
+    graft.sources.WriterLock.withLock(dir) {
+      compactCellPartitioned(s, s"$dir/codes", dir)
+    }
 
   /** Persist a PQ index as two parquet tables under `dir` — the
     * train-once/search-many deployment shape (codes are m ints per
     * vector: the 100 TB scan reads these, never the float embeddings,
     * except for the bounded rerank fetch). */
-  def writePqIndex(e: DataFrame, m: Int, ks: Int, dir: String, iters: Int = 2): Unit = {
+  def writePqIndex(e: DataFrame, m: Int, ks: Int, dir: String,
+      iters: Int = 2): Unit = graft.sources.WriterLock.withLock(dir) {
     val (cb, codes) = pqIndex(e, m, ks, iters)
     val s = e.sparkSession
     // rebuild fence: codes encode against THESE codebooks (see writeIvfIndex)
@@ -1584,7 +1594,7 @@ object VectorOps {
     * empty corpora error with a clear message) and frozen in meta;
     * mismatched later batches fail loudly. */
   def writeEmbedLshIndex(s: SparkSession, corpus: DataFrame, dir: String,
-      nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): Unit = {
+      nPlanes: Int = 32, bands: Int = 4, seed: Long = 42L): Unit = graft.sources.WriterLock.withLock(dir) {
     val dim = requireCorpusDim(corpus, "embed-lsh")
     // rebuild fence — see DedupOps.writeMinhashIndex
     graft.sources.GenStamp.beginRebuild(s, dir)
@@ -1608,6 +1618,7 @@ object VectorOps {
     * index write; also the UPGRADE path for a pre-probe-layout index
     * (probes fall back to the full scan until it runs). */
   def rebuildEmbedLshProbeLayout(s: SparkSession, dir: String): Unit =
+    graft.sources.WriterLock.withLock(dir) {
     if (graft.sources.BandBuckets.exists(s, s"$dir/cbuckets")) {
       graft.sources.BandBuckets.write(
         bandRowsOfLshBuckets(graft.sources.IdBuckets.read(s, s"$dir/cbuckets")),
@@ -1615,6 +1626,7 @@ object VectorOps {
       // reconverge the append-generation fence (GenStamp) — the layout
       // now reflects the signature table exactly
       graft.sources.GenStamp.syncDerived(s, s"$dir/cbuckets", s"$dir/pbands")
+    }
     }
 
   /** Read + validate an embed-LSH index's meta row: layout stamp first
@@ -1644,7 +1656,8 @@ object VectorOps {
     * the cbuckets and pbands commits leaves the stamps diverged, probes
     * fall back to the full scan, and the next append (or
     * rebuildEmbedLshProbeLayout) heals the layout. */
-  def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToEmbedLshIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
     val meta = requireEmbedLshMeta(s, dir)
     requireBatchDim(batch, meta.getAs[Int]("dim"), "embed-lsh")
     val buckets0 = lshBucketsOf(batch, meta.getAs[Int]("n_planes"),
@@ -1708,7 +1721,8 @@ object VectorOps {
     * id-bucketed, so only the partitions holding tombstoned ids are
     * rewritten (the flat-table twin of IVF's affected-cell
     * compaction). */
-  def compactEmbedLshIndex(s: SparkSession, dir: String): Unit = {
+  def compactEmbedLshIndex(s: SparkSession, dir: String): Unit =
+    graft.sources.WriterLock.withLock(dir) {
     // probe layout first, located from the not-yet-folded grouped table
     // via its id-bucket directories — the two partition schemes compose
     // (see DedupOps.compactMinhashIndex)

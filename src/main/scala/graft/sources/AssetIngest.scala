@@ -215,7 +215,7 @@ object AssetIngest {
     * their own ids own that property. */
   def compactLanding(s: SparkSession, path: String,
       retain: Set[String] = Set.empty,
-      targetBytesPerFile: Long = 128L << 20): Seq[String] = {
+      targetBytesPerFile: Long = 128L << 20): Seq[String] = WriterLock.withLock(path) {
     require(targetBytesPerFile > 0,
       s"targetBytesPerFile must be > 0, got $targetBytesPerFile")
     val conf = s.sparkContext.hadoopConfiguration
@@ -351,7 +351,7 @@ object AssetIngest {
     * horizon, or re-issue the takedown after the replay — it is
     * idempotent either way. */
   def deleteFromLanding(s: SparkSession, path: String, ids: DataFrame,
-      idCol: String): Long = {
+      idCol: String): Long = WriterLock.withLock(path) {
     require(ids.columns.length == 1,
       s"takedown ids must be a single-column frame, got ${ids.columns.mkString(",")}")
     healTakedown(s, path)

@@ -200,7 +200,8 @@ object AudioCodec {
 
   /** Build the index: decode + envelope-hash every clip, store
     * (asset_id, ahash). */
-  def writeAudioHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+  def writeAudioHashIndex(s: SparkSession, assets: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     audioHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
@@ -213,7 +214,8 @@ object AudioCodec {
     * Caller owns id uniqueness (Ledger discipline; a retried batch
     * duplicates rows — same contract as every other index append).
     * Fenced dual write: see ImageCodec.appendToImageHashIndex. */
-  def appendToAudioHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToAudioHashIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     HashBanding.requireMeta(s, dir)
     val hashed = audioHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
@@ -226,7 +228,8 @@ object AudioCodec {
     Tombstones.append(s, ids, dir)
 
   /** Fold tombstones into the stored hash table and clear them. */
-  def compactAudioHashIndex(s: SparkSession, dir: String): Unit = {
+  def compactAudioHashIndex(s: SparkSession, dir: String): Unit =
+    WriterLock.withLock(dir) {
     HashBanding.foldProbeLayout(s, dir)
     Tombstones.foldIntoFlat(s, s"$dir/hashes", dir, "asset_id")
     Tombstones.clear(s, dir)

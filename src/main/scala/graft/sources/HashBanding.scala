@@ -299,11 +299,13 @@ object HashBanding {
     * path for a layout diverged by a crashed append (the re-derivation
     * ends by reconverging the GenStamp fence, so pruned probes resume). */
   def writeProbeLayout(s: SparkSession, dir: String): Unit =
+    WriterLock.withLock(dir) {
     if (BandBuckets.exists(s, s"$dir/hashes")) {
       BandBuckets.write(
         banded(s.read.parquet(s"$dir/hashes"), "asset_id", "ahash"),
         s"$dir/pbands", "overwrite", bandCol = "band_idx", bucketCol = "band_val")
       GenStamp.syncDerived(s, s"$dir/hashes", s"$dir/pbands")
+    }
     }
 
   /** FENCED dual append of a hashed batch: the flat `hashes` table plus
@@ -321,7 +323,7 @@ object HashBanding {
     * `bootstrapLayout` (the ingest-loop convention; the codec-level
     * appends leave pre-layout indexes on the full-scan fallback). */
   def appendHashes(s: SparkSession, dir: String, hashed: DataFrame,
-      bootstrapLayout: Boolean = false): Unit = {
+      bootstrapLayout: Boolean = false): Unit = WriterLock.withLock(dir) {
     val primary = s"$dir/hashes"
     val derived = s"$dir/pbands"
     if (!BandBuckets.exists(s, derived)) {

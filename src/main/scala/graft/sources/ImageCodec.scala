@@ -484,7 +484,8 @@ object ImageCodec {
   // decontamination — same op, different corpus. ---
 
   /** Build the index: decode + aHash every asset, store (asset_id, ahash). */
-  def writeImageHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+  def writeImageHashIndex(s: SparkSession, assets: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     imageHashes(assets).where(col("ok")).select("asset_id", "ahash")
       .write.mode("overwrite").parquet(s"$dir/hashes")
@@ -501,7 +502,8 @@ object ImageCodec {
     * (HashBanding.appendHashes): a crash between the two commits leaves
     * the stamps diverged, probes fall back to the full scan, and the
     * next append heals the layout by re-deriving it. */
-  def appendToImageHashIndex(s: SparkSession, batch: DataFrame, dir: String): Unit = {
+  def appendToImageHashIndex(s: SparkSession, batch: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     HashBanding.requireMeta(s, dir)
     val hashed = imageHashes(batch).where(col("ok"))
       .select("asset_id", "ahash").localCheckpoint(false)
@@ -514,7 +516,8 @@ object ImageCodec {
     Tombstones.append(s, ids, dir)
 
   /** Fold tombstones into the stored hash table and clear them. */
-  def compactImageHashIndex(s: SparkSession, dir: String): Unit = {
+  def compactImageHashIndex(s: SparkSession, dir: String): Unit =
+    WriterLock.withLock(dir) {
     // probe layout first (deleted band rows derive from the not-yet-
     // folded hashes table), then the flat fold
     HashBanding.foldProbeLayout(s, dir)

@@ -82,7 +82,7 @@ object SketchLedger {
     * is disowned. First append stamps (lgk, keys, value) into the meta;
     * later appends must match all three. */
   def append(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
-      dir: String, batchId: String, lgConfigK: Int = 12): Unit = {
+      dir: String, batchId: String, lgConfigK: Int = 12): Unit = WriterLock.withLock(dir) {
     require(keys.nonEmpty, "SketchLedger.append: at least one key column required")
     require(lgConfigK >= 4 && lgConfigK <= 21,
       s"lgConfigK must be in [4, 21], got $lgConfigK")
@@ -239,7 +239,7 @@ object SketchLedger {
     * accuracy, so drift is refused loudly — the IndexMeta discipline).
     * k=200 default ≈ 1.65% normalized rank error, a few KB per key. */
   def appendQuantile(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
-      dir: String, batchId: String, k: Int = 200): Unit = {
+      dir: String, batchId: String, k: Int = 200): Unit = WriterLock.withLock(dir) {
     require(keys.nonEmpty, "SketchLedger.appendQuantile: at least one key column required")
     require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
     GraftFunctions.register(s)

@@ -37,11 +37,15 @@ object Tombstones {
   /** Record ids (any single-column frame; the column is taken as-is and
     * stored as `id`) as deleted. Append-only and idempotent: duplicate
     * tombstones change nothing (anti-join semantics). */
-  def append(s: SparkSession, ids: DataFrame, dir: String): Unit = {
+  def append(s: SparkSession, ids: DataFrame, dir: String): Unit =
+    WriterLock.withLock(dir) {
     require(ids.columns.length == 1,
       s"tombstone ids must be a single-column frame, got ${ids.columns.mkString(",")}")
     ids.select(col(ids.columns(0)).as("id")).distinct()
       .write.mode("append").parquet(path(dir))
+    // the lock covers the whole index root, so a concurrent compaction
+    // cannot clear tombstones between this append and its fold — the
+    // resurrection race the crash fences alone cannot see
   }
 
   def read(s: SparkSession, dir: String): Option[DataFrame] =

@@ -542,7 +542,8 @@ object VideoCodec {
 
   /** Build the index: decode + hash every frame, persist the grouped
     * per-video rows. */
-  def writeVideoHashIndex(s: SparkSession, assets: DataFrame, dir: String): Unit = {
+  def writeVideoHashIndex(s: SparkSession, assets: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     val hashed = videoFrameHashes(assets).localCheckpoint(false)
     GenStamp.beginRebuild(s, dir) // rebuild fence: see DedupOps.writeMinhashIndex
     IdBuckets.write(groupedVideoRows(hashed), "asset_id", s"$dir/grouped", "overwrite")
@@ -567,6 +568,7 @@ object VideoCodec {
     * pre-layout index (probes fall back to the full scan until it
     * runs). */
   def writeVideoProbeLayout(s: SparkSession, dir: String): Unit =
+    WriterLock.withLock(dir) {
     if (BandBuckets.exists(s, s"$dir/grouped")) {
       BandBuckets.write(
         videoProbeRows(collapsedRowsOfGrouped(IdBuckets.read(s, s"$dir/grouped"))),
@@ -574,6 +576,7 @@ object VideoCodec {
       // reconverge the append-generation fence (GenStamp) — the layout
       // now reflects the grouped table exactly
       GenStamp.syncDerived(s, s"$dir/grouped", s"$dir/pbands")
+    }
     }
 
   /** Assign-only append of a new video batch. Caller owns asset_id
@@ -586,7 +589,8 @@ object VideoCodec {
     * the ingest loop's path, where one decode pass feeds gate, dedup,
     * probe, and this append. `hashed` must be materialized (barriered)
     * by the caller; rows are collapsed + grouped before storage. */
-  def appendVideoHashes(s: SparkSession, hashed: DataFrame, dir: String): Unit = {
+  def appendVideoHashes(s: SparkSession, hashed: DataFrame,
+      dir: String): Unit = WriterLock.withLock(dir) {
     requireVideoMeta(s, dir)
     val hasLayout = BandBuckets.exists(s, s"$dir/pbands")
     val wasInSync = !hasLayout ||
@@ -617,7 +621,8 @@ object VideoCodec {
   /** Fold tombstones into the grouped table, then clear them —
     * id-bucketed, so only the partitions holding tombstoned videos are
     * rewritten. */
-  def compactVideoHashIndex(s: SparkSession, dir: String): Unit = {
+  def compactVideoHashIndex(s: SparkSession, dir: String): Unit =
+    WriterLock.withLock(dir) {
     // probe layout first: the deleted videos' band rows are located from
     // the not-yet-folded grouped table via its id-bucket directories,
     // bounding the band-partition rewrite (the two schemes compose —
