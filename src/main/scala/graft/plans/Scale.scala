@@ -166,7 +166,10 @@ object Scale {
     * scale is 2 tasks instead of 1000s and as many spared object-store
     * footer round-trips, not local byte I/O. */
   def writeRangeSorted(df: DataFrame, path: String, key: String,
-      partitions: Int): Unit = {
+      partitions: Int): Unit =
+    // lock a SIBLING scope: the data dir itself is clobbered by the
+    // overwrite, which would unlink a lock file held inside it
+    graft.sources.WriterLock.withLock(path.stripSuffix("/") + "_lockscope") {
     // manifest fence: data + manifest are two commits; a crash between
     // them leaves a STALE manifest over new files — worse than loud,
     // a stale manifest whose boxes miss the query range would return an
@@ -234,7 +237,8 @@ object Scale {
     * re-applies the exact predicate — but silent non-pruning at 100 TB is
     * the failure being bought off here). */
   def writeZOrdered(df: DataFrame, path: String, keyA: String, keyB: String,
-      partitions: Int, bits: Int = 21): Unit = {
+      partitions: Int, bits: Int = 21): Unit =
+    graft.sources.WriterLock.withLock(path.stripSuffix("/") + "_lockscope") {
     require(partitions >= 1, s"partitions must be >= 1, got $partitions")
     val limit = 1L << bits
     val dom = df.agg(min(keyA).cast("long"), max(keyA).cast("long"),
@@ -539,6 +543,38 @@ object Scale {
           round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Small-files compaction under the driver gate — the last layout
+    // surface that was spec-only. A deliberately fragmented copy (48
+    // tiny files, the streaming-sink disease) folds through `compact`
+    // into the byte-target layout; the aggregate runs over the FOLDED
+    // copy and the oracle over the ORIGINAL table, so a row dropped or
+    // duplicated by the rewrite hash-fails. The in-query guard asserts
+    // the part the hash cannot see: the folded layout must actually
+    // have fewer files (compaction that silently stops compacting is a
+    // planning-time regression — thousands of tiny files is what
+    // destroys scan scheduling at 100 TB, not wrong answers).
+    "q_compact_roundtrip" -> ((s, d) => {
+      val run = scratch(s, "compactrt", d)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .repartition(48)
+        .write.mode(SaveMode.Overwrite).parquet(s"$run/frag")
+      compact(s, s"$run/frag", s"$run/folded", targetBytesPerFile = 64L << 20)
+      def nFiles(p: String): Long = s.read.parquet(p)
+        .select(expr("count(DISTINCT _metadata.file_path)").as("n")).head().getLong(0)
+      val (before, after) = (nFiles(s"$run/frag"), nFiles(s"$run/folded"))
+      require(after < before,
+        s"q_compact_roundtrip: compaction did not reduce the file count " +
+          s"($before -> $after)")
+      s.read.parquet(s"$run/folded")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -569,7 +605,14 @@ object Scale {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_compact_roundtrip" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   def pruneByStats(spark: SparkSession, path: String, key: String,
       from: Any, to: Any, maxKeptFiles: Int = 1 << 16): (DataFrame, Int, Int) = {
