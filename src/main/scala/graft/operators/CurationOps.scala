@@ -104,6 +104,44 @@ object CurationOps {
           .otherwise("unchanged").as("cls"))
   }
 
+  /** The mixture arithmetic shared by q_mixture_plan (computed from a
+    * corpus scan) and [[mixturePlanFromLedger]] (computed from the sum
+    * ledger): `tokc` carries one (source, toks BIGINT) row per source;
+    * the output is share / sqrt-temperature weight / epochs at the
+    * token `budget`. One shared column program, so the scan path and
+    * the ledger path agree bit-for-bit by construction. */
+  def mixturePlanOf(tokc: org.apache.spark.sql.DataFrame,
+      budget: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val allToks = tokc.agg(sum("toks").as("all_toks"))
+    val w = tokc.crossJoin(broadcast(allToks))
+      .withColumn("rawW", sqrt(col("toks").cast("double") / col("all_toks")))
+    val sumW = w.agg(sum("rawW").as("sum_w"))
+    w.crossJoin(broadcast(sumW))
+      .select(
+        col("source"), col("toks"),
+        round(col("toks").cast("double") / col("all_toks"), 6).as("share"),
+        round(col("rawW") / col("sum_w"), 6).as("weight"),
+        round(col("rawW") / col("sum_w") * lit(budget) / col("toks"), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  /** The mixture plan WITHOUT a corpus scan: per-source token totals
+    * come from the ingest loops' exact sum ledger
+    * (SketchLedger.appendSum — kilobytes per source × batch), so at
+    * 100 TB this is a metadata read where q_mixture_plan is a full
+    * pass. Requires a ledger keyed on `source` whose metric is the
+    * per-doc token count (the text loop's recordSketches shape); sums
+    * of integer metrics are exact through 2^53, so the BIGINT cast
+    * recovers the scan-path total bit-for-bit (law in
+    * CorpusAuditSpec: ledger plan == scan plan). */
+  def mixturePlanFromLedger(s: org.apache.spark.sql.SparkSession,
+      sumLedgerDir: String, budget: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val tokc = graft.sources.SketchLedger.sumByKey(s, sumLedgerDir)
+      .select(col("source"), col("sum_val").cast("bigint").as("toks"))
+    mixturePlanOf(tokc, budget)
+  }
+
   /** The one-call corpus health report a curation review starts from:
     * per-source mixture arithmetic (q_mixture_plan), Zipf fit
     * (q_zipf_fit), cross-source leakage (q_xsource_leakage) and the RAW
@@ -272,18 +310,7 @@ object CurationOps {
       val tokc = Tables.documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
         .groupBy("source").agg(sum("t").as("toks"))
-      val allToks = tokc.agg(sum("toks").as("all_toks"))
-      val w = tokc.crossJoin(broadcast(allToks))
-        .withColumn("rawW", sqrt(col("toks").cast("double") / col("all_toks")))
-      val sumW = w.agg(sum("rawW").as("sum_w"))
-      w.crossJoin(broadcast(sumW))
-        .select(
-          col("source"), col("toks"),
-          round(col("toks").cast("double") / col("all_toks"), 6).as("share"),
-          round(col("rawW") / col("sum_w"), 6).as("weight"),
-          round(col("rawW") / col("sum_w") * lit(1000000L) / col("toks"), 4)
-            .as("epochs"))
-        .orderBy("source")
+      mixturePlanOf(tokc)
     }),
 
     // Snapshot diff between two corpus versions, rolled up per source —

@@ -116,6 +116,11 @@ object AssetIngest {
         SketchLedger.append(s, base, keys, idCol, s"${sk.dir}/distinct", sk.batchId)
         SketchLedger.appendQuantile(s, base, keys, "size_metric",
           s"${sk.dir}/size", sk.batchId)
+        // exact per-key metric totals — the mixture plan's input
+        // (CurationOps.mixturePlanFromLedger reads this tier instead of
+        // re-scanning the corpus)
+        SketchLedger.appendSum(s, base, keys, "size_metric",
+          s"${sk.dir}/sum", sk.batchId)
       }
     }
 
@@ -407,6 +412,8 @@ object AssetIngest {
       keys: Seq[String], idCol: String,
       sizeMetric: Column): (Seq[String], Seq[String]) = {
     val base = landed.withColumn("size_metric", sizeMetric.cast("double"))
+    SketchLedger.reconcileSum(s, base, keys, "size_metric",
+      s"$sinkDir/sum", LandCol)
     (SketchLedger.reconcile(s, base, keys, idCol, s"$sinkDir/distinct", LandCol),
       SketchLedger.reconcileQuantile(s, base, keys, "size_metric",
         s"$sinkDir/size", LandCol))

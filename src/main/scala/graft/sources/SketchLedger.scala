@@ -299,4 +299,89 @@ object SketchLedger {
       sys.error(s"quantile ledger at $dir holds only empty sketches - no quantile exists")
     row.getDouble(0)
   }
+
+  // ------------------------------------------------------------------
+  // Exact sum ledger — the third accounting tier: not a sketch at all,
+  // just per-(keys, batch) exact sums of a metric, mergeable by
+  // addition. Kilobytes per key·batch, and it answers the question the
+  // other two tiers cannot: "how many TOKENS has each source landed so
+  // far" — the input a mixture plan needs (CurationOps
+  // .mixturePlanFromLedger derives sampling weights/epochs from this
+  // table WITHOUT a corpus scan; at 100 TB that is the difference
+  // between a metadata read and a full pass). Sums accumulate in
+  // DOUBLE: integer metrics stay exact through 2^53 (~9e15 — a
+  // 100 TB corpus is ~2.5e13 tokens), fractional metrics are welcome.
+  // Same crash/retry discipline as the sketch tiers: meta-first,
+  // (keys, batch_id) retry dedup, WriterLock serialization, and a
+  // reconcile that re-derives missing batches from landed data.
+  // The physical table is named `sketches` so the shared
+  // missing-batches machinery applies unchanged.
+  // ------------------------------------------------------------------
+
+  private def readSumMeta(s: SparkSession, dir: String): Option[(Seq[String], String)] =
+    if (!fs(s, dir).exists(new Path(metaPath(dir)))) None
+    else {
+      val df = s.read.parquet(metaPath(dir))
+      require(!df.columns.contains("lgk") && !df.columns.contains("k"),
+        s"ledger at $dir is not a sum ledger (its meta carries a sketch " +
+          "parameter) - ledger kinds cannot share a dir")
+      val m = df.head()
+      Some((m.getSeq[String](m.fieldIndex("keys")).toList,
+        m.getAs[String]("value")))
+    }
+
+  /** Append one ingest batch's exact per-key sums of `value`. First
+    * append stamps (keys, value) into the meta; later appends must
+    * match (a ledger silently mixing metrics is a wrong answer, not a
+    * degraded one — refused loudly, the IndexMeta discipline). */
+  def appendSum(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
+      dir: String, batchId: String): Unit = WriterLock.withLock(dir) {
+    require(keys.nonEmpty, "SketchLedger.appendSum: at least one key column required")
+    readSumMeta(s, dir).foreach { case (ks, v) =>
+      require(ks == keys && v == value,
+        s"sum ledger at $dir was created with (keys=$ks, value=$v); this " +
+          s"append uses (keys=$keys, value=$value) - summing mixed metrics " +
+          "is a silently wrong total, so it is refused. Start a new ledger " +
+          "dir for new parameters.")
+    }
+    // meta FIRST — same crash-window discipline as the sketch tiers
+    if (readSumMeta(s, dir).isEmpty) {
+      import s.implicits._
+      Seq((keys, value)).toDF("keys", "value")
+        .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    }
+    batch.groupBy(keys.map(col): _*)
+      .agg(sum(col(value).cast("double")).as("sum_val"),
+        count(col(value)).as("rows"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$dir/sketches")
+  }
+
+  /** Exact metric total + processed rows per key, merged across every
+    * appended batch — reads only the ledger table, never the corpus.
+    * Retries collapse per (keys, batch_id) before the merge (sums add
+    * linearly, so a duplicated batch row would inflate the total —
+    * the same reason the KLL tier dedups). */
+  def sumByKey(s: SparkSession, dir: String): DataFrame = {
+    val (keys, _) = readSumMeta(s, dir).getOrElse(
+      sys.error(s"sum ledger at $dir has no meta - nothing was ever appended"))
+    readSketches(s, dir)
+      .groupBy((keys :+ "batch_id").map(col): _*)
+      .agg(max(col("sum_val")).as("sum_val"), max(col("rows")).as("rows"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("sum_val")).as("sum_val"), sum(col("rows")).as("rows"))
+      .orderBy(keys.map(c => col(c).asc): _*)
+  }
+
+  /** Sum-ledger twin of [[reconcile]]: re-derive missing batch rows
+    * from landed data with the meta's own (keys, value). */
+  def reconcileSum(s: SparkSession, landed: DataFrame, keys: Seq[String],
+      value: String, dir: String, batchCol: String = "ingest_batch"): Seq[String] = {
+    val missing = missingBatches(s, dir, landed, batchCol)
+    missing.foreach { id =>
+      appendSum(s, landed.where(col(batchCol).cast("string") === id),
+        keys, value, dir, id)
+    }
+    missing
+  }
 }

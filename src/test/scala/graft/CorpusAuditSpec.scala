@@ -167,6 +167,57 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("sum ledger: exact totals, retry-proof, mixed-metric refusal, reconcile") {
+    import spark.implicits._
+    import graft.sources.SketchLedger
+    val dir = fixtureDir() + "/sumled"
+    val a = Seq(("x", 10.0), ("x", 5.0), ("y", 2.0)).toDF("source", "m")
+    val b = Seq(("x", 1.0), ("y", 7.0)).toDF("source", "m")
+    SketchLedger.appendSum(spark, a, Seq("source"), "m", dir, "b_a")
+    SketchLedger.appendSum(spark, b, Seq("source"), "m", dir, "b_b")
+    SketchLedger.appendSum(spark, a, Seq("source"), "m", dir, "b_a") // retry
+    val got = SketchLedger.sumByKey(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map("x" -> ((16.0, 3L)), "y" -> ((9.0, 2L))),
+      s"retry inflated or lost a sum: $got")
+    intercept[IllegalArgumentException] {
+      SketchLedger.appendSum(spark, a.withColumnRenamed("m", "other"),
+        Seq("source"), "other", dir, "b_c")
+    }
+    // reconcile re-derives exactly the batches the ledger is missing
+    val landed = a.withColumn("ingest_batch", lit("b_a"))
+      .unionByName(b.withColumn("ingest_batch", lit("b_b")))
+      .unionByName(Seq(("z", 4.0)).toDF("source", "m")
+        .withColumn("ingest_batch", lit("b_z")))
+    val fixed = SketchLedger.reconcileSum(spark, landed, Seq("source"), "m", dir)
+    assert(fixed == Seq("b_z"), s"reconcile repaired $fixed, expected b_z only")
+    val after = SketchLedger.sumByKey(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == Map("x" -> 16.0, "y" -> 9.0, "z" -> 4.0), s"$after")
+  }
+
+  test("mixturePlanFromLedger equals the corpus-scan plan bit-for-bit") {
+    import graft.operators.CurationOps
+    import graft.sources.SketchLedger
+    val dir = fixtureDir() + "/mixled"
+    // land the documents table's per-doc token counts in two batches
+    // split by doc_id parity — the text ingest loop's recordSketches
+    // shape (keys = source, metric = n_tok)
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+    SketchLedger.appendSum(spark, base.where(col("doc_id") % 2 === 0),
+      Seq("source"), "n_tok", dir, "even")
+    SketchLedger.appendSum(spark, base.where(col("doc_id") % 2 === 1),
+      Seq("source"), "n_tok", dir, "odd")
+    val fromLedger = CurationOps.mixturePlanFromLedger(spark, dir).collect()
+      .map(_.toString)
+    val fromScan = SparkEntry.queries("q_mixture_plan")(spark, sf).collect()
+      .map(_.toString)
+    assert(fromLedger.sameElements(fromScan),
+      s"ledger plan diverged from scan plan:\n  ledger=${fromLedger.take(3).toSeq}\n  scan=${fromScan.take(3).toSeq}")
+  }
+
   test("q_join_bucketed: layout independence — bucketed result equals the plain shuffled join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
