@@ -29,6 +29,7 @@ object SparkEntry {
     (Reshape.queries, Reshape.oracle),
     (Extended.queries, Extended.oracle),
     (CurationOps.queries, CurationOps.oracle),
+    (BpeTrainer.queries, BpeTrainer.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
     (graft.plans.Scale.queries, graft.plans.Scale.oracle),
   )

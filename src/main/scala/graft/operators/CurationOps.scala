@@ -163,6 +163,45 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** The health report WITHOUT a corpus scan — the metadata twin of
+    * [[corpusHealthReport]], read entirely from an ingest sink's three
+    * ledgers (SketchLedger's `distinct`/`size`/`sum` tiers, the
+    * recordSketches layout): kilobytes per source × batch where the
+    * scan report is several full corpus passes, so at 100 TB this is
+    * the report a curation dashboard refreshes per ingest batch.
+    *
+    * Honest accuracy tiers per column: `docs`/`toks` and the mixture
+    * arithmetic (share/weight/epochs) are EXACT — the sum ledger keeps
+    * exact per-(source, batch) totals and [[mixturePlanOf]] is the same
+    * column program the scan path runs. `len_p50`/`len_p99` carry KLL
+    * rank error (~1.65% at the default k = 200) and `distinct_ids_est`
+    * HLL relative error (~1.6%) — `distinct_ids_est` ≈ `docs` doubles
+    * as a cross-batch id-collision check (a re-used doc_id drags the
+    * ratio below 1). What the scan report has that NO ledger can:
+    * zipf_slope/leak_ratio/dup_rate are corpus-CONTENT computations —
+    * refreshing those still costs the scan, by design. */
+  def ledgerHealthReport(s: org.apache.spark.sql.SparkSession,
+      sketchDir: String, budget: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    val sums = graft.sources.SketchLedger.sumByKey(s, s"$sketchDir/sum")
+      .select(col("source"), col("sum_val").cast("bigint").as("toks"),
+        col("rows").as("docs"))
+    val mix = mixturePlanOf(sums.select("source", "toks"), budget)
+    val lens = graft.sources.SketchLedger
+      .quantileByKey(s, s"$sketchDir/size", Seq(0.5, 0.99))
+      .groupBy("source")
+      .agg(round(max(when(col("rank") === 0.5, col("value_est"))), 2).as("len_p50"),
+        round(max(when(col("rank") === 0.99, col("value_est"))), 2).as("len_p99"))
+    val dist = graft.sources.SketchLedger
+      .distinctByKey(s, s"$sketchDir/distinct")
+      .select(col("source"), col("distinct_est").as("distinct_ids_est"))
+    mix.join(broadcast(sums.select("source", "docs")), "source")
+      .join(broadcast(lens), "source")
+      .join(broadcast(dist), "source")
+      .select("source", "docs", "toks", "share", "weight", "epochs",
+        "len_p50", "len_p99", "distinct_ids_est")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     // Unicode NFC normalization via the native graft_nfc expression
     // (functions/NfcNormalize.scala). The corpus text is ASCII, so the

@@ -307,6 +307,35 @@ object TextOps {
         .limit(10)
     }),
 
+    // BM25 retrieval from the PERSISTED inverted index (TextIndex) —
+    // the q_prune_zorder recipe applied to lexical search: build the
+    // term-bucketed postings + stats tables into the per-run scratch
+    // scope, answer the query from the index's pruned bucket read, and
+    // hash-gate the result against the oracle's scan over the ORIGINAL
+    // corpus. Scoring math/rounding is shared with q_text_search_bm25
+    // (different term set), so what the gate pins is the INDEX path:
+    // a stale-stats bug, a bucket-routing bug (driver twin vs column
+    // hash), or a dropped posting hash-fails instead of hiding behind
+    // "the index is only a speed-up". The in-query guard asserts the
+    // read actually PRUNED — files touched < the layout's total —
+    // because a no-prune read returns the same rows (that regression is
+    // invisible to the hash). At 100 TB this is the difference between
+    // per-query corpus passes and O(query-terms' postings) reads.
+    "q_text_search_indexed" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "textidx", d) + "/idx"
+      graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      val terms = Seq("query", "join", "table")
+      val all = s.read.parquet(graft.sources.TextIndex.postingsPath(dir))
+      val totalFiles = all.select(col("_metadata.file_path")).distinct().count()
+      val keptFiles = graft.sources.TextIndex.postingsFor(s, dir, terms)
+        .select(col("_metadata.file_path")).distinct().count()
+      require(keptFiles < totalFiles,
+        s"q_text_search_indexed: the pruned postings read touched all " +
+          s"$totalFiles files of the ${graft.sources.TextIndex.NumBuckets}-bucket layout — " +
+          "term-bucket directory pruning regressed")
+      graft.sources.TextIndex.searchBm25(s, dir, terms, 10)
+    }),
+
     // SPARSE cosine similarity join via an inverted index — the sparse
     // (term-vector) complement of the dense kNN/ANN paths: documents as
     // tf vectors, pairwise cosine computed by joining postings on the
@@ -672,6 +701,27 @@ object TextOps {
         |  unnest(string_split(text, ' ')) AS term FROM documents),
         |q AS (SELECT doc_id, dl, term FROM tok
         |      WHERE term IN ('data', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // The indexed path's oracle is the SCAN over the original corpus —
+    // exactly the equivalence the index must preserve. Same association
+    // order as q_text_search_bm25's oracle; only the term set differs.
+    "q_text_search_indexed" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('query', 'join', 'table')),
         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
         |       GROUP BY doc_id, dl, term),
         |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),

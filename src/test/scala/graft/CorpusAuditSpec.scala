@@ -218,6 +218,54 @@ class CorpusAuditSpec extends AnyFunSuite {
       s"ledger plan diverged from scan plan:\n  ledger=${fromLedger.take(3).toSeq}\n  scan=${fromScan.take(3).toSeq}")
   }
 
+  test("ledgerHealthReport: exact mixture tier, bounded estimate tiers") {
+    import graft.operators.CurationOps
+    import graft.sources.SketchLedger
+    val dir = fixtureDir() + "/ledrep"
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+    // the recordSketches layout: three ledgers under one sink root,
+    // landed in two batches split by doc_id parity
+    for ((pred, id) <- Seq((col("doc_id") % 2 === 0, "even"),
+        (col("doc_id") % 2 === 1, "odd"))) {
+      val b = base.where(pred)
+      SketchLedger.append(spark, b, Seq("source"), "doc_id", s"$dir/distinct", id)
+      SketchLedger.appendQuantile(spark, b, Seq("source"), "n_tok", s"$dir/size", id)
+      SketchLedger.appendSum(spark, b, Seq("source"), "n_tok", s"$dir/sum", id)
+    }
+    val rep = CurationOps.ledgerHealthReport(spark, dir).collect()
+    assert(rep.nonEmpty)
+    // exact tier: docs/toks bit-equal the scan derivation, and the
+    // mixture columns bit-equal mixturePlanOf over the scan totals
+    val scan = base.groupBy("source")
+      .agg(sum("n_tok").cast("bigint").as("toks"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mixScan = CurationOps.mixturePlanOf(
+        base.groupBy("source").agg(sum("n_tok").cast("bigint").as("toks")))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // exact length quantile brackets for the estimate tier
+    val exactQ = base.groupBy("source")
+      .agg(expr("percentile(n_tok, array(0.40, 0.60, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    rep.foreach { r =>
+      val src = r.getString(0)
+      val (toks, docs) = scan(src)
+      assert(r.getLong(1) === docs, s"$src docs")
+      assert(r.getLong(2) === toks, s"$src toks")
+      assert(Seq(r.get(2), r.get(3), r.get(4), r.get(5)) === mixScan(src),
+        s"$src mixture columns diverged from the scan plan")
+      val q = exactQ(src)
+      assert(r.getDouble(6) >= q(0) && r.getDouble(6) <= q(1),
+        s"$src len_p50 ${r.getDouble(6)} outside exact [p40, p60] ${q.take(2)}")
+      assert(r.getDouble(7) >= q(2),
+        s"$src len_p99 ${r.getDouble(7)} below exact p95 ${q(2)}")
+      val est = r.getLong(8).toDouble
+      assert(math.abs(est - docs) / docs < 0.05,
+        s"$src distinct_ids_est $est vs docs $docs drifted past 5%")
+    }
+  }
+
   test("q_join_bucketed: layout independence — bucketed result equals the plain shuffled join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
