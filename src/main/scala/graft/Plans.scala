@@ -47,6 +47,7 @@ object Plans {
   private val intentionalNestedLoop = Map(
     "q_join_cross"      -> "declared cross product of two bounded dimensions",
     "q_unigram_logprob" -> "1-row corpus-total broadcast (ln(total) applied per doc)",
+    "q_bigram_logprob"  -> "1-row bigram-total broadcast (interpolation denominator per pair)",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
     "q_knn_simd"        -> "1-row query-vector broadcast (q_knn_cosine shape, SIMD-kernel scoring)",
     "q_image_knn"       -> "1-row query-image-features broadcast (q_knn_cosine shape over decoded features)",
@@ -64,6 +65,8 @@ object Plans {
     "q_tfidf"           -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_text_search"     -> "1-row corpus-N broadcast (vs a driver collect)",
     "q_text_search_bm25" -> "1-row (N, avgdl) stats broadcast (vs a driver collect)",
+    "q_text_search_indexed" -> ("1-row (N, avgdl) stats-table broadcast onto the pruned " +
+      "postings read (the q_text_search_bm25 shape fed from the persisted index)"),
     "q_knn_ivfpq"       -> "1-row ADC-table / query / coarse-codebook broadcasts (IVFADC probe + rerank)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
     "q_pack_sequences"  -> ("1-row doc_id-bounds broadcast assigning range chunks (two-level " +

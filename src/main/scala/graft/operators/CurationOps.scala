@@ -345,6 +345,36 @@ object CurationOps {
     // raw weights) ride as 1-row broadcasts. The weight stays UNROUNDED
     // through the epochs arithmetic and both engines evaluate the same
     // left-to-right expression, so the rounded outputs agree exactly.
+    // Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1
+    // adapted to this corpus's token ranges): per-doc token count,
+    // mean word length, distinct-"stopword" presence and top-token
+    // repetition fraction, each thresholded, composed into one `keep`
+    // flag. Every metric is derived from exact integer counts (one
+    // (doc, token) partial count absorbs in-doc repetition map-side —
+    // the q_unigram_logprob skew note's mitigation, applied), so the
+    // booleans are deterministic at any scale; the only doubles are
+    // 4dp-rounded ratios compared AFTER rounding on both sides. One
+    // scan, two keyed shuffles (doc×token, then doc), no joins.
+    "q_quality_gopher" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      tc.groupBy("doc_id")
+        .agg(sum("c").as("n_tok"),
+          round(sum(col("c") * length(col("t"))).cast("double") / sum("c"), 4)
+            .as("mean_wlen"),
+          countDistinct(when(col("t").isin("the", "data", "value", "key"),
+            col("t"))).as("stop_distinct"),
+          round(max("c").cast("double") / sum("c"), 4).as("max_tok_frac"))
+        .select(col("doc_id"), col("n_tok"), col("mean_wlen"),
+          col("stop_distinct"), col("max_tok_frac"),
+          (col("n_tok").between(30, 90) &&
+            col("mean_wlen").between(4.3, 4.7) &&
+            col("stop_distinct") >= 2 &&
+            col("max_tok_frac") <= 0.08).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_mixture_plan" -> ((s, d) => {
       val tokc = Tables.documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
@@ -477,6 +507,20 @@ object CurationOps {
         |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS shard FROM h)
         |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h) AS pos, doc_id
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "q_quality_gopher" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |        round(CAST(sum(c * len(t)) AS DOUBLE) / sum(c), 4) AS mean_wlen,
+        |        count(DISTINCT CASE WHEN t IN ('the','data','value','key')
+        |                            THEN t END) AS stop_distinct,
+        |        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS max_tok_frac
+        |      FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_tok, mean_wlen, stop_distinct, max_tok_frac,
+        |  (n_tok BETWEEN 30 AND 90 AND mean_wlen BETWEEN 4.3 AND 4.7
+        |   AND stop_distinct >= 2 AND max_tok_frac <= 0.08) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_mixture_plan" ->
       """WITH tokc AS (

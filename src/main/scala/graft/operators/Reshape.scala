@@ -94,6 +94,38 @@ object Reshape {
         .orderBy("o_custkey", "eff_from", "o_orderkey")
     }),
 
+    // Incremental AGGREGATE maintenance under the driver's hash gate —
+    // the q_scd2_merge discipline applied to grouped aggregates (the
+    // building block of every materialized rollup / streaming-update
+    // pipeline): batch A's partial aggregate lands as a persisted STATE
+    // table (count + sum are the classic mergeable pair), batch B
+    // merges into it by re-aggregation of state ∪ delta-partials, and
+    // the oracle is the full recompute over the WHOLE table — so a
+    // merge-arithmetic bug (double-counted state, a dropped new key, an
+    // overwrite instead of an add) hash-fails instead of drifting
+    // silently. All values are exact BIGINTs; at 100 TB the merge costs
+    // O(state + batch), never a re-scan — exactly why the state table
+    // exists. Batches split by order-key parity so both contain every
+    // supplier at every SF.
+    "q_incremental_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_quantity").cast("bigint").as("qty"))
+      val store = graft.plans.Scale.scratch(s, "incragg", d) + "/state"
+      li.where(col("l_orderkey") % 2 === 0)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("total_qty"))
+        .write.mode("overwrite").parquet(store)
+      val state = s.read.parquet(store)
+      val delta = li.where(col("l_orderkey") % 2 === 1)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("total_qty"))
+      state.unionByName(delta)
+        .groupBy("l_suppkey")
+        .agg(sum("n_rows").as("n_rows"), sum("total_qty").as("total_qty"))
+        .orderBy("l_suppkey")
+    }),
+
     // Correlated scalar subquery: customers above their nation's average
     // balance — Catalyst decorrelates to an aggregate + join.
     "q_subquery_correlated" -> ((s, d) => {
@@ -149,6 +181,13 @@ object Reshape {
         |ORDER BY o_custkey, eff_from, o_orderkey""".stripMargin,
 
     // the merge must equal the from-scratch build — same oracle as q_scd2
+    // The incremental path's oracle is the FULL recompute — the
+    // equivalence a materialized-aggregate merge must preserve.
+    "q_incremental_agg" ->
+      """SELECT l_suppkey, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
     "q_scd2_merge" ->
       """WITH ev AS (
         |  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,

@@ -307,6 +307,43 @@ object TextOps {
         .limit(10)
     }),
 
+    // Interpolated BIGRAM LM quality score — the next-order sibling of
+    // q_unigram_logprob: P(w2|w1) ≈ 0.75·c(w1,w2)/c(w1·) +
+    // 0.25·c(·w2)/total, all counts from the corpus's own bigram
+    // stream, per-doc mean log-prob as the fluency signal (a repetitive
+    // or shuffled-token doc scores visibly lower than under the unigram
+    // model, which only sees token frequency). Plan: one bigram
+    // derivation (map-side transform, no shuffle), three count
+    // aggregates, then the scoring joins back onto the stream — the
+    // same NAMED Zipf skew as q_unigram_logprob applies to the w1/w2
+    // keys (AQE skew-split at scale); the corpus total rides as ONE
+    // broadcast row. Arithmetic association mirrored term-for-term in
+    // the oracle; 4dp round absorbs ulp drift.
+    "q_bigram_logprob" -> ((s, d) => {
+      val bp = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 2), i -> " +
+            "struct(element_at(l, i + 1) AS w1, element_at(l, i + 2) AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cb = bp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu1 = bp.groupBy("w1").agg(count(lit(1)).as("cu1"))
+        .withColumnRenamed("w1", "u1")
+      val cu2 = bp.groupBy("w2").agg(count(lit(1)).as("cu2"))
+        .withColumnRenamed("w2", "u2")
+      val tot = bp.agg(count(lit(1)).as("total"))
+      bp.join(cb, Seq("w1", "w2"))
+        .join(cu1, col("w1") === col("u1"))
+        .join(cu2, col("w2") === col("u2"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"),
+          round(sum(log(lit(0.75) * col("cb") / col("cu1") +
+            lit(0.25) * col("cu2") / col("total"))) / count(lit(1)), 4).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 retrieval from the PERSISTED inverted index (TextIndex) —
     // the q_prune_zorder recipe applied to lexical search: build the
     // term-bucketed postings + stats tables into the per-run scratch
@@ -713,6 +750,26 @@ object TextOps {
         |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // Arithmetic mirrored term-for-term with the Spark column program
+    // (left-associated interpolation, sum/count then round).
+    "q_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 2),
+        |big AS (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM tok),
+        |bp AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM big WHERE p[2] IS NOT NULL),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bp GROUP BY w1, w2),
+        |cu1 AS (SELECT w1 AS u1, count(*) AS cu1 FROM bp GROUP BY w1),
+        |cu2 AS (SELECT w2 AS u2, count(*) AS cu2 FROM bp GROUP BY w2),
+        |tot AS (SELECT count(*) AS total FROM bp)
+        |SELECT bp.doc_id, count(*) AS n_big,
+        |  round(sum(ln(0.75 * cb.cb / cu1.cu1 + 0.25 * cu2.cu2 / tot.total))
+        |        / count(*), 4) AS logprob
+        |FROM bp JOIN cb ON bp.w1 = cb.w1 AND bp.w2 = cb.w2
+        |        JOIN cu1 ON bp.w1 = cu1.u1
+        |        JOIN cu2 ON bp.w2 = cu2.u2
+        |        CROSS JOIN tot
+        |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
 
     // The indexed path's oracle is the SCAN over the original corpus —
     // exactly the equivalence the index must preserve. Same association

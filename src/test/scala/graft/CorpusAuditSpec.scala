@@ -266,6 +266,46 @@ class CorpusAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_gopher: flags recompute from the row's own metrics and discriminate") {
+    val rows = SparkEntry.queries("q_quality_gopher")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val keep = r.getLong(1) >= 30 && r.getLong(1) <= 90 &&
+        r.getDouble(2) >= 4.3 && r.getDouble(2) <= 4.7 &&
+        r.getLong(3) >= 2 && r.getDouble(4) <= 0.08
+      assert(r.getBoolean(5) === keep, s"doc ${r.getLong(0)}: keep flag diverged")
+      if (keep) kept += 1
+    }
+    assert(kept > 0 && kept < rows.length,
+      s"the gate must discriminate, not rubber-stamp (kept $kept/${rows.length})")
+  }
+
+  test("q_incremental_agg: the merged state equals the full recompute") {
+    val merged = SparkEntry.queries("q_incremental_agg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val full = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("bigint")).as("t"))
+      .orderBy("l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.sameElements(full),
+      "state-merge path diverged from the full recompute")
+  }
+
+  test("q_bigram_logprob: negative log-means over exactly n_tok - 1 pairs per doc") {
+    val rows = SparkEntry.queries("q_bigram_logprob")(spark, sf).collect()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === nTok(r.getLong(0)) - 1,
+        s"doc ${r.getLong(0)}: bigram count != token count - 1")
+      assert(r.getDouble(2) < 0.0)
+    }
+    assert(rows.length === nTok.count(_._2 >= 2))
+  }
+
   test("q_join_bucketed: layout independence — bucketed result equals the plain shuffled join") {
     val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
