@@ -52,6 +52,83 @@ object SketchLedger {
 
   private def metaPath(dir: String) = s"$dir/meta"
 
+  // ------------------------------------------------------------------
+  // Physical layout (r17, v2 — enables compaction): every append lands
+  // its rows under a per-batch PARTITION `bpart=b<batchId>` (batch_id
+  // stays a data column — the partition is a layout detail readers
+  // drop), and every row carries a `folded array<string>` column that
+  // is empty on appends and holds the cumulative fold manifest on
+  // consolidated rows. Compaction (compactDistinct/compactQuantile/
+  // compactSum) merges batches outside the caller's retry horizon into
+  // ONE consolidated partition `bpart=_c<gen>` whose rows carry every
+  // folded batch id; the publish is a single atomic directory rename,
+  // and the read path takes the HIGHEST generation present and
+  // anti-joins its manifest — so every crash state reads correctly:
+  // before the rename nothing changed, after it the originals are
+  // excluded by the manifest whether or not their partitions were
+  // garbage-collected yet. Deleting folded partitions is therefore
+  // pure GC, healed at the head of the next compaction. A late retry
+  // of a folded batch (caller breaking the retry-horizon contract)
+  // lands a partition the manifest already excludes — read-correct,
+  // GC'd later. Why compaction matters at all: at a streaming trigger
+  // cadence a year of micro-batches is ~500k partitions × keys rows —
+  // without folding, every ledger read and directory listing scales
+  // with INGEST HISTORY rather than key cardinality.
+  // ------------------------------------------------------------------
+
+  private val PartCol = "bpart"
+  private val CompactPrefix = "_c"
+  private def bpartOf(batchId: String) = "b" + batchId
+
+  /** Highest consolidated generation present (0 = never compacted).
+    * One directory listing, no job. */
+  private def maxGen(s: SparkSession, dir: String): Int = {
+    val p = new Path(s"$dir/sketches")
+    val hfs = fs(s, dir)
+    if (!hfs.exists(p)) 0
+    else hfs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartCol=$CompactPrefix"))
+      .map(_.stripPrefix(s"$PartCol=$CompactPrefix"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The LOGICAL ledger view: consolidated top-generation rows plus the
+    * live batch rows its manifest does not cover, layout columns
+    * dropped. Correct in every compaction crash state (see the layout
+    * note above). */
+  private def readLive(s: SparkSession, dir: String): DataFrame = {
+    val raw = readSketches(s, dir).drop(PartCol)
+    val g = maxGen(s, dir)
+    if (g == 0) raw.drop("folded")
+    else {
+      val consId = s"$CompactPrefix$g"
+      val cons = raw.where(col("batch_id") === consId)
+      // the manifest is identical on every consolidated row — one suffices
+      val folded = cons.limit(1).select(explode(col("folded")).as("batch_id"))
+      val live = raw.where(!col("batch_id").startsWith(CompactPrefix))
+        .join(folded, Seq("batch_id"), "left_anti")
+      cons.unionByName(live).drop("folded")
+    }
+  }
+
+  /** Batch ids the ledger accounts for: live partition rows plus the
+    * top manifest (a folded batch is PRESENT — reconcile must not
+    * re-derive it). */
+  private def accountedBatchIds(s: SparkSession, dir: String): Set[String] = {
+    if (!fs(s, dir).exists(new Path(s"$dir/sketches"))) return Set.empty
+    val raw = s.read.parquet(s"$dir/sketches")
+    val live = raw.select("batch_id").distinct().collect().map(_.getString(0))
+      .filterNot(_.startsWith(CompactPrefix))
+    val g = maxGen(s, dir)
+    val manifest =
+      if (g == 0) Nil
+      else raw.where(col("batch_id") === s"$CompactPrefix$g")
+        .limit(1).select(col("folded")).collect()
+        .headOption.map(_.getSeq[String](0)).getOrElse(Nil)
+    (live ++ manifest).toSet
+  }
+
   private def readMeta(s: SparkSession, dir: String): Option[(Int, Seq[String], String)] =
     if (fs(s, dir).exists(new Path(metaPath(dir)))) {
       val df = s.read.parquet(metaPath(dir))
@@ -109,7 +186,9 @@ object SketchLedger {
       .agg(expr(s"hll_sketch_agg($value, $lgConfigK)").as("sketch"),
         count(col(value)).as("rows"))
       .withColumn("batch_id", lit(batchId))
-    sk.write.mode("append").parquet(s"$dir/sketches")
+      .withColumn("folded", typedLit(Seq.empty[String]))
+      .withColumn(PartCol, lit(bpartOf(batchId)))
+    sk.write.mode("append").partitionBy(PartCol).parquet(s"$dir/sketches")
   }
 
   /** Retried-batch absorption shared by both read paths: collapse to one
@@ -155,10 +234,7 @@ object SketchLedger {
     * ingest batch, crawl-cadence small by construction. */
   private def missingBatches(s: SparkSession, dir: String, landed: DataFrame,
       batchCol: String): Seq[String] = {
-    val inLedger: Set[String] =
-      if (!fs(s, dir).exists(new Path(s"$dir/sketches"))) Set.empty
-      else s.read.parquet(s"$dir/sketches").select("batch_id").distinct()
-        .collect().map(_.getString(0)).toSet
+    val inLedger = accountedBatchIds(s, dir)
     landed.select(col(batchCol).cast("string")).distinct()
       .collect().map(_.getString(0)).filterNot(inLedger).sorted.toSeq
   }
@@ -200,7 +276,7 @@ object SketchLedger {
   def distinctByKey(s: SparkSession, dir: String): DataFrame = {
     val (_, keys, _) = readMeta(s, dir).getOrElse(
       sys.error(s"SketchLedger at $dir has no meta - nothing was ever appended"))
-    dedupRetries(readSketches(s, dir), keys)
+    dedupRetries(readLive(s, dir), keys)
       .groupBy(keys.map(col): _*)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_est"),
         sum(col("rows")).as("rows"))
@@ -213,7 +289,7 @@ object SketchLedger {
   def distinctTotal(s: SparkSession, dir: String): Long = {
     readMeta(s, dir).getOrElse(
       sys.error(s"SketchLedger at $dir has no meta - nothing was ever appended"))
-    readSketches(s, dir)
+    readLive(s, dir)
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("distinct_est"))
       .head().getLong(0)
   }
@@ -261,7 +337,9 @@ object SketchLedger {
       .agg(expr(s"graft_kll_agg($value, $k)").as("sketch"),
         count(col(value)).as("rows"))
       .withColumn("batch_id", lit(batchId))
-    sk.write.mode("append").parquet(s"$dir/sketches")
+      .withColumn("folded", typedLit(Seq.empty[String]))
+      .withColumn(PartCol, lit(bpartOf(batchId)))
+    sk.write.mode("append").partitionBy(PartCol).parquet(s"$dir/sketches")
   }
 
   /** Estimated values at the requested normalized ranks per key, merged
@@ -274,7 +352,7 @@ object SketchLedger {
     GraftFunctions.register(s)
     val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
       sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
-    dedupRetries(readSketches(s, dir), keys)
+    dedupRetries(readLive(s, dir), keys)
       .groupBy(keys.map(col): _*)
       .agg(expr("graft_kll_merge(sketch)").as("sk"), sum(col("rows")).as("rows"))
       .select(keys.map(col) ++ Seq(col("rows"), col("sk"),
@@ -291,7 +369,7 @@ object SketchLedger {
     GraftFunctions.register(s)
     val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
       sys.error(s"quantile ledger at $dir has no meta - nothing was ever appended"))
-    val row = dedupRetries(readSketches(s, dir), keys)
+    val row = dedupRetries(readLive(s, dir), keys)
       .agg(expr(s"graft_kll_quantile(graft_kll_merge(sketch), cast($rank as double))")
         .as("value_est"))
       .head()
@@ -354,7 +432,9 @@ object SketchLedger {
       .agg(sum(col(value).cast("double")).as("sum_val"),
         count(col(value)).as("rows"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(s"$dir/sketches")
+      .withColumn("folded", typedLit(Seq.empty[String]))
+      .withColumn(PartCol, lit(bpartOf(batchId)))
+      .write.mode("append").partitionBy(PartCol).parquet(s"$dir/sketches")
   }
 
   /** Exact metric total + processed rows per key, merged across every
@@ -365,7 +445,7 @@ object SketchLedger {
   def sumByKey(s: SparkSession, dir: String): DataFrame = {
     val (keys, _) = readSumMeta(s, dir).getOrElse(
       sys.error(s"sum ledger at $dir has no meta - nothing was ever appended"))
-    readSketches(s, dir)
+    readLive(s, dir)
       .groupBy((keys :+ "batch_id").map(col): _*)
       .agg(max(col("sum_val")).as("sum_val"), max(col("rows")).as("rows"))
       .groupBy(keys.map(col): _*)
@@ -383,5 +463,122 @@ object SketchLedger {
         keys, value, dir, id)
     }
     missing
+  }
+
+  // ------------------------------------------------------------------
+  // Compaction — see the layout note at the top of this object. Each
+  // tier folds every batch OUTSIDE the caller's `retain` predicate
+  // (the retry horizon: an id that might still be retried must stay a
+  // live partition, or its retry would land a row the manifest already
+  // excludes — read-correct but wasted work) into one consolidated
+  // partition per generation. Returns the folded ids (empty = no-op).
+  // ------------------------------------------------------------------
+
+  /** Drop stage debris and GC partitions the current manifest already
+    * covers (a previous compaction that crashed after its atomic
+    * publish but before cleanup). */
+  private def healCompaction(s: SparkSession, dir: String): Unit = {
+    val hfs = fs(s, dir)
+    hfs.delete(new Path(s"$dir/_compact_stage"), true)
+    val g = maxGen(s, dir)
+    if (g > 0) {
+      val manifest = s.read.parquet(s"$dir/sketches")
+        .where(col("batch_id") === s"$CompactPrefix$g")
+        .limit(1).select(col("folded")).collect()
+        .headOption.map(_.getSeq[String](0).toSet).getOrElse(Set.empty[String])
+      val covered = manifest.map(bpartOf) ++
+        (1 until g).map(i => s"$CompactPrefix$i")
+      hfs.listStatus(new Path(s"$dir/sketches"))
+        .map(_.getPath).filter(_.getName.startsWith(s"$PartCol="))
+        .foreach { p =>
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(p.getName.stripPrefix(s"$PartCol="))
+          if (covered.contains(v)) { hfs.delete(p, true); () }
+        }
+    }
+  }
+
+  private def compactImpl(s: SparkSession, dir: String,
+      retain: String => Boolean, keys: Seq[String],
+      merge: DataFrame => DataFrame): Seq[String] = WriterLock.withLock(dir) {
+    healCompaction(s, dir)
+    val g = maxGen(s, dir)
+    val raw = readSketches(s, dir).drop(PartCol)
+    val consId = s"$CompactPrefix$g"
+    val oldManifest: Seq[String] =
+      if (g == 0) Nil
+      else raw.where(col("batch_id") === consId)
+        .limit(1).select(col("folded")).collect()
+        .headOption.map(_.getSeq[String](0)).getOrElse(Nil)
+    val excluded = oldManifest.toSet
+    val foldIds = raw
+      .where(!col("batch_id").startsWith(CompactPrefix))
+      .select("batch_id").distinct().collect().map(_.getString(0))
+      .filterNot(excluded).filterNot(retain).sorted.toSeq
+    if (foldIds.isEmpty) Nil
+    else {
+      import s.implicits._
+      val newManifest = (oldManifest ++ foldIds).distinct.sorted
+      val foldDf = foldIds.toDF("batch_id")
+      val liveFold = raw.join(broadcast(foldDf), Seq("batch_id"), "left_semi")
+      val foldSet =
+        if (g == 0) liveFold
+        else liveFold.unionByName(raw.where(col("batch_id") === consId))
+      val out = merge(foldSet.drop("folded"))
+        .withColumn("batch_id", lit(s"$CompactPrefix${g + 1}"))
+        .withColumn("folded", typedLit(newManifest))
+      val hfs = fs(s, dir)
+      val stage = new Path(s"$dir/_compact_stage")
+      out.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      // single atomic publish: the staged files BECOME the consolidated
+      // partition; everything after this line is garbage collection
+      val dst = new Path(s"$dir/sketches/$PartCol=$CompactPrefix${g + 1}")
+      require(hfs.rename(stage, dst),
+        s"compaction publish failed: could not rename $stage to $dst")
+      healCompaction(s, dir)
+      foldIds
+    }
+  }
+
+  /** Fold the distinct-count ledger's non-retained batches into one
+    * consolidated HLL row per key. Read results are unchanged (HLL
+    * union is associative); read COST drops from O(batches × keys) to
+    * O(retained × keys). */
+  def compactDistinct(s: SparkSession, dir: String,
+      retain: String => Boolean = _ => false): Seq[String] = {
+    val (_, keys, _) = readMeta(s, dir).getOrElse(
+      sys.error(s"SketchLedger at $dir has no meta - nothing to compact"))
+    compactImpl(s, dir, retain, keys, df =>
+      dedupRetries(df, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(expr("hll_union_agg(sketch)").as("sketch"),
+          sum(col("rows")).as("rows")))
+  }
+
+  /** Quantile-ledger twin of [[compactDistinct]] (KLL merge is
+    * associative; the merged sketch's error contract is unchanged). */
+  def compactQuantile(s: SparkSession, dir: String,
+      retain: String => Boolean = _ => false): Seq[String] = {
+    GraftFunctions.register(s)
+    val (_, keys, _) = readQuantileMeta(s, dir).getOrElse(
+      sys.error(s"quantile ledger at $dir has no meta - nothing to compact"))
+    compactImpl(s, dir, retain, keys, df =>
+      dedupRetries(df, keys)
+        .groupBy(keys.map(col): _*)
+        .agg(expr("graft_kll_merge(sketch)").as("sketch"),
+          sum(col("rows")).as("rows")))
+  }
+
+  /** Sum-ledger twin — exact: addition is associative, so the
+    * consolidated totals are bit-equal to the unfolded read. */
+  def compactSum(s: SparkSession, dir: String,
+      retain: String => Boolean = _ => false): Seq[String] = {
+    val (keys, _) = readSumMeta(s, dir).getOrElse(
+      sys.error(s"sum ledger at $dir has no meta - nothing to compact"))
+    compactImpl(s, dir, retain, keys, df =>
+      df.groupBy((keys :+ "batch_id").map(col): _*)
+        .agg(max(col("sum_val")).as("sum_val"), max(col("rows")).as("rows"))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("sum_val")).as("sum_val"), sum(col("rows")).as("rows")))
   }
 }

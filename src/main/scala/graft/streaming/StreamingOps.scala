@@ -492,6 +492,11 @@ object StreamingOps {
           s"$dir/distinct", s"b$batchId")
         graft.sources.SketchLedger.appendQuantile(batch.sparkSession, base, keys,
           "size_metric", s"$dir/size", s"b$batchId")
+        // exact sum tier (r17 parity with AssetIngest.recordSketches):
+        // the per-key metric totals a ledger-only mixture plan / health
+        // report reads instead of scanning the corpus
+        graft.sources.SketchLedger.appendSum(batch.sparkSession, base, keys,
+          "size_metric", s"$dir/sum", s"b$batchId")
       }
     } finally base.unpersist()
   }

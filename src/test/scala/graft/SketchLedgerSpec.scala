@@ -279,4 +279,120 @@ class SketchLedgerSpec extends AnyFunSuite {
       landed, Seq("source"), "doc_id", col("n_tok"))
     assert(again1.isEmpty && again2.isEmpty, "reconcile must be idempotent")
   }
+
+  // ------------------------------------------------------------------
+  // Compaction laws (r17 — the v2 partitioned layout): folding batches
+  // into a consolidated generation must not move any read, must shrink
+  // the partition count, must respect the retry horizon, and must stay
+  // read-correct in the crash window between the atomic publish and GC.
+  // ------------------------------------------------------------------
+
+  private def partitionDirs(dir: String): Seq[String] = {
+    val p = new java.io.File(s"$dir/sketches")
+    if (!p.exists) Nil
+    else p.listFiles.filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  test("sum-ledger compaction: totals bit-equal, partitions shrink, horizon retained") {
+    val dir = tmp()
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+    (0 until 4).foreach { r =>
+      SketchLedger.appendSum(spark, base.where(col("doc_id") % 4 === r),
+        Seq("source"), "n_tok", dir, s"b$r")
+    }
+    val before = SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq
+    assert(partitionDirs(dir).length === 4)
+    // fold everything except the newest batch (the retry horizon)
+    val folded = SketchLedger.compactSum(spark, dir, retain = _ == "b3")
+    assert(folded === Seq("b0", "b1", "b2"))
+    val dirsAfter = partitionDirs(dir)
+    assert(dirsAfter === Seq("bpart=_c1", "bpart=bb3"),
+      s"expected one consolidated + one retained partition, got $dirsAfter")
+    val after = SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq
+    assert(after === before, "compaction moved the exact totals")
+    // second compaction folds the horizon remnant into generation 2
+    assert(SketchLedger.compactSum(spark, dir) === Seq("b3"))
+    assert(partitionDirs(dir) === Seq("bpart=_c2"))
+    assert(SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq === before)
+    // idempotent once everything is folded
+    assert(SketchLedger.compactSum(spark, dir).isEmpty)
+  }
+
+  test("distinct-ledger compaction: estimates and exact rows unchanged") {
+    val dir = tmp()
+    val t = tokens
+    (0 until 3).foreach { r =>
+      SketchLedger.append(spark, t.where(col("doc_id") % 3 === r),
+        Seq("source"), "tok", dir, s"b$r")
+    }
+    val before = SketchLedger.distinctByKey(spark, dir).collect().map(_.toString).toSeq
+    val beforeTotal = SketchLedger.distinctTotal(spark, dir)
+    assert(SketchLedger.compactDistinct(spark, dir).length === 3)
+    assert(partitionDirs(dir) === Seq("bpart=_c1"))
+    assert(SketchLedger.distinctByKey(spark, dir).collect().map(_.toString).toSeq === before,
+      "HLL union is associative - the consolidated read must be identical")
+    assert(SketchLedger.distinctTotal(spark, dir) === beforeTotal)
+  }
+
+  test("quantile-ledger compaction: rows exact, estimates within the rank-error bound") {
+    val dir = tmp()
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+    (0 until 3).foreach { r =>
+      SketchLedger.appendQuantile(spark, base.where(col("doc_id") % 3 === r),
+        Seq("source"), "n_tok", dir, s"b$r")
+    }
+    val exactP50 = base.groupBy("source")
+      .agg(expr("percentile(n_tok, array(0.40, 0.60))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(SketchLedger.compactQuantile(spark, dir).length === 3)
+    SketchLedger.quantileByKey(spark, dir, Seq(0.5)).collect().foreach { r =>
+      val q = exactP50(r.getString(0))
+      assert(r.getDouble(3) >= q(0) && r.getDouble(3) <= q(1),
+        s"${r.getString(0)} compacted p50 ${r.getDouble(3)} outside exact [p40, p60] $q")
+    }
+  }
+
+  test("compaction crash window: after publish, before GC - reads stay correct; heal finishes") {
+    val dir = tmp()
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"))
+    (0 until 3).foreach { r =>
+      SketchLedger.appendSum(spark, base.where(col("doc_id") % 3 === r),
+        Seq("source"), "n_tok", dir, s"b$r")
+    }
+    val before = SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq
+    SketchLedger.compactSum(spark, dir)
+    // simulate the crash: resurrect a folded original ALONGSIDE the
+    // consolidated partition (exactly the pre-GC overlap state, and also
+    // what a contract-breaking late retry of a folded batch produces)
+    SketchLedger.appendSum(spark, base.where(col("doc_id") % 3 === 0),
+      Seq("source"), "n_tok", dir, "b0")
+    assert(partitionDirs(dir).contains("bpart=bb0"))
+    assert(SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq === before,
+      "the manifest must exclude a folded batch even while its partition exists")
+    // the next compaction GCs the overlap without changing reads
+    assert(SketchLedger.compactSum(spark, dir).isEmpty)
+    assert(partitionDirs(dir) === Seq("bpart=_c1"))
+    assert(SketchLedger.sumByKey(spark, dir).collect().map(_.toString).toSeq === before)
+  }
+
+  test("reconcile treats folded batches as present (no re-derivation after compaction)") {
+    val dir = tmp()
+    val landed = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tok"),
+        (col("doc_id") % 3).cast("string").as("ingest_batch"))
+    (0 until 3).foreach { r =>
+      SketchLedger.appendSum(spark, landed.where(col("ingest_batch") === r.toString),
+        Seq("source"), "n_tok", dir, r.toString)
+    }
+    SketchLedger.compactSum(spark, dir)
+    assert(SketchLedger.reconcileSum(spark, landed, Seq("source"), "n_tok", dir).isEmpty,
+      "a folded batch is accounted for - reconcile must not re-append it")
+  }
 }
