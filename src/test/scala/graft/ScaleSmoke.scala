@@ -510,6 +510,64 @@ object ScaleSmoke {
             f"steady=${r.steady}%.3f " +
             s"triggers=${r.trigSecs.map(x => f"$x%.3f").mkString(",")}")
         }
+      case "textidx" =>
+        // textidx <sfDir> <factor> [searches] — the inverted-index scale
+        // argument as a MEASUREMENT: per-query cost of BM25 answered by
+        // re-tokenizing the corpus (scan) vs the persisted TextIndex's
+        // pruned bucket read, at growing corpus multiples. The index
+        // build is the one-time cost the per-query delta amortizes; the
+        // files-kept line shows the pruning doing the work (buckets
+        // touched stay CONSTANT as the corpus grows — the scan does not).
+        val src = args(1)
+        val factor = args(2).toInt
+        val nRuns = if (args.length > 3) args(3).toInt else 5
+        val dataDir =
+          if (factor <= 1) src
+          else {
+            val blown = java.nio.file.Files.createTempDirectory("textidx_corpus").toString
+            val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+            println(f"TEXTIDX upsample factor=$factor secs=$upSecs%.1f")
+            blown
+          }
+        val docs = Tables.documents(s, dataDir)
+        val nDocs = docs.count()
+        val idx = java.nio.file.Files.createTempDirectory("textidx_idx").toString + "/idx"
+        val (_, buildSecs) = timed(graft.sources.TextIndex.build(s, idx, docs))
+        val terms = Seq("query", "join", "table")
+        def scanOnce(): Long = {
+          val qtok = docs
+            .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+              explode(split(col("text"), " ")).as("term"))
+            .where(col("term").isin(terms: _*))
+          val tf = qtok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+          val dft = qtok.groupBy("term").agg(countDistinct(col("doc_id")).as("dfc"))
+          val stats = docs.agg(count(lit(1)).as("n"),
+            avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
+          tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+            .withColumn("w",
+              log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+                (col("tf") * 2.2) /
+                (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+            .groupBy("doc_id")
+            .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+            .orderBy(col("score").desc, col("doc_id").asc).limit(10).count()
+        }
+        def indexedOnce(): Long =
+          graft.sources.TextIndex.searchBm25(s, idx, terms, 10).count()
+        def steady(body: => Long): Double = {
+          body // warm-up (JIT, FS cache, codegen)
+          val ts = (1 to nRuns).map { _ => val (_, sec) = timed(body); sec }.sorted
+          ts(ts.length / 2)
+        }
+        val scanSecs = steady(scanOnce())
+        val idxSecs = steady(indexedOnce())
+        val all = s.read.parquet(graft.sources.TextIndex.postingsPath(idx))
+        val total = all.select(col("_metadata.file_path")).distinct().count()
+        val kept = graft.sources.TextIndex.postingsFor(s, idx, terms)
+          .select(col("_metadata.file_path")).distinct().count()
+        println(f"TEXTIDX factor=$factor docs=$nDocs build=$buildSecs%.2f " +
+          f"scan_steady=$scanSecs%.3f indexed_steady=$idxSecs%.3f " +
+          s"files_kept=$kept/$total")
       case "calibrate" =>
         // calibrate <sfDir> <factor> [triggers] [batchDocs] [targetIndexDir]
         // — measure the scan-vs-pruned probe economics ON THIS BOX (the
