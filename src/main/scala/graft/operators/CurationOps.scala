@@ -375,6 +375,33 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // The ledger's whole read/compact arithmetic under the driver's
+    // hash gate (the q_prune_zorder recipe applied to the accounting
+    // tier): append the corpus's per-source token sums as THREE batch
+    // partitions, fold them through compactSum (atomic manifest
+    // publish + GC), and emit sumByKey — the oracle is the plain
+    // corpus aggregate, so a merge bug, a retry-dedup slip, or a
+    // manifest-exclusion bug in the compacted read hash-fails instead
+    // of drifting a dashboard silently. Idempotent within a JVM run:
+    // re-appended ids are absorbed by the (keys, batch_id) dedup and a
+    // re-fold of folded ids is a no-op (both spec-pinned).
+    "q_ledger_compact" -> ((s, d) => {
+      import graft.sources.SketchLedger
+      val dir = graft.plans.Scale.scratch(s, "ledcompact", d) + "/sum"
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("double").as("n_tok"))
+      (0 until 3).foreach { r =>
+        SketchLedger.appendSum(s, base.where(col("doc_id") % 3 === r),
+          Seq("source"), "n_tok", dir, s"b$r")
+      }
+      SketchLedger.compactSum(s, dir)
+      SketchLedger.sumByKey(s, dir)
+        .select(col("source"), col("sum_val").cast("bigint").as("toks"),
+          col("rows").as("docs"))
+        .orderBy("source")
+    }),
+
     "q_mixture_plan" -> ((s, d) => {
       val tokc = Tables.documents(s, d)
         .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("t"))
@@ -507,6 +534,13 @@ object CurationOps {
         |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS shard FROM h)
         |SELECT shard, row_number() OVER (PARTITION BY shard ORDER BY h) AS pos, doc_id
         |FROM s ORDER BY shard, pos""".stripMargin,
+
+    // The compacted ledger must equal the plain corpus aggregate.
+    "q_ledger_compact" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |  count(*) AS docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_quality_gopher" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
