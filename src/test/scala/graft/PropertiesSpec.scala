@@ -703,4 +703,36 @@ class PropertiesSpec extends AnyFunSuite {
         simd == SimdBridge.dot(b, a) && seq == SimdBridge.scalarDot(b, a)
     }, tests = 50)
   }
+
+  test("sum-ledger compaction law: any batch split, any retain boundary - reads bit-equal") {
+    import spark.implicits._
+    import graft.sources.SketchLedger
+    // random rows over a handful of keys, split into a random number of
+    // batches at random, then compacted at a random retain boundary —
+    // the folded read must equal the never-compacted read exactly, and
+    // a second fold of everything must too (generation chaining)
+    val rows = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(1L, 500L)))
+    check(Prop.forAll(rows, Gen.chooseNum(2, 5), Gen.chooseNum(0, 5)) {
+      (data, nBatches, keepFrom) =>
+        val dir = java.nio.file.Files.createTempDirectory("prop_ledcomp").toString
+        val df = data.zipWithIndex
+          .map { case ((k, v), i) => (k, v.toDouble, i % nBatches) }
+          .toDF("k", "v", "b")
+        (0 until nBatches).foreach { b =>
+          val part = df.where(col("b") === b)
+          if (part.limit(1).count() > 0)
+            SketchLedger.appendSum(spark, part, Seq("k"), "v", dir, s"b$b")
+        }
+        def read() = SketchLedger.sumByKey(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        val before = read()
+        SketchLedger.compactSum(spark, dir,
+          retain = id => id.stripPrefix("b").toInt >= keepFrom)
+        val mid = read()
+        SketchLedger.compactSum(spark, dir) // fold the retained remainder
+        val after = read()
+        before == mid && before == after
+    }, tests = 10)
+  }
 }
