@@ -84,10 +84,18 @@ object TextIndex {
         explode(tokens(col(textCol))).as("term"))
       val tf = toks.groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).as("tf"))
-      tf.withColumn(Col, bucketOf(col("term")))
-        .repartitionByRange(col(Col), col("term"), col("doc_id"))
-        .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy(Col).parquet(postingsPath(dir))
+        .withColumn(Col, bucketOf(col("term")))
+      if (tf.limit(1).count() == 0)
+        // a zero-row PARTITIONED write leaves no part files — a
+        // schema-less husk every later read would crash on (the
+        // IdBuckets empty-table lesson). Write the empty frame FLAT
+        // instead: schema-bearing, bucket column present as data, so
+        // searches return cleanly empty over an empty corpus.
+        tf.coalesce(1).write.mode("overwrite").parquet(postingsPath(dir))
+      else
+        tf.repartitionByRange(col(Col), col("term"), col("doc_id"))
+          .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy(Col).parquet(postingsPath(dir))
       docs.agg(count(lit(1)).as("n"),
           avg(size(tokens(col(textCol))).cast("double")).as("avgdl"))
         .coalesce(1)

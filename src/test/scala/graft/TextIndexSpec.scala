@@ -130,6 +130,17 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchBm25(spark, dir, Seq("zzz_not_a_token"), 5).count() === 0)
   }
 
+  test("an empty-corpus build leaves a readable empty index, not a schema-less husk") {
+    val dir = freshDir("emptycorpus")
+    TextIndex.build(spark, dir, docs.where(lit(false)))
+    assert(TextIndex.exists(spark, dir))
+    assert(TextIndex.searchBm25(spark, dir, Seq("query"), 5).count() === 0)
+    assert(TextIndex.postingsFor(spark, dir, Seq("query")).count() === 0)
+    // a rebuild over real data replaces it cleanly
+    TextIndex.build(spark, dir, docs)
+    assert(TextIndex.searchBm25(spark, dir, Seq("query"), 5).count() === 5)
+  }
+
   test("exists: false before build, true after, false for a marker husk") {
     val dir = freshDir("exists")
     assert(!TextIndex.exists(spark, dir))
