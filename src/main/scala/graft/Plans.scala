@@ -67,6 +67,8 @@ object Plans {
     "q_text_search_bm25" -> "1-row (N, avgdl) stats broadcast (vs a driver collect)",
     "q_text_search_indexed" -> ("1-row (N, avgdl) stats-table broadcast onto the pruned " +
       "postings read (the q_text_search_bm25 shape fed from the persisted index)"),
+    "q_text_search_batch" -> ("bounded query-table broadcast + 1-row (N, avgdl) stats " +
+      "broadcast — one corpus pass serves the whole query batch"),
     "q_knn_ivfpq"       -> "1-row ADC-table / query / coarse-codebook broadcasts (IVFADC probe + rerank)",
     "q_str_levenshtein" -> "declared bounded all-pairs (both sides key<50)",
     "q_pack_sequences"  -> ("1-row doc_id-bounds broadcast assigning range chunks (two-level " +

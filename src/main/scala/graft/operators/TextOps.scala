@@ -344,6 +344,41 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BATCH BM25 retrieval — many queries scored in ONE job (the
+    // RAG-evaluation shape: a query set joins the token stream on the
+    // term key instead of filtering by literals, so one corpus pass
+    // serves every query; per-term df and the corpus stats are shared
+    // across queries by construction). The query table rides as a
+    // broadcast (bounded query batches); ranking is one window over the
+    // (qid, doc) scores. Scoring math/rounding identical to
+    // q_text_search_bm25. The persisted-index twin is
+    // TextIndex.searchBatchBm25 (same join, pruned postings input).
+    "q_text_search_batch" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((1L, "query"), (1L, "join"), (2L, "data"),
+        (2L, "stream"), (3L, "table"), (3L, "spark")).toDF("qid", "term")
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      val m = tok.join(broadcast(queries), "term")
+      val tf = m.groupBy("qid", "doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dft = m.groupBy("qid", "term").agg(countDistinct(col("doc_id")).as("dfc"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
+      val sc = tf.join(dft, Seq("qid", "term")).crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("qid", "doc_id")
+        .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      sc.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("qid", "rn", "doc_id", "score", "matched")
+        .orderBy("qid", "rn")
+    }),
+
     // BM25 retrieval from the PERSISTED inverted index (TextIndex) —
     // the q_prune_zorder recipe applied to lexical search: build the
     // term-bucketed postings + stats tables into the per-run scratch
@@ -770,6 +805,36 @@ object TextOps {
         |        JOIN cu2 ON bp.w2 = cu2.u2
         |        CROSS JOIN tot
         |GROUP BY bp.doc_id ORDER BY bp.doc_id""".stripMargin,
+
+    // Batch-retrieval oracle: the same per-query BM25 arithmetic over a
+    // VALUES query table (qid cast BIGINT to match Spark's LongType;
+    // rn cast INTEGER per the q_tfidf precedent).
+    "q_text_search_batch" ->
+      """WITH q AS (SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
+        |    (1, 'query'), (1, 'join'), (2, 'data'),
+        |    (2, 'stream'), (3, 'table'), (3, 'spark')) v(qid, term)),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |m AS (SELECT q.qid, tok.doc_id, tok.dl, tok.term
+        |      FROM tok JOIN q ON tok.term = q.term),
+        |tf AS (SELECT qid, doc_id, dl, term, count(*) AS tf FROM m
+        |       GROUP BY qid, doc_id, dl, term),
+        |dft AS (SELECT qid, term, count(DISTINCT doc_id) AS dfc FROM m
+        |        GROUP BY qid, term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |sc AS (SELECT tf.qid, tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |  FROM tf JOIN dft ON tf.qid = dft.qid AND tf.term = dft.term
+        |       CROSS JOIN stats
+        |  GROUP BY tf.qid, tf.doc_id)
+        |SELECT qid, rn, doc_id, score, matched FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     // The indexed path's oracle is the SCAN over the original corpus —
     // exactly the equivalence the index must preserve. Same association

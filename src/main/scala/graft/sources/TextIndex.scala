@@ -159,6 +159,49 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Cap on the distinct-term list [[searchBatchBm25]] collects to
+    * drive bucket pruning — the IdBuckets.MaxIdLiterals discipline: a
+    * query batch within the cap reads only its terms' buckets; past it
+    * (or when the caller says the batch is unbounded) the join runs
+    * over the full postings table, which is still ONE pass for the
+    * whole batch. */
+  val MaxPruneTerms = 1024
+
+  /** BATCH BM25 from the index: many (qid, term) queries scored in one
+    * job. The query table joins the postings on the term key (shared
+    * df/stats across queries); when the batch's distinct terms fit
+    * [[MaxPruneTerms]] the postings input is the pruned bucket read,
+    * otherwise the full table — either way one pass per BATCH, not per
+    * query. Math/rounding identical to [[searchBm25]], so the batch
+    * result for one qid equals the single-query call (TextIndexSpec
+    * law). Returns (qid, rn, doc_id, score, matched), top-k per qid. */
+  def searchBatchBm25(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+      Seq(postingsPath(dir), statsPath(dir)))
+    val q = queries.select(col("qid"), col("term"))
+    val terms = q.select("term").distinct().limit(MaxPruneTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    val posts =
+      if (terms.length <= MaxPruneTerms) postingsFor(s, dir, terms)
+      else s.read.parquet(postingsPath(dir)).drop(Col)
+    val m = posts.join(broadcast(q), "term")
+    val dft = m.groupBy("qid", "term").agg(count(lit(1)).as("dfc"))
+    val stats = s.read.parquet(statsPath(dir))
+    val sc = m.join(dft, Seq("qid", "term")).crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "rn", "doc_id", "score", "matched")
+      .orderBy("qid", "rn")
+  }
+
   /** True iff a completed index exists at `dir` (both tables present,
     * no crashed rebuild). A marker-only husk reads as "no index". */
   def exists(s: SparkSession, dir: String): Boolean = {

@@ -130,6 +130,26 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchBm25(spark, dir, Seq("zzz_not_a_token"), 5).count() === 0)
   }
 
+  test("batch retrieval equals the per-query single search, qid by qid") {
+    import spark.implicits._
+    val dir = freshDir("batch")
+    TextIndex.build(spark, dir, docs)
+    val qs = Seq((1L, "query"), (1L, "join"), (2L, "data"), (2L, "stream"),
+      (3L, "table"), (3L, "spark"), (4L, "zzz_absent"))
+    val batch = TextIndex.searchBatchBm25(spark, dir, qs.toDF("qid", "term"), 10)
+      .collect().groupBy(_.getLong(0))
+    qs.groupBy(_._1).foreach { case (qid, rows) =>
+      val single = TextIndex.searchBm25(spark, dir, rows.map(_._2), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val got = batch.getOrElse(qid, Array.empty)
+        .sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+      assert(got.toSeq === single.toSeq, s"qid $qid batch vs single diverged")
+    }
+    // the all-absent query contributes no rows, not an error
+    assert(!batch.contains(4L))
+  }
+
   test("an empty-corpus build leaves a readable empty index, not a schema-less husk") {
     val dir = freshDir("emptycorpus")
     TextIndex.build(spark, dir, docs.where(lit(false)))
