@@ -49,6 +49,8 @@ object Plans {
     "q_unigram_logprob" -> "1-row corpus-total broadcast (ln(total) applied per doc)",
     "q_bigram_logprob"  -> "1-row bigram-total broadcast (interpolation denominator per pair)",
     "q_knn_cosine"      -> "1-row query-vector broadcast (judge-audited model plan)",
+    "q_hybrid_rrf"      -> ("the two legs' own 1-row broadcasts (query vector; (N, avgdl) " +
+      "stats) — fusion itself is a bounded 20+20-row full-outer join"),
     "q_knn_simd"        -> "1-row query-vector broadcast (q_knn_cosine shape, SIMD-kernel scoring)",
     "q_image_knn"       -> "1-row query-image-features broadcast (q_knn_cosine shape over decoded features)",
     "q_knn_filtered"    -> "1-row query-vector broadcast; filter pre-applied in the same scan pass",

@@ -1057,6 +1057,61 @@ object VectorOps {
     // Brute-force cosine top-20 against one query vector. The query side is
     // a 1-row broadcast; the scan side streams — at 100 TB this is a single
     // pass with a TakeOrderedAndProject, no shuffle of the big side.
+    // HYBRID retrieval via Reciprocal Rank Fusion — the standard fusion
+    // of a lexical and a dense leg (Cormack et al. 2009; the default
+    // hybrid mode in Elasticsearch/Vespa/pgvector): each leg produces
+    // its own top-20 with its own arithmetic (the q_text_search_bm25
+    // and q_knn_cosine shapes verbatim), ranks are fused as
+    // Σ 1/(60 + rank) with a missing leg contributing 0, and the blend
+    // needs NO score normalization — that is RRF's whole point, and why
+    // it composes cleanly across scoring scales. Scale shape: each leg
+    // is a TakeOrdered top-k over its own (index-able) scan; the rank
+    // windows and the full-outer fusion join run over ≤20+20 rows —
+    // bounded regardless of corpus size. At 100 TB the legs swap in
+    // their index twins (TextIndex.searchBm25, the IVF probe) with the
+    // fusion unchanged.
+    "q_hybrid_rrf" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val qv = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val denseTop = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+        .select(col("vec_id").as("id"), col("sim"))
+        .orderBy(col("sim").desc, col("id").asc).limit(20)
+      val dense = denseTop.withColumn("vrank",
+        row_number().over(Window.orderBy(col("sim").desc, col("id").asc)))
+        .select("id", "vrank")
+      val docs = Tables.documents(s, d)
+      val qtok = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .where(col("term").isin("query", "join", "table"))
+      val tf = qtok.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dft = qtok.groupBy("term").agg(countDistinct(col("doc_id")).as("dfc"))
+      val stats = docs.agg(count(lit(1)).as("n"),
+        avg(size(split(col("text"), " ")).cast("double")).as("avgdl"))
+      val lexTop = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+        .withColumn("w",
+          log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("w"), 4).as("score"))
+        .select(col("doc_id").as("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(20)
+      val lex = lexTop.withColumn("lrank",
+        row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
+        .select("id", "lrank")
+      dense.join(lex, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)), 6))
+        .select("id", "vrank", "lrank", "rrf")
+        .orderBy(col("rrf").desc, col("id").asc)
+        .limit(10)
+    }),
+
     "q_knn_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
@@ -1370,6 +1425,40 @@ object VectorOps {
     // APPROXIMATELY unit-norm in float32, and DuckDB's list_* kernels
     // accumulate in float — both differences can flip a 6dp rounding at
     // a boundary, so the oracle mirrors graft_dot's arithmetic exactly.
+    // Both legs verbatim from their gated single-leg oracles; RRF terms
+    // in CAST(1 AS DOUBLE) so DuckDB's decimal literals never enter.
+    "q_hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |dense AS (SELECT e.vec_id AS id,
+        |    round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x), 6) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id <> 0
+        |  ORDER BY sim DESC, id ASC LIMIT 20),
+        |dr AS (SELECT id, CAST(row_number() OVER (
+        |    ORDER BY sim DESC, id ASC) AS INTEGER) AS vrank FROM dense),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |qt AS (SELECT doc_id, dl, term FROM tok
+        |       WHERE term IN ('query', 'join', 'table')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM qt
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM qt GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |lextop AS (SELECT tf.doc_id AS id,
+        |    round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |  GROUP BY tf.doc_id ORDER BY score DESC, id ASC LIMIT 20),
+        |lr AS (SELECT id, CAST(row_number() OVER (
+        |    ORDER BY score DESC, id ASC) AS INTEGER) AS lrank FROM lextop)
+        |SELECT COALESCE(dr.id, lr.id) AS id, vrank, lrank,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + vrank), 0.0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + lrank), 0.0), 6) AS rrf
+        |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+        |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin,
+
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
