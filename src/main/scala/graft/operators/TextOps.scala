@@ -397,14 +397,31 @@ object TextOps {
       val dir = graft.plans.Scale.scratch(s, "textidx", d) + "/idx"
       graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
       val terms = Seq("query", "join", "table")
-      val all = s.read.parquet(graft.sources.TextIndex.postingsPath(dir))
-      val totalFiles = all.select(col("_metadata.file_path")).distinct().count()
-      val keptFiles = graft.sources.TextIndex.postingsFor(s, dir, terms)
-        .select(col("_metadata.file_path")).distinct().count()
-      require(keptFiles < totalFiles,
-        s"q_text_search_indexed: the pruned postings read touched all " +
-          s"$totalFiles files of the ${graft.sources.TextIndex.NumBuckets}-bucket layout — " +
-          "term-bucket directory pruning regressed")
+      // prune gate on BUCKET DIRECTORIES, not parquet files: file counts
+      // vary with shuffle partitioning, so a tiny corpus whose postings
+      // land in as few populated files as the query terms touch would
+      // turn a correct result into a hard failure (r17 advice). The
+      // term_bucket=N partition directories are the unit pruning
+      // actually operates on and their count is layout-stable.
+      val pdir = new org.apache.hadoop.fs.Path(
+        graft.sources.TextIndex.postingsPath(dir))
+      val pfs = pdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val populated = pfs.listStatus(pdir).map(_.getPath.getName)
+        .filter(_.startsWith(s"${graft.sources.TextIndex.Col}="))
+        .map(_.stripPrefix(s"${graft.sources.TextIndex.Col}=").toInt).toSet
+      val keptBuckets = terms.map(graft.sources.TextIndex.bucketOfTerm).toSet
+      val kept = populated.intersect(keptBuckets)
+      if (populated.size > keptBuckets.size)
+        require(kept.size < populated.size,
+          s"q_text_search_indexed: the pruned postings read kept all " +
+            s"${populated.size} populated bucket directories of the " +
+            s"${graft.sources.TextIndex.NumBuckets}-bucket layout — " +
+            "term-bucket directory pruning regressed")
+      else
+        System.err.println(
+          s"[graft] q_text_search_indexed: corpus populates only " +
+            s"${populated.size} bucket directories (<= the query's " +
+            s"${keptBuckets.size} term buckets) — prune gate skipped at this scale")
       graft.sources.TextIndex.searchBm25(s, dir, terms, 10)
     }),
 

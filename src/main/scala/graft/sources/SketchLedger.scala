@@ -80,6 +80,85 @@ object SketchLedger {
   private val CompactPrefix = "_c"
   private def bpartOf(batchId: String) = "b" + batchId
 
+  /** Caller batch ids must never collide with the reserved consolidated
+    * namespace: a batch id like "_c1" would be excluded from live reads
+    * by readLive's prefix filter and, at the matching generation, its
+    * rows would be CONFLATED with the consolidated partition (its empty
+    * `folded` array can even win the cons.limit(1) manifest pick) —
+    * silently corrupting sums and estimates with no error (r17 advice).
+    * Refused loudly at every append instead. */
+  private def requireCallerBatchId(batchId: String): Unit =
+    require(!batchId.startsWith(CompactPrefix),
+      s"batch id '$batchId' collides with the reserved consolidated-generation " +
+        s"prefix '$CompactPrefix' - ids with that prefix are compaction-internal; " +
+        "pick a different batch id")
+
+  // ------------------------------------------------------------------
+  // v1 -> v2 layout migration (r17 advice): a pre-r17 ledger has flat
+  // part files directly under sketches/ and rows without the `folded`
+  // column. The first v2 partitionBy(bpart) append against such a dir
+  // would produce a mixed flat+partitioned directory Spark's partition
+  // discovery rejects, and readLive's col("folded") would fail on the
+  // old schema. Every WRITER therefore migrates the legacy layout
+  // in-place first (under the caller's WriterLock): rewrite the old
+  // rows under bpart=b<batch_id> with an empty `folded` column via a
+  // staged directory swap. Pure READS of an untouched v1 dir already
+  // work (maxGen sees no _c partitions; the lenient drops are no-ops),
+  // so migration is lazy on the first mutation. A reader that lands in
+  // the brief swap window (sketches dir renamed away) fails LOUDLY on
+  // the missing-table message and succeeds after the writer finishes —
+  // never a silent wrong answer.
+  // ------------------------------------------------------------------
+
+  private def migrateStagePath(dir: String) = s"$dir/_migrate_stage"
+  private def migrateOldPath(dir: String) = s"$dir/_sketches_v1_old"
+
+  /** True iff the sketches table still has v1 flat part files at its
+    * top level (v2 writes only bpart=* partition directories). */
+  private def legacyFlat(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(s"$dir/sketches")
+    val hfs = fs(s, dir)
+    hfs.exists(p) && hfs.listStatus(p).exists { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+  }
+
+  /** Heal a crashed migration, then migrate a v1 flat layout to the v2
+    * partitioned layout if present. Must run under WriterLock (every
+    * caller is a mutator that already holds it). Idempotent. */
+  private def migrateLegacyLayout(s: SparkSession, dir: String): Unit = {
+    val hfs = fs(s, dir)
+    val sketches = new Path(s"$dir/sketches")
+    val stage = new Path(migrateStagePath(dir))
+    val old = new Path(migrateOldPath(dir))
+    // heal: a crash between the two renames leaves old present and
+    // sketches absent — the stage is complete by construction (the
+    // move-out only happens after the staged write commits), so finish
+    // the swap; any other debris means the staged write itself crashed
+    // and the sources are intact, so discard and redo below
+    if (hfs.exists(old) && !hfs.exists(sketches)) {
+      require(hfs.exists(stage) && hfs.rename(stage, sketches),
+        s"ledger migration at $dir crashed mid-swap and its stage is missing - " +
+          s"restore $old to $sketches manually")
+    }
+    if (hfs.exists(old)) { hfs.delete(old, true); () }
+    if (hfs.exists(stage)) { hfs.delete(stage, true); () }
+    if (!legacyFlat(s, dir)) return
+    val raw = s.read.parquet(sketches.toString)
+    val withFolded =
+      if (raw.columns.contains("folded")) raw
+      else raw.withColumn("folded", typedLit(Seq.empty[String]))
+    withFolded
+      .withColumn(PartCol, concat(lit("b"), col("batch_id")))
+      .write.mode("overwrite").partitionBy(PartCol).parquet(stage.toString)
+    require(hfs.rename(sketches, old),
+      s"ledger migration at $dir: could not move $sketches aside")
+    require(hfs.rename(stage, sketches),
+      s"ledger migration at $dir: could not publish $stage")
+    hfs.delete(old, true)
+    ()
+  }
+
   /** Highest consolidated generation present (0 = never compacted).
     * One directory listing, no job. */
   private def maxGen(s: SparkSession, dir: String): Int = {
@@ -161,6 +240,8 @@ object SketchLedger {
   def append(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
       dir: String, batchId: String, lgConfigK: Int = 12): Unit = WriterLock.withLock(dir) {
     require(keys.nonEmpty, "SketchLedger.append: at least one key column required")
+    requireCallerBatchId(batchId)
+    migrateLegacyLayout(s, dir)
     require(lgConfigK >= 4 && lgConfigK <= 21,
       s"lgConfigK must be in [4, 21], got $lgConfigK")
     readMeta(s, dir).foreach { case (lgk, ks, v) =>
@@ -317,6 +398,8 @@ object SketchLedger {
   def appendQuantile(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
       dir: String, batchId: String, k: Int = 200): Unit = WriterLock.withLock(dir) {
     require(keys.nonEmpty, "SketchLedger.appendQuantile: at least one key column required")
+    requireCallerBatchId(batchId)
+    migrateLegacyLayout(s, dir)
     require(k >= 8 && k <= 65535, s"k must be in [8, 65535], got $k")
     GraftFunctions.register(s)
     readQuantileMeta(s, dir).foreach { case (mk, ks, v) =>
@@ -415,6 +498,8 @@ object SketchLedger {
   def appendSum(s: SparkSession, batch: DataFrame, keys: Seq[String], value: String,
       dir: String, batchId: String): Unit = WriterLock.withLock(dir) {
     require(keys.nonEmpty, "SketchLedger.appendSum: at least one key column required")
+    requireCallerBatchId(batchId)
+    migrateLegacyLayout(s, dir)
     readSumMeta(s, dir).foreach { case (ks, v) =>
       require(ks == keys && v == value,
         s"sum ledger at $dir was created with (keys=$ks, value=$v); this " +
@@ -476,7 +561,20 @@ object SketchLedger {
 
   /** Drop stage debris and GC partitions the current manifest already
     * covers (a previous compaction that crashed after its atomic
-    * publish but before cleanup). */
+    * publish but before cleanup).
+    *
+    * READER-RACE caveat (r17 advice; DURABILITY.md ledger row): the GC
+    * deletes folded bpart directories outside any reader coordination —
+    * WriterLock serializes WRITERS only — so a concurrent reader that
+    * listed files before the delete can fail a task with
+    * FileNotFoundException during the post-publish GC window. The
+    * failure is loud and a retry reads correctly (the manifest already
+    * excludes the folded partitions); deployments that want the window
+    * silent set `spark.sql.files.ignoreMissingFiles=true` for ledger
+    * reads. Likewise the "single atomic publish" rename is atomic on
+    * rename-atomic filesystems (HDFS, local); on object stores the
+    * rename is copy+delete and the same loud-retry posture applies —
+    * matching the stance the other compactors document. */
   private def healCompaction(s: SparkSession, dir: String): Unit = {
     val hfs = fs(s, dir)
     hfs.delete(new Path(s"$dir/_compact_stage"), true)
@@ -501,6 +599,7 @@ object SketchLedger {
   private def compactImpl(s: SparkSession, dir: String,
       retain: String => Boolean, keys: Seq[String],
       merge: DataFrame => DataFrame): Seq[String] = WriterLock.withLock(dir) {
+    migrateLegacyLayout(s, dir)
     healCompaction(s, dir)
     val g = maxGen(s, dir)
     val raw = readSketches(s, dir).drop(PartCol)

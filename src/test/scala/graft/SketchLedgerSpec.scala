@@ -395,4 +395,68 @@ class SketchLedgerSpec extends AnyFunSuite {
     assert(SketchLedger.reconcileSum(spark, landed, Seq("source"), "n_tok", dir).isEmpty,
       "a folded batch is accounted for - reconcile must not re-append it")
   }
+
+  test("a batch id colliding with the consolidated-generation prefix is refused") {
+    val dir = tmp()
+    val t = tokens
+    Seq(
+      () => SketchLedger.append(spark, t, Seq("source"), "tok", dir, "_c1"),
+      () => SketchLedger.appendQuantile(spark,
+        t.withColumn("l", length(col("tok")).cast("double")),
+        Seq("source"), "l", tmp(), "_c7"),
+      () => SketchLedger.appendSum(spark,
+        t.withColumn("l", length(col("tok")).cast("double")),
+        Seq("source"), "l", tmp(), "_c0")
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("reserved consolidated-generation prefix"))
+    }
+  }
+
+  test("a v1 flat-layout ledger reads as-is and is migrated by the first v2 mutation") {
+    val dir = tmp()
+    val t = tokens
+    val b0 = t.where(col("doc_id") % 2 === 0)
+    val b1 = t.where(col("doc_id") % 2 === 1)
+    // construct the LEGACY (pre-r17) physical layout: append normally,
+    // then rewrite the sketches table as flat part files without the
+    // `folded` column — exactly what a pre-r17 ledger dir holds
+    SketchLedger.append(spark, b0, Seq("source"), "tok", dir, "b0")
+    val legacyRows = spark.read.parquet(s"$dir/sketches")
+      .drop("folded").drop("bpart").collect().toIndexedSeq
+    val legacySchema = spark.read.parquet(s"$dir/sketches")
+      .drop("folded").drop("bpart").schema
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sketches"), true)
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(legacyRows: _*)), legacySchema)
+      .coalesce(1).write.parquet(s"$dir/sketches")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sketches"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "fixture must be a genuine flat v1 layout")
+    // pure READS of the untouched v1 dir work without migration
+    val v1Read = SketchLedger.distinctByKey(spark, dir)
+      .collect().map(_.toString).toSeq
+    // first v2 mutation migrates in place, then lands its own partition
+    SketchLedger.append(spark, b1, Seq("source"), "tok", dir, "b1")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sketches"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+      "migration must leave no flat part files behind")
+    // the migrated ledger equals a never-legacy ledger with the same appends
+    val fresh = tmp()
+    SketchLedger.append(spark, b0, Seq("source"), "tok", fresh, "b0")
+    SketchLedger.append(spark, b1, Seq("source"), "tok", fresh, "b1")
+    assert(SketchLedger.distinctByKey(spark, dir).collect().map(_.toString).toSeq ===
+      SketchLedger.distinctByKey(spark, fresh).collect().map(_.toString).toSeq)
+    // and the pre-migration read agrees with the b0-only fresh ledger
+    val freshB0 = tmp()
+    SketchLedger.append(spark, b0, Seq("source"), "tok", freshB0, "b0")
+    assert(v1Read ===
+      SketchLedger.distinctByKey(spark, freshB0).collect().map(_.toString).toSeq)
+    // compaction over the migrated dir behaves normally
+    assert(SketchLedger.compactDistinct(spark, dir) === Seq("b0", "b1"))
+    assert(SketchLedger.distinctByKey(spark, dir).collect().map(_.toString).toSeq ===
+      SketchLedger.distinctByKey(spark, fresh).collect().map(_.toString).toSeq)
+  }
 }
