@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (Lucene's segments, ES shards): query cost becomes O(postings of the
   * query's terms), independent of corpus size.
   *
-  * Layout (two tables under one index root, rebuild-fenced together):
+  * Layout (a base segment plus delta segments under one index root,
+  * rebuild-fenced together):
   *  - `postings/` — (term, doc_id, tf, dl), hash-partitioned by
   *    `term_bucket = pmod(xxhash64(term), NumBuckets)` and
   *    range-clustered by (bucket, term, doc_id) within partitions, so a
@@ -26,22 +27,36 @@ import org.apache.spark.unsafe.types.UTF8String
   *    row groups inside them. One row per (term, doc) — the per-term
   *    document frequency is therefore a COUNT over the pruned read,
   *    never a separate table that could drift from the postings.
-  *  - `stats/` — one row (n, avgdl): corpus size and mean document
-  *    length, the only two corpus-wide scalars BM25 needs. Document
-  *    lengths are exact integers, so the double `avg` is an exact sum
-  *    below 2^53 and bit-equal to the scan path's on any row order.
+  *  - `stats/` — one row (n, avgdl, sum_dl): corpus size, mean document
+  *    length, and the EXACT token total the mean derives from. Document
+  *    lengths are exact integers, so `sum_dl` is an exact long and
+  *    `avgdl = sum_dl / n` is bit-equal to the scan path's avg on any
+  *    row order. `sum_dl` exists so SEGMENT stats merge exactly: the
+  *    combined mean over segments is Σsum_dl / Σn — one IEEE division,
+  *    identical to the one-shot build's (a weighted mean of per-segment
+  *    avgdl doubles would round differently).
+  *  - `deltas/<segId>/{postings,stats}` — incremental segments appended
+  *    per ingest window ([[append]]), each with the SAME term-bucketed
+  *    postings layout and its own 1-row stats. Searches read base +
+  *    deltas and recompute exact (N, avgdl) from ALL live segments'
+  *    stats rows, so BM25's corpus-wide statistics are always exact for
+  *    the corpus actually indexed — the honest alternative to "append
+  *    postings, keep old stats", which silently rescoring every
+  *    document. [[compactTextIndex]] folds deltas into the base
+  *    (merge-on-read becomes read) on the deployment's cadence — the
+  *    Lucene segment-merge economics, measured in ScaleSmoke textidx.
   *
-  * Freshness/consistency posture, stated honestly: the index is a
-  * REBUILD-cadence artifact, not an incrementally-appended one — unlike
-  * the dedup/ANN families, BM25's corpus-wide stats (df, N, avgdl)
-  * shift with every batch, so "append postings, keep old stats" would
-  * silently change every existing document's score. Production lexical
-  * stacks accept the same and rebuild/merge segments on a cadence; a
-  * deployment wanting bounded staleness rebuilds per ingest window.
-  * The two-table overwrite rides GenStamp's rebuild fence
-  * (marker + shared generation), so a build crash between the postings
-  * and stats commits fails the next search LOUDLY instead of scoring
-  * with mismatched statistics; WriterLock serializes concurrent builds.
+  * Freshness/consistency posture: [[append]] commits a delta segment by
+  * one atomic directory rename (written under `deltas/_tmp_*`, invisible
+  * to readers until the rename), so a crashed append leaves only
+  * ignorable debris — never a torn segment. The base's two-table
+  * overwrite rides GenStamp's rebuild fence (marker + shared
+  * generation), so a build/compaction crash between the postings and
+  * stats commits fails the next search LOUDLY instead of scoring with
+  * mismatched statistics; WriterLock serializes concurrent mutators.
+  * Appenders own doc_id disjointness across segments (the index
+  * append's Ledger discipline everywhere in this library): a doc
+  * re-appended in a second segment would double its postings.
   */
 object TextIndex {
 
@@ -50,6 +65,9 @@ object TextIndex {
 
   def postingsPath(dir: String): String = s"$dir/postings"
   def statsPath(dir: String): String = s"$dir/stats"
+  def deltasPath(dir: String): String = s"$dir/deltas"
+
+  private val DeltaTmpPrefix = "_tmp_"
 
   def bucketOf(term: Column): Column =
     pmod(xxhash64(term), lit(NumBuckets)).cast("int")
@@ -71,43 +89,256 @@ object TextIndex {
     * `split(text, " ")`, so indexed and scan scores agree exactly. */
   private def tokens(textCol: Column): Column = split(textCol, " ")
 
+  private def hfs(s: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The (postings, stats) column programs shared by build, append and
+    * compact — ONE definition so a delta segment is bit-identical to
+    * what a full rebuild would have computed for the same docs. */
+  private def derivePostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn(Col, bucketOf(col("term")))
+
+  private def deriveStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n"),
+      avg(size(tokens(col(textCol))).cast("double")).as("avgdl"),
+      coalesce(sum(size(tokens(col(textCol))).cast("bigint")), lit(0L)).as("sum_dl"))
+
+  /** Write one segment's two tables under `segRoot` (no fence — the
+    * caller owns commit semantics: overwrite-under-marker for the base,
+    * stage-then-rename for deltas). */
+  private def writeSegment(postings: DataFrame, stats: DataFrame, segRoot: String): Unit = {
+    if (postings.limit(1).count() == 0)
+      // a zero-row PARTITIONED write leaves no part files — a
+      // schema-less husk every later read would crash on (the
+      // IdBuckets empty-table lesson). Write the empty frame FLAT
+      // instead: schema-bearing, bucket column present as data, so
+      // searches return cleanly empty over an empty corpus.
+      postings.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
+    else
+      postings.repartitionByRange(col(Col), col("term"), col("doc_id"))
+        .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
+        .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
+  }
+
   /** (Re)build the index from `docs` — one tokenize pass over the
-    * corpus, then two commits under one rebuild fence. Idempotent: a
-    * crashed build leaves the marker down and a re-run overwrites both
-    * tables and lifts it. */
+    * corpus, then two commits under one rebuild fence. Supersedes any
+    * delta segments (they are dropped: a full rebuild re-derives
+    * everything from `docs`). Idempotent: a crashed build leaves the
+    * marker down and a re-run overwrites both tables and lifts it. */
   def build(s: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     WriterLock.withLock(dir) {
       GenStamp.beginRebuild(s, dir)
-      val toks = docs.select(col(idCol).as("doc_id"),
-        size(tokens(col(textCol))).as("dl"),
-        explode(tokens(col(textCol))).as("term"))
-      val tf = toks.groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).as("tf"))
-        .withColumn(Col, bucketOf(col("term")))
-      if (tf.limit(1).count() == 0)
-        // a zero-row PARTITIONED write leaves no part files — a
-        // schema-less husk every later read would crash on (the
-        // IdBuckets empty-table lesson). Write the empty frame FLAT
-        // instead: schema-bearing, bucket column present as data, so
-        // searches return cleanly empty over an empty corpus.
-        tf.coalesce(1).write.mode("overwrite").parquet(postingsPath(dir))
-      else
-        tf.repartitionByRange(col(Col), col("term"), col("doc_id"))
-          .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
-          .write.mode("overwrite").partitionBy(Col).parquet(postingsPath(dir))
-      docs.agg(count(lit(1)).as("n"),
-          avg(size(tokens(col(textCol))).cast("double")).as("avgdl"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(statsPath(dir))
+      hfs(s, dir).delete(new Path(deltasPath(dir)), true)
+      writeSegment(derivePostings(docs, idCol, textCol),
+        deriveStats(docs, textCol), dir)
       GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
     }
 
-  /** The pruned postings read for a literal term set: driver-computed
-    * bucket directories + a pushed `term IN (...)` row-group filter.
-    * Exact (not a superset): the term equality is applied in full. */
+  /** Committed delta segment ids, oldest first (numeric order — ids are
+    * a monotone counter assigned under the WriterLock). One directory
+    * listing, no job. */
+  private def deltaIds(s: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(deltasPath(dir))
+    val fsys = hfs(s, dir)
+    if (!fsys.exists(p)) Nil
+    else fsys.listStatus(p).map(_.getPath.getName)
+      .filterNot(_.startsWith(DeltaTmpPrefix))
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted.toSeq
+  }
+
+  /** Every live segment's root, base first. */
+  private def segmentRoots(s: SparkSession, dir: String): Seq[String] =
+    dir +: deltaIds(s, dir).map(id => s"${deltasPath(dir)}/$id")
+
+  /** Append one ingest window's docs as a DELTA segment — the
+    * incremental maintenance path (r17 verdict, next-round #1): the
+    * tokenize pass costs O(batch), the base is untouched, and searches
+    * see the segment atomically once its directory rename commits.
+    * GC's crashed-append debris (`_tmp_*`) first. Requires a completed
+    * base (build first); appenders own doc_id disjointness vs all live
+    * segments (Ledger discipline). An empty batch commits an empty
+    * segment (harmless, but callers typically skip it). */
+  def append(s: SparkSession, dir: String, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    WriterLock.withLock(dir) {
+      GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+        Seq(postingsPath(dir), statsPath(dir)))
+      val fsys = hfs(s, dir)
+      val deltas = new Path(deltasPath(dir))
+      if (fsys.exists(deltas))
+        fsys.listStatus(deltas).map(_.getPath)
+          .filter(_.getName.startsWith(DeltaTmpPrefix))
+          .foreach(p => fsys.delete(p, true))
+      val next = deltaIds(s, dir).foldLeft(0L)(math.max) + 1
+      val stage = new Path(deltas, s"$DeltaTmpPrefix$next")
+      writeSegment(derivePostings(batch, idCol, textCol),
+        deriveStats(batch, textCol), stage.toString)
+      require(fsys.rename(stage, new Path(deltas, next.toString)),
+        s"TextIndex.append: could not commit delta segment $next under $dir")
+      ()
+    }
+
+  /** Fold every delta segment into the base — merge-on-read becomes
+    * plain read. The merged postings are the UNION of all segments'
+    * (one row per (term, doc) since appenders keep segments
+    * doc-disjoint) re-clustered into the canonical layout, and the
+    * merged stats are the exact segment-stat sums — both row-identical
+    * to a one-shot [[build]] over the union corpus (TextIndexSpec law).
+    * Needs no access to the original docs.
+    *
+    * Crash posture: the merged tables are STAGED completely first
+    * (`_compact_stage`, with the fold manifest `_compact_manifest` at
+    * the root), and only then does the rebuild marker go up for the
+    * swap — so a crash before the marker discards debris harmlessly,
+    * and a crash after it is finished by the heal at the next call's
+    * head (idempotent table swap + manifest-driven delta GC). Readers
+    * in the swap window fail loudly on the marker, the fence's existing
+    * contract. Returns the folded segment ids (empty = no-op). */
+  def compactTextIndex(s: SparkSession, dir: String): Seq[Long] =
+    WriterLock.withLock(dir) {
+      healCompact(s, dir)
+      GenStamp.requireRebuildComplete(s, dir, "text",
+        "TextIndex.build (a crashed BUILD cannot be healed from segments)",
+        Seq(postingsPath(dir), statsPath(dir)))
+      val ids = deltaIds(s, dir)
+      if (ids.isEmpty) Nil
+      else {
+        val posts = segmentRoots(s, dir)
+          .map(r => s.read.parquet(s"$r/postings"))
+          // flat empty-segment husks carry the bucket as a data column
+          // and partitioned segments as a partition column; rebuild it
+          // uniformly so the union is schema-stable either way
+          .map(df => df.select("term", "doc_id", "tf", "dl")
+            .withColumn(Col, bucketOf(col("term"))))
+          .reduce(_ unionByName _)
+        val stats = combinedStats(s, dir)
+        val stage = s"$dir/_compact_stage"
+        writeSegment(posts, stats, stage)
+        writeManifest(s, dir, ids)
+        maybeFailCompact(1)
+        GenStamp.beginRebuild(s, dir)
+        maybeFailCompact(2)
+        finishCompact(s, dir)
+        ids
+      }
+    }
+
+  /** TEST-ONLY fault injection for [[compactTextIndex]]'s two crash
+    * windows: 1 = stage + manifest committed, marker still down
+    * (heal = discard debris, sources intact); 2 = marker up, swap not
+    * started (heal = finish from the stage). Cleared on trip.
+    * Production never sets it. */
+  @volatile private[graft] var failDuringCompact: Int = 0
+  private def maybeFailCompact(at: Int): Unit =
+    if (failDuringCompact == at) {
+      failDuringCompact = 0
+      throw new IllegalStateException(
+        s"graft test fault injection: compactTextIndex crash window $at")
+    }
+
+  private def manifestPath(dir: String) = s"$dir/_compact_manifest"
+
+  /** Atomic (tmp-then-rename) manifest of the delta ids a staged
+    * compaction will fold — the heal's GC driver. */
+  private def writeManifest(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fsys = hfs(s, dir)
+    val qdir = fsys.makeQualified(new Path(dir))
+    val tmp = new Path(qdir, s"_compact_manifest.tmp.${ProcessHandle.current.pid}")
+    val out = fsys.create(tmp, true)
+    try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(qdir.toUri, conf)
+      .rename(tmp, new Path(qdir, "_compact_manifest"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readManifest(s: SparkSession, dir: String): Option[Seq[Long]] = {
+    val p = new Path(manifestPath(dir))
+    val fsys = hfs(s, dir)
+    if (!fsys.exists(p)) None
+    else {
+      val len = fsys.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fsys.open(p)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8").linesIterator.filter(_.nonEmpty)
+        .map(_.toLong).toSeq)
+    }
+  }
+
+  /** Idempotent tail of a compaction: swap each staged table into place
+    * (skip tables the stage no longer holds — already moved), GC the
+    * manifest's delta segments, drop the stage + manifest, lift the
+    * fence. Every step is a no-op when already done, so a crash
+    * anywhere re-runs cleanly. */
+  private def finishCompact(s: SparkSession, dir: String): Unit = {
+    val fsys = hfs(s, dir)
+    val stage = s"$dir/_compact_stage"
+    Seq("postings", "stats").foreach { t =>
+      val src = new Path(s"$stage/$t")
+      if (fsys.exists(src)) {
+        fsys.delete(new Path(s"$dir/$t"), true)
+        require(fsys.rename(src, new Path(s"$dir/$t")),
+          s"TextIndex compaction: could not publish $src")
+      }
+    }
+    readManifest(s, dir).getOrElse(Nil)
+      .foreach(id => fsys.delete(new Path(s"${deltasPath(dir)}/$id"), true))
+    fsys.delete(new Path(stage), true)
+    fsys.delete(new Path(manifestPath(dir)), false)
+    GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
+  }
+
+  /** Heal a crashed [[compactTextIndex]]: marker up + manifest present
+    * means the stage was complete (the marker only rises after the
+    * staged write and manifest commit), so finish the swap; marker down
+    * means nothing was published — discard debris. A marker WITHOUT a
+    * manifest is a crashed [[build]]: not healable from segments, left
+    * for the fence's loud error. */
+  private def healCompact(s: SparkSession, dir: String): Unit = {
+    val fsys = hfs(s, dir)
+    val markerUp = fsys.exists(new Path(dir, GenStamp.RebuildMarker))
+    if (markerUp && readManifest(s, dir).isDefined) finishCompact(s, dir)
+    else if (!markerUp) {
+      fsys.delete(new Path(s"$dir/_compact_stage"), true)
+      fsys.delete(new Path(manifestPath(dir)), false)
+      ()
+    }
+  }
+
+  /** Exact combined (n, avgdl) over all live segments from their 1-row
+    * stats tables: Σn and Σsum_dl are exact longs, so the single
+    * division equals the one-shot build's avg bit-for-bit. Reads
+    * segment-count rows, never postings. */
+  private def combinedStats(s: SparkSession, dir: String): DataFrame =
+    segmentRoots(s, dir).map(r => s.read.parquet(s"$r/stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      // null mean over an all-empty index, matching deriveStats' avg
+      // (ANSI mode makes a bare /0 an error, not a null)
+      .withColumn("avgdl",
+        when(col("n") > 0, col("sum_dl").cast("double") / col("n")))
+      .select("n", "avgdl", "sum_dl")
+
+  /** The pruned postings read for a literal term set ACROSS all live
+    * segments: driver-computed bucket directories + a pushed
+    * `term IN (...)` row-group filter per segment. Exact (not a
+    * superset): the term equality is applied in full. */
   def postingsFor(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
-    val base = s.read.parquet(postingsPath(dir))
+    val segs = segmentRoots(s, dir).map(r => prunedSegment(s, r, terms))
+    segs.reduce(_ unionByName _)
+  }
+
+  private def prunedSegment(s: SparkSession, segRoot: String,
+      terms: Seq[String]): DataFrame = {
+    val base = s.read.parquet(s"$segRoot/postings")
     if (terms.isEmpty) return base.where(lit(false)).drop(Col)
     val bs = terms.map(bucketOfTerm).distinct
     base.where(col(Col).isin(bs.map(Integer.valueOf): _*))
@@ -115,22 +346,29 @@ object TextIndex {
       .drop(Col)
   }
 
+  /** The full postings union (batch fallback past [[MaxPruneTerms]]). */
+  private def allPostings(s: SparkSession, dir: String): DataFrame =
+    segmentRoots(s, dir)
+      .map(r => s.read.parquet(s"$r/postings").drop(Col))
+      .reduce(_ unionByName _)
+
   /** BM25 (k1 = 1.2, b = 0.75) top-k over the index — identical math,
     * association order and 4dp round as the scan path
     * (q_text_search_bm25), so the two paths agree bit-for-bit; what
-    * changes is the input: postings come from the pruned bucket read
-    * and (N, avgdl) from the 1-row stats table instead of a corpus
-    * pass. df is counted from the pruned postings themselves (one row
-    * per (term, doc) by construction). Fails loudly on a half-built
-    * index via the rebuild fence. */
+    * changes is the input: postings come from the pruned bucket read of
+    * every live segment and (N, avgdl) from their 1-row stats rows
+    * instead of a corpus pass. df is counted from the pruned postings
+    * themselves (one row per (term, doc) by construction — appenders
+    * keep segments doc-disjoint). Fails loudly on a half-built index
+    * via the rebuild fence. */
   def searchBm25(s: SparkSession, dir: String, terms: Seq[String],
       k: Int): DataFrame = {
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
     val posts = postingsFor(s, dir, terms)
     val dft = posts.groupBy("term").agg(count(lit(1)).as("dfc"))
-    val stats = s.read.parquet(statsPath(dir))
-    posts.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+    val stats = combinedStats(s, dir)
+    posts.join(broadcast(dft), "term").crossJoin(broadcast(stats.drop("sum_dl")))
       .withColumn("w",
         log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
           (col("tf") * 2.2) /
@@ -150,8 +388,8 @@ object TextIndex {
       Seq(postingsPath(dir), statsPath(dir)))
     val posts = postingsFor(s, dir, terms)
     val dft = posts.groupBy("term").agg(count(lit(1)).as("dfc"))
-    val stats = s.read.parquet(statsPath(dir))
-    posts.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+    val stats = combinedStats(s, dir)
+    posts.join(broadcast(dft), "term").crossJoin(broadcast(stats.drop("sum_dl")))
       .withColumn("w", col("tf") * log(col("n").cast("double") / col("dfc")))
       .groupBy("doc_id")
       .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("matched"))
@@ -163,7 +401,7 @@ object TextIndex {
     * drive bucket pruning — the IdBuckets.MaxIdLiterals discipline: a
     * query batch within the cap reads only its terms' buckets; past it
     * (or when the caller says the batch is unbounded) the join runs
-    * over the full postings table, which is still ONE pass for the
+    * over the full postings union, which is still ONE pass for the
     * whole batch. */
   val MaxPruneTerms = 1024
 
@@ -171,7 +409,7 @@ object TextIndex {
     * job. The query table joins the postings on the term key (shared
     * df/stats across queries); when the batch's distinct terms fit
     * [[MaxPruneTerms]] the postings input is the pruned bucket read,
-    * otherwise the full table — either way one pass per BATCH, not per
+    * otherwise the full union — either way one pass per BATCH, not per
     * query. Math/rounding identical to [[searchBm25]], so the batch
     * result for one qid equals the single-query call (TextIndexSpec
     * law). Returns (qid, rn, doc_id, score, matched), top-k per qid. */
@@ -184,11 +422,12 @@ object TextIndex {
       .collect().map(_.getString(0)).toSeq
     val posts =
       if (terms.length <= MaxPruneTerms) postingsFor(s, dir, terms)
-      else s.read.parquet(postingsPath(dir)).drop(Col)
+      else allPostings(s, dir)
     val m = posts.join(broadcast(q), "term")
     val dft = m.groupBy("qid", "term").agg(count(lit(1)).as("dfc"))
-    val stats = s.read.parquet(statsPath(dir))
-    val sc = m.join(dft, Seq("qid", "term")).crossJoin(broadcast(stats))
+    val stats = combinedStats(s, dir)
+    val sc = m.join(dft, Seq("qid", "term"))
+      .crossJoin(broadcast(stats.drop("sum_dl")))
       .withColumn("w",
         log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
           (col("tf") * 2.2) /
@@ -202,8 +441,9 @@ object TextIndex {
       .orderBy("qid", "rn")
   }
 
-  /** True iff a completed index exists at `dir` (both tables present,
-    * no crashed rebuild). A marker-only husk reads as "no index". */
+  /** True iff a completed index exists at `dir` (both base tables
+    * present, no crashed rebuild). A marker-only husk reads as "no
+    * index"; committed delta segments don't affect existence. */
   def exists(s: SparkSession, dir: String): Boolean = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(dir)

@@ -170,6 +170,134 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!TextIndex.exists(spark, dir))
   }
 
+  // ------------------------------------------------------------------
+  // Incremental maintenance (r18): delta segments + merge-on-read +
+  // compaction. The central law: build(A) + append(B) + append(C)
+  // answers every search exactly as build(A ∪ B ∪ C) would, and
+  // compactTextIndex folds the segments into a base whose TABLES are
+  // row-identical to the one-shot build's.
+  // ------------------------------------------------------------------
+
+  private def termSets = Seq(Seq("query", "join", "table"), Seq("spark"),
+    Seq("data", "vector", "stream", "spark"), Seq("zzz_not_a_token"))
+
+  private def assertSearchesEqual(dirA: String, dirB: String, note: String): Unit = {
+    import spark.implicits._
+    for (terms <- termSets) {
+      assert(TextIndex.searchBm25(spark, dirA, terms, 25).collect().toSeq ===
+        TextIndex.searchBm25(spark, dirB, terms, 25).collect().toSeq,
+        s"$note: BM25 diverged for $terms")
+      assert(TextIndex.searchTfIdf(spark, dirA, terms, 25).collect().toSeq ===
+        TextIndex.searchTfIdf(spark, dirB, terms, 25).collect().toSeq,
+        s"$note: tf-idf diverged for $terms")
+    }
+    val qs = Seq((1L, "query"), (1L, "join"), (2L, "data"), (2L, "stream"),
+      (3L, "table"), (3L, "spark")).toDF("qid", "term")
+    assert(TextIndex.searchBatchBm25(spark, dirA, qs, 10).collect().toSeq ===
+      TextIndex.searchBatchBm25(spark, dirB, qs, 10).collect().toSeq,
+      s"$note: batch BM25 diverged")
+  }
+
+  private def postingsRows(dir: String): Seq[String] =
+    spark.read.parquet(TextIndex.postingsPath(dir))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("term_bucket").cast("int"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("build + append + append answers searches exactly as the one-shot rebuild") {
+    val inc = freshDir("inc")
+    val oneshot = freshDir("oneshot")
+    TextIndex.build(spark, inc, docs.where(col("doc_id") % 3 === 0))
+    TextIndex.append(spark, inc, docs.where(col("doc_id") % 3 === 1))
+    TextIndex.append(spark, inc, docs.where(col("doc_id") % 3 === 2))
+    TextIndex.build(spark, oneshot, docs)
+    assertSearchesEqual(inc, oneshot, "merge-on-read")
+  }
+
+  test("compactTextIndex folds deltas into a base row-identical to the one-shot build") {
+    val inc = freshDir("fold")
+    val oneshot = freshDir("fold1s")
+    TextIndex.build(spark, inc, docs.where(col("doc_id") % 3 === 0))
+    TextIndex.append(spark, inc, docs.where(col("doc_id") % 3 === 1))
+    TextIndex.append(spark, inc, docs.where(col("doc_id") % 3 === 2))
+    TextIndex.build(spark, oneshot, docs)
+    assert(TextIndex.compactTextIndex(spark, inc) === Seq(1L, 2L))
+    // deltas gone, stage/manifest debris gone, fence lifted
+    val fs = new org.apache.hadoop.fs.Path(inc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$inc/deltas")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$inc/deltas")).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$inc/_compact_stage")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$inc/_compact_manifest")))
+    assert(TextIndex.exists(spark, inc))
+    // table-level equality with the one-shot build
+    assert(postingsRows(inc) === postingsRows(oneshot))
+    val sInc = spark.read.parquet(TextIndex.statsPath(inc)).collect().toSeq
+    val sOne = spark.read.parquet(TextIndex.statsPath(oneshot)).collect().toSeq
+    assert(sInc === sOne, "merged stats must be bit-equal to the one-shot build's")
+    assertSearchesEqual(inc, oneshot, "post-compaction")
+    // a second compaction is a no-op
+    assert(TextIndex.compactTextIndex(spark, inc) === Nil)
+  }
+
+  test("a crashed append leaves only ignorable debris; the next append GCs it") {
+    val dir = freshDir("appcrash")
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    // simulate: a delta staged but never renamed (crash before commit)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/deltas/_tmp_1"))
+    val clean = freshDir("appclean")
+    TextIndex.build(spark, clean, docs.where(col("doc_id") % 2 === 0))
+    assertSearchesEqual(dir, clean, "tmp debris must be invisible")
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deltas/_tmp_1")),
+      "the next append must GC crashed-append debris")
+    TextIndex.append(spark, clean, docs.where(col("doc_id") % 2 === 1))
+    assertSearchesEqual(dir, clean, "post-GC append")
+  }
+
+  test("compaction crash windows: pre-marker discards, post-marker heals forward") {
+    val oneshot = freshDir("cconeshot")
+    TextIndex.build(spark, oneshot, docs)
+    // window 1: stage + manifest committed, marker never rose — sources
+    // intact, searches unaffected, re-run folds cleanly
+    val w1 = freshDir("ccw1")
+    TextIndex.build(spark, w1, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, w1, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.failDuringCompact = 1
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, w1))
+    assertSearchesEqual(w1, oneshot, "window-1 crash must not affect reads")
+    assert(TextIndex.compactTextIndex(spark, w1) === Seq(1L))
+    assert(postingsRows(w1) === postingsRows(oneshot))
+    // window 2: marker up, swap not run — reads fail LOUDLY, the re-run
+    // heals forward from the complete stage
+    val w2 = freshDir("ccw2")
+    TextIndex.build(spark, w2, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, w2, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.failDuringCompact = 2
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, w2))
+    val e = intercept[IllegalArgumentException](
+      TextIndex.searchBm25(spark, w2, Seq("query"), 5).collect())
+    assert(e.getMessage.contains("TextIndex.build"))
+    // the heal runs at the next compact's head; folded ids were already
+    // manifested, so the re-run reports no NEW folds — but the tables
+    // must land identical to the one-shot build
+    TextIndex.compactTextIndex(spark, w2)
+    assert(TextIndex.exists(spark, w2))
+    assert(postingsRows(w2) === postingsRows(oneshot))
+    assertSearchesEqual(w2, oneshot, "window-2 heal")
+  }
+
+  test("append requires a completed base and refuses a mid-rebuild index") {
+    val dir = freshDir("appfence")
+    TextIndex.build(spark, dir, docs)
+    GenStamp.beginRebuild(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.append(spark, dir, docs.limit(5)))
+    assert(e.getMessage.contains("TextIndex.build"))
+  }
+
   test("declared q_text_search_indexed runs and carries its oracle") {
     val out = graft.operators.TextOps.queries("q_text_search_indexed")(spark, sf)
     val rows = out.collect()
