@@ -375,6 +375,44 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // C4-style LINE-LEVEL quality gate (Raffel et al. 2020, the public
+    // C4 cleaning rules) — the complement of the DOC-level families
+    // (Gopher thresholds, CCNet perplexity proxy): real crawl pages die
+    // line by line, not page by page. The corpus has no newlines, so
+    // the query SYNTHESIZES a deterministic multi-line page per doc
+    // (the q_dup_rate_by_source planting discipline — fixed in the
+    // query so the oracle replays it): 10-word lines, terminal '.'
+    // planted on (doc_id+ln) % 3 != 0, a boilerplate line planted on
+    // (doc_id*7+ln) % 11 == 0. C4's rules then apply EXACTLY: keep a
+    // line iff it ends in terminal punctuation AND has >= 5 words AND
+    // does not mention javascript; keep the doc iff >= 3 lines
+    // survive. All integer/string predicates — deterministic at any
+    // scale. Shape: one scan, explode to lines (bounded 10x row fan-out
+    // of word data already read), one doc-keyed partial-agg shuffle.
+    "q_quality_c4" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          expr("explode(sequence(0, cast((size(w) + 9) / 10 as int) - 1))").as("ln"))
+        .select(col("doc_id"), col("source"), col("ln"),
+          expr("slice(w, ln * 10 + 1, 10)").as("lw"))
+        .withColumn("line",
+          when((col("doc_id") * 7 + col("ln")) % 11 === 0,
+            lit("please enable javascript and cookies to continue."))
+            .when((col("doc_id") + col("ln")) % 3 =!= 0,
+              concat(concat_ws(" ", col("lw")), lit(".")))
+            .otherwise(concat_ws(" ", col("lw"))))
+        .withColumn("kept",
+          col("line").endsWith(".") &&
+            size(split(col("line"), " ")) >= 5 &&
+            !col("line").contains("javascript"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("kept"), 1)).as("kept_lines"))
+        .withColumn("keep", col("kept_lines") >= 3)
+        .orderBy("doc_id")
+    }),
+
     // The ledger's whole read/compact arithmetic under the driver's
     // hash gate (the q_prune_zorder recipe applied to the accounting
     // tier): append the corpus's per-source token sums as THREE batch
@@ -591,6 +629,31 @@ object CurationOps {
         |  count(*) FILTER (WHERE cls = 'changed') AS n_changed,
         |  count(*) FILTER (WHERE cls = 'unchanged') AS n_unchanged
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same planted page construction, C4 rules verbatim; counts stay
+    // BIGINT via count(*) FILTER (a sum over booleans would go HUGEINT
+    // in DuckDB and hash-mismatch on type).
+    "q_quality_c4" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |l0 AS (SELECT doc_id, source,
+        |         unnest(generate_series(0, CAST(floor((len(w)+9)/10) AS INT) - 1)) AS ln, w
+        |       FROM w),
+        |l AS (SELECT doc_id, source, ln,
+        |        CASE WHEN (doc_id*7 + ln) % 11 = 0
+        |             THEN 'please enable javascript and cookies to continue.'
+        |             WHEN (doc_id + ln) % 3 <> 0
+        |             THEN array_to_string(w[ln*10+1 : ln*10+10], ' ') || '.'
+        |             ELSE array_to_string(w[ln*10+1 : ln*10+10], ' ') END AS line
+        |      FROM l0),
+        |r AS (SELECT doc_id, source, line,
+        |        line LIKE '%.' AND len(string_split(line, ' ')) >= 5
+        |          AND line NOT LIKE '%javascript%' AS kept
+        |      FROM l)
+        |SELECT doc_id, source, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE kept) AS kept_lines,
+        |  count(*) FILTER (WHERE kept) >= 3 AS keep
+        |FROM r GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
     "q_dup_rate_by_source" ->
       """WITH c AS (

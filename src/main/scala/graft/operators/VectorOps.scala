@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1053,6 +1053,72 @@ object VectorOps {
       .orderBy("rank")
   }
 
+  /** The Reciprocal Rank Fusion blend column (Cormack et al. 2009):
+    * Σ 1/(60 + rank), a missing leg contributing 0, 6dp round. ONE
+    * definition shared by the scan-path query (q_hybrid_rrf), the
+    * single-query [[rrfFuse]] and the index-backed [[rrfFuseBatch]] /
+    * [[hybridSearchBatch]] — the two retrieval paths agree on the
+    * fusion arithmetic BY CONSTRUCTION, the same discipline as the
+    * TextIndex scoring twins. */
+  private def rrfCol: Column = round(
+    coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)), 6)
+
+  /** Fuse one query's dense (`id`, `vrank`) and lexical (`id`, `lrank`)
+    * rankings into the RRF top-k: full-outer join on the id (a doc
+    * found by one leg only keeps that leg's term), blend, total-order
+    * tiebreak on the id. Inputs are per-leg top-k frames (≤ tens of
+    * rows), so the join and sort are bounded regardless of corpus
+    * size. */
+  def rrfFuse(dense: DataFrame, lex: DataFrame, k: Int): DataFrame =
+    dense.join(lex, Seq("id"), "full_outer")
+      .withColumn("rrf", rrfCol)
+      .select("id", "vrank", "lrank", "rrf")
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+
+  /** Batch twin of [[rrfFuse]]: (qid, id, vrank) ⋈ (qid, id, lrank) →
+    * per-qid RRF top-k. For any single qid the result rows equal the
+    * single-query fuse (same blend column, same total order) — the
+    * LlmOpsSpec equivalence law. */
+  def rrfFuseBatch(dense: DataFrame, lex: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
+    dense.join(lex, Seq("qid", "id"), "full_outer")
+      .withColumn("rrf", rrfCol)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "id", "vrank", "lrank", "rrf")
+      .orderBy(col("qid").asc, col("rrf").desc, col("id").asc)
+  }
+
+  /** INDEX-BACKED hybrid retrieval (r17 verdict, next-round #2): the
+    * q_hybrid_rrf composition with both legs swapped onto their
+    * persisted indexes — `TextIndex.searchBatchBm25` for the lexical
+    * leg, [[ivfSearchBatch]] for the dense leg, ranks fused per qid by
+    * [[rrfFuseBatch]]. One job per BATCH and per leg: the lexical leg
+    * reads only the query terms' bucket directories, the dense leg only
+    * the probed cells' partitions — at 100 TB neither leg re-scans a
+    * corpus, which is the entire point of the index twins.
+    *
+    * `denseQueries` is (qid, embedding), `lexQueries` (qid, term) —
+    * the two legs address different query representations of the same
+    * qid, as in every hybrid stack. EXACTNESS dial: with `nprobe` >=
+    * the codebook's cell count the dense leg probes every cell and the
+    * result equals the scan path bit-for-bit (the declared
+    * q_hybrid_rrf_indexed recipe, gated by the q_hybrid_rrf oracle);
+    * production sets nprobe < cells and trades bounded dense-leg
+    * recall for the pruned read, with the fusion unchanged. */
+  def hybridSearchBatch(s: SparkSession, textIndexDir: String, ivfDir: String,
+      denseQueries: DataFrame, lexQueries: DataFrame, k: Int,
+      nprobe: Int = 2, perLeg: Int = 20): DataFrame = {
+    val (cb, postings) = readIvfIndex(s, ivfDir)
+    val dense = ivfSearchBatch(cb, postings, denseQueries, nprobe, perLeg)
+      .select(col("qid"), col("vec_id").as("id"), col("rn").as("vrank"))
+    val lex = graft.sources.TextIndex
+      .searchBatchBm25(s, textIndexDir, lexQueries, perLeg)
+      .select(col("qid"), col("doc_id").as("id"), col("rn").as("lrank"))
+    rrfFuseBatch(dense, lex, k)
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-20 against one query vector. The query side is
     // a 1-row broadcast; the scan side streams — at 100 TB this is a single
@@ -1103,13 +1169,34 @@ object VectorOps {
       val lex = lexTop.withColumn("lrank",
         row_number().over(Window.orderBy(col("score").desc, col("id").asc)))
         .select("id", "lrank")
-      dense.join(lex, Seq("id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)), 6))
-        .select("id", "vrank", "lrank", "rrf")
-        .orderBy(col("rrf").desc, col("id").asc)
-        .limit(10)
+      rrfFuse(dense, lex, 10)
+    }),
+
+    // The SAME hybrid retrieval answered from the PERSISTED indexes
+    // (r18; the q_text_search_indexed recipe composed with the IVF
+    // store): TextIndex + IVF index built into the per-run scratch
+    // scope, both legs read from their indexes via hybridSearchBatch,
+    // and the result is hash-gated against the q_hybrid_rrf ORACLE'S
+    // scan over the original tables — so a stale-stats bug, a
+    // bucket-routing bug, a cell-assignment bug or a fusion drift
+    // between the scan and index paths hash-fails instead of hiding
+    // behind "the index is only a speed-up". nprobe = 64 >= the
+    // codebook's cell count, so the dense leg probes every cell and is
+    // exact by construction (the recall dial belongs to deployments,
+    // not to a correctness gate).
+    "q_hybrid_rrf_indexed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val base = graft.plans.Scale.scratch(s, "hybridx", d)
+      val tdir = base + "/tidx"
+      val vdir = base + "/ivf"
+      graft.sources.TextIndex.build(s, tdir, Tables.documents(s, d))
+      writeIvfIndex(Tables.embeddings(s, d), cells = 4, dir = vdir)
+      val denseQ = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding"))
+      val lexQ = Seq((0L, "query"), (0L, "join"), (0L, "table")).toDF("qid", "term")
+      hybridSearchBatch(s, tdir, vdir, denseQ, lexQ, k = 10, nprobe = 64)
+        .drop("qid")
     }),
 
     "q_knn_cosine" -> ((s, d) => {
@@ -1420,44 +1507,51 @@ object VectorOps {
       .limit(k)
   }
 
-  val oracle: Map[String, String] = Map(
+  // Shared by q_hybrid_rrf and q_hybrid_rrf_indexed: the indexed path
+  // must reproduce the SCAN path's answer exactly (full-probe dense leg
+  // + the TextIndex scoring twins), so both declare the same oracle —
+  // the strongest possible gate on the index plumbing.
+  private val hybridRrfOracleSql: String =
     // Sequential double fold (see q_knn_range note): embeddings are only
     // APPROXIMATELY unit-norm in float32, and DuckDB's list_* kernels
     // accumulate in float — both differences can flip a 6dp rounding at
     // a boundary, so the oracle mirrors graft_dot's arithmetic exactly.
     // Both legs verbatim from their gated single-leg oracles; RRF terms
     // in CAST(1 AS DOUBLE) so DuckDB's decimal literals never enter.
-    "q_hybrid_rrf" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |dense AS (SELECT e.vec_id AS id,
-        |    round(list_reduce(list_transform(generate_series(1, len(q.qv)),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
-        |      (acc, x) -> acc + x), 6) AS sim
-        |  FROM embeddings e, q WHERE e.vec_id <> 0
-        |  ORDER BY sim DESC, id ASC LIMIT 20),
-        |dr AS (SELECT id, CAST(row_number() OVER (
-        |    ORDER BY sim DESC, id ASC) AS INTEGER) AS vrank FROM dense),
-        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |  unnest(string_split(text, ' ')) AS term FROM documents),
-        |qt AS (SELECT doc_id, dl, term FROM tok
-        |       WHERE term IN ('query', 'join', 'table')),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM qt
-        |       GROUP BY doc_id, dl, term),
-        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM qt GROUP BY term),
-        |stats AS (SELECT count(*) AS n,
-        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
-        |lextop AS (SELECT tf.doc_id AS id,
-        |    round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
-        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score
-        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
-        |  GROUP BY tf.doc_id ORDER BY score DESC, id ASC LIMIT 20),
-        |lr AS (SELECT id, CAST(row_number() OVER (
-        |    ORDER BY score DESC, id ASC) AS INTEGER) AS lrank FROM lextop)
-        |SELECT COALESCE(dr.id, lr.id) AS id, vrank, lrank,
-        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + vrank), 0.0)
-        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + lrank), 0.0), 6) AS rrf
-        |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
-        |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin,
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |dense AS (SELECT e.vec_id AS id,
+      |    round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+      |      (acc, x) -> acc + x), 6) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> 0
+      |  ORDER BY sim DESC, id ASC LIMIT 20),
+      |dr AS (SELECT id, CAST(row_number() OVER (
+      |    ORDER BY sim DESC, id ASC) AS INTEGER) AS vrank FROM dense),
+      |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |  unnest(string_split(text, ' ')) AS term FROM documents),
+      |qt AS (SELECT doc_id, dl, term FROM tok
+      |       WHERE term IN ('query', 'join', 'table')),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM qt
+      |       GROUP BY doc_id, dl, term),
+      |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM qt GROUP BY term),
+      |stats AS (SELECT count(*) AS n,
+      |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+      |lextop AS (SELECT tf.doc_id AS id,
+      |    round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+      |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score
+      |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+      |  GROUP BY tf.doc_id ORDER BY score DESC, id ASC LIMIT 20),
+      |lr AS (SELECT id, CAST(row_number() OVER (
+      |    ORDER BY score DESC, id ASC) AS INTEGER) AS lrank FROM lextop)
+      |SELECT COALESCE(dr.id, lr.id) AS id, vrank, lrank,
+      |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + vrank), 0.0)
+      |    + COALESCE(CAST(1 AS DOUBLE) / (60 + lrank), 0.0), 6) AS rrf
+      |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+      |ORDER BY rrf DESC, id ASC LIMIT 10""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_hybrid_rrf_indexed" -> hybridRrfOracleSql,
+    "q_hybrid_rrf" -> hybridRrfOracleSql,
 
     "q_knn_cosine" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

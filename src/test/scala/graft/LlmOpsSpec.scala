@@ -972,4 +972,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"),
       "simd postings scan lost dynamic partition pruning:\n" + plan.take(2000))
   }
+
+  // ------------------------------------------------------------------
+  // Index-backed hybrid retrieval (r18): the indexed composition must
+  // reproduce the scan-path q_hybrid_rrf exactly (full-probe dense leg
+  // + TextIndex lexical leg + shared rrfFuse arithmetic), and the batch
+  // fuse must equal the single-query fuse per qid.
+  // ------------------------------------------------------------------
+
+  test("q_hybrid_rrf_indexed equals the scan-path q_hybrid_rrf exactly") {
+    import graft.operators.VectorOps
+    val scan = VectorOps.queries("q_hybrid_rrf")(spark, sf).collect().toSeq
+    val idx = VectorOps.queries("q_hybrid_rrf_indexed")(spark, sf).collect().toSeq
+    assert(idx === scan,
+      "indexed hybrid retrieval diverged from the scan path")
+    assert(idx.length === 10)
+    // the two queries share one oracle by construction
+    assert(VectorOps.oracle("q_hybrid_rrf_indexed") === VectorOps.oracle("q_hybrid_rrf"))
+  }
+
+  test("rrfFuseBatch equals rrfFuse qid by qid, including one-leg-only docs") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val denseB = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 10L, 2))
+      .toDF("qid", "id", "vrank")
+    val lexB = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 21L, 1))
+      .toDF("qid", "id", "lrank")
+    val batch = VectorOps.rrfFuseBatch(denseB, lexB, 10).collect()
+      .groupBy(_.getLong(0))
+    for (qid <- Seq(1L, 2L)) {
+      val single = VectorOps.rrfFuse(
+        denseB.where(col("qid") === qid).select("id", "vrank"),
+        lexB.where(col("qid") === qid).select("id", "lrank"), 10)
+        .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq
+      val got = batch(qid).map(r => (r.get(1), r.get(2), r.get(3), r.get(4))).toSeq
+      assert(got === single, s"qid $qid batch fuse diverged from single fuse")
+    }
+  }
 }
