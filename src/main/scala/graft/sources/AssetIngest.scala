@@ -397,6 +397,127 @@ object AssetIngest {
     nVictims
   }
 
+  // --------------------------------------------------------------------
+  // Composed takedown (r18, closing the r17 verdict's #3): a real
+  // takedown has three subjects — the landed payload, the modality's
+  // dedup index, and the observability ledgers — and running them ad hoc
+  // leaves windows where one tier remembers an asset the others have
+  // forgotten. [[takedown]] composes them in the one order whose every
+  // crash state is re-issuable: ledger ANNOTATION first (an intent
+  // record, retry-absorbed), index tombstones second (the index stops
+  // advertising the victim immediately; duplicates are anti-join no-ops),
+  // payload delete last (self-healing swap, deleteFromLanding). Ledgers
+  // CANNOT subtract — HLL registers only accumulate — so the annotation
+  // records the overcount explicitly per key ((rows, size) of the
+  // victims, captured BEFORE the delete); [[takedownAdjustments]] reads
+  // it back for net dashboards, and the EXACT repair path remains
+  // re-derivation: drop the ledger dir and reconcile from the landed
+  // data (reconcileSketches) once the takedown + the next landing
+  // compaction have settled.
+  // --------------------------------------------------------------------
+
+  final case class TakedownReport(removed: Long, takedownId: String)
+
+  /** TEST-ONLY fault injection for [[takedown]]'s composition windows:
+    * 1 = after the annotation intent, before the index tombstones;
+    * 2 = after the tombstones, before the payload delete. Cleared on
+    * trip. Production never sets it. */
+  @volatile private[graft] var failDuringComposedTakedown: Int = 0
+  private def maybeFailComposed(at: Int): Unit =
+    if (failDuringComposedTakedown == at) {
+      failDuringComposedTakedown = 0
+      throw new IllegalStateException(
+        s"graft test fault injection: composed takedown crash window $at")
+    }
+
+  /** One-call takedown of `ids` across the landed table at `landedPath`,
+    * the dedup index at `indexDir` (tombstones; pair with the family's
+    * compact*Index to fold them physically), and — when `sketchDir`
+    * names an ingest sink — a per-key overcount annotation under
+    * `sketchDir/takedowns`. `keys`/`withKeyCols`/`sizeMetric` mirror the
+    * ingest loop's recordSketches arguments (e.g. image:
+    * keys = Seq("modality"), withKeyCols = _.withColumn("modality",
+    * lit("image")), sizeMetric = col("width") * col("height")); text
+    * passes keys = Seq("source") with no decoration.
+    *
+    * Idempotent and re-issuable after any crash: the annotation lands
+    * under a takedown id DERIVED from the id set (order-independent
+    * fingerprint), and [[takedownAdjustments]] collapses retries per
+    * (takedown_id, keys) by max — a retry that finds the victims
+    * already partially or fully deleted records smaller counts under
+    * the same id and cannot inflate the adjustment. Duplicate
+    * tombstones are anti-join no-ops; the payload delete heals its own
+    * crash windows (deleteFromLanding).
+    *
+    * Retry-horizon caveat (shared with deleteFromLanding): a takedown
+    * of a batch still inside the caller's retry horizon can be undone
+    * by that batch's replay — take down after the horizon, or re-issue
+    * after the replay. */
+  def takedown(s: SparkSession, landedPath: String, indexDir: String,
+      ids: DataFrame, idCol: String,
+      sketchDir: Option[String] = None,
+      keys: Seq[String] = Seq("modality"),
+      withKeyCols: DataFrame => DataFrame = identity,
+      sizeMetric: Column = lit(0L)): TakedownReport = {
+    require(ids.columns.length == 1,
+      s"takedown ids must be a single-column frame, got ${ids.columns.mkString(",")}")
+    val tid = "td_" + derivedBatchId(ids).stripPrefix("auto_")
+    val t = ids.select(col(ids.columns(0)).as("__victim")).distinct()
+    sketchDir.foreach { sd =>
+      val rootP = new Path(landedPath)
+      val hfs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (hfs.exists(rootP)) {
+        val landed = withKeyCols(s.read.parquet(landedPath))
+        val stats = landed
+          .join(broadcast(t), landed(idCol) === t("__victim"), "left_semi")
+          .withColumn("__size", sizeMetric.cast("double"))
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("rows_removed"),
+            coalesce(sum(col("__size")), lit(0.0)).as("size_removed"))
+          .withColumn("takedown_id", lit(tid))
+        // zero-victim takedowns append nothing (and a retry against an
+        // already-deleted set finds zero rows here — absorbed by the
+        // per-(takedown_id, keys) max on read)
+        if (stats.limit(1).count() > 0)
+          stats.coalesce(1).write.mode("append").parquet(s"$sd/takedowns")
+      }
+    }
+    maybeFailComposed(1)
+    Tombstones.append(s, ids, indexDir)
+    maybeFailComposed(2)
+    TakedownReport(deleteFromLanding(s, landedPath, ids, idCol), tid)
+  }
+
+  /** Net per-key adjustments recorded by [[takedown]]: retries collapse
+    * per (takedown_id, keys) by max (a retry can only see FEWER
+    * victims), then takedowns sum. Subtract from the gross ledger
+    * totals for a net dashboard; the exact repair stays re-derivation
+    * (see [[takedown]]'s scaladoc). Empty frame when nothing was ever
+    * taken down. Keys are assumed string-typed, as everywhere in the
+    * recordSketches layout. */
+  def takedownAdjustments(s: SparkSession, sketchDir: String,
+      keys: Seq[String] = Seq("modality")): DataFrame = {
+    val p = new Path(s"$sketchDir/takedowns")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+      val schema = org.apache.spark.sql.types.StructType(
+        keys.map(k => org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) ++ Seq(
+          org.apache.spark.sql.types.StructField("rows_removed",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("size_removed",
+            org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      s.read.parquet(s"$sketchDir/takedowns")
+        .groupBy((keys :+ "takedown_id").map(col): _*)
+        .agg(max(col("rows_removed")).as("rows_removed"),
+          max(col("size_removed")).as("size_removed"))
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("rows_removed")).as("rows_removed"),
+          sum(col("size_removed")).as("size_removed"))
+        .orderBy(keys.map(c => col(c).asc): _*)
+  }
+
   /** Repair a [[SketchSink]]'s ledgers after the one ingest crash
     * window that is recovered rather than fenced (a crash between the
     * index append and [[recordSketches]] — DURABILITY row (b)): diff

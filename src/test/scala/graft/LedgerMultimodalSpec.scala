@@ -321,6 +321,85 @@ class LedgerMultimodalSpec extends AnyFunSuite {
       "takedown left sibling roots behind")
   }
 
+  test("composed takedown: landing + index tombstones + ledger annotation; every crash window re-issuable") {
+    import graft.sources.{AssetIngest, SketchLedger, Tombstones}
+    import spark.implicits._
+    val base = Files.createTempDirectory("ctakedown").toString
+    val (idx, data, sink) = (s"$base/idx", s"$base/data", s"$base/sink")
+    val docs = s"$data/docs"
+    def batch(ids: Seq[Long]) = ids.map(i => (i, s"src${i % 2}",
+      (1 to 60).map(t => s"k${i}_$t").mkString(" "))).toDF("doc_id", "source", "text")
+    def landedDocs: Seq[Long] = spark.read.parquet(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def tombs: Set[Long] = Tombstones.read(spark, idx)
+      .map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    def adjs: Map[String, (Long, Double)] =
+      AssetIngest.takedownAdjustments(spark, sink, Seq("source")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    AssetIngest.ingestTextBatch(spark, batch(Seq(1L, 2L, 3L, 4L, 5L)), idx, data,
+      sketches = Some(AssetIngest.SketchSink(sink, "b0")))
+    assert(landedDocs === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(adjs.isEmpty, "no takedowns yet - adjustments must be an empty frame")
+    val gross = SketchLedger.sumByKey(spark, s"$sink/sum").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(1)))).toMap
+
+    // the happy path: one call hits all three tiers
+    val r1 = AssetIngest.takedown(spark, docs, idx, Seq(2L, 3L).toDF("id"), "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r1.removed === 2L)
+    assert(landedDocs === Seq(1L, 4L, 5L))
+    assert(tombs === Set(2L, 3L))
+    assert(adjs === Map("src0" -> ((1L, 60.0)), "src1" -> ((1L, 60.0))))
+    // a full retry of the same takedown is a no-op everywhere
+    val r2 = AssetIngest.takedown(spark, docs, idx, Seq(2L, 3L).toDF("id"), "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r2.removed === 0L && r2.takedownId === r1.takedownId)
+    assert(adjs === Map("src0" -> ((1L, 60.0)), "src1" -> ((1L, 60.0))),
+      "a retried takedown must not inflate the adjustments")
+
+    // window 1: annotation written, tombstones + delete not - re-issue
+    // completes; the duplicate annotation is absorbed by the per-id max
+    AssetIngest.failDuringComposedTakedown = 1
+    intercept[IllegalStateException] {
+      AssetIngest.takedown(spark, docs, idx, Seq(4L).toDF("id"), "doc_id",
+        sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    }
+    assert(landedDocs === Seq(1L, 4L, 5L) && !tombs.contains(4L))
+    val r3 = AssetIngest.takedown(spark, docs, idx, Seq(4L).toDF("id"), "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r3.removed === 1L)
+    assert(adjs("src0") === ((2L, 120.0)), "window-1 retry inflated the annotation")
+
+    // window 2: tombstones written, delete not - the index already
+    // forgot the victim; the re-issue finishes the payload half and its
+    // re-annotation (smaller or equal counts, same id) is absorbed
+    AssetIngest.failDuringComposedTakedown = 2
+    intercept[IllegalStateException] {
+      AssetIngest.takedown(spark, docs, idx, Seq(5L).toDF("id"), "doc_id",
+        sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    }
+    assert(tombs.contains(5L) && landedDocs.contains(5L))
+    val r4 = AssetIngest.takedown(spark, docs, idx, Seq(5L).toDF("id"), "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r4.removed === 1L)
+    assert(landedDocs === Seq(1L))
+
+    // the net law the annotation exists for: gross ledger minus the
+    // adjustments equals the surviving corpus, per key, exactly
+    val a = adjs
+    val remaining = spark.read.parquet(docs)
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(col("n_tok").cast("double")).as("toks"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    for (src <- gross.keys) {
+      val (gRows, gSize) = gross(src)
+      val (aRows, aSize) = a.getOrElse(src, (0L, 0.0))
+      val (nRows, nSize) = remaining.getOrElse(src, (0L, 0.0))
+      assert(gRows - aRows === nRows, s"$src net rows diverged")
+      assert(gSize - aSize === nSize, s"$src net size diverged")
+    }
+  }
+
   test("crash between landing and index append: image loop retries without duplicate landings") {
     import graft.sources.{AssetIngest, ImageCodec}
     import spark.implicits._
