@@ -194,12 +194,50 @@ object CurationOps {
     val dist = graft.sources.SketchLedger
       .distinctByKey(s, s"$sketchDir/distinct")
       .select(col("source"), col("distinct_est").as("distinct_ids_est"))
-    mix.join(broadcast(sums.select("source", "docs")), "source")
+    val base = mix.join(broadcast(sums.select("source", "docs")), "source")
       .join(broadcast(lens), "source")
       .join(broadcast(dist), "source")
+    // dup-rate ESTIMATE from the digest tier (r18) when the sink carries
+    // one; a pre-digest sink keeps the column with nulls (stable schema,
+    // honest absence) — the scan-only columns that remain scan-only are
+    // zipf_slope/leak_ratio (corpus-content computations by design)
+    val digestDir = s"$sketchDir/digest"
+    val hasDigest = new org.apache.hadoop.fs.Path(digestDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(digestDir))
+    val withDup =
+      if (hasDigest)
+        base.join(broadcast(dupRateFromLedger(s, sketchDir)
+          .select(col("source"), col("dup_rate_est"))), Seq("source"), "left")
+      else base.withColumn("dup_rate_est", lit(null).cast("double"))
+    withDup
       .select("source", "docs", "toks", "share", "weight", "epochs",
-        "len_p50", "len_p99", "distinct_ids_est")
+        "len_p50", "len_p99", "distinct_ids_est", "dup_rate_est")
       .orderBy("source")
+  }
+
+  /** Per-key dup-rate ESTIMATE from an ingest sink's digest ledger —
+    * the sketch-tier answer to [[dupRateBySource]]'s scan: exact
+    * processed rows vs HLL-estimated distinct content digests, read
+    * from kilobytes of sketch bytes instead of a corpus pass. Error
+    * contract: the distinct estimate carries standard HLL relative
+    * error (~1.6% at the default lgConfigK = 12), so
+    * `dup_rate_est = 1 - distinct_est/rows` is within ~(uniq/rows)·1.6%
+    * of the exact rate (CorpusAuditSpec bracket law vs the exact
+    * q_dup_rate_by_source arithmetic); the estimate is clamped at 0
+    * where HLL slightly overshoots a dup-free key. Over an ingest sink
+    * this measures residual duplication among LANDED rows (the loops
+    * near-dedup upstream); ledgering raw batches measures the raw
+    * rate. */
+  def dupRateFromLedger(s: org.apache.spark.sql.SparkSession,
+      sketchDir: String): org.apache.spark.sql.DataFrame = {
+    val d = graft.sources.SketchLedger.distinctByKey(s, s"$sketchDir/digest")
+    val keys = d.columns.filterNot(Set("distinct_est", "rows").contains)
+    d.select(keys.map(col) ++ Seq(col("rows").as("docs"),
+      col("distinct_est").as("uniq_est"),
+      round(greatest(lit(0.0),
+        lit(1.0) - col("distinct_est").cast("double") / col("rows")), 6)
+        .as("dup_rate_est")): _*)
   }
 
   val queries: Map[String, Q] = Map(

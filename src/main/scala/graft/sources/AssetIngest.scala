@@ -104,7 +104,7 @@ object AssetIngest {
 
   private def recordSketches(s: SparkSession, sink: Option[SketchSink],
       novel: DataFrame, nNovel: Long, keys: Seq[String], idCol: String,
-      size: Column): Unit =
+      size: Column, digest: Column): Unit =
     sink.foreach { sk =>
       if (failBeforeSketches) {
         failBeforeSketches = false
@@ -113,6 +113,7 @@ object AssetIngest {
       }
       if (nNovel > 0) {
         val base = novel.withColumn("size_metric", size.cast("double"))
+          .withColumn("content_digest", digest)
         SketchLedger.append(s, base, keys, idCol, s"${sk.dir}/distinct", sk.batchId)
         SketchLedger.appendQuantile(s, base, keys, "size_metric",
           s"${sk.dir}/size", sk.batchId)
@@ -121,6 +122,15 @@ object AssetIngest {
         // re-scanning the corpus)
         SketchLedger.appendSum(s, base, keys, "size_metric",
           s"${sk.dir}/sum", sk.batchId)
+        // distinct CONTENT digests per key (r18): with the exact `rows`
+        // alongside, this is the sketch-tier dup-rate estimate
+        // (CurationOps.dupRateFromLedger) — the half of the scan-only
+        // dup_rate a ledger CAN answer, with stated HLL error. Over an
+        // ingest sink it measures residual duplication among LANDED
+        // rows (the loops near-dedup upstream); a pipeline that ledgers
+        // raw batches gets the raw rate.
+        SketchLedger.append(s, base, keys, "content_digest",
+          s"${sk.dir}/digest", sk.batchId)
       }
     }
 
@@ -530,11 +540,19 @@ object AssetIngest {
     * arguments. Idempotent; returns (distinct-ledger ids repaired,
     * size-ledger ids repaired). */
   def reconcileSketches(s: SparkSession, sinkDir: String, landed: DataFrame,
-      keys: Seq[String], idCol: String,
-      sizeMetric: Column): (Seq[String], Seq[String]) = {
+      keys: Seq[String], idCol: String, sizeMetric: Column,
+      digest: Option[Column] = None): (Seq[String], Seq[String]) = {
     val base = landed.withColumn("size_metric", sizeMetric.cast("double"))
     SketchLedger.reconcileSum(s, base, keys, "size_metric",
       s"$sinkDir/sum", LandCol)
+    // the digest tier re-derives from the landed payload/text exactly
+    // like record time; callers pass the loop's digest column (e.g.
+    // xxhash64(col("text"))). Omitted -> the tier is skipped, matching
+    // sinks recorded before the digest ledger existed.
+    digest.foreach { dg =>
+      SketchLedger.reconcile(s, base.withColumn("content_digest", dg),
+        keys, "content_digest", s"$sinkDir/digest", LandCol)
+    }
     (SketchLedger.reconcile(s, base, keys, idCol, s"$sinkDir/distinct", LandCol),
       SketchLedger.reconcileQuantile(s, base, keys, "size_metric",
         s"$sinkDir/size", LandCol))
@@ -655,7 +673,8 @@ object AssetIngest {
     if (!BandBuckets.exists(s, s"$indexDir/pbands"))
       VideoCodec.writeVideoProbeLayout(s, indexDir)
     recordSketches(s, sketches, novel.withColumn("modality", lit("video")),
-      nNovel, Seq("modality"), "asset_id", col("n_frames"))
+      nNovel, Seq("modality"), "asset_id", col("n_frames"),
+      digest = xxhash64(col("payload")))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -737,7 +756,8 @@ object AssetIngest {
     // size metric = embedding L2 norm: the cheap drift signal for a
     // mis-calibrated encoder (dim drift is already hard-gated above)
     recordSketches(s, sketches, novel, nNovel, Seq("label"), "vec_id",
-      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + double(x) * double(x)))"))
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + double(x) * double(x)))"),
+      digest = xxhash64(col("embedding")))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -843,7 +863,7 @@ object AssetIngest {
       DedupOps.writeMinhashIndex(s,
         novel.select("doc_id", "source", "text"), indexDir, k, bands)
     recordSketches(s, sketches, novel, nNovel, Seq("source"), "doc_id",
-      col("n_tok"))
+      col("n_tok"), digest = xxhash64(col("text")))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(
@@ -909,7 +929,8 @@ object AssetIngest {
     HashBanding.appendHashes(s, indexDir, novel.select("asset_id", "ahash"),
       bootstrapLayout = true)
     recordSketches(s, sketches, novel.withColumn("modality", lit(modality)),
-      nNovel, Seq("modality"), "asset_id", sizeMetric)
+      nNovel, Seq("modality"), "asset_id", sizeMetric,
+      digest = xxhash64(col("payload")))
     val nValid = valid.count()
     val nKeepers = keepers.count()
     IngestReport(

@@ -263,6 +263,58 @@ class CorpusAuditSpec extends AnyFunSuite {
       val est = r.getLong(8).toDouble
       assert(math.abs(est - docs) / docs < 0.05,
         s"$src distinct_ids_est $est vs docs $docs drifted past 5%")
+      // a pre-digest sink reports honest absence, not a fake zero
+      assert(r.isNullAt(9),
+        s"$src dup_rate_est must be null when the sink has no digest ledger")
+    }
+  }
+
+  test("ledger dup-rate estimate brackets the exact scan rate (HLL contract)") {
+    import graft.operators.CurationOps
+    import graft.sources.SketchLedger
+    val dir = fixtureDir() + "/duprate"
+    // the q_dup_rate_by_source planting, verbatim: low-residue sources
+    // carry exact-dup rates up to ~0.46, sources >= src7 none
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val planted = docs.unionByName(
+      docs.where(col("doc_id") % 7 > col("doc_id") % 20))
+    val base = planted.withColumn("content_digest", xxhash64(col("text")))
+    (0 until 3).foreach { r =>
+      SketchLedger.append(spark, base.where(col("doc_id") % 3 === r),
+        Seq("source"), "content_digest", s"$dir/digest", s"b$r")
+    }
+    val est = CurationOps.dupRateFromLedger(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val exact = CurationOps.dupRateBySource(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(est.keySet === exact.keySet)
+    var planted_srcs = 0
+    exact.foreach { case (src, (eDocs, eRate)) =>
+      val (lDocs, lRate) = est(src)
+      assert(lDocs === eDocs, s"$src exact docs column diverged")
+      assert(math.abs(lRate - eRate) <= 0.05,
+        s"$src dup_rate_est $lRate vs exact $eRate beyond the HLL bracket")
+      assert(lRate >= 0.0, s"$src estimate must be clamped at 0")
+      if (eRate > 0.1) planted_srcs += 1
+    }
+    assert(planted_srcs > 0, "fixture lost its planted duplicates")
+    // the health report surfaces the same estimate once the sink has a
+    // digest tier (sum/size/distinct landed too, per recordSketches)
+    val rep = fixtureDir() + "/dupratefull"
+    val full = base.withColumn("size_metric",
+      size(split(col("text"), " ")).cast("double"))
+    (0 until 2).foreach { r =>
+      val b = full.where(col("doc_id") % 2 === r)
+      SketchLedger.append(spark, b, Seq("source"), "doc_id", s"$rep/distinct", s"b$r")
+      SketchLedger.appendQuantile(spark, b, Seq("source"), "size_metric", s"$rep/size", s"b$r")
+      SketchLedger.appendSum(spark, b, Seq("source"), "size_metric", s"$rep/sum", s"b$r")
+      SketchLedger.append(spark, b, Seq("source"), "content_digest", s"$rep/digest", s"b$r")
+    }
+    CurationOps.ledgerHealthReport(spark, rep).collect().foreach { r =>
+      val src = r.getString(0)
+      assert(!r.isNullAt(9), s"$src dup_rate_est missing despite a digest ledger")
+      assert(math.abs(r.getDouble(9) - exact(src)._2) <= 0.05,
+        s"$src report dup_rate_est diverged from the exact rate")
     }
   }
 
