@@ -355,15 +355,78 @@ object VectorOps {
     * probe's scan reads only the probed cells' directories). */
   def writeIvfIndex(e: DataFrame, cells: Int, dir: String,
       iters: Int = 2): Unit = graft.sources.WriterLock.withLock(dir) {
+    GraftFunctions.register(e.sparkSession)
     val (cb, postings) = ivfIndex(e, cells, iters)
     val s = e.sparkSession
-    // rebuild fence (GenStamp): a crash between the two overwrites would
+    // rebuild fence (GenStamp): a crash between the overwrites would
     // leave a new codebook against old postings — silent recall loss
     graft.sources.GenStamp.beginRebuild(s, dir)
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     postings.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    // build-time assignment-distortion snapshot (r18): one tiny row the
+    // drift monitor (ivfDriftStats) compares against after frozen-
+    // codebook appends — without it, recall degradation under
+    // distribution shift is invisible until an offline recall harness
+    // runs. Computed from the LANDED tables so it describes exactly
+    // what a reader sees.
+    distortionStats(assignmentDistortion(
+        readCellPartitioned(s, s"$dir/postings"),
+        s.read.parquet(s"$dir/codebook")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/buildstats")
     graft.sources.GenStamp.completeRebuild(s, dir,
-      Seq(s"$dir/codebook", s"$dir/postings"))
+      Seq(s"$dir/codebook", s"$dir/postings", s"$dir/buildstats"))
+  }
+
+  /** Per-row distortion of stored postings against their OWN cells'
+    * centroids: `1 - dot(embedding, centroid)` (centroids are unit
+    * vectors, so this is the spherical k-means objective per row). The
+    * codebook rides as a broadcast; one pass over the postings. */
+  private def assignmentDistortion(postings: DataFrame, cb: DataFrame): DataFrame =
+    postings.join(broadcast(cb.select(col("cell"), col("centroid"))), "cell")
+      .withColumn("dist", lit(1.0) - expr("graft_dot(embedding, centroid)"))
+
+  private def distortionStats(d: DataFrame): DataFrame =
+    d.agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"),
+      expr("percentile(dist, CAST(0.95 AS DOUBLE))").as("p95_dist"))
+
+  /** Drift monitor outcome: the build-time distortion distribution vs
+    * the CURRENT postings' (base + frozen-codebook appends, tombstones
+    * applied). `retrainRecommended` trips when the current mean or p95
+    * exceeds the build-time value by more than `tol` relative — the
+    * cheap online signal that appended data has drifted away from the
+    * codebook's training distribution and recall is degrading silently
+    * (the honest limitation every frozen-codebook ANN store shares). */
+  final case class IvfDrift(nBuild: Long, meanBuild: Double, p95Build: Double,
+    nNow: Long, meanNow: Double, p95Now: Double, tol: Double,
+    retrainRecommended: Boolean)
+
+  /** Compute [[IvfDrift]] for a persisted IVF index. One postings pass
+    * (broadcast codebook join + 1-row aggregate) — a monitor cadence
+    * cost, not a query-path cost. None when the index predates the
+    * build-time snapshot (pre-r18): rebuild with writeIvfIndex to
+    * enable monitoring. Empty current postings (everything tombstoned)
+    * reports zero drift — there is nothing left to serve badly. */
+  def ivfDriftStats(s: SparkSession, dir: String,
+      tol: Double = 0.10): Option[IvfDrift] = {
+    GraftFunctions.register(s)
+    val bsPath = new org.apache.hadoop.fs.Path(s"$dir/buildstats")
+    if (!bsPath.getFileSystem(s.sparkContext.hadoopConfiguration).exists(bsPath))
+      return None
+    graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVF",
+      "VectorOps.writeIvfIndex",
+      Seq(s"$dir/codebook", s"$dir/postings", s"$dir/buildstats"))
+    val b = s.read.parquet(s"$dir/buildstats").head()
+    val (cb, postings) = readIvfIndex(s, dir)
+    val now = distortionStats(assignmentDistortion(postings, cb)).head()
+    val (nB, mB, pB) = (b.getLong(0), b.getDouble(1), b.getDouble(2))
+    if (now.getLong(0) == 0L || now.isNullAt(1))
+      Some(IvfDrift(nB, mB, pB, 0L, 0.0, 0.0, tol, retrainRecommended = false))
+    else {
+      val (nN, mN, pN) = (now.getLong(0), now.getDouble(1), now.getDouble(2))
+      Some(IvfDrift(nB, mB, pB, nN, mN, pN, tol,
+        retrainRecommended =
+          mN > mB * (1.0 + tol) + 1e-6 || pN > pB * (1.0 + tol) + 1e-6))
+    }
   }
 
   /** Load a persisted IVF index: (codebook, postings). The `cell`

@@ -103,6 +103,37 @@ object OpenProbe {
     else Diverged
   }
 
+  /** [[openIvf]]'s outcome: the IVF rebuild-fence state plus the
+    * codebook drift monitor (r18). `drift` is None when the fence is
+    * broken (a crashed writeIvfIndex — re-run it; reading distortion
+    * off inconsistent tables would be noise) or when the index predates
+    * the build-time snapshot. */
+  final case class IvfOpened(rebuildComplete: Boolean,
+      drift: Option[graft.operators.VectorOps.IvfDrift]) {
+    def retrainRecommended: Boolean = drift.exists(_.retrainRecommended)
+  }
+
+  /** Status for a persisted IVF index: fence + drift in one call — the
+    * openness check an ANN-serving operator polls on a monitor cadence.
+    * Frozen-codebook appends degrade recall SILENTLY as the data
+    * distribution shifts; `retrainRecommended` surfaces that from the
+    * build-time distortion snapshot (VectorOps.ivfDriftStats) without
+    * an offline recall harness. Cost: one postings pass when the fence
+    * is clean; no Spark job otherwise. */
+  def openIvf(s: SparkSession, indexDir: String,
+      tol: Double = 0.10): IvfOpened = {
+    val d = new org.apache.hadoop.fs.Path(indexDir)
+    val hfs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = hfs.exists(
+      new org.apache.hadoop.fs.Path(d, GenStamp.RebuildMarker))
+    val gens = Seq("codebook", "postings")
+      .map(t => GenStamp.read(s, s"$indexDir/$t"))
+    val ok = !marker && gens.distinct.size == 1
+    IvfOpened(ok,
+      if (ok) graft.operators.VectorOps.ivfDriftStats(s, indexDir, tol)
+      else None)
+  }
+
   /** Open a probe over `family`'s index: resolve the mode, heal the
     * layout when the pruned tier needs it. See the object scaladoc for
     * the exact policy. `cacheBudgetBytes`/`crossoverBytes` are

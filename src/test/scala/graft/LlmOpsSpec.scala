@@ -980,6 +980,67 @@ class LlmOpsSpec extends AnyFunSuite {
   // fuse must equal the single-query fuse per qid.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // IVF codebook drift monitor (r18): frozen-codebook appends degrade
+  // recall silently under distribution shift; the build-time distortion
+  // snapshot + ivfDriftStats must trip on a planted shift and stay
+  // quiet on an in-distribution append.
+  // ------------------------------------------------------------------
+
+  test("ivfDriftStats: planted distribution shift trips the flag; in-distribution append does not") {
+    import graft.operators.VectorOps
+    import graft.sources.OpenProbe
+    import spark.implicits._
+    val dim = 16
+    // deterministic clustered corpus: 4 clusters around axes e0..e3,
+    // small jitter in dims 4..7, L2-normalized
+    def clustered(id: Long): (Long, String, Array[Float]) = {
+      val c = (id % 4).toInt
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v(4 + ((id / 4) % 4).toInt) = 0.15f * (1 + (id % 3)).toFloat / 3f
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (id, s"c$c", v.map(_ / n))
+    }
+    // shifted batch: mass on axes e8..e11 — far from every trained cell
+    def shifted(id: Long): (Long, String, Array[Float]) = {
+      val v = new Array[Float](dim)
+      v(8 + (id % 4).toInt) = 1.0f
+      (id, "drift", v)
+    }
+    val base = (0L until 200L).map(clustered).toDF("vec_id", "label", "embedding")
+
+    val inDist = java.nio.file.Files.createTempDirectory("ivfdrift_in").toString
+    VectorOps.writeIvfIndex(base, cells = 4, dir = inDist)
+    val d0 = VectorOps.ivfDriftStats(spark, inDist).get
+    assert(!d0.retrainRecommended, s"fresh index must not recommend retrain: $d0")
+    VectorOps.appendToIvfIndex(spark,
+      (1000L until 1100L).map(clustered).toDF("vec_id", "label", "embedding"), inDist)
+    val d1 = VectorOps.ivfDriftStats(spark, inDist).get
+    assert(d1.nNow === 300L)
+    assert(!d1.retrainRecommended,
+      s"in-distribution append tripped the drift flag: $d1")
+
+    val drifted = java.nio.file.Files.createTempDirectory("ivfdrift_out").toString
+    VectorOps.writeIvfIndex(base, cells = 4, dir = drifted)
+    VectorOps.appendToIvfIndex(spark,
+      (2000L until 2100L).map(shifted).toDF("vec_id", "label", "embedding"), drifted)
+    val d2 = VectorOps.ivfDriftStats(spark, drifted).get
+    assert(d2.retrainRecommended,
+      s"planted distribution shift did not trip the drift flag: $d2")
+    assert(d2.meanNow > d2.meanBuild, s"shifted mean must rise: $d2")
+
+    // the OpenProbe face: fence + drift in one status
+    val o = OpenProbe.openIvf(spark, drifted)
+    assert(o.rebuildComplete && o.retrainRecommended)
+    val oIn = OpenProbe.openIvf(spark, inDist)
+    assert(oIn.rebuildComplete && !oIn.retrainRecommended)
+    // a broken fence reports no drift instead of noise
+    graft.sources.GenStamp.beginRebuild(spark, drifted)
+    val oBroken = OpenProbe.openIvf(spark, drifted)
+    assert(!oBroken.rebuildComplete && oBroken.drift.isEmpty)
+  }
+
   test("q_hybrid_rrf_indexed equals the scan-path q_hybrid_rrf exactly") {
     import graft.operators.VectorOps
     val scan = VectorOps.queries("q_hybrid_rrf")(spark, sf).collect().toSeq
