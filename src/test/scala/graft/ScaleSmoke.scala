@@ -568,6 +568,55 @@ object ScaleSmoke {
         println(f"TEXTIDX factor=$factor docs=$nDocs build=$buildSecs%.2f " +
           f"scan_steady=$scanSecs%.3f indexed_steady=$idxSecs%.3f " +
           s"files_kept=$kept/$total")
+      case "textidxseg" =>
+        // textidxseg <sfDir> <factor> [nseg] [searches] — the SEGMENT
+        // lifecycle economics (r18): per-ingest-window cost of the delta
+        // path (TextIndex.append) vs the rebuild path (full build), the
+        // merge-on-read search tax while deltas are live, and the
+        // compaction that retires it. The rebuild-vs-delta crossover is
+        // append_each vs full_rebuild; the compaction cadence trade is
+        // (search_merged - search_compacted) per query vs compact once.
+        val src = args(1)
+        val factor = args(2).toInt
+        val nseg = if (args.length > 3) args(3).toInt else 3
+        val nRuns = if (args.length > 4) args(4).toInt else 5
+        val dataDir =
+          if (factor <= 1) src
+          else {
+            val blown = java.nio.file.Files.createTempDirectory("textidxseg_corpus").toString
+            val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+            println(f"TEXTIDXSEG upsample factor=$factor secs=$upSecs%.1f")
+            blown
+          }
+        val docs = Tables.documents(s, dataDir)
+        val nDocs = docs.count()
+        val terms = Seq("query", "join", "table")
+        val idx = java.nio.file.Files.createTempDirectory("textidxseg_idx").toString + "/idx"
+        val mod = nseg + 1
+        val (_, baseSecs) = timed(
+          graft.sources.TextIndex.build(s, idx, docs.where(col("doc_id") % mod === 0)))
+        val appendSecs = (1 to nseg).map { i =>
+          timed(graft.sources.TextIndex.append(s, idx,
+            docs.where(col("doc_id") % mod === i)))._2
+        }
+        def searchOnce(): Long =
+          graft.sources.TextIndex.searchBm25(s, idx, terms, 10).count()
+        def steady(body: => Long): Double = {
+          body // warm-up (JIT, FS cache, codegen)
+          val ts = (1 to nRuns).map { _ => val (_, sec) = timed(body); sec }.sorted
+          ts(ts.length / 2)
+        }
+        val mergedSecs = steady(searchOnce())
+        val (folded, compactSecs) = timed(graft.sources.TextIndex.compactTextIndex(s, idx))
+        val compactedSecs = steady(searchOnce())
+        val idx2 = java.nio.file.Files.createTempDirectory("textidxseg_idx2").toString + "/idx"
+        val (_, rebuildSecs) = timed(graft.sources.TextIndex.build(s, idx2, docs))
+        println(f"TEXTIDXSEG factor=$factor docs=$nDocs nseg=$nseg " +
+          f"base_build=$baseSecs%.2f " +
+          s"append_each=${appendSecs.map(x => f"$x%.2f").mkString(",")} " +
+          f"search_merged=$mergedSecs%.3f compact=$compactSecs%.2f " +
+          f"search_compacted=$compactedSecs%.3f full_rebuild=$rebuildSecs%.2f " +
+          s"folded=${folded.size}")
       case "calibrate" =>
         // calibrate <sfDir> <factor> [triggers] [batchDocs] [targetIndexDir]
         // — measure the scan-vs-pruned probe economics ON THIS BOX (the
