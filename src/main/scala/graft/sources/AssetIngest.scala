@@ -785,7 +785,8 @@ object AssetIngest {
       dataDir: String, minScore: Double = 0.3,
       threshold: Double = 0.5,
       sketches: Option[SketchSink] = None,
-      batchId: Option[String] = None): IngestReport = {
+      batchId: Option[String] = None,
+      textIndexDir: Option[String] = None): IngestReport = {
     import graft.operators.DedupOps
     val ann = batch.select("doc_id", "source", "text").localCheckpoint(false)
     val total = ann.count()
@@ -862,6 +863,25 @@ object AssetIngest {
     else if (nNovel > 0)
       DedupOps.writeMinhashIndex(s,
         novel.select("doc_id", "source", "text"), indexDir, k, bands)
+    // optional BM25 index maintenance (r18): the ingest window becomes
+    // a TextIndex DELTA segment over the admitted docs — searches stay
+    // exact for the landed corpus (stats recompute per segment) and the
+    // compaction cadence is the deployment's measured knob
+    // (TextIndex.status / ScaleSmoke textidxseg). doc-disjointness
+    // across segments holds by construction: only NOVEL docs land.
+    // Crash-window posture, honestly: a crash after the MinHash append
+    // but before this block leaves the retrieval index one window stale
+    // (the retry admits nothing and appends nothing) — the repair is a
+    // rebuild from the landed table (TextIndex.build(s, dir,
+    // landed docs)), the retrieval-tier analogue of reconcileSketches.
+    textIndexDir.foreach { tdir =>
+      if (nNovel > 0) {
+        if (graft.sources.TextIndex.exists(s, tdir))
+          graft.sources.TextIndex.append(s, tdir, novel.select("doc_id", "text"))
+        else
+          graft.sources.TextIndex.build(s, tdir, novel.select("doc_id", "text"))
+      }
+    }
     recordSketches(s, sketches, novel, nNovel, Seq("source"), "doc_id",
       col("n_tok"), digest = xxhash64(col("text")))
     val nValid = valid.count()

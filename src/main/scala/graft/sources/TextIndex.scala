@@ -441,6 +441,25 @@ object TextIndex {
       .orderBy("qid", "rn")
   }
 
+  /** Observability snapshot for an index root (r18): segment shape +
+    * exact corpus size from the 1-row stats tables (segment-count rows
+    * read, never postings) and a compaction recommendation at the
+    * measured operating point — the merge-on-read search tax is linear
+    * in LIVE SEGMENT COUNT (BASELINE.md, ScaleSmoke textidxseg), so
+    * past `compactAt` live deltas the ~seconds-scale compact pays for
+    * itself within a few queries. */
+  final case class Status(exists: Boolean, deltaSegments: Int, docs: Long,
+    compactRecommended: Boolean)
+
+  def status(s: SparkSession, dir: String, compactAt: Int = 4): Status = {
+    if (!exists(s, dir)) Status(exists = false, 0, 0L, compactRecommended = false)
+    else {
+      val segs = deltaIds(s, dir).size
+      val n = combinedStats(s, dir).head().getLong(0)
+      Status(exists = true, segs, n, compactRecommended = segs >= compactAt)
+    }
+  }
+
   /** True iff a completed index exists at `dir` (both base tables
     * present, no crashed rebuild). A marker-only husk reads as "no
     * index"; committed delta segments don't affect existence. */

@@ -298,6 +298,54 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TextIndex.build"))
   }
 
+  test("status reports segment shape and the measured compaction knob") {
+    val dir = freshDir("status")
+    assert(TextIndex.status(spark, dir) ===
+      TextIndex.Status(exists = false, 0, 0L, compactRecommended = false))
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 5 === 0))
+    (1 to 4).foreach(i =>
+      TextIndex.append(spark, dir, docs.where(col("doc_id") % 5 === i)))
+    val st = TextIndex.status(spark, dir)
+    assert(st.exists && st.deltaSegments === 4)
+    assert(st.docs === docs.count(), "stats tier must carry the exact corpus size")
+    assert(st.compactRecommended, "4 live deltas >= the default compactAt")
+    assert(!TextIndex.status(spark, dir, compactAt = 10).compactRecommended)
+    TextIndex.compactTextIndex(spark, dir)
+    val after = TextIndex.status(spark, dir)
+    assert(after.deltaSegments === 0 && !after.compactRecommended &&
+      after.docs === docs.count())
+  }
+
+  test("text ingest with textIndexDir maintains the BM25 index per window") {
+    import graft.sources.AssetIngest
+    val base = java.nio.file.Files.createTempDirectory("ingest_tidx").toString
+    val (idx, data, tidx) = (s"$base/idx", s"$base/data", s"$base/tidx")
+    val d = docs.select("doc_id", "source", "text")
+    AssetIngest.ingestTextBatch(spark, d.where(col("doc_id") < 100), idx, data,
+      batchId = Some("w0"), textIndexDir = Some(tidx))
+    AssetIngest.ingestTextBatch(spark,
+      d.where(col("doc_id") >= 100 && col("doc_id") < 200), idx, data,
+      batchId = Some("w1"), textIndexDir = Some(tidx))
+    // window 0 built the base, window 1 appended a delta
+    assert(TextIndex.status(spark, tidx).deltaSegments === 1)
+    // the index answers exactly as a one-shot build over the LANDED docs
+    val landed = spark.read.parquet(s"$data/docs").select("doc_id", "text")
+    val oneshot = freshDir("ingest1s")
+    TextIndex.build(spark, oneshot, landed, "doc_id", "text")
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark"))) {
+      assert(TextIndex.searchBm25(spark, tidx, terms, 15).collect().toSeq ===
+        TextIndex.searchBm25(spark, oneshot, terms, 15).collect().toSeq,
+        s"ingest-maintained index diverged from one-shot for $terms")
+    }
+    // a retried window admits nothing and leaves the index unchanged
+    val before = TextIndex.status(spark, tidx)
+    AssetIngest.ingestTextBatch(spark,
+      d.where(col("doc_id") >= 100 && col("doc_id") < 200), idx, data,
+      batchId = Some("w1"), textIndexDir = Some(tidx))
+    assert(TextIndex.status(spark, tidx) === before,
+      "a fully-ingested retry must append no text-index segment")
+  }
+
   test("declared q_text_search_indexed runs and carries its oracle") {
     val out = graft.operators.TextOps.queries("q_text_search_indexed")(spark, sf)
     val rows = out.collect()
