@@ -451,6 +451,45 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // C4-style CROSS-DOCUMENT line dedup (the other half of C4's
+    // cleaning: "we deduplicated three-sentence spans" — repeated
+    // boilerplate lines are removed corpus-wide, keeping the FIRST
+    // occurrence in (doc_id, line) order). Same planted-page
+    // discipline as q_quality_c4, with TWO boilerplate families
+    // planted so the dedup has corpus-wide work (~20% of lines).
+    // Scale shape — deliberately NOT a window over the line key: a
+    // row_number over partitionBy(line) serializes the hot boilerplate
+    // key through one reducer with ALL its rows; instead the keeper is
+    // a groupBy(line).min aggregate (partial map-side combine collapses
+    // the hot key to one row per map partition) joined back on the
+    // line key — the shuffle carries line instances once, and the hot
+    // key's join side stays 1 keeper row (AQE skew-split applies to
+    // the instance side if ever needed). Keeper identity is pure
+    // integer arithmetic (doc_id*1000 + ln; ln < 1000 by the 10-word
+    // line construction), exact in both engines.
+    "q_dedup_lines" -> ((s, d) => {
+      val l = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), col("w"),
+          expr("explode(sequence(0, cast((size(w) + 9) / 10 as int) - 1))").as("ln"))
+        .withColumn("line",
+          when((col("doc_id") * 7 + col("ln")) % 11 === 0,
+            lit("please enable javascript and cookies to continue"))
+            .when((col("doc_id") + col("ln")) % 9 === 4,
+              lit("subscribe to our newsletter for updates today"))
+            .otherwise(concat_ws(" ", expr("slice(w, ln * 10 + 1, 10)"))))
+        .select("doc_id", "source", "ln", "line")
+      val keepers = l.groupBy("line")
+        .agg(min(col("doc_id") * 1000 + col("ln")).as("keeper"))
+      l.join(keepers, "line")
+        .withColumn("kept", col("doc_id") * 1000 + col("ln") === col("keeper"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_lines"),
+          count(when(col("kept"), 1)).as("kept_lines"),
+          count(when(!col("kept"), 1)).as("removed_lines"))
+        .orderBy("doc_id")
+    }),
+
     // The ledger's whole read/compact arithmetic under the driver's
     // hash gate (the q_prune_zorder recipe applied to the accounting
     // tier): append the corpus's per-source token sums as THREE batch
@@ -667,6 +706,30 @@ object CurationOps {
         |  count(*) FILTER (WHERE cls = 'changed') AS n_changed,
         |  count(*) FILTER (WHERE cls = 'unchanged') AS n_unchanged
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same planted pages (two boilerplate families), keeper = integer
+    // min per line; counts stay BIGINT via count(*) FILTER.
+    "q_dedup_lines" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents),
+        |l0 AS (SELECT doc_id, source,
+        |         unnest(generate_series(0, CAST(floor((len(w)+9)/10) AS INT) - 1)) AS ln, w
+        |       FROM w),
+        |l AS (SELECT doc_id, source, ln,
+        |        CASE WHEN (doc_id*7 + ln) % 11 = 0
+        |             THEN 'please enable javascript and cookies to continue'
+        |             WHEN (doc_id + ln) % 9 = 4
+        |             THEN 'subscribe to our newsletter for updates today'
+        |             ELSE array_to_string(w[ln*10+1 : ln*10+10], ' ') END AS line
+        |      FROM l0),
+        |k AS (SELECT line, min(doc_id*1000 + ln) AS keeper FROM l GROUP BY line),
+        |d AS (SELECT l.doc_id, l.source,
+        |        (l.doc_id*1000 + l.ln = k.keeper) AS kept
+        |      FROM l JOIN k ON l.line = k.line)
+        |SELECT doc_id, source, count(*) AS n_lines,
+        |  count(*) FILTER (WHERE kept) AS kept_lines,
+        |  count(*) FILTER (WHERE NOT kept) AS removed_lines
+        |FROM d GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
 
     // Same planted page construction, C4 rules verbatim; counts stay
     // BIGINT via count(*) FILTER (a sum over booleans would go HUGEINT

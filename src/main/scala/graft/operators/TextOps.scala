@@ -257,6 +257,30 @@ object TextOps {
     // the scoring join touch only the query terms' postings — at scale
     // that is exactly an inverted-index lookup, never a vocabulary-wide
     // pass; doc frequencies and corpus size N ride as tiny broadcasts.
+    // PHRASE search — the retrieval face tokenized search cannot
+    // express ("join order" as an adjacent pair, not two independent
+    // terms): per-doc exact-occurrence counting via substring-delete
+    // arithmetic ((len - len(remove(phrase))) / len(phrase) — pure
+    // integer result, identical in both engines on this ASCII corpus),
+    // ranked with the doc id as the total tiebreak. Scale shape: one
+    // scan, codegen'd string kernel per row, TakeOrdered top-k — no
+    // shuffle of the corpus; a positional-postings index is the
+    // at-scale twin the same way TextIndex twins the term searches
+    // (posture documented, not built: the term-bucket layout carries
+    // no positions by design — the honest cost note for phrase
+    // workloads).
+    "q_text_search_phrase" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("hits",
+          ((length(col("text")) -
+            length(expr("replace(text, 'join order', '')"))) / lit(10))
+            .cast("bigint"))
+        .where(col("hits") > 0)
+        .select("doc_id", "hits")
+        .orderBy(col("hits").desc, col("doc_id").asc)
+        .limit(15)
+    }),
+
     "q_text_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val qtok = docs
@@ -768,6 +792,13 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_text_search_phrase" ->
+      """SELECT doc_id,
+        |  CAST((len(text) - len(replace(text, 'join order', ''))) / len('join order') AS BIGINT) AS hits
+        |FROM documents
+        |WHERE len(replace(text, 'join order', '')) < len(text)
+        |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     "q_text_search" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
