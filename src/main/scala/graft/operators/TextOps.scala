@@ -281,6 +281,22 @@ object TextOps {
         .limit(15)
     }),
 
+    // The SAME phrase search answered from the POSITIONAL index tier
+    // (r18; the q_text_search_indexed recipe): build the index into the
+    // per-run scratch scope, answer "join order" from the pruned
+    // positional postings (adjacency fold over per-doc position maps),
+    // and hash-gate against the q_text_search_phrase ORACLE's substring
+    // scan — a dropped position, a sort bug in the positions array, or
+    // an off-by-one in the adjacency fold hash-fails loudly. The
+    // substring == token-adjacency equivalence holds on this corpus
+    // (closed 31-token vocabulary, no cross-token aliasing, phrase of
+    // distinct tokens; TextIndexSpec pins it for several phrases).
+    "q_text_search_phrase_indexed" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchPhrase(s, dir, Seq("join", "order"), 15)
+    }),
+
     "q_text_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val qtok = docs
@@ -792,6 +808,16 @@ object TextOps {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    // same oracle as q_text_search_phrase (the indexed path must
+    // reproduce the scan answer exactly — the q_hybrid_rrf_indexed
+    // discipline)
+    "q_text_search_phrase_indexed" ->
+      """SELECT doc_id,
+        |  CAST((len(text) - len(replace(text, 'join order', ''))) / len('join order') AS BIGINT) AS hits
+        |FROM documents
+        |WHERE len(replace(text, 'join order', '')) < len(text)
+        |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     "q_text_search_phrase" ->
       """SELECT doc_id,

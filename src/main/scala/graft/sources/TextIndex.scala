@@ -98,9 +98,15 @@ object TextIndex {
   private def derivePostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).as("dl"),
-        explode(tokens(col(textCol))).as("term"))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      // positions (r18): sorted 0-based token offsets per (term, doc) —
+      // the POSITIONAL tier phrase search needs (Lucene's positions
+      // postings). Parquet is columnar, so the term/BM25 searches that
+      // never select `positions` never read the column; tf is kept as
+      // its own column so the scoring paths stay byte-identical.
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn(Col, bucketOf(col("term")))
 
   private def deriveStats(docs: DataFrame, textCol: String): DataFrame =
@@ -215,7 +221,7 @@ object TextIndex {
           // flat empty-segment husks carry the bucket as a data column
           // and partitioned segments as a partition column; rebuild it
           // uniformly so the union is schema-stable either way
-          .map(df => df.select("term", "doc_id", "tf", "dl")
+          .map(df => df.select("term", "doc_id", "tf", "dl", "positions")
             .withColumn(Col, bucketOf(col("term"))))
           .reduce(_ unionByName _)
         val stats = combinedStats(s, dir)
@@ -394,6 +400,48 @@ object TextIndex {
       .groupBy("doc_id")
       .agg(round(sum("w"), 6).as("score"), count(lit(1)).as("matched"))
       .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Exact PHRASE search from the positional tier (r18): top-k docs by
+    * adjacency-match count of `phrase`'s tokens, answered entirely from
+    * the pruned postings read (the phrase's terms' buckets across all
+    * live segments) — no corpus scan, the capability substring scans
+    * (q_text_search_phrase) pay a full text pass for. Per doc the
+    * match positions fold left-to-right: M₁ = positions(t₁),
+    * Mᵢ = (Mᵢ₋₁ + 1) ∩ positions(tᵢ) — all inside one per-doc
+    * projection over a (term → positions) map, so the join work is one
+    * doc-keyed aggregate of the pruned postings, never a positions
+    * explosion. A doc missing any phrase term folds to null and drops.
+    *
+    * Semantics note, stated honestly: `hits` counts ALL adjacency
+    * matches, including overlapping ones — equal to non-overlapping
+    * substring counting (the scan twin / shared oracle) exactly when
+    * the phrase cannot self-overlap (no proper prefix of it is also a
+    * suffix, e.g. any phrase of distinct tokens) and no corpus token
+    * aliases a phrase token at a substring boundary; both hold for the
+    * declared q_text_search_phrase_indexed fixture and are spec-pinned
+    * rather than assumed. */
+  def searchPhrase(s: SparkSession, dir: String, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "searchPhrase: phrase must have at least one token")
+    require(phrase.forall(!_.contains("'")),
+      "searchPhrase: phrase tokens must not contain single quotes " +
+        "(they are spliced into a SQL lambda; the whitespace tokenizer " +
+        "never produces them)")
+    GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+      Seq(postingsPath(dir), statsPath(dir)))
+    val posts = postingsFor(s, dir, phrase.distinct)
+    val perDoc = posts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("pm"))
+    val matchExpr = phrase.tail.foldLeft(s"pm['${phrase.head}']") {
+      (acc, t) => s"array_intersect(transform($acc, p -> p + 1), pm['$t'])"
+    }
+    perDoc.withColumn("hits", size(expr(matchExpr)).cast("bigint"))
+      .where(col("hits") > 0)
+      .select("doc_id", "hits")
+      .orderBy(col("hits").desc, col("doc_id").asc)
       .limit(k)
   }
 

@@ -196,12 +196,16 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchBatchBm25(spark, dirA, qs, 10).collect().toSeq ===
       TextIndex.searchBatchBm25(spark, dirB, qs, 10).collect().toSeq,
       s"$note: batch BM25 diverged")
+    for (phrase <- Seq(Seq("join", "order"), Seq("the", "fast", "key")))
+      assert(TextIndex.searchPhrase(spark, dirA, phrase, 20).collect().toSeq ===
+        TextIndex.searchPhrase(spark, dirB, phrase, 20).collect().toSeq,
+        s"$note: phrase search diverged for $phrase")
   }
 
   private def postingsRows(dir: String): Seq[String] =
     spark.read.parquet(TextIndex.postingsPath(dir))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        col("term_bucket").cast("int"))
+        col("positions"), col("term_bucket").cast("int"))
       .collect().map(_.toString).sorted.toSeq
 
   test("build + append + append answers searches exactly as the one-shot rebuild") {
@@ -296,6 +300,36 @@ class TextIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       TextIndex.append(spark, dir, docs.limit(5)))
     assert(e.getMessage.contains("TextIndex.build"))
+  }
+
+  test("indexed phrase search equals substring counting on the aliasing-free corpus") {
+    val dir = freshDir("phrase")
+    TextIndex.build(spark, dir, docs)
+    for (phrase <- Seq(Seq("join", "order"), Seq("key", "order"),
+        Seq("the", "fast", "key"))) {
+      val pl = phrase.mkString(" ")
+      val scan = docs
+        .withColumn("hits",
+          ((length(col("text")) -
+            length(expr(s"replace(text, '$pl', '')"))) / pl.length)
+            .cast("bigint"))
+        .where(col("hits") > 0)
+        .select("doc_id", "hits")
+        .orderBy(col("hits").desc, col("doc_id").asc)
+        .limit(20).collect().toSeq
+      val idx = TextIndex.searchPhrase(spark, dir, phrase, 20).collect().toSeq
+      assert(idx === scan, s"indexed phrase diverged from substring scan for '$pl'")
+      assert(idx.nonEmpty, s"fixture phrase '$pl' matched nothing — weak law")
+    }
+    // single-token phrase degenerates to tf ranking
+    val one = TextIndex.searchPhrase(spark, dir, Seq("spark"), 5).collect()
+    assert(one.length === 5 && one.forall(_.getLong(1) >= 1))
+    // an absent term empties the result, not errors
+    assert(TextIndex.searchPhrase(spark, dir, Seq("join", "zzz_absent"), 5).count() === 0)
+    // overlapping self-phrase: adjacency counts overlaps, substring does
+    // not — the documented boundary of the shared-oracle equivalence
+    val rep = TextIndex.searchPhrase(spark, dir, Seq("batch", "batch"), 5).collect()
+    rep.foreach(r => assert(r.getLong(1) >= 1))
   }
 
   test("status reports segment shape and the measured compaction knob") {
