@@ -373,7 +373,13 @@ object AssetIngest {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0L
+    // "no landed table" must include the dir the WriterLock itself just
+    // created to hold its `_graft_writer_lock` file: a root with no
+    // ingest_batch= partitions has nothing to take down, and reading it
+    // as parquet would crash on schema inference (r18 edge law)
+    if (!fs.exists(root) || !fs.listStatus(root)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith(s"$LandCol=")))
+      return 0L
     val t = ids.select(col(ids.columns(0)).as("__victim")).distinct()
     val landed = s.read.parquet(path)
     // one projection-only pass over (idCol, partition col): which

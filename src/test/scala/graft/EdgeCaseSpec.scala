@@ -316,4 +316,77 @@ class EdgeCaseSpec extends AnyFunSuite {
       .filter(t => t.name.startsWith("orders_sq") || t.name.startsWith("customer_sq"))
     assert(leaked.isEmpty, s"leaked temp views: ${leaked.map(_.name).mkString(", ")}")
   }
+
+  // ------------------------------------------------------------------
+  // r18 faces at their boundaries: composed takedown on absent/empty
+  // targets, ledger dup-rate on a never-written dir, hybrid retrieval
+  // on an empty query batch, TextIndex empty-delta and empty-corpus
+  // phrase semantics.
+  // ------------------------------------------------------------------
+
+  test("composed takedown against an absent landed table: tombstones land, nothing crashes") {
+    import graft.sources.{AssetIngest, Tombstones}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tk_absent").toString
+    val r = AssetIngest.takedown(spark, s"$base/never_landed", s"$base/idx",
+      Seq(7L).toDF("id"), "doc_id", sketchDir = Some(s"$base/sink"),
+      keys = Seq("source"))
+    assert(r.removed === 0L)
+    assert(Tombstones.read(spark, s"$base/idx").get
+      .collect().map(_.getLong(0)).toSeq === Seq(7L),
+      "the index half of the takedown must land even with no payload to delete")
+    // no victims were ever landed, so no annotation row either - and the
+    // adjustments read is an empty frame with the declared schema
+    val adj = AssetIngest.takedownAdjustments(spark, s"$base/sink", Seq("source"))
+    assert(adj.columns.toSeq === Seq("source", "rows_removed", "size_removed"))
+    assert(adj.count() === 0L)
+  }
+
+  test("dupRateFromLedger on a never-appended sink fails loudly, not emptily") {
+    val base = java.nio.file.Files.createTempDirectory("dr_absent").toString
+    val e = intercept[RuntimeException] {
+      graft.operators.CurationOps.dupRateFromLedger(spark, base).collect()
+    }
+    assert(e.getMessage.contains("no meta"))
+  }
+
+  test("hybrid retrieval with an empty query batch returns empty, not an error") {
+    import graft.operators.VectorOps
+    import graft.sources.TextIndex
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("hybrid_empty").toString
+    val sf = "/root/testdata/sf0.001"
+    TextIndex.build(spark, s"$base/tidx", Tables.documents(spark, sf))
+    VectorOps.writeIvfIndex(Tables.embeddings(spark, sf), cells = 4, dir = s"$base/ivf")
+    val out = VectorOps.hybridSearchBatch(spark, s"$base/tidx", s"$base/ivf",
+      Seq.empty[(Long, Array[Float])].toDF("qid", "embedding"),
+      Seq.empty[(Long, String)].toDF("qid", "term"), k = 5)
+    assert(out.count() === 0L)
+  }
+
+  test("an empty TextIndex delta changes no search answer; empty-corpus phrase is empty") {
+    import graft.sources.TextIndex
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("tidx_edge").toString + "/idx"
+    TextIndex.build(spark, dir, docs)
+    val before = TextIndex.searchBm25(spark, dir, Seq("query", "join"), 10)
+      .collect().toSeq
+    val phraseBefore = TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 10)
+      .collect().toSeq
+    TextIndex.append(spark, dir, docs.where(lit(false)))
+    assert(TextIndex.status(spark, dir).deltaSegments === 1)
+    assert(TextIndex.searchBm25(spark, dir, Seq("query", "join"), 10)
+      .collect().toSeq === before, "an empty delta moved a BM25 answer")
+    assert(TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 10)
+      .collect().toSeq === phraseBefore, "an empty delta moved a phrase answer")
+    // compaction folds the empty segment away harmlessly
+    assert(TextIndex.compactTextIndex(spark, dir) === Seq(1L))
+    assert(TextIndex.searchBm25(spark, dir, Seq("query", "join"), 10)
+      .collect().toSeq === before)
+    // empty-corpus index: phrase search returns empty cleanly
+    val empty = java.nio.file.Files.createTempDirectory("tidx_empty").toString + "/idx"
+    TextIndex.build(spark, empty, docs.where(lit(false)))
+    assert(TextIndex.searchPhrase(spark, empty, Seq("join", "order"), 5).count() === 0L)
+  }
 }
