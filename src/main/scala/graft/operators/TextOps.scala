@@ -297,6 +297,22 @@ object TextOps {
       graft.sources.TextIndex.searchPhrase(s, dir, Seq("join", "order"), 15)
     }),
 
+    // BATCH phrase retrieval from the positional tier — two phrases of
+    // DIFFERENT lengths scored in one job (the searchBatchBm25 parity
+    // rule applied to phrases); oracle = per-phrase substring counting
+    // with a per-qid rank window. One phrase legitimately matches
+    // nothing at some scale factors — the absent-leg behavior is part
+    // of what the gate pins.
+    "q_text_search_phrase_batch" -> ((s, d) => {
+      import s.implicits._
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      val qs = Seq((1, 0, "join"), (1, 1, "order"),
+        (2, 0, "the"), (2, 1, "fast"), (2, 2, "key")).toDF("qid", "pos", "term")
+      graft.sources.TextIndex.searchPhraseBatch(s, dir, qs, 10)
+    }),
+
     "q_text_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val qtok = docs
@@ -818,6 +834,16 @@ object TextOps {
         |FROM documents
         |WHERE len(replace(text, 'join order', '')) < len(text)
         |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    "q_text_search_phrase_batch" ->
+      """WITH p AS (SELECT * FROM (VALUES (1, 'join order'), (2, 'the fast key')) AS t(qid, ph)),
+        |h AS (SELECT p.qid, d.doc_id,
+        |        CAST((len(d.text) - len(replace(d.text, p.ph, ''))) / len(p.ph) AS BIGINT) AS hits
+        |      FROM documents d CROSS JOIN p
+        |      WHERE len(replace(d.text, p.ph, '')) < len(d.text)),
+        |r AS (SELECT qid, doc_id, hits, CAST(row_number() OVER (
+        |        PARTITION BY qid ORDER BY hits DESC, doc_id ASC) AS INTEGER) AS rn FROM h)
+        |SELECT qid, rn, doc_id, hits FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
     "q_text_search_phrase" ->
       """SELECT doc_id,

@@ -445,6 +445,67 @@ object TextIndex {
       .limit(k)
   }
 
+  /** BATCH phrase search from the positional tier: many phrases scored
+    * in ONE job — the retrieval family's batch-parity rule
+    * (searchBatchBm25's shape applied to [[searchPhrase]]). `queries`
+    * is (qid, pos, term) with `pos` the 0-based contiguous slot of the
+    * term INSIDE its phrase; phrases vary freely in length per qid.
+    * The batch's distinct terms drive the bucket pruning (within
+    * [[MaxPruneTerms]], else the full postings union — still one pass
+    * per BATCH); per (qid, doc) the positions fold runs over a
+    * (slot → doc positions) map with a SQL `aggregate` HOF, so the
+    * variable-length adjacency fold stays inside one doc-keyed
+    * aggregate exactly like the literal-phrase path. A doc missing any
+    * slot is cut by the matched-slot count BEFORE the fold (and a
+    * caller passing duplicate (qid, pos) rows fails loudly on the
+    * duplicate map key). For any single qid the rows equal
+    * [[searchPhrase]] on that phrase (TextIndexSpec law). Returns
+    * (qid, rn, doc_id, hits), top-k per qid. */
+  def searchPhraseBatch(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+      Seq(postingsPath(dir), statsPath(dir)))
+    val q = queries.select(col("qid"), col("pos"), col("term"))
+    // slot contract validated up front (one tiny job over the bounded
+    // query table): a gapped or duplicated slot list would otherwise
+    // fail silently (null fold → filtered) or loudly-but-late
+    // (duplicate map key mid-aggregate)
+    val bad = q.groupBy("qid")
+      .agg(max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"),
+        count(lit(1)).as("n"))
+      .where(col("nd") =!= col("n") || col("mx") =!= col("n") - 1 || col("mx") < 0)
+      .select("qid").limit(4).collect().map(_.get(0))
+    require(bad.isEmpty,
+      s"searchPhraseBatch: phrase slots must be unique, contiguous and " +
+        s"0-based per qid; offending qids: ${bad.mkString(", ")}")
+    val terms = q.select("term").distinct().limit(MaxPruneTerms + 1)
+      .collect().map(_.getString(0)).toSeq
+    val posts =
+      if (terms.length <= MaxPruneTerms) postingsFor(s, dir, terms)
+      else allPostings(s, dir)
+    val qlen = q.groupBy("qid")
+      .agg(max(col("pos")).as("maxpos"), count(lit(1)).as("nterms"))
+    val perDoc = posts.join(broadcast(q), "term")
+      .groupBy("qid", "doc_id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("positions"))))
+        .as("pm"),
+        count(lit(1)).as("nmatched"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("hits").desc, col("doc_id").asc)
+    perDoc.join(broadcast(qlen), "qid")
+      .where(col("nmatched") === col("nterms"))
+      // sequence(1, 0) is DESCENDING in Spark, so the single-slot
+      // phrase takes its map entry directly instead of folding
+      .withColumn("hits", size(expr(
+        "CASE WHEN maxpos = 0 THEN pm[0] ELSE aggregate(sequence(1, maxpos), " +
+          "pm[0], (acc, i) -> array_intersect(transform(acc, p -> p + 1), pm[i])) END"))
+        .cast("bigint"))
+      .where(col("hits") > 0)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "rn", "doc_id", "hits")
+      .orderBy("qid", "rn")
+  }
+
   /** Cap on the distinct-term list [[searchBatchBm25]] collects to
     * drive bucket pruning — the IdBuckets.MaxIdLiterals discipline: a
     * query batch within the cap reads only its terms' buckets; past it

@@ -332,6 +332,36 @@ class TextIndexSpec extends AnyFunSuite {
     rep.foreach(r => assert(r.getLong(1) >= 1))
   }
 
+  test("batch phrase search equals the single-phrase search, qid by qid") {
+    import spark.implicits._
+    val dir = freshDir("phrasebatch")
+    TextIndex.build(spark, dir, docs)
+    val phrases = Map(
+      1 -> Seq("join", "order"),
+      2 -> Seq("the", "fast", "key"),
+      3 -> Seq("spark"),
+      4 -> Seq("join", "zzz_absent"))
+    val qs = phrases.toSeq.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }.toDF("qid", "pos", "term")
+    val batch = TextIndex.searchPhraseBatch(spark, dir, qs, 10)
+      .collect().groupBy(_.getInt(0))
+    phrases.foreach { case (qid, ts) =>
+      val single = TextIndex.searchPhrase(spark, dir, ts, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = batch.getOrElse(qid, Array.empty).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(got === single, s"qid $qid batch vs single phrase search diverged")
+    }
+    assert(!batch.contains(4), "the absent-term phrase must contribute no rows")
+    assert(batch(1).nonEmpty && batch(3).nonEmpty)
+    // slot-contract violations fail loudly up front
+    val gapped = Seq((9, 0, "join"), (9, 2, "order")).toDF("qid", "pos", "term")
+    val e = intercept[IllegalArgumentException](
+      TextIndex.searchPhraseBatch(spark, dir, gapped, 5))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("status reports segment shape and the measured compaction knob") {
     val dir = freshDir("status")
     assert(TextIndex.status(spark, dir) ===
