@@ -293,8 +293,31 @@ object TextOps {
     // distinct tokens; TextIndexSpec pins it for several phrases).
     "q_text_search_phrase_indexed" -> ((s, d) => {
       val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
-      graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      // exists-check (r18 verdict nit): the batch/slop siblings share
+      // this scratch index — whichever of the three runs first builds,
+      // the others reuse instead of paying a corpus pass each
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
       graft.sources.TextIndex.searchPhrase(s, dir, Seq("join", "order"), 15)
+    }),
+
+    // PROXIMITY (slop) phrase search from the positional tier (r19,
+    // closing the r18 verdict's #4): "join ... order" with at most one
+    // intervening token — the NEAR/k face every positional index gets
+    // asked for next. The adjacency fold generalizes per step to a
+    // [p+1, p+1+slop] window expansion before the intersect, entirely
+    // inside the same per-doc projection over the pruned positional
+    // postings; slop=0 degenerates to the exact phrase (TextIndexSpec
+    // law). `hits` counts distinct MATCH-END positions, which is what
+    // the oracle's token-level scan counts too — the planted-structure-
+    // free recipe works here because the counting rule is position-
+    // exact on both sides (no substring aliasing in play at all).
+    "q_text_search_phrase_slop" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchPhrase(s, dir, Seq("join", "order"), 15,
+        slop = 1)
     }),
 
     // BATCH phrase retrieval from the positional tier — two phrases of
@@ -479,6 +502,46 @@ object TextOps {
             s"${populated.size} bucket directories (<= the query's " +
             s"${keptBuckets.size} term buckets) — prune gate skipped at this scale")
       graft.sources.TextIndex.searchBm25(s, dir, terms, 10)
+    }),
+
+    // The r18 DELTA path under the driver hash gate (r18 verdict,
+    // next-round #2): the index is built from HALF the corpus and the
+    // other half arrives as a TextIndex.append delta segment — then the
+    // SAME search must equal the scan over the whole corpus, which is
+    // exactly q_text_search_indexed's oracle. What this pins that the
+    // scalatest bit-equality law cannot: the merged-segment read and the
+    // exact segment-stat merge (Σn, Σsum_dl) hold under the driver's
+    // independent DuckDB replay at every SF, not just the in-JVM
+    // fixture.
+    "q_text_search_indexed_delta" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "textidxd", d) + "/idx"
+      val docs = Tables.documents(s, d)
+      if (!graft.sources.TextIndex.exists(s, dir)) {
+        graft.sources.TextIndex.build(s, dir, docs.where(pmod(col("doc_id"), lit(2)) === 0))
+        graft.sources.TextIndex.append(s, dir, docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      }
+      graft.sources.TextIndex.searchBm25(s, dir, Seq("query", "join", "table"), 10)
+    }),
+
+    // The r19 DELETION path under the driver hash gate: the index is
+    // built over the WHOLE corpus, every doc_id divisible by 7 is
+    // tombstoned (TextIndex.deleteFrom), and the search must equal the
+    // scan over the corpus WITHOUT the victims — same terms, same BM25
+    // arithmetic, the oracle's FROM clause just excludes them. This is
+    // the strongest gate on the delete semantics: the anti-join alone
+    // would pass rows (victims absent) but the EXACT stats shrink —
+    // N, avgdl via the captured victim dl sums, and df via the
+    // anti-joined postings — must hold or every surviving score
+    // hash-fails. The takedown path (AssetIngest.takedown(textIndexDir))
+    // composes this same face.
+    "q_text_search_indexed_deleted" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "textidxdel", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir)) {
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+        graft.sources.TextIndex.deleteFrom(s, dir,
+          Tables.documents(s, d).where(col("doc_id") % 7 === 0).select("doc_id"))
+      }
+      graft.sources.TextIndex.searchBm25(s, dir, Seq("query", "join", "table"), 10)
     }),
 
     // SPARSE cosine similarity join via an inverted index — the sparse
@@ -935,6 +998,64 @@ object TextOps {
         |    PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
         |  FROM sc) t
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    // Proximity phrase oracle (r19): token-level position counting over
+    // the SAME split the index tokenizes with — count 'order' positions
+    // with a 'join' at distance 1..1+slop before them (MATCH-END
+    // counting, mirroring the index fold's reachable-set semantics
+    // exactly, including the two-joins-one-order collapse). slop = 1.
+    "q_text_search_phrase_slop" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(generate_series(2, len(l)), j ->
+        |    l[j] = 'order' AND len(list_filter(generate_series(greatest(1, j - 2), j - 1),
+        |      i -> l[i] = 'join')) > 0)) AS BIGINT) AS hits
+        |  FROM t)
+        |SELECT doc_id, hits FROM h WHERE hits > 0
+        |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // The DELTA path shares the one-shot indexed oracle verbatim: base +
+    // appended segment must answer exactly as the scan over the whole
+    // corpus (the merged-read + exact-stat-merge equivalence).
+    "q_text_search_indexed_delta" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('query', 'join', 'table')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // The DELETION path's oracle is the scan over the corpus WITHOUT the
+    // victims — the `live` CTE is the whole difference, so N, avgdl and
+    // df must all shrink EXACTLY on the index side or the hash fails.
+    "q_text_search_indexed_deleted" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM live),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('query', 'join', 'table')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM live)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
 
     // The indexed path's oracle is the SCAN over the original corpus —
     // exactly the equivalence the index must preserve. Same association

@@ -429,6 +429,66 @@ object VectorOps {
     }
   }
 
+  /** Retrain a persisted IVF index IN PLACE from its own live postings —
+    * the drift-triggered retrain EXECUTOR (r18 verdict, next-round #3):
+    * [[ivfDriftStats]] only FLAGS recall decay; this acts on it without
+    * needing the original corpus. The live rows (base + every
+    * frozen-codebook append, tombstones applied) are materialized first
+    * (eager localCheckpoint — the retrain reads the tables it is about
+    * to overwrite, so the input must be pinned before the fence rises),
+    * Lloyd's re-runs at the CURRENT cell count (or `cells`), every
+    * vector is re-assigned, and the three tables (codebook,
+    * cell-partitioned postings, buildstats drift snapshot) swap under
+    * the existing rebuild fence + WriterLock. Tombstones are folded by
+    * construction (victims are absent from the retrained postings) and
+    * cleared before the fence lifts.
+    *
+    * Crash posture, honestly: identical to [[writeIvfIndex]] — a crash
+    * inside the overwrite window leaves the marker up and every reader
+    * fails loudly; the recovery is a rebuild from source (or, within
+    * the same session, re-running this retrain is NOT possible since
+    * the torn postings are unreadable). Returns the retrained cell
+    * count. */
+  def retrainIvfIndex(s: SparkSession, dir: String, cells: Option[Int] = None,
+      iters: Int = 2): Int = graft.sources.WriterLock.withLock(dir) {
+    GraftFunctions.register(s)
+    val (cbOld, postings) = readIvfIndex(s, dir)
+    val k = cells.getOrElse(cbOld.count().toInt)
+    val corpus = postings.select("vec_id", "label", "embedding")
+      .localCheckpoint(true)
+    require(corpus.limit(1).count() > 0,
+      s"retrainIvfIndex: no live postings under $dir (everything " +
+        "tombstoned) — a zero-row rewrite would leave an unreadable husk; " +
+        "rebuild with writeIvfIndex over a source corpus instead")
+    val (cb, reassigned) = ivfIndex(corpus, k, iters)
+    graft.sources.GenStamp.beginRebuild(s, dir)
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    distortionStats(assignmentDistortion(
+        readCellPartitioned(s, s"$dir/postings"),
+        s.read.parquet(s"$dir/codebook")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/buildstats")
+    // folded by the rewrite; cleared before the fence lifts so the
+    // anti-join can never re-hide retrained rows
+    graft.sources.Tombstones.clear(s, dir)
+    graft.sources.GenStamp.completeRebuild(s, dir,
+      Seq(s"$dir/codebook", s"$dir/postings", s"$dir/buildstats"))
+    k
+  }
+
+  /** Consult the drift monitor and retrain when it recommends — the
+    * one-call self-maintenance face an unattended ingest loop runs on
+    * its cadence: `if drifted then retrain`. Returns true iff a retrain
+    * ran. Indexes without a build-time snapshot (pre-r18) report no
+    * drift and are left alone (rebuild once with writeIvfIndex to
+    * enable monitoring). */
+  def retrainIvfIndexIfDrifted(s: SparkSession, dir: String,
+      tol: Double = 0.10, iters: Int = 2): Boolean =
+    ivfDriftStats(s, dir, tol).exists(_.retrainRecommended) && {
+      retrainIvfIndex(s, dir, iters = iters)
+      true
+    }
+
   /** Load a persisted IVF index: (codebook, postings). The `cell`
     * partition column is pinned back to STRING on read: cell ids are
     * stringified seed vec_ids (trainCodebook), partition-column
@@ -595,13 +655,22 @@ object VectorOps {
     * The default stays the exact fold: the declared queries' oracles
     * mirror graft_dot's sequential arithmetic bit-for-bit. */
   def ivfSearch(cb: DataFrame, postings: DataFrame, queryId: Long = 0,
-      nprobe: Int = 2, k: Int = 10, simd: Boolean = false): DataFrame = {
+      nprobe: Int = 2, k: Int = 10, simd: Boolean = false,
+      filter: Option[Column] = None): DataFrame = {
     val qCells = rankCells(postings.where(col("vec_id") === queryId)
         .select(col("vec_id"), col("label"), col("embedding")), cb)
       .select(explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"), col("embedding").as("qv"))
       .select(col("pc.cl").as("q_cell"), col("qv"))
     val fn = if (simd) "graft_dot_simd" else "graft_dot"
-    postings.where(col("vec_id") =!= queryId)
+    // metadata PRE-filter (r19): the predicate lands on the postings
+    // INSIDE the probed cells, before any dot product and before the
+    // top-k — so k survivors are k FILTERED survivors (recall is
+    // post-filter), never an over-fetch-then-post-filter that silently
+    // returns fewer than k under a selective predicate. The filter
+    // composes with the cell pruning below it: Catalyst pushes a
+    // partition-prunable conjunct into the scan.
+    filter.fold(postings)(postings.where)
+      .where(col("vec_id") =!= queryId)
       .join(broadcast(qCells), col("cell") === col("q_cell"))
       .withColumn("sim", round(expr(s"$fn(embedding, qv)"), 6))
       .select("vec_id", "label", "sim")
@@ -627,7 +696,8 @@ object VectorOps {
     * cells × matching queries) move, for the window — the 100 TB cost
     * is the pruned scan, not |corpus| × |batch|. */
   def ivfSearchBatch(cb: DataFrame, postings: DataFrame, queries: DataFrame,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+      nprobe: Int = 2, k: Int = 10,
+      filter: Option[Column] = None): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(k >= 1, s"k must be >= 1, got $k")
     val qCells = rankCells(queries.select(col("qid"), col("embedding")), cb)
@@ -635,7 +705,9 @@ object VectorOps {
         explode(expr(s"slice(ranked, 1, $nprobe)")).as("pc"))
       .select(col("qid"), col("qv"), col("pc.cl").as("q_cell"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    postings
+    // pre-filter inside the probed cells (the ivfSearch r19 contract):
+    // k is k post-filter survivors per query, shared across the batch
+    filter.fold(postings)(postings.where)
       .join(broadcast(qCells), col("cell") === col("q_cell"))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
@@ -1172,12 +1244,24 @@ object VectorOps {
     * recall for the pruned read, with the fusion unchanged. */
   def hybridSearchBatch(s: SparkSession, textIndexDir: String, ivfDir: String,
       denseQueries: DataFrame, lexQueries: DataFrame, k: Int,
-      nprobe: Int = 2, perLeg: Int = 20): DataFrame = {
+      nprobe: Int = 2, perLeg: Int = 20,
+      docIds: Option[DataFrame] = None): DataFrame = {
     val (cb, postings) = readIvfIndex(s, ivfDir)
-    val dense = ivfSearchBatch(cb, postings, denseQueries, nprobe, perLeg)
+    // metadata-filtered hybrid (r19): BOTH legs restrict candidates to
+    // `docIds` BEFORE their per-leg top-k — the dense leg semi-joins the
+    // probed postings (perLeg ranks are perLeg post-filter survivors),
+    // the lexical leg semi-joins its matched postings with df/N/avgdl
+    // kept corpus-wide (searchBatchBm25's filter convention) — so the
+    // fused ranks never over-fetch-and-lose recall under a selective
+    // filter.
+    val densePost = docIds.fold(postings) { ids =>
+      val a = ids.select(col(ids.columns(0)).as("__allowed")).distinct()
+      postings.join(broadcast(a), postings("vec_id") === col("__allowed"), "left_semi")
+    }
+    val dense = ivfSearchBatch(cb, densePost, denseQueries, nprobe, perLeg)
       .select(col("qid"), col("vec_id").as("id"), col("rn").as("vrank"))
     val lex = graft.sources.TextIndex
-      .searchBatchBm25(s, textIndexDir, lexQueries, perLeg)
+      .searchBatchBm25(s, textIndexDir, lexQueries, perLeg, allowedIds = docIds)
       .select(col("qid"), col("doc_id").as("id"), col("rn").as("lrank"))
     rrfFuseBatch(dense, lex, k)
   }
@@ -1337,6 +1421,30 @@ object VectorOps {
         .select("vec_id", "label", "sim")
         .orderBy(col("sim").desc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // The SAME filtered search answered from the PERSISTED IVF store
+    // (r19, closing the r18 verdict's #6): the predicate lands on the
+    // postings INSIDE the probed cells BEFORE scoring and the top-k
+    // (ivfSearch(filter=...)), so k results are k post-filter survivors
+    // — never the over-fetch-k-then-post-filter recipe that silently
+    // loses recall under a selective filter. nprobe = 64 >= the cell
+    // count makes the probe exact (the q_hybrid_rrf_indexed recipe), so
+    // the face shares q_knn_filtered's ORACLE: a filter applied after
+    // the probe join, a dropped cell, or a label-coercion bug on the
+    // pinned partition column hash-fails loudly. Production turns
+    // nprobe down and keeps the same post-filter-k contract, with
+    // recall-vs-selectivity measured in BASELINE.md.
+    "q_knn_filtered_indexed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val dir = graft.plans.Scale.scratch(s, "knnfidx", d) + "/ivf"
+      writeIvfIndex(Tables.embeddings(s, d), cells = 4, dir = dir)
+      val (cb, postings) = readIvfIndex(s, dir)
+      // 1-row bounded lookup: the query's own label is the predicate's
+      // literal (the q_knn_filtered fixture — neighbors from OTHER labels)
+      val qLabel = postings.where(col("vec_id") === 0).select("label").head().get(0)
+      ivfSearch(cb, postings, queryId = 0, nprobe = 64, k = 10,
+        filter = Some(col("label") =!= lit(qLabel)))
     }),
 
     // RANGE (radius) search: every vector within a similarity radius of
@@ -1574,6 +1682,18 @@ object VectorOps {
   // must reproduce the SCAN path's answer exactly (full-probe dense leg
   // + the TextIndex scoring twins), so both declare the same oracle —
   // the strongest possible gate on the index plumbing.
+  // Shared by q_knn_filtered and q_knn_filtered_indexed: the full-probe
+  // pre-filtered IVF path must reproduce the filtered scan bit-for-bit.
+  private val knnFilteredOracleSql: String =
+    """WITH q AS (SELECT embedding AS qv, label AS q_label
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id, e.label,
+      |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
+      |    (acc, x) -> acc + x), 6) AS sim
+      |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label <> q.q_label
+      |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin
+
   private val hybridRrfOracleSql: String =
     // Sequential double fold (see q_knn_range note): embeddings are only
     // APPROXIMATELY unit-norm in float32, and DuckDB's list_* kernels
@@ -1657,15 +1777,10 @@ object VectorOps {
         |SELECT vec_id, label, sim FROM s WHERE sim >= 0.2
         |ORDER BY sim DESC, vec_id ASC""".stripMargin,
 
-    "q_knn_filtered" ->
-      """WITH q AS (SELECT embedding AS qv, label AS q_label
-        |           FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label,
-        |  round(list_reduce(list_transform(generate_series(1, len(q.qv)),
-        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)),
-        |    (acc, x) -> acc + x), 6) AS sim
-        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label <> q.q_label
-        |ORDER BY sim DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+    "q_knn_filtered" -> knnFilteredOracleSql,
+    // the indexed path must reproduce the scan answer exactly at full
+    // probe — the q_hybrid_rrf_indexed shared-oracle discipline
+    "q_knn_filtered_indexed" -> knnFilteredOracleSql,
 
     // G11 fold (r7 upgrade): the dot against the centroid is a sequential
     // left-fold in position order — bit-identical to graft_dot's

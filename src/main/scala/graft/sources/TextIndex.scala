@@ -35,6 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    combined mean over segments is Σsum_dl / Σn — one IEEE division,
   *    identical to the one-shot build's (a weighted mean of per-segment
   *    avgdl doubles would round differently).
+  *  - `tombstones/` — (id, dl) rows appended by [[deleteFrom]] (r19):
+  *    searches drop tombstoned docs with a broadcast anti-join and
+  *    shrink (N, avgdl, df) EXACTLY using the captured per-victim
+  *    document lengths, so a deleted doc is both unretrievable and
+  *    absent from every other doc's score the moment the delete
+  *    commits; [[compactTextIndex]] folds the victims out physically.
   *  - `deltas/<segId>/{postings,stats}` — incremental segments appended
   *    per ingest window ([[append]]), each with the SAME term-bucketed
   *    postings layout and its own 1-row stats. Searches read base +
@@ -66,6 +72,7 @@ object TextIndex {
   def postingsPath(dir: String): String = s"$dir/postings"
   def statsPath(dir: String): String = s"$dir/stats"
   def deltasPath(dir: String): String = s"$dir/deltas"
+  def tombstonesPath(dir: String): String = s"$dir/tombstones"
 
   private val DeltaTmpPrefix = "_tmp_"
 
@@ -140,8 +147,19 @@ object TextIndex {
   def build(s: SparkSession, dir: String, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     WriterLock.withLock(dir) {
+      val fsys = hfs(s, dir)
+      // drop any crashed compaction's stage + manifest BEFORE raising the
+      // rebuild marker (r18 advice): a build that crashes after
+      // beginRebuild must read as "crashed build — loud error", never let
+      // a STALE manifest satisfy the next compaction's heal and silently
+      // publish an outdated staged index over this build's intent
+      fsys.delete(new Path(s"$dir/_compact_stage"), true)
+      fsys.delete(new Path(manifestPath(dir)), false)
       GenStamp.beginRebuild(s, dir)
-      hfs(s, dir).delete(new Path(deltasPath(dir)), true)
+      fsys.delete(new Path(deltasPath(dir)), true)
+      // a rebuild re-derives everything from `docs` — stale tombstones
+      // from the previous generation would wrongly hide re-indexed docs
+      fsys.delete(new Path(tombstonesPath(dir)), true)
       writeSegment(derivePostings(docs, idCol, textCol),
         deriveStats(docs, textCol), dir)
       GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
@@ -174,6 +192,10 @@ object TextIndex {
   def append(s: SparkSession, dir: String, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     WriterLock.withLock(dir) {
+      // finish a crashed compaction first (idempotent): an unattended
+      // ingest loop's next window must not wedge on a marker the heal
+      // could have cleared (the auto-compaction loop law, r19)
+      healCompact(s, dir)
       GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
         Seq(postingsPath(dir), statsPath(dir)))
       val fsys = hfs(s, dir)
@@ -191,13 +213,94 @@ object TextIndex {
       ()
     }
 
-  /** Fold every delta segment into the base — merge-on-read becomes
-    * plain read. The merged postings are the UNION of all segments'
-    * (one row per (term, doc) since appenders keep segments
-    * doc-disjoint) re-clustered into the canonical layout, and the
-    * merged stats are the exact segment-stat sums — both row-identical
-    * to a one-shot [[build]] over the union corpus (TextIndexSpec law).
-    * Needs no access to the original docs.
+  /** Finish a crashed [[compactTextIndex]] if one is pending; a no-op
+    * otherwise. Public (r19) because a caller deciding BUILD vs APPEND
+    * on [[exists]] must heal first: a crashed compaction leaves the
+    * rebuild marker up, [[exists]] then honestly reads false, and a
+    * naive "doesn't exist -> build from this window's docs" would
+    * SILENTLY REBUILD OVER THE CORPUS with one window's data — the
+    * exact data-loss path the auto-compaction loop law caught in spec.
+    * Every mutator in this object already heals at its own head; the
+    * ingest loop calls this before its exists check. */
+  def heal(s: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    if (hfs(s, dir).exists(root))
+      WriterLock.withLock(dir) { healCompact(s, dir) }
+  }
+
+  /** Delete documents from the index — the retrieval-tier half of a
+    * takedown (r18 verdict, next-round #1: until this existed, a
+    * legally-removed document stayed retrievable by BM25/phrase/hybrid
+    * search until a full rebuild). An O(ids ∩ postings) TOMBSTONE
+    * append: nothing in the postings layout is touched; every search
+    * face drops tombstoned docs with one broadcast anti-join AND shrinks
+    * the corpus statistics exactly — each victim's document length is
+    * captured here (one pruned-column pass over live postings: doc_id,
+    * dl only, never terms or positions), so (N, avgdl, df) at search
+    * time equal a rebuild WITHOUT the victims bit-for-bit
+    * (TextIndexSpec law; df shrinks for free since it is counted from
+    * the anti-joined postings). [[compactTextIndex]] folds tombstones
+    * into the files and clears them.
+    *
+    * Idempotent and re-issuable: duplicate tombstones collapse by id on
+    * read; ids absent from the index appear in no postings row and so
+    * contribute neither a tombstone nor a stats shift. Returns the
+    * number of distinct docs newly-or-again tombstoned (0 = nothing to
+    * delete). Re-adding a deleted id requires a compaction first (the
+    * Tombstones contract shared by every index family). */
+  def deleteFrom(s: SparkSession, dir: String, ids: DataFrame): Long =
+    WriterLock.withLock(dir) {
+      healCompact(s, dir)
+      GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+        Seq(postingsPath(dir), statsPath(dir)))
+      require(ids.columns.length == 1,
+        s"TextIndex.deleteFrom ids must be a single-column frame, got " +
+          ids.columns.mkString(","))
+      val t = ids.select(col(ids.columns(0)).as("id")).distinct()
+      // (doc_id, dl) of the victims that actually have postings — dl is
+      // constant across a doc's rows, so min() is exact, and the column
+      // projection keeps the pass off the fat positions column
+      val victims = segmentRoots(s, dir)
+        .map(r => s.read.parquet(s"$r/postings").select("doc_id", "dl"))
+        .reduce(_ unionByName _)
+        .join(broadcast(t), col("doc_id") === col("id"), "left_semi")
+        .groupBy("doc_id").agg(min(col("dl")).as("dl"))
+        .select(col("doc_id").as("id"), col("dl"))
+      val found = victims.count()
+      if (found > 0)
+        victims.write.mode("append").parquet(tombstonesPath(dir))
+      found
+    }
+
+  /** The deduped tombstone set — (id, dl), one row per deleted doc — or
+    * None when nothing was ever deleted. Retried deletes append
+    * duplicate rows; the group-by collapses them so the stats shrink
+    * can never double-subtract. */
+  private def tombstoneRows(s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(tombstonesPath(dir))
+    if (!hfs(s, dir).exists(p)) None
+    else Some(s.read.parquet(tombstonesPath(dir))
+      .groupBy("id").agg(min(col("dl")).as("dl")))
+  }
+
+  /** Anti-join `df`'s doc_id against the tombstone set (broadcast —
+    * tombstone counts are tiny relative to the corpus); the identical
+    * frame when none exist. */
+  private def dropTombstoned(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    tombstoneRows(s, dir) match {
+      case Some(t) =>
+        df.join(broadcast(t.select("id")), df("doc_id") === col("id"), "left_anti")
+      case None => df
+    }
+
+  /** Fold every delta segment AND the tombstone set into the base —
+    * merge-on-read becomes plain read. The merged postings are the UNION
+    * of all segments' (one row per (term, doc) since appenders keep
+    * segments doc-disjoint) minus the tombstoned docs, re-clustered into
+    * the canonical layout, and the merged stats are the exact
+    * tombstone-shrunk segment-stat sums — both row-identical to a
+    * one-shot [[build]] over the union corpus without the victims
+    * (TextIndexSpec law). Needs no access to the original docs.
     *
     * Crash posture: the merged tables are STAGED completely first
     * (`_compact_stage`, with the fold manifest `_compact_manifest` at
@@ -214,16 +317,18 @@ object TextIndex {
         "TextIndex.build (a crashed BUILD cannot be healed from segments)",
         Seq(postingsPath(dir), statsPath(dir)))
       val ids = deltaIds(s, dir)
-      if (ids.isEmpty) Nil
+      // tombstones alone are reason to compact: folding rewrites the base
+      // minus the victims and clears the tombstone set
+      if (ids.isEmpty && tombstoneRows(s, dir).isEmpty) Nil
       else {
-        val posts = segmentRoots(s, dir)
-          .map(r => s.read.parquet(s"$r/postings"))
+        val posts = dropTombstoned(s, dir, segmentRoots(s, dir)
+          .map(r => requireV2Postings(s.read.parquet(s"$r/postings"), dir))
           // flat empty-segment husks carry the bucket as a data column
           // and partitioned segments as a partition column; rebuild it
           // uniformly so the union is schema-stable either way
           .map(df => df.select("term", "doc_id", "tf", "dl", "positions")
             .withColumn(Col, bucketOf(col("term"))))
-          .reduce(_ unionByName _)
+          .reduce(_ unionByName _))
         val stats = combinedStats(s, dir)
         val stage = s"$dir/_compact_stage"
         writeSegment(posts, stats, stage)
@@ -299,6 +404,14 @@ object TextIndex {
       .foreach(id => fsys.delete(new Path(s"${deltasPath(dir)}/$id"), true))
     fsys.delete(new Path(stage), true)
     fsys.delete(new Path(manifestPath(dir)), false)
+    // the staged tables were computed WITH tombstones applied (and all
+    // mutators heal a crashed compaction before touching the tombstone
+    // set, so no tombstone can postdate the stage) — clear them BEFORE
+    // the fence lifts: a crash here leaves the marker up, readers fail
+    // loudly, and the next heal re-runs this idempotent tail. Clearing
+    // after the lift would open a window where the shrunk stats
+    // double-subtract already-folded victims.
+    fsys.delete(new Path(tombstonesPath(dir)), true)
     GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
   }
 
@@ -319,27 +432,71 @@ object TextIndex {
     }
   }
 
+  /** Loud guidance for a pre-r18 persisted index (r18 advice): the
+    * search tier now REQUIRES `sum_dl` in stats (exact segment-stat
+    * merging) and `positions` in postings (the phrase tier); an old
+    * index maintained via ingestText's textIndexDir hook would otherwise
+    * fail every search with a raw unresolved-column AnalysisException. */
+  private def requireV2Stats(df: DataFrame, dir: String): DataFrame = {
+    require(df.columns.contains("sum_dl"),
+      s"TextIndex at $dir is a pre-r18 index (stats carry no sum_dl); " +
+        "rebuild it with TextIndex.build over the source docs")
+    df
+  }
+
+  private def requireV2Postings(df: DataFrame, dir: String): DataFrame = {
+    require(df.columns.contains("positions"),
+      s"TextIndex at $dir is a pre-r18 index (postings carry no " +
+        "positions); rebuild it with TextIndex.build over the source docs")
+    df
+  }
+
   /** Exact combined (n, avgdl) over all live segments from their 1-row
-    * stats tables: Σn and Σsum_dl are exact longs, so the single
-    * division equals the one-shot build's avg bit-for-bit. Reads
-    * segment-count rows, never postings. */
-  private def combinedStats(s: SparkSession, dir: String): DataFrame =
-    segmentRoots(s, dir).map(r => s.read.parquet(s"$r/stats"))
+    * stats tables, MINUS the tombstoned docs' contributions: Σn, Σsum_dl
+    * and the victims' (count, Σdl) are all exact longs, so the single
+    * division equals a one-shot build WITHOUT the victims bit-for-bit.
+    * Reads segment-count + tombstone-count rows, never postings. */
+  private def combinedStats(s: SparkSession, dir: String): DataFrame = {
+    val live = segmentRoots(s, dir)
+      .map(r => requireV2Stats(s.read.parquet(s"$r/stats"), dir))
       .reduce(_ unionByName _)
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+    val net = tombstoneRows(s, dir) match {
+      case Some(t) =>
+        val dead = t.agg(count(lit(1)).as("n_dead"),
+          coalesce(sum(col("dl").cast("bigint")), lit(0L)).as("dl_dead"))
+        live.crossJoin(broadcast(dead))
+          .select((col("n") - col("n_dead")).as("n"),
+            (col("sum_dl") - col("dl_dead")).as("sum_dl"))
+      case None => live
+    }
+    net
       // null mean over an all-empty index, matching deriveStats' avg
       // (ANSI mode makes a bare /0 an error, not a null)
       .withColumn("avgdl",
         when(col("n") > 0, col("sum_dl").cast("double") / col("n")))
       .select("n", "avgdl", "sum_dl")
+  }
+
+  /** Public read of the index's exact live corpus statistics — one row
+    * (n, avgdl, sum_dl), tombstones subtracted. What the streaming BM25
+    * gate snapshots at stream construction (StreamingOps.bm25ScoreStream)
+    * and dashboards poll; fails loudly on a half-built index. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame = {
+    GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+      Seq(postingsPath(dir), statsPath(dir)))
+    combinedStats(s, dir)
+  }
 
   /** The pruned postings read for a literal term set ACROSS all live
     * segments: driver-computed bucket directories + a pushed
-    * `term IN (...)` row-group filter per segment. Exact (not a
-    * superset): the term equality is applied in full. */
+    * `term IN (...)` row-group filter per segment, tombstoned docs
+    * dropped (one broadcast anti-join over the pruned rows — df counted
+    * downstream therefore shrinks exactly). Exact (not a superset): the
+    * term equality is applied in full. */
   def postingsFor(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     val segs = segmentRoots(s, dir).map(r => prunedSegment(s, r, terms))
-    segs.reduce(_ unionByName _)
+    dropTombstoned(s, dir, segs.reduce(_ unionByName _))
   }
 
   private def prunedSegment(s: SparkSession, segRoot: String,
@@ -352,11 +509,12 @@ object TextIndex {
       .drop(Col)
   }
 
-  /** The full postings union (batch fallback past [[MaxPruneTerms]]). */
+  /** The full postings union (batch fallback past [[MaxPruneTerms]]),
+    * tombstoned docs dropped. */
   private def allPostings(s: SparkSession, dir: String): DataFrame =
-    segmentRoots(s, dir)
+    dropTombstoned(s, dir, segmentRoots(s, dir)
       .map(r => s.read.parquet(s"$r/postings").drop(Col))
-      .reduce(_ unionByName _)
+      .reduce(_ unionByName _))
 
   /** BM25 (k1 = 1.2, b = 0.75) top-k over the index — identical math,
     * association order and 4dp round as the scan path
@@ -403,7 +561,8 @@ object TextIndex {
       .limit(k)
   }
 
-  /** Exact PHRASE search from the positional tier (r18): top-k docs by
+  /** Exact PHRASE search from the positional tier (r18), with optional
+    * PROXIMITY slop (r19): top-k docs by
     * adjacency-match count of `phrase`'s tokens, answered entirely from
     * the pruned postings read (the phrase's terms' buckets across all
     * live segments) — no corpus scan, the capability substring scans
@@ -423,22 +582,31 @@ object TextIndex {
     * declared q_text_search_phrase_indexed fixture and are spec-pinned
     * rather than assumed. */
   def searchPhrase(s: SparkSession, dir: String, phrase: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, slop: Int = 0): DataFrame = {
     require(phrase.nonEmpty, "searchPhrase: phrase must have at least one token")
-    require(phrase.forall(!_.contains("'")),
-      "searchPhrase: phrase tokens must not contain single quotes " +
-        "(they are spliced into a SQL lambda; the whitespace tokenizer " +
-        "never produces them)")
+    require(slop >= 0, s"searchPhrase: slop must be >= 0, got $slop")
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
     val posts = postingsFor(s, dir, phrase.distinct)
     val perDoc = posts.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("pm"))
-    val matchExpr = phrase.tail.foldLeft(s"pm['${phrase.head}']") {
-      (acc, t) => s"array_intersect(transform($acc, p -> p + 1), pm['$t'])"
+    // terms bind as typed literal keys into the per-doc map (r18 advice:
+    // the previous SQL-string splice constrained the token alphabet; a
+    // bound element_at has no quoting rules at all). slop = 0 keeps the
+    // exact one-step advance; slop > 0 expands each reachable position
+    // to the [p+1, p+1+slop] window before intersecting, so Mᵢ is the
+    // set of positions where tᵢ occurs with each consecutive gap ≤
+    // 1+slop — slop=0 ≡ exact phrase by construction (spec law), and
+    // `hits` counts distinct MATCH-END positions either way.
+    def advance(acc: Column): Column =
+      if (slop == 0) transform(acc, p => p + 1)
+      else array_distinct(flatten(transform(acc,
+        p => sequence(p + 1, p + 1 + lit(slop)))))
+    val matched = phrase.tail.foldLeft(element_at(col("pm"), lit(phrase.head))) {
+      (acc, t) => array_intersect(advance(acc), element_at(col("pm"), lit(t)))
     }
-    perDoc.withColumn("hits", size(expr(matchExpr)).cast("bigint"))
+    perDoc.withColumn("hits", size(matched).cast("bigint"))
       .where(col("hits") > 0)
       .select("doc_id", "hits")
       .orderBy(col("hits").desc, col("doc_id").asc)
@@ -521,9 +689,18 @@ object TextIndex {
     * otherwise the full union — either way one pass per BATCH, not per
     * query. Math/rounding identical to [[searchBm25]], so the batch
     * result for one qid equals the single-query call (TextIndexSpec
-    * law). Returns (qid, rn, doc_id, score, matched), top-k per qid. */
+    * law). Returns (qid, rn, doc_id, score, matched), top-k per qid.
+    *
+    * `allowedIds` (r19) restricts the CANDIDATE set to the given doc ids
+    * (one broadcast semi-join, applied before scoring and the rank
+    * window so top-k is k post-filter survivors) while the corpus
+    * statistics — df, N, avgdl — stay corpus-wide: a metadata filter
+    * narrows which docs may be RETURNED, not what the corpus is, the
+    * same convention as every production retriever's filter query
+    * (Lucene). The law pinned in spec: filtered top-k == the unfiltered
+    * ranking restricted to the allowed ids, re-cut at k. */
   def searchBatchBm25(s: SparkSession, dir: String, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, allowedIds: Option[DataFrame] = None): DataFrame = {
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
     val q = queries.select(col("qid"), col("term"))
@@ -534,8 +711,12 @@ object TextIndex {
       else allPostings(s, dir)
     val m = posts.join(broadcast(q), "term")
     val dft = m.groupBy("qid", "term").agg(count(lit(1)).as("dfc"))
+    val mAllowed = allowedIds.fold(m) { ids =>
+      val a = ids.select(col(ids.columns(0)).as("__allowed")).distinct()
+      m.join(broadcast(a), m("doc_id") === col("__allowed"), "left_semi")
+    }
     val stats = combinedStats(s, dir)
-    val sc = m.join(dft, Seq("qid", "term"))
+    val sc = mAllowed.join(dft, Seq("qid", "term"))
       .crossJoin(broadcast(stats.drop("sum_dl")))
       .withColumn("w",
         log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
@@ -558,14 +739,22 @@ object TextIndex {
     * past `compactAt` live deltas the ~seconds-scale compact pays for
     * itself within a few queries. */
   final case class Status(exists: Boolean, deltaSegments: Int, docs: Long,
-    compactRecommended: Boolean)
+    compactRecommended: Boolean, tombstones: Long = 0L)
 
   def status(s: SparkSession, dir: String, compactAt: Int = 4): Status = {
     if (!exists(s, dir)) Status(exists = false, 0, 0L, compactRecommended = false)
     else {
       val segs = deltaIds(s, dir).size
       val n = combinedStats(s, dir).head().getLong(0)
-      Status(exists = true, segs, n, compactRecommended = segs >= compactAt)
+      // `docs` is the LIVE count (tombstones subtracted — what searches
+      // serve); the tombstone count is reported separately so operators
+      // see reclaimable bytes. The compaction recommendation stays keyed
+      // on the segment count: that is the measured merge-on-read tax
+      // (BASELINE.md textidxseg); a tombstone costs one broadcast
+      // anti-join, cheap until the folded bytes matter.
+      val ts = tombstoneRows(s, dir).map(_.count()).getOrElse(0L)
+      Status(exists = true, segs, n, compactRecommended = segs >= compactAt,
+        tombstones = ts)
     }
   }
 

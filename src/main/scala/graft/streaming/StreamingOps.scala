@@ -25,6 +25,12 @@ case class LVec(vec_id: Long, ts: java.sql.Timestamp, label: String,
 /** Input row for the streaming mixture gate. */
 case class SrcDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
 
+/** One watched term with its index-derived idf (bm25ScoreStream). */
+case class WatchedTerm(term: String, idf: Double)
+
+/** One watched query's term list (bm25ScoreStream static side). */
+case class WatchedQuery(qid: Long, terms: Seq[WatchedTerm])
+
 /** Open-session state for the event-time-timeout sessionizer: epoch-ms
   * bounds plus the running event count. */
 case class SessState(startMs: Long, lastMs: Long, n: Long)
@@ -357,6 +363,92 @@ object StreamingOps {
           s"'negs', -graft_dot(qv, c.embedding), 'vec_id', c.vec_id, 'label', c.label))), 1, $k)")).as("c"))
       .select(col("qid"), col("ts"), col("c.vec_id").as("vec_id"),
         col("c.label").as("label"), round(-col("c.negs"), 6).as("sim"))
+  }
+
+  /** Streaming BM25 gate — the LEXICAL twin of [[knnScoreStream]] (r19,
+    * closing the r18 verdict's #6): score each ARRIVING document against
+    * a watched query set using the persisted TextIndex's corpus
+    * statistics, the crawl-time "does this doc match what we watch for"
+    * gate that previously ran batch-only. Emits one row per (doc,
+    * matched query): (doc_id, ts, qid, score, matched).
+    *
+    * Setup (one-time, at stream construction — never per micro-batch):
+    * the watched terms' document frequencies come from the index's
+    * PRUNED postings read and (N, avgdl) from its 1-row stats
+    * ([[graft.sources.TextIndex.corpusStats]], tombstones applied), and
+    * each term's idf is computed driver-side; the whole watched set then
+    * rides the plan as ONE literal broadcast row — the streaming plan is
+    * Aggregate-free BY CONSTRUCTION (a LocalRelation, nothing to
+    * re-execute per trigger; ProbeStreamPlanSpec pins it), the
+    * contaminationGate discipline without even the checkpoint.
+    *
+    * Per arriving doc the scoring is a per-row expression: tf of each
+    * watched term from the doc's own tokens, dl its own length, BM25
+    * arithmetic in the batch scorer's exact association order and 4dp
+    * round — so for a doc whose tf/dl the index also holds, the emitted
+    * score equals searchBm25's (StreamingSpec law). A watched term the
+    * index has never seen scores with df = 0 (the honest BM25 idf for an
+    * unseen term).
+    *
+    * Statistics are a PLANNING-TIME snapshot (the family convention):
+    * appends/deletes land in a running gate at its next restart.
+    * `maxTerms` bounds the broadcast literal — watched sets are
+    * alert-rule-sized, not corpora. */
+  def bm25ScoreStream(docs: DataFrame, textIndexDir: String,
+      watched: DataFrame, maxTerms: Int = 4096): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pairs = watched.select(col("qid").cast("long"), col("term"))
+      .distinct().limit(maxTerms + 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(pairs.nonEmpty, "bm25ScoreStream: watched query set is empty")
+    require(pairs.length <= maxTerms,
+      s"bm25ScoreStream watched set exceeds maxTerms=$maxTerms; " +
+        "score in batch via TextIndex.searchBatchBm25 instead")
+    val st = graft.sources.TextIndex.corpusStats(s, textIndexDir).head()
+    require(st.getLong(0) > 0,
+      s"bm25ScoreStream: the TextIndex at $textIndexDir holds no live docs")
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val terms = pairs.map(_._2).distinct
+    val dfc = graft.sources.TextIndex.postingsFor(s, textIndexDir, terms)
+      .groupBy("term").agg(count(lit(1)).as("dfc")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = {
+      val d = dfc.getOrElse(t, 0L).toDouble
+      math.log((n.toDouble - d + 0.5) / (d + 0.5) + 1.0)
+    }
+    val qs: Seq[WatchedQuery] = pairs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, ps) =>
+        WatchedQuery(qid, ps.map(_._2).sorted.map(t => WatchedTerm(t, idf(t))))
+      }
+    // one LITERAL row: the watched structure + avgdl — no static-side
+    // jobs left in the streaming plan at all
+    val staticRow = Seq((qs, avgdl)).toDF("qs", "avgdl")
+      .withColumn("one", lit(1))
+    docs.withColumn("one", lit(1))
+      .join(broadcast(staticRow), "one") // stream-static; static side is 1 row
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("ts"), col("toks"), col("dl"), col("avgdl"),
+        explode(col("qs")).as("q"))
+      // per (doc, query): fold the term list once — tf materializes into
+      // the fold's input structs so the BM25 term is computed from one
+      // filter pass per term; arithmetic association mirrors
+      // TextIndex.searchBm25 term-for-term (idf * (tf * 2.2)) / (tf +
+      // 1.2 * (0.25 + 0.75 * dl / avgdl))
+      .withColumn("sr", expr(
+        "aggregate(" +
+          "transform(q.terms, t -> named_struct(" +
+          "'tf', CAST(size(filter(toks, x -> x = t.term)) AS DOUBLE), 'idf', t.idf)), " +
+          "named_struct('w', CAST(0.0 AS DOUBLE), 'm', CAST(0 AS BIGINT)), " +
+          "(acc, p) -> named_struct(" +
+          "'w', acc.w + (CASE WHEN p.tf > 0 THEN (p.idf * (p.tf * 2.2)) / " +
+          "(p.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE CAST(0.0 AS DOUBLE) END), " +
+          "'m', acc.m + (CASE WHEN p.tf > 0 THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)))"))
+      .where(col("sr.m") > 0)
+      .select(col("doc_id"), col("ts"), col("q.qid").as("qid"),
+        round(col("sr.w"), 4).as("score"), col("sr.m").as("matched"))
   }
 
   /** STREAM-STREAM attribution join — the streaming twin of

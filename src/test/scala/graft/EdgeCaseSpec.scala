@@ -340,6 +340,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     val adj = AssetIngest.takedownAdjustments(spark, s"$base/sink", Seq("source"))
     assert(adj.columns.toSeq === Seq("source", "rows_removed", "size_removed"))
     assert(adj.count() === 0L)
+    // RE-ISSUE (r18 advice): the first call's WriterLock created the
+    // landed root holding only the lock file; a retried takedown's
+    // annotation block must read that as "nothing landed", never crash
+    // on parquet schema inference over a data-less directory
+    val r2 = AssetIngest.takedown(spark, s"$base/never_landed", s"$base/idx",
+      Seq(7L).toDF("id"), "doc_id", sketchDir = Some(s"$base/sink"),
+      keys = Seq("source"))
+    assert(r2.removed === 0L && r2.takedownId === r.takedownId)
+  }
+
+  test("takedown retried after the LAST partition died: annotation sees an empty root, no crash") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("tk_emptied").toString
+    val (idx, data, sink) = (s"$base/idx", s"$base/data", s"$base/sink")
+    val batch = Seq((1L, "src0", (1 to 60).map(t => s"a$t").mkString(" ")),
+      (2L, "src1", (1 to 60).map(t => s"b$t").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    AssetIngest.ingestTextBatch(spark, batch, idx, data, batchId = Some("w0"))
+    val ids = Seq(1L, 2L).toDF("id")
+    val r1 = AssetIngest.takedown(spark, s"$data/docs", idx, ids, "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r1.removed === 2L)
+    // every partition is gone; the root holds only the writer-lock file —
+    // the r18-advice edge the annotation guard must absorb
+    val r2 = AssetIngest.takedown(spark, s"$data/docs", idx, ids, "doc_id",
+      sketchDir = Some(sink), keys = Seq("source"), sizeMetric = col("n_tok"))
+    assert(r2.removed === 0L && r2.takedownId === r1.takedownId)
+    val adj = AssetIngest.takedownAdjustments(spark, sink, Seq("source")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(adj === Map("src0" -> 1L, "src1" -> 1L),
+      "the retry must not inflate or lose the original annotation")
   }
 
   test("dupRateFromLedger on a never-appended sink fails loudly, not emptily") {

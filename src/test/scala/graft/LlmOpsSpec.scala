@@ -1070,4 +1070,158 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(got === single, s"qid $qid batch fuse diverged from single fuse")
     }
   }
+
+  // ------------------------------------------------------------------
+  // IVF retrain executor (r19): ivfDriftStats only FLAGS decay;
+  // retrainIvfIndex must act on it — flag clears, shifted queries'
+  // recall recovers, tombstones fold, and the monitor face is a no-op
+  // when nothing drifted.
+  // ------------------------------------------------------------------
+
+  test("retrainIvfIndex heals planted drift: flag clears, shifted recall recovers, tombstones fold") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val dim = 16
+    def clustered(id: Long): (Long, String, Array[Float]) = {
+      val c = (id % 4).toInt
+      val v = new Array[Float](dim)
+      v(c) = 1.0f
+      v(4 + ((id / 4) % 4).toInt) = 0.15f * (1 + (id % 3)).toFloat / 3f
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (id, s"c$c", v.map(_ / n))
+    }
+    // drifted family: dominant similarity axis 8+g (the GROUP), small
+    // scatter on axis id%4 (which is where the OLD centroids live, so
+    // pre-retrain cell assignment follows the scatter, splitting each
+    // group across cells), per-member magnitude variation so no two
+    // vectors are identical. 3 members per (group, scatter) cell-mate
+    // set -> nprobe=1 finds at most the 2 same-scatter mates of the 4
+    // same-group true neighbors before retrain.
+    def shifted(id: Long): (Long, String, Array[Float]) = {
+      val g = ((id / 4) % 4).toInt
+      val s = (id % 4).toInt
+      val m = 0.2f + 0.1f * ((id / 16) % 3).toFloat
+      val v = new Array[Float](dim)
+      v(8 + g) = 1.0f
+      v(s) = m
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (id, s"d$g", v.map(_ / n))
+    }
+    val base = (0L until 200L).map(clustered).toDF("vec_id", "label", "embedding")
+    val drift = (2000L until 2048L).map(shifted)
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain").toString
+    VectorOps.writeIvfIndex(base, cells = 4, dir = dir)
+    VectorOps.appendToIvfIndex(spark,
+      drift.toDF("vec_id", "label", "embedding"), dir)
+    // a few base rows tombstoned: the retrain must fold them
+    VectorOps.deleteFromIvfIndex(spark, Seq(0L, 1L, 2L).toDF("vec_id"), dir)
+    assert(VectorOps.ivfDriftStats(spark, dir).get.retrainRecommended,
+      "planted shift must trip the monitor before the retrain")
+
+    // recall@4 of nprobe=1 probes vs exact kNN over the LIVE postings,
+    // averaged over 8 shifted queries
+    def recallAt4(queries: Seq[Long]): Double = {
+      val (cb, postings) = VectorOps.readIvfIndex(spark, dir)
+      val all = postings.localCheckpoint(true)
+      queries.map { q =>
+        val approx = VectorOps.ivfSearch(cb, all, queryId = q, nprobe = 1, k = 4)
+          .collect().map(_.getLong(0)).toSet
+        val qv = all.where(col("vec_id") === q).select("embedding")
+        val exact = all.where(col("vec_id") =!= q)
+          .crossJoin(broadcast(qv.select(col("embedding").as("qv"))))
+          .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(4)
+          .collect().map(_.getLong(0)).toSet
+        (approx intersect exact).size.toDouble / 4.0
+      }.sum / queries.size
+    }
+    val qids = Seq(2000L, 2005L, 2010L, 2015L, 2021L, 2026L, 2031L, 2036L)
+    val recallPre = recallAt4(qids)
+
+    val k = VectorOps.retrainIvfIndex(spark, dir, cells = Some(16), iters = 5)
+    assert(k === 16)
+    val d = VectorOps.ivfDriftStats(spark, dir).get
+    assert(!d.retrainRecommended,
+      s"retrain must clear the drift flag (snapshot refreshed): $d")
+    assert(d.nNow === 200L + 48L - 3L, "retrain must fold the tombstones")
+    assert(!graft.sources.Tombstones.exists(spark, dir),
+      "retrain must clear the folded tombstone table")
+    val (_, postings) = VectorOps.readIvfIndex(spark, dir)
+    assert(postings.where(col("vec_id").isin(0L, 1L, 2L)).count() === 0L)
+
+    val recallPost = recallAt4(qids)
+    assert(recallPost > recallPre,
+      s"retrain did not recover shifted-query recall: pre=$recallPre post=$recallPost")
+    assert(recallPost >= 0.9,
+      s"post-retrain nprobe=1 recall on the shifted family too low: $recallPost (pre=$recallPre)")
+
+    // the one-call monitor face: nothing drifted now, so it must not churn
+    assert(!VectorOps.retrainIvfIndexIfDrifted(spark, dir))
+  }
+
+  // ------------------------------------------------------------------
+  // Filtered INDEXED retrieval (r19): the predicate lands inside the
+  // probed cells BEFORE top-k — k results are k post-filter survivors.
+  // ------------------------------------------------------------------
+
+  test("q_knn_filtered_indexed equals the scan-path q_knn_filtered exactly") {
+    import graft.operators.VectorOps
+    val scan = VectorOps.queries("q_knn_filtered")(spark, sf).collect().toSeq
+    val idx = VectorOps.queries("q_knn_filtered_indexed")(spark, sf).collect().toSeq
+    assert(idx === scan, "filtered indexed retrieval diverged from the scan path")
+    assert(idx.length === 10)
+    assert(VectorOps.oracle("q_knn_filtered_indexed") === VectorOps.oracle("q_knn_filtered"))
+  }
+
+  test("filtered probes return k post-filter survivors; batch + hybrid filters compose") {
+    import graft.operators.VectorOps
+    import graft.sources.TextIndex
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("fidx").toString
+    VectorOps.writeIvfIndex(e, cells = 4, dir = s"$base/ivf")
+    val (cb, postings) = VectorOps.readIvfIndex(spark, s"$base/ivf")
+    // reduced probe, selective predicate: every result satisfies it and
+    // there are still k of them (no silent under-fill from post-filtering)
+    val qLabel = e.where(col("vec_id") === 0).select("label").head().getInt(0)
+    val r = VectorOps.ivfSearch(cb, postings, queryId = 0, nprobe = 2, k = 10,
+      filter = Some(col("label") =!= lit(qLabel))).collect()
+    assert(r.length === 10, s"pre-filtering must keep the k contract, got ${r.length}")
+    assert(r.forall(_.getInt(1) != qLabel))
+    // the filtered probe equals the unfiltered probe over pre-filtered
+    // postings (query row retained for the cell ranking)
+    val pre = postings.where(col("label") =!= lit(qLabel) || col("vec_id") === 0)
+    val twin = VectorOps.ivfSearch(cb, pre, queryId = 0, nprobe = 2, k = 10).collect()
+    assert(r.toSeq === twin.toSeq)
+
+    // lexical leg: filtered == unfiltered ranking restricted, re-cut at k
+    // (df/N/avgdl stay corpus-wide — the Lucene filter-query convention)
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(spark, s"$base/tidx", docs)
+    val qs = Seq((1L, "query"), (1L, "join"), (2L, "spark")).toDF("qid", "term")
+    val allowed = docs.where(col("doc_id") % 2 === 0).select("doc_id")
+    val filtered = TextIndex.searchBatchBm25(spark, s"$base/tidx", qs, 5,
+      allowedIds = Some(allowed)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val full = TextIndex.searchBatchBm25(spark, s"$base/tidx", qs, 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(t => t._2 % 2 == 0)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(5).zipWithIndex
+          .map { case ((q, id, sc), i) => (q, i + 1, id, sc) }
+      }.sortBy(t => (t._1, t._2))
+    assert(filtered === full,
+      "filtered batch BM25 != unfiltered ranking restricted to allowed ids")
+
+    // hybrid: both legs filtered, fusion unchanged — every fused id is allowed
+    val denseQ = e.where(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding"))
+    val lexQ = Seq((0L, "query"), (0L, "join")).toDF("qid", "term")
+    val allowedV = e.where(col("vec_id") % 2 === 0).select("vec_id")
+    val hy = VectorOps.hybridSearchBatch(spark, s"$base/tidx", s"$base/ivf",
+      denseQ, lexQ, k = 10, nprobe = 64, docIds = Some(allowedV)).collect()
+    assert(hy.nonEmpty)
+    assert(hy.forall(_.getLong(1) % 2 == 0),
+      "hybrid docIds filter leaked a disallowed id through a leg")
+  }
 }

@@ -244,6 +244,30 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
     assert(res === Map(100L -> false, 101L -> true))
   }
 
+  test("bm25ScoreStream: watched stats are a setup-time literal — no Aggregate, no index scan per trigger") {
+    import graft.sources.TextIndex
+    import spark.implicits._
+    val corpus = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date"), (3L, "apple date date fig"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("plan_bm25").toString + "/idx"
+    TextIndex.build(spark, dir, corpus)
+    val watched = Seq((1L, "apple"), (1L, "cherry"), (2L, "fig")).toDF("qid", "term")
+    val in = Seq((100L, ts(1000L), "apple apple cherry kiwi"))
+      .toDF("doc_id", "ts", "text")
+    val out = graft.streaming.StreamingOps.bm25ScoreStream(in, dir, watched)
+    assertNoAggregate(out, "bm25 score stream", Seq.empty)
+    // stronger: the per-trigger plan must not even SCAN the index — df
+    // and (N, avgdl) were folded into the literal static row at setup
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("postings") && !physical.contains("/stats"),
+      s"bm25 gate plan still reads the index per trigger:\n${physical.take(3000)}")
+    // still answers: both watched terms of qid 1 match the arriving doc
+    val rows = out.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(2) === 1L && rows.head.getLong(4) === 2L)
+  }
+
   test("image imageDedupProbeStream: no Aggregate anywhere (the family's reference shape)") {
     import graft.sources.ImageCodec
     import spark.implicits._

@@ -257,6 +257,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming BM25 gate scores arriving docs with the index's exact stats, stateless") {
+    import spark.implicits._
+    import graft.sources.TextIndex
+    // literal corpus with hand-checkable statistics: n=3, sum_dl=11
+    val corpus = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date"), (3L, "apple date date fig"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_gate").toString + "/idx"
+    TextIndex.build(spark, dir, corpus)
+    // watched set: qid 1 = {apple, cherry}; qid 2 = {fig, zzz} where zzz
+    // is absent from the corpus (df = 0 — the honest unseen-term idf)
+    val watched = Seq((1L, "apple"), (1L, "cherry"), (2L, "fig"), (2L, "zzz"))
+      .toDF("qid", "term")
+    // independent expected-score twin: pure Scala doubles in the exact
+    // association and fold order of the batch scorer (terms sorted,
+    // zero-tf terms contribute +0.0)
+    val n = 3.0; val avgdl = 11.0 / 3.0
+    val dfOf = Map("apple" -> 2.0, "cherry" -> 2.0, "fig" -> 1.0, "zzz" -> 0.0)
+    def score(terms: Seq[String], toks: Seq[String]): (Double, Long) = {
+      val dl = toks.length
+      val w = terms.sorted.foldLeft(0.0) { (acc, t) =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log((n - dfOf(t) + 0.5) / (dfOf(t) + 0.5) + 1.0)
+        acc + (if (tf > 0)
+          (idf * (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        else 0.0)
+      }
+      (BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        terms.count(t => toks.contains(t)).toLong)
+    }
+    val in = MemoryStream[DocEv](21, spark, None)
+    val q = StreamingOps.bm25ScoreStream(in.toDF(), dir, watched)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bm25_gate_out").start()
+    try {
+      in.addData(
+        DocEv(100, ts("10:00"), "apple apple cherry kiwi"), // matches qid 1 only
+        DocEv(101, ts("10:01"), "zzz fig zzz"),             // matches qid 2 only
+        DocEv(102, ts("10:02"), "kiwi mango"))              // matches nothing
+      q.processAllAvailable()
+      val got = spark.table("bm25_gate_out")
+        .select("doc_id", "qid", "score", "matched").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val exp100 = score(Seq("apple", "cherry"), "apple apple cherry kiwi".split(" ").toSeq)
+      val exp101 = score(Seq("fig", "zzz"), "zzz fig zzz".split(" ").toSeq)
+      assert(got === Map((100L, 1L) -> exp100, (101L, 2L) -> exp101),
+        s"stream scores diverged from the hand-computed batch twin: $got")
+      // a second batch re-scores statelessly (no dedup, no state)
+      in.addData(DocEv(103, ts("10:05"), "apple apple cherry kiwi"))
+      q.processAllAvailable()
+      assert(spark.table("bm25_gate_out").where(col("doc_id") === 103).count() === 1)
+      assert(spark.table("bm25_gate_out")
+        .where(col("doc_id") === 103).head().getDouble(3) === exp100._1)
+    } finally q.stop()
+    // for a doc the INDEX also holds, the gate's score equals the
+    // persisted searchBm25 on the same terms — the scorer-twin law
+    val in2 = MemoryStream[DocEv](22, spark, None)
+    val q2 = StreamingOps.bm25ScoreStream(in2.toDF(), dir,
+      Seq((9L, "apple"), (9L, "cherry")).toDF("qid", "term"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("bm25_gate_twin").start()
+    try {
+      in2.addData(DocEv(1, ts("11:00"), "apple banana apple cherry"))
+      q2.processAllAvailable()
+      val streamScore = spark.table("bm25_gate_twin").head().getDouble(3)
+      val batchScore = TextIndex.searchBm25(spark, dir, Seq("apple", "cherry"), 3)
+        .where(col("doc_id") === 1).head().getDouble(1)
+      assert(streamScore === batchScore,
+        s"gate score $streamScore != persisted searchBm25 score $batchScore for an indexed doc")
+    } finally q2.stop()
+  }
+
   test("streaming decontamination gate: one row per doc, exact leaked counts, stateless") {
     import spark.implicits._
     val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")

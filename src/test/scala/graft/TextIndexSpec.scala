@@ -410,6 +410,265 @@ class TextIndexSpec extends AnyFunSuite {
       "a fully-ingested retry must append no text-index segment")
   }
 
+  // ------------------------------------------------------------------
+  // Deletion tier (r19): deleteFrom == rebuild WITHOUT the victims, for
+  // EVERY search face; compaction folds the tombstones physically; the
+  // crash windows heal; the composed takedown wires through.
+  // ------------------------------------------------------------------
+
+  test("deleteFrom: every search face equals a rebuild without the victims, bit-for-bit") {
+    import spark.implicits._
+    val dir = freshDir("del")
+    val twin = freshDir("deltwin")
+    TextIndex.build(spark, dir, docs)
+    val victims = docs.where(col("doc_id") % 7 === 0).select("doc_id")
+    val found = TextIndex.deleteFrom(spark, dir, victims)
+    assert(found === victims.count(), "every victim has postings in this corpus")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 7 =!= 0))
+    // BM25 + tf-idf: stats shrink (N, avgdl) and df shrink must both be
+    // exact or the scores diverge
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark"))) {
+      assert(TextIndex.searchBm25(spark, dir, terms, 25).collect().toSeq ===
+        TextIndex.searchBm25(spark, twin, terms, 25).collect().toSeq,
+        s"deleted BM25 diverged from rebuild-without-victims for $terms")
+      assert(TextIndex.searchTfIdf(spark, dir, terms, 25).collect().toSeq ===
+        TextIndex.searchTfIdf(spark, twin, terms, 25).collect().toSeq,
+        s"deleted tf-idf diverged for $terms")
+    }
+    // phrase faces (positional tier) and the batch faces
+    assert(TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 20).collect().toSeq ===
+      TextIndex.searchPhrase(spark, twin, Seq("join", "order"), 20).collect().toSeq)
+    val qs = Seq((1L, "query"), (1L, "join"), (2L, "spark")).toDF("qid", "term")
+    assert(TextIndex.searchBatchBm25(spark, dir, qs, 10).collect().toSeq ===
+      TextIndex.searchBatchBm25(spark, twin, qs, 10).collect().toSeq)
+    val pq = Seq((1, 0, "join"), (1, 1, "order")).toDF("qid", "pos", "term")
+    assert(TextIndex.searchPhraseBatch(spark, dir, pq, 10).collect().toSeq ===
+      TextIndex.searchPhraseBatch(spark, twin, pq, 10).collect().toSeq)
+    // status reports the live count and the tombstone backlog
+    val st = TextIndex.status(spark, dir)
+    assert(st.docs === docs.count() - found && st.tombstones === found)
+    // idempotent: re-deleting the same ids changes nothing (dedup by id)
+    TextIndex.deleteFrom(spark, dir, victims)
+    assert(TextIndex.searchBm25(spark, dir, Seq("spark"), 10).collect().toSeq ===
+      TextIndex.searchBm25(spark, twin, Seq("spark"), 10).collect().toSeq,
+      "a re-issued delete double-subtracted the stats")
+    // absent ids are a no-op, not an error
+    assert(TextIndex.deleteFrom(spark, dir, Seq(999999999L).toDF("doc_id")) === 0L)
+  }
+
+  test("compactTextIndex folds tombstones physically and clears them; deltas + deletes compose") {
+    import spark.implicits._
+    val dir = freshDir("delcompact")
+    val twin = freshDir("delcompacttwin")
+    // base = half the corpus, delta = the other half, victims span BOTH
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    val folded = TextIndex.compactTextIndex(spark, dir)
+    assert(folded === Seq(1L), "the delta segment folds in the same pass")
+    val after = TextIndex.status(spark, dir)
+    assert(after.tombstones === 0L && after.deltaSegments === 0)
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 5 =!= 0))
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark")))
+      assert(TextIndex.searchBm25(spark, dir, terms, 25).collect().toSeq ===
+        TextIndex.searchBm25(spark, twin, terms, 25).collect().toSeq,
+        s"compacted-after-delete index diverged for $terms")
+    // the victims' postings are physically gone, not just masked
+    val physical = spark.read.parquet(TextIndex.postingsPath(dir))
+      .where(col("doc_id") % 5 === 0).count()
+    assert(physical === 0L, "compaction left victim postings in the files")
+    // tombstones ALONE (no deltas) also justify a fold
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    assert(TextIndex.compactTextIndex(spark, dir) === Nil)
+    assert(TextIndex.status(spark, dir).tombstones === 0L,
+      "a delta-free compaction must still fold tombstones")
+  }
+
+  test("delete + crashed compaction heals without double-subtracting the stats") {
+    import spark.implicits._
+    val dir = freshDir("delcrash")
+    val twin = freshDir("delcrashtwin")
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 7 =!= 0))
+    // window 2: marker up, stage + manifest complete — searches fail
+    // loudly, the next mutator heals forward, tombstones fold exactly once
+    TextIndex.failDuringCompact = 2
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, dir))
+    intercept[IllegalArgumentException](
+      TextIndex.searchBm25(spark, dir, Seq("spark"), 5).collect())
+    TextIndex.compactTextIndex(spark, dir) // heals, then no-op
+    assert(TextIndex.status(spark, dir).tombstones === 0L)
+    assert(TextIndex.searchBm25(spark, dir, Seq("spark"), 25).collect().toSeq ===
+      TextIndex.searchBm25(spark, twin, Seq("spark"), 25).collect().toSeq,
+      "healed fold lost or double-subtracted the victims")
+    // window 1: stage written, marker still down — debris discarded,
+    // tombstones still live and still applied
+    val dir2 = freshDir("delcrash1")
+    TextIndex.build(spark, dir2, docs)
+    TextIndex.deleteFrom(spark, dir2, docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+    TextIndex.failDuringCompact = 1
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, dir2))
+    assert(TextIndex.status(spark, dir2).tombstones > 0L,
+      "a pre-marker crash must leave the tombstones unfolded")
+    assert(TextIndex.searchBm25(spark, dir2, Seq("spark"), 25).collect().toSeq ===
+      TextIndex.searchBm25(spark, twin, Seq("spark"), 25).collect().toSeq)
+  }
+
+  test("build() clears stale tombstones and a crashed compaction's stage/manifest") {
+    import spark.implicits._
+    val dir = freshDir("buildclean")
+    TextIndex.build(spark, dir, docs)
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    // stage a compaction fully, crash before the marker (window 1), then
+    // REBUILD: the stale stage/manifest must not survive to satisfy a
+    // later heal, and the tombstones must not hide re-indexed docs
+    TextIndex.failDuringCompact = 1
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, dir))
+    TextIndex.build(spark, dir, docs)
+    val st = TextIndex.status(spark, dir)
+    assert(st.tombstones === 0L && st.docs === docs.count(),
+      "build must supersede tombstones — a rebuild re-derives everything")
+    // a compaction right after the rebuild is a clean no-op
+    assert(TextIndex.compactTextIndex(spark, dir) === Nil)
+  }
+
+  test("slop phrase search: slop=0 == exact phrase; windows and end-counting on a planted fixture") {
+    import spark.implicits._
+    val dir = freshDir("slop")
+    TextIndex.build(spark, dir, docs)
+    // slop=0 is the exact adjacency fold, bit-for-bit
+    assert(TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 20, slop = 0)
+      .collect().toSeq ===
+      TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 20).collect().toSeq)
+    // slop widens monotonically: every exact match is also a slop match
+    val exact = TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slop1 = TextIndex.searchPhrase(spark, dir, Seq("join", "order"), 500, slop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, h) =>
+      assert(slop1.getOrElse(id, 0L) >= h, s"slop=1 lost exact matches of doc $id")
+    }
+    assert(slop1.values.sum > exact.values.sum,
+      "fixture has no gapped 'join _ order' — slop law is vacuous at this SF")
+    // planted fixture pins the window semantics and end-position counting
+    val planted = freshDir("slopplanted")
+    val tiny = Seq(
+      (1L, "a b c"),       // adjacent
+      (2L, "a x b"),       // gap 1
+      (3L, "a x x b"),     // gap 2
+      (4L, "a a b"),       // two starts, ONE end -> hits 1 at any slop
+      (5L, "b a"),         // wrong order
+      (6L, "a x b x b")    // b ends at 2 (gap 1) and 4 (gap 3): second end needs slop=3
+    ).toDF("doc_id", "text")
+    TextIndex.build(spark, planted, tiny)
+    def hits(slop: Int): Map[Long, Long] =
+      TextIndex.searchPhrase(spark, planted, Seq("a", "b"), 10, slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(0) === Map(1L -> 1L, 4L -> 1L))
+    assert(hits(1) === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 6L -> 1L))
+    assert(hits(2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 1L))
+    assert(hits(3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 2L))
+  }
+
+  test("pre-r18 index layouts fail with rebuild guidance, not a raw column error") {
+    import spark.implicits._
+    val dir = freshDir("prer18")
+    TextIndex.build(spark, dir, docs.limit(50))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // regress the stats table to the pre-r18 shape (no sum_dl), keeping
+    // the generation stamp so the FENCE stays green — the guard, not the
+    // fence, must speak
+    val statsP = TextIndex.statsPath(dir)
+    val old = spark.read.parquet(statsP).select("n", "avgdl").collect()
+    val gen = GenStamp.read(spark, statsP)
+    fs.delete(new org.apache.hadoop.fs.Path(statsP), true)
+    old.map(r => (r.getLong(0), r.getDouble(1))).toSeq.toDF("n", "avgdl")
+      .coalesce(1).write.parquet(statsP)
+    GenStamp.stamp(spark, statsP, gen)
+    val e = intercept[IllegalArgumentException](
+      TextIndex.searchBm25(spark, dir, Seq("spark"), 5).collect())
+    assert(e.getMessage.contains("pre-r18"))
+    assert(e.getMessage.contains("TextIndex.build"))
+  }
+
+  test("ingest auto-compaction: segment count bounded by the knob, search bit-equal, crash heals in-loop") {
+    import graft.sources.AssetIngest
+    val base = java.nio.file.Files.createTempDirectory("ingest_autocompact").toString
+    val (idx, data, tidx) = (s"$base/idx", s"$base/data", s"$base/tidx")
+    val d = docs.select("doc_id", "source", "text")
+    def window(i: Int): org.apache.spark.sql.DataFrame =
+      d.where(col("doc_id") % 6 === i)
+    // knob = 2: the loop must compact whenever 2+ deltas are live, so the
+    // segment count observed AFTER any window stays under the knob
+    (0 to 3).foreach { i =>
+      AssetIngest.ingestTextBatch(spark, window(i), idx, data,
+        batchId = Some(s"w$i"), textIndexDir = Some(tidx), textIndexCompactAt = 2)
+      val st = TextIndex.status(spark, tidx)
+      assert(st.deltaSegments < 2,
+        s"window $i left ${st.deltaSegments} deltas — the knob did not run")
+    }
+    // crash INSIDE the loop's compaction (marker up, stage complete): the
+    // window's ingest throws after its data landed; the NEXT window's
+    // append heals the fold and the loop converges
+    TextIndex.failDuringCompact = 2
+    // windows 4+5 land back-to-back so the 5th triggers the compact;
+    // make window 4's compact a no-op by keeping segments at 1
+    intercept[IllegalStateException] {
+      AssetIngest.ingestTextBatch(spark, window(4), idx, data,
+        batchId = Some("w4"), textIndexDir = Some(tidx), textIndexCompactAt = 1)
+    }
+    AssetIngest.ingestTextBatch(spark, window(5), idx, data,
+      batchId = Some("w5"), textIndexDir = Some(tidx), textIndexCompactAt = 2)
+    val st = TextIndex.status(spark, tidx)
+    assert(st.deltaSegments < 2, s"post-crash loop did not converge: $st")
+    // bit-equality vs a one-shot build over everything landed
+    val landed = spark.read.parquet(s"$data/docs").select("doc_id", "text")
+    val oneshot = freshDir("autocompact1s")
+    TextIndex.build(spark, oneshot, landed)
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark")))
+      assert(TextIndex.searchBm25(spark, tidx, terms, 15).collect().toSeq ===
+        TextIndex.searchBm25(spark, oneshot, terms, 15).collect().toSeq,
+        s"auto-compacted loop index diverged from one-shot for $terms")
+  }
+
+  test("composed takedown(textIndexDir): victims vanish from retrieval with exact stats shrink") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("takedown_tidx").toString
+    val (idx, data, tidx) = (s"$base/idx", s"$base/data", s"$base/tidx")
+    val d = docs.select("doc_id", "source", "text")
+    AssetIngest.ingestTextBatch(spark, d.where(col("doc_id") < 200), idx, data,
+      batchId = Some("w0"), textIndexDir = Some(tidx))
+    // capture the victim ids as a LITERAL frame: a lazy frame over the
+    // landed table would re-scan files the takedown is about to delete
+    val victimIds = spark.read.parquet(s"$data/docs")
+      .where(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val victims = victimIds.toDF("doc_id")
+    val r = AssetIngest.takedown(spark, s"$data/docs", idx,
+      victims, "doc_id", textIndexDir = Some(tidx))
+    assert(r.removed === victimIds.length)
+    // the retrieval tier forgot the victims THE MOMENT the takedown
+    // committed — bit-equal to a rebuild over the surviving landed docs
+    val survivors = spark.read.parquet(s"$data/docs").select("doc_id", "text")
+    val twin = freshDir("takedowntwin")
+    TextIndex.build(spark, twin, survivors)
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark")))
+      assert(TextIndex.searchBm25(spark, tidx, terms, 15).collect().toSeq ===
+        TextIndex.searchBm25(spark, twin, terms, 15).collect().toSeq,
+        s"taken-down index diverged from rebuild-over-survivors for $terms")
+    // re-issue: idempotent across all three tiers incl. the text index
+    val r2 = AssetIngest.takedown(spark, s"$data/docs", idx,
+      victims, "doc_id", textIndexDir = Some(tidx))
+    assert(r2.removed === 0L)
+    assert(TextIndex.searchBm25(spark, tidx, Seq("spark"), 15).collect().toSeq ===
+      TextIndex.searchBm25(spark, twin, Seq("spark"), 15).collect().toSeq,
+      "a re-issued takedown double-shrunk the retrieval stats")
+  }
+
   test("declared q_text_search_indexed runs and carries its oracle") {
     val out = graft.operators.TextOps.queries("q_text_search_indexed")(spark, sf)
     val rows = out.collect()
