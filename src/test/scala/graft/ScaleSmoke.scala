@@ -434,6 +434,96 @@ object ScaleSmoke {
     out.toSeq
   }
 
+  final case class FilteredRecallResult(sel: String, nprobe: Int,
+    preRecall: Double, postRecall: Double, preSecs: Double, postSecs: Double)
+
+  /** Filtered-retrieval recall harness (r19): the point of pushing the
+    * predicate INSIDE the probed cells (ivfSearchBatch(filter)) is that
+    * k results are k post-filter survivors — the alternative every
+    * naive stack ships (probe unfiltered top-k, THEN filter) loses
+    * recall in proportion to the filter's selectivity because filtered-
+    * out rows occupy top-k slots. This measures both paths against the
+    * exact FILTERED top-k at three selectivities × an nprobe sweep, so
+    * BASELINE.md shows the gap instead of asserting it. */
+  def runFilteredRecall(s: SparkSession, n: Long, dim: Int, nQueries: Int = 20,
+      k: Int = 10, nprobes: Seq[Int] = Seq(1, 2, 4)): Seq[FilteredRecallResult] = {
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = synthClusteredVectors(s, n, dim).localCheckpoint()
+    val queries = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding")).localCheckpoint()
+    val cells = math.max(16, (n / 500).toInt)
+    val (cb, postings0) = VectorOps.ivfIndex(e, cells, iters = 1)
+    val postings = postings0.localCheckpoint()
+    // labels are id % 8 — the three predicates keep ~7/8, ~1/2, ~1/8
+    val sels = Seq(
+      ("keep7of8", col("label") =!= "0"),
+      ("keep1of2", col("label").isin("0", "1", "2", "3")),
+      ("keep1of8", col("label") === "3"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FilteredRecallResult]
+    sels.foreach { case (name, pred) =>
+      val truth: Map[Long, Set[Long]] = e.where(pred)
+        .crossJoin(broadcast(queries.select(col("qid"), col("embedding").as("qv"))))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("sim", expr("graft_dot(embedding, qv)"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+      def recallOf(rows: Seq[(Long, Long)]): Double = {
+        val by = rows.groupBy(_._1).map { case (q, xs) => (q, xs.map(_._2).toSet) }
+        truth.map { case (q, t) =>
+          by.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+      nprobes.foreach { np =>
+        val (pre, preSecs) = timed(
+          VectorOps.ivfSearchBatch(cb, postings, queries, nprobe = np, k = k,
+              filter = Some(pred))
+            .select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        // the naive alternative: unfiltered probe top-k, filter after
+        val (post, postSecs) = timed(
+          VectorOps.ivfSearchBatch(cb, postings, queries, nprobe = np, k = k)
+            .where(pred)
+            .select("qid", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+        out += FilteredRecallResult(name, np, recallOf(pre), recallOf(post),
+          preSecs, postSecs)
+      }
+    }
+    out.toSeq
+  }
+
+  /** IVF retrain economics (r19): the monitor + executor cadence cost —
+    * time one ivfDriftStats pass and one retrainIvfIndex over a store of
+    * n base + n/10 SHIFTED appended vectors (the drift scenario the
+    * executor exists for), so BASELINE.md can state what acting on the
+    * flag costs relative to the build. */
+  def runRetrainSmoke(s: SparkSession, n: Long, dim: Int): Unit = {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(s)
+    val dir = java.nio.file.Files.createTempDirectory("retrain_smoke").toString
+    val base = synthClusteredVectors(s, n, dim)
+    val cells = math.max(16, (n / 500).toInt)
+    val (_, buildSecs) = timed(VectorOps.writeIvfIndex(base, cells, dir, iters = 1))
+    // shifted appends: same generator, centroid family offset so the
+    // appended mass sits away from every trained cell
+    val shifted = synthClusteredVectors(s, n / 10, dim)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("embedding"))
+    val (_, appendSecs) = timed(VectorOps.appendToIvfIndex(s, shifted, dir))
+    val (drift, monitorSecs) = timed(VectorOps.ivfDriftStats(s, dir).get)
+    val (_, retrainSecs) = timed(VectorOps.retrainIvfIndex(s, dir, iters = 1))
+    val (drift2, monitor2Secs) = timed(VectorOps.ivfDriftStats(s, dir).get)
+    println(f"RETRAIN n=$n dim=$dim cells=$cells build=$buildSecs%.2f " +
+      f"append=$appendSecs%.2f monitor=$monitorSecs%.2f " +
+      f"flagged=${drift.retrainRecommended} retrain=$retrainSecs%.2f " +
+      f"monitorAfter=$monitor2Secs%.2f flaggedAfter=${drift2.retrainRecommended}")
+  }
+
   /** Deterministic CLUSTERED unit vectors: 200 hash-noise centroids,
     * each vector = normalize(centroid(id % 200) + 0.35 · noise). Real
     * embedding corpora are clustered (that is what makes IVF work);
@@ -785,6 +875,22 @@ object ScaleSmoke {
         runRecall(s, n, dim, m, k, nprobes = Seq(1, 2, 4), clustered).foreach { r =>
           println(f"RECALL ${r.name} corpus=$corpusKind recall@$k=${r.recall}%.3f secs=${r.secs}%.2f")
         }
+      case "frecall" =>
+        // frecall <n> <dim> [nQueries] [k] — filtered-retrieval recall
+        // vs selectivity: the pre-filter path (predicate inside the
+        // probed cells, ivfSearchBatch(filter)) against the naive
+        // probe-then-filter baseline, both vs the exact FILTERED top-k
+        val n = args(1).toLong
+        val dim = args(2).toInt
+        val m = if (args.length > 3) args(3).toInt else 20
+        val k = if (args.length > 4) args(4).toInt else 10
+        runFilteredRecall(s, n, dim, m, k).foreach { r =>
+          println(f"FRECALL ${r.sel} nprobe=${r.nprobe} pre=${r.preRecall}%.3f " +
+            f"post=${r.postRecall}%.3f presecs=${r.preSecs}%.2f postsecs=${r.postSecs}%.2f")
+        }
+      case "retrain" =>
+        // retrain <n> <dim> — drift monitor + retrain executor economics
+        runRetrainSmoke(s, args(1).toLong, args(2).toInt)
       case "ivf-simd" =>
         import graft.operators.VectorOps
         graft.functions.GraftFunctions.register(s)
@@ -816,7 +922,8 @@ object ScaleSmoke {
         val sdT = med((1 to runs).map(_ => once(simd = true)._2))
         println(f"SMOKE ivf_search_full n=$n dim=$dim exact=$exT%.3f simd=$sdT%.3f " +
           f"speedup=${exT / sdT}%.2fx")
-      case other => sys.error(s"unknown mode $other (corpus | probe | bloom | recall | ivf-simd)")
+      case other => sys.error(
+        s"unknown mode $other (corpus | probe | bloom | recall | frecall | retrain | ivf-simd)")
     }
     s.stop()
   }
