@@ -504,6 +504,22 @@ object TextOps {
       graft.sources.TextIndex.searchBm25(s, dir, terms, 10)
     }),
 
+    // PREFIX term search from the persisted index (r19; the r18
+    // verdict's other "next ask" alongside slop): the prefix expands
+    // through the per-segment TERM DICTIONARY (vocab-sized, range-
+    // clustered by term so the StartsWith filter prunes row groups),
+    // then scores exactly as the multi-term BM25 face over the matched
+    // vocabulary — the postings read stays the pruned bucket read of
+    // the expanded terms. Oracle = the corpus scan with term LIKE 's%',
+    // so a dictionary drift (missed term, stale segment) or an
+    // expansion bug hash-fails loudly.
+    "q_text_search_prefix" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchPrefixBm25(s, dir, "s", 10)
+    }),
+
     // The r18 DELTA path under the driver hash gate (r18 verdict,
     // next-round #2): the index is built from HALF the corpus and the
     // other half arrives as a TextIndex.append delta segment — then the
@@ -1013,6 +1029,26 @@ object TextOps {
         |  FROM t)
         |SELECT doc_id, hits FROM h WHERE hits > 0
         |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // Prefix-search oracle: the q_text_search_indexed arithmetic with
+    // the term set replaced by a LIKE prefix predicate — what the
+    // dictionary expansion must reproduce exactly.
+    "q_text_search_prefix" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok WHERE term LIKE 's%'),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
 
     // The DELTA path shares the one-shot indexed oracle verbatim: base +
     // appended segment must answer exactly as the scan over the whole

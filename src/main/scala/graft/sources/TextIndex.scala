@@ -73,6 +73,7 @@ object TextIndex {
   def statsPath(dir: String): String = s"$dir/stats"
   def deltasPath(dir: String): String = s"$dir/deltas"
   def tombstonesPath(dir: String): String = s"$dir/tombstones"
+  def termsPath(dir: String): String = s"$dir/terms"
 
   private val DeltaTmpPrefix = "_tmp_"
 
@@ -121,21 +122,31 @@ object TextIndex {
       avg(size(tokens(col(textCol))).cast("double")).as("avgdl"),
       coalesce(sum(size(tokens(col(textCol))).cast("bigint")), lit(0L)).as("sum_dl"))
 
-  /** Write one segment's two tables under `segRoot` (no fence — the
+  /** Write one segment's three tables under `segRoot` (no fence — the
     * caller owns commit semantics: overwrite-under-marker for the base,
-    * stage-then-rename for deltas). */
+    * stage-then-rename for deltas). `terms/` is the segment's TERM
+    * DICTIONARY (r19): one row per distinct term, range-clustered BY
+    * TERM so a prefix predicate prunes row groups by min/max stats —
+    * the Lucene term-dictionary expansion tier that gives prefix search
+    * back the bucket pruning a hashed layout alone cannot offer
+    * (vocab-sized: reads cost nothing next to postings). */
   private def writeSegment(postings: DataFrame, stats: DataFrame, segRoot: String): Unit = {
-    if (postings.limit(1).count() == 0)
+    val terms = postings.select("term").distinct()
+    if (postings.limit(1).count() == 0) {
       // a zero-row PARTITIONED write leaves no part files — a
       // schema-less husk every later read would crash on (the
       // IdBuckets empty-table lesson). Write the empty frame FLAT
       // instead: schema-bearing, bucket column present as data, so
       // searches return cleanly empty over an empty corpus.
       postings.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
-    else
+      terms.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/terms")
+    } else {
       postings.repartitionByRange(col(Col), col("term"), col("doc_id"))
         .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")
+      terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(s"$segRoot/terms")
+    }
     stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
   }
 
@@ -162,7 +173,8 @@ object TextIndex {
       fsys.delete(new Path(tombstonesPath(dir)), true)
       writeSegment(derivePostings(docs, idCol, textCol),
         deriveStats(docs, textCol), dir)
-      GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
+      GenStamp.completeRebuild(s, dir,
+        Seq(postingsPath(dir), statsPath(dir), termsPath(dir)))
     }
 
   /** Committed delta segment ids, oldest first (numeric order — ids are
@@ -392,7 +404,8 @@ object TextIndex {
   private def finishCompact(s: SparkSession, dir: String): Unit = {
     val fsys = hfs(s, dir)
     val stage = s"$dir/_compact_stage"
-    Seq("postings", "stats").foreach { t =>
+    // `terms` absent from a pre-r19 stage is skipped by the exists guard
+    Seq("postings", "stats", "terms").foreach { t =>
       val src = new Path(s"$stage/$t")
       if (fsys.exists(src)) {
         fsys.delete(new Path(s"$dir/$t"), true)
@@ -412,7 +425,10 @@ object TextIndex {
     // after the lift would open a window where the shrunk stats
     // double-subtract already-folded victims.
     fsys.delete(new Path(tombstonesPath(dir)), true)
-    GenStamp.completeRebuild(s, dir, Seq(postingsPath(dir), statsPath(dir)))
+    // a pre-r19 stage carries no terms table — don't stamp a husk
+    val stamped = Seq(postingsPath(dir), statsPath(dir)) ++
+      (if (fsys.exists(new Path(termsPath(dir)))) Seq(termsPath(dir)) else Nil)
+    GenStamp.completeRebuild(s, dir, stamped)
   }
 
   /** Heal a crashed [[compactTextIndex]]: marker up + manifest present
@@ -560,6 +576,50 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Expand a term PREFIX to the matching vocabulary via the per-segment
+    * term dictionaries (r19) — vocab-sized reads with a pushed
+    * StartsWith filter (the dictionary is range-clustered by term, so
+    * parquet min/max stats prune row groups), never a postings pass.
+    * Fails loudly past `max` (a one-letter prefix over a web-scale
+    * vocabulary is a query bug, not a workload) and on a pre-r19 index
+    * (no dictionary: rebuild with TextIndex.build). Tombstones don't
+    * apply here — a term whose docs all died expands to itself and then
+    * matches zero postings, which is the correct answer. */
+  def expandPrefix(s: SparkSession, dir: String, prefix: String,
+      max: Int = MaxPruneTerms): Seq[String] = {
+    require(prefix.nonEmpty, "expandPrefix: prefix must be non-empty")
+    GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
+      Seq(postingsPath(dir), statsPath(dir)))
+    val roots = segmentRoots(s, dir)
+    roots.foreach { r =>
+      require(hfs(s, dir).exists(new Path(s"$r/terms")),
+        s"TextIndex at $dir is a pre-r19 index (segment $r carries no " +
+          "term dictionary); rebuild it with TextIndex.build to enable " +
+          "prefix search")
+    }
+    val expanded = roots
+      .map(r => s.read.parquet(s"$r/terms"))
+      .reduce(_ unionByName _)
+      .where(col("term").startsWith(prefix))
+      .distinct().limit(max + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(expanded.length <= max,
+      s"expandPrefix: prefix '$prefix' matches more than $max terms — " +
+        "narrow the prefix or raise max")
+    expanded
+  }
+
+  /** PREFIX BM25 search (r19): expand the prefix through the term
+    * dictionary, then score exactly as [[searchBm25]] over the expanded
+    * term set — so `prefix s` IS `searchBm25(Seq(scan, slow, ...))` by
+    * construction (per-term df, exact live stats, tombstones applied)
+    * and the postings read stays the pruned bucket read of the MATCHED
+    * terms. The other common next-ask of a positional/lexical index
+    * alongside slop (r18 verdict, What's missing #4). */
+  def searchPrefixBm25(s: SparkSession, dir: String, prefix: String,
+      k: Int, maxExpand: Int = MaxPruneTerms): DataFrame =
+    searchBm25(s, dir, expandPrefix(s, dir, prefix, maxExpand), k)
 
   /** Exact PHRASE search from the positional tier (r18), with optional
     * PROXIMITY slop (r19): top-k docs by

@@ -572,6 +572,48 @@ class TextIndexSpec extends AnyFunSuite {
     assert(hits(3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 2L))
   }
 
+  test("prefix search: dictionary expansion == hand-expanded multi-term BM25, across segments and deletes") {
+    import spark.implicits._
+    val dir = freshDir("prefix")
+    // split build + delta so the expansion unions SEGMENT dictionaries
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    for (prefix <- Seq("s", "st", "q", "da")) {
+      val expanded = TextIndex.expandPrefix(spark, dir, prefix)
+      assert(expanded === vocab.filter(_.startsWith(prefix)).sorted,
+        s"dictionary expansion diverged from the corpus vocabulary for '$prefix'")
+      assert(TextIndex.searchPrefixBm25(spark, dir, prefix, 15).collect().toSeq ===
+        TextIndex.searchBm25(spark, dir, expanded, 15).collect().toSeq)
+    }
+    assert(TextIndex.searchPrefixBm25(spark, dir, "s", 15).collect().nonEmpty)
+    // no match -> empty result, not an error
+    assert(TextIndex.searchPrefixBm25(spark, dir, "zzz", 5).count() === 0)
+    // the expansion cap fails loudly, not by silent truncation
+    val e = intercept[IllegalArgumentException](
+      TextIndex.expandPrefix(spark, dir, "s", max = 2))
+    assert(e.getMessage.contains("more than 2"))
+    // deletes flow through the delegated multi-term search (stats + df
+    // shrink); the dictionary may keep a dead term — it matches zero
+    // postings, which is the same answer a rebuild gives
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    val twin = freshDir("prefixtwin")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 3 =!= 0))
+    assert(TextIndex.searchPrefixBm25(spark, dir, "s", 15).collect().toSeq ===
+      TextIndex.searchPrefixBm25(spark, twin, "s", 15).collect().toSeq,
+      "prefix search over a deleted index diverged from rebuild-without-victims")
+    // a pre-r19 index (no term dictionary) gets rebuild guidance
+    val old = freshDir("prefixold")
+    TextIndex.build(spark, old, docs.limit(30))
+    val fs = new org.apache.hadoop.fs.Path(old)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(TextIndex.termsPath(old)), true)
+    val e2 = intercept[IllegalArgumentException](
+      TextIndex.expandPrefix(spark, old, "s"))
+    assert(e2.getMessage.contains("pre-r19") && e2.getMessage.contains("TextIndex.build"))
+  }
+
   test("pre-r18 index layouts fail with rebuild guidance, not a raw column error") {
     import spark.implicits._
     val dir = freshDir("prer18")
