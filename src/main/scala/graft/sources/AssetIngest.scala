@@ -731,7 +731,10 @@ object AssetIngest {
       dataDir: String, threshold: Double = 0.99,
       maxBucket: Int = 1 << 17,
       sketches: Option[SketchSink] = None,
-      batchId: Option[String] = None): IngestReport = {
+      batchId: Option[String] = None,
+      ivfIndexDir: Option[String] = None,
+      ivfCells: Int = 16,
+      retrainOnDrift: Boolean = false): IngestReport = {
     import graft.operators.VectorOps
     val ann = batch.select("vec_id", "label", "embedding").localCheckpoint(false)
     val total = ann.count()
@@ -780,6 +783,31 @@ object AssetIngest {
     if (corpusExists) VectorOps.appendToEmbedLshIndex(s, novel, indexDir)
     else if (nNovel > 0)
       VectorOps.writeEmbedLshIndex(s, novel, indexDir, nPlanes, bands, seed)
+    // optional IVF RETRIEVAL-index maintenance (r19) — the vector twin
+    // of ingestTextBatch's textIndexDir hook: the admitted window
+    // becomes a frozen-codebook partition append (O(batch)), and
+    // `retrainOnDrift` closes the loop the r18 verdict called out —
+    // the ingest cycle itself consults the drift monitor and re-trains
+    // from live postings when appended data has walked away from the
+    // codebook, instead of recall decaying until a human notices.
+    // Crash posture matches the text hook: a crash after the LSH append
+    // but before this block leaves the retrieval index one window stale
+    // (the retry admits nothing); repair = writeIvfIndex from the
+    // landed vectors.
+    ivfIndexDir.foreach { vdir =>
+      val cbP = new Path(s"$vdir/codebook")
+      val ivfExists = cbP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(cbP)
+      if (nNovel > 0) {
+        val rows = novel.select("vec_id", "label", "embedding")
+        if (ivfExists) VectorOps.appendToIvfIndex(s, rows, vdir)
+        else VectorOps.writeIvfIndex(rows, ivfCells, vdir)
+      }
+      // consulted even on a zero-novel retry, so a crash that left the
+      // store drifted converges on the next window regardless of what
+      // that window admits (the auto-compaction discipline)
+      if (retrainOnDrift && (ivfExists || nNovel > 0))
+        VectorOps.retrainIvfIndexIfDrifted(s, vdir)
+    }
     // size metric = embedding L2 norm: the cheap drift signal for a
     // mis-calibrated encoder (dim drift is already hard-gated above)
     recordSketches(s, sketches, novel, nNovel, Seq("label"), "vec_id",

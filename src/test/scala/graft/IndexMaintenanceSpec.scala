@@ -483,6 +483,71 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(r4 === AssetIngest.IngestReport(1, 0, 0, 0))
   }
 
+  test("embed ingest maintains a persisted IVF retrieval index; retrainOnDrift heals in-loop") {
+    import graft.operators.VectorOps
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ingest_ivf").toString
+    val (lsh, data, ivf) = (s"$base/lsh", s"$base/data", s"$base/ivf")
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val w1vecs = Array.fill(48)(unit())
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("vec_id", "label", "embedding")
+    // full-probe search through the store must equal exact kNN over the
+    // landed vectors — the retrieval-tier consistency the hook maintains
+    def assertExact(queryId: Long, k: Int): Unit = {
+      graft.functions.GraftFunctions.register(spark)
+      val (cb, postings) = VectorOps.readIvfIndex(spark, ivf)
+      val got = VectorOps.ivfSearch(cb, postings, queryId, nprobe = 64, k = k)
+        .collect().map(_.getLong(0)).toSeq
+      val landed = spark.read.parquet(s"$data/vectors")
+      val qv = landed.where(col("vec_id") === queryId)
+        .select(col("embedding").as("qv"))
+      val exact = landed.where(col("vec_id") =!= queryId)
+        .crossJoin(broadcast(qv))
+        .withColumn("sim", round(expr("graft_dot(embedding, qv)"), 6))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === exact, s"IVF store diverged from exact kNN over landed (q=$queryId)")
+    }
+
+    // window 1 bootstraps the IVF store alongside the LSH dedup index
+    val r1 = AssetIngest.ingestEmbedBatch(spark,
+      df(w1vecs.zipWithIndex.map { case (v, i) => (i.toLong, "x", v) }.toSeq),
+      lsh, data, batchId = Some("w1"), ivfIndexDir = Some(ivf), ivfCells = 8)
+    assert(r1.admitted === 48)
+    val (_, p1) = VectorOps.readIvfIndex(spark, ivf)
+    assert(p1.count() === 48)
+    assertExact(queryId = 3L, k = 5)
+
+    // window 2: the ANTIPODES of window 1 — not near-dups (cos = -1),
+    // but maximally far from every trained centroid: the drift monitor
+    // must flag after the frozen-codebook append
+    val r2 = AssetIngest.ingestEmbedBatch(spark,
+      df(w1vecs.zipWithIndex.map { case (v, i) =>
+        (100L + i, "x", v.map(x => -x)) }.toSeq),
+      lsh, data, batchId = Some("w2"), ivfIndexDir = Some(ivf), ivfCells = 8)
+    assert(r2.admitted === 48)
+    assert(VectorOps.ivfDriftStats(spark, ivf).get.retrainRecommended,
+      "antipodal append must trip the drift monitor")
+
+    // window 3 with retrainOnDrift: the loop itself consults the monitor
+    // and retrains from live postings — flag clears, store stays exact
+    val r3 = AssetIngest.ingestEmbedBatch(spark,
+      df(Seq((200L, "x", unit()))),
+      lsh, data, batchId = Some("w3"), ivfIndexDir = Some(ivf), ivfCells = 8,
+      retrainOnDrift = true)
+    assert(r3.admitted === 1)
+    val d = VectorOps.ivfDriftStats(spark, ivf).get
+    assert(!d.retrainRecommended, s"retrainOnDrift did not heal the store: $d")
+    assert(d.nNow === 97L, "retrained postings must hold every landed vector")
+    assertExact(queryId = 103L, k = 5)
+  }
+
   test("composed text ingest loop: bootstrap, quality gate, in-batch dedup, corpus probe, retry") {
     import graft.operators.DedupOps
     import graft.sources.AssetIngest
