@@ -647,7 +647,7 @@ object TextIndex {
     require(slop >= 0, s"searchPhrase: slop must be >= 0, got $slop")
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
-    val posts = postingsFor(s, dir, phrase.distinct)
+    val posts = requireV2Postings(postingsFor(s, dir, phrase.distinct), dir)
     val perDoc = posts.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("pm"))
@@ -708,9 +708,9 @@ object TextIndex {
         s"0-based per qid; offending qids: ${bad.mkString(", ")}")
     val terms = q.select("term").distinct().limit(MaxPruneTerms + 1)
       .collect().map(_.getString(0)).toSeq
-    val posts =
+    val posts = requireV2Postings(
       if (terms.length <= MaxPruneTerms) postingsFor(s, dir, terms)
-      else allPostings(s, dir)
+      else allPostings(s, dir), dir)
     val qlen = q.groupBy("qid")
       .agg(max(col("pos")).as("maxpos"), count(lit(1)).as("nterms"))
     val perDoc = posts.join(broadcast(q), "term")
