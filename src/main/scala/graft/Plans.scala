@@ -78,6 +78,11 @@ object Plans {
     "q_text_search_prefix" -> ("the q_text_search_indexed 1-row stats broadcast under the " +
       "dictionary-expanded term set (expansion itself is a vocab-sized driver read, " +
       "capped loudly)"),
+    "q_text_search_negated" -> ("the q_text_search_indexed 1-row stats broadcast; the " +
+      "must-not exclusion is a broadcast ANTI-join of the excluded terms' pruned " +
+      "doc ids, never a corpus pass"),
+    "q_text_search_conjunctive" -> ("the q_text_search_indexed 1-row stats broadcast; " +
+      "the AND face is a post-aggregation matched-count filter on the same plan"),
     "q_text_search_batch" -> ("bounded query-table broadcast + 1-row (N, avgdl) stats " +
       "broadcast — one corpus pass serves the whole query batch"),
     "q_knn_ivfpq"       -> "1-row ADC-table / query / coarse-codebook broadcasts (IVFADC probe + rerank)",

@@ -504,6 +504,32 @@ object TextOps {
       graft.sources.TextIndex.searchBm25(s, dir, terms, 10)
     }),
 
+    // NEGATED (must-not) retrieval from the persisted index (r19): the
+    // q_text_search_indexed query with docs containing 'slow' excluded —
+    // one more pruned bucket read (the must-not term's postings, doc ids
+    // only) anti-joined before scoring, df/N/avgdl untouched (exclusion
+    // narrows candidates, not the corpus — the Lucene must_not
+    // convention, which the oracle mirrors with a NOT IN subquery).
+    "q_text_search_negated" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchBm25(s, dir, Seq("query", "join", "table"),
+        10, mustNot = Seq("slow"))
+    }),
+
+    // CONJUNCTIVE (all-terms / AND) retrieval from the persisted index
+    // (r19): only docs matching EVERY query term rank — a post-agg
+    // filter on the matched count with the scores unchanged, the other
+    // boolean face every lexical engine serves beside the default OR.
+    "q_text_search_conjunctive" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchBm25(s, dir, Seq("query", "join", "table"),
+        10, matchAll = true)
+    }),
+
     // PREFIX term search from the persisted index (r19; the r18
     // verdict's other "next ask" alongside slop): the prefix expands
     // through the per-segment TERM DICTIONARY (vocab-sized, range-
@@ -1029,6 +1055,48 @@ object TextOps {
         |  FROM t)
         |SELECT doc_id, hits FROM h WHERE hits > 0
         |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
+
+    // Negated-retrieval oracle: the q_text_search_indexed arithmetic
+    // with a NOT IN exclusion subquery — stats and df stay corpus-wide.
+    "q_text_search_negated" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('query', 'join', 'table')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |WHERE tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // Conjunctive-retrieval oracle: the same arithmetic with HAVING
+    // matched = |terms|.
+    "q_text_search_conjunctive" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok
+        |      WHERE term IN ('query', 'join', 'table')),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |HAVING count(*) = 3
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
 
     // Prefix-search oracle: the q_text_search_indexed arithmetic with
     // the term set replaced by a LIKE prefix predicate — what the

@@ -540,21 +540,39 @@ object TextIndex {
     * instead of a corpus pass. df is counted from the pruned postings
     * themselves (one row per (term, doc) by construction — appenders
     * keep segments doc-disjoint). Fails loudly on a half-built index
-    * via the rebuild fence. */
+    * via the rebuild fence.
+    *
+    * Boolean faces (r19): `mustNot` excludes every doc containing ANY
+    * of the given terms — one MORE pruned bucket read (the must-not
+    * terms' postings, doc ids only) anti-joined before scoring, with
+    * df/N/avgdl untouched (exclusion narrows the candidates, not the
+    * corpus — the Lucene must_not convention). `matchAll = true` keeps
+    * only docs matching EVERY query term (AND semantics) — a post-agg
+    * filter on the matched count, scores unchanged. */
   def searchBm25(s: SparkSession, dir: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, mustNot: Seq[String] = Nil, matchAll: Boolean = false): DataFrame = {
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
-    val posts = postingsFor(s, dir, terms)
-    val dft = posts.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val posts0 = postingsFor(s, dir, terms)
+    val dft = posts0.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val posts =
+      if (mustNot.isEmpty) posts0
+      else {
+        val ex = postingsFor(s, dir, mustNot.distinct)
+          .select("doc_id").distinct()
+        posts0.join(broadcast(ex), posts0("doc_id") === ex("doc_id"), "left_anti")
+      }
     val stats = combinedStats(s, dir)
-    posts.join(broadcast(dft), "term").crossJoin(broadcast(stats.drop("sum_dl")))
+    val scored = posts.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats.drop("sum_dl")))
       .withColumn("w",
         log((col("n").cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
           (col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+    (if (matchAll) scored.where(col("matched") === terms.distinct.length)
+     else scored)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }

@@ -614,6 +614,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pre-r19") && e2.getMessage.contains("TextIndex.build"))
   }
 
+  test("boolean BM25 faces: mustNot == full ranking minus excluded docs; matchAll == matched filter") {
+    import spark.implicits._
+    val dir = freshDir("boolean")
+    TextIndex.build(spark, dir, docs)
+    val terms = Seq("query", "join", "table")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val full = rows(TextIndex.searchBm25(spark, dir, terms, 100000))
+    val ex = docs.where(array_contains(split(col("text"), " "), "slow"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ex.nonEmpty, "fixture has no 'slow' docs — exclusion law is vacuous")
+    // must-not: the full ranking minus the excluded docs, re-cut at k —
+    // scores unchanged (df/N/avgdl are corpus-wide)
+    assert(rows(TextIndex.searchBm25(spark, dir, terms, 10, mustNot = Seq("slow"))) ===
+      full.filterNot(t => ex(t._1)).take(10))
+    // conjunctive: the full ranking filtered to matched == |terms|
+    assert(rows(TextIndex.searchBm25(spark, dir, terms, 10, matchAll = true)) ===
+      full.filter(_._3 == 3).take(10))
+    // the two faces compose
+    assert(rows(TextIndex.searchBm25(spark, dir, terms, 10,
+        mustNot = Seq("slow"), matchAll = true)) ===
+      full.filterNot(t => ex(t._1)).filter(_._3 == 3).take(10))
+    // excluding an absent term is a no-op; tombstones flow through
+    assert(rows(TextIndex.searchBm25(spark, dir, terms, 10, mustNot = Seq("zzz"))) ===
+      full.take(10))
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+    val twin = freshDir("booleantwin")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 7 =!= 0))
+    assert(rows(TextIndex.searchBm25(spark, dir, terms, 10, mustNot = Seq("slow"))) ===
+      rows(TextIndex.searchBm25(spark, twin, terms, 10, mustNot = Seq("slow"))))
+  }
+
   test("pre-r18 index layouts fail with rebuild guidance, not a raw column error") {
     import spark.implicits._
     val dir = freshDir("prer18")
