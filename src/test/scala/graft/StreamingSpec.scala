@@ -326,6 +326,28 @@ class StreamingSpec extends AnyFunSuite {
         .where(col("doc_id") === 1).head().getDouble(1)
       assert(streamScore === batchScore,
         s"gate score $streamScore != persisted searchBm25 score $batchScore for an indexed doc")
+
+      // restart contract: a deletion shrinks (N, avgdl, df) for a NEWLY
+      // constructed gate (stats snapshot at construction, the probe
+      // family's convention) — scores move to the rebuild-without-
+      // victims values the batch face serves
+      TextIndex.deleteFrom(spark, dir, Seq(3L).toDF("doc_id"))
+      val in3 = MemoryStream[DocEv](23, spark, None)
+      val q3 = StreamingOps.bm25ScoreStream(in3.toDF(), dir,
+        Seq((9L, "apple"), (9L, "cherry")).toDF("qid", "term"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("bm25_gate_restart").start()
+      try {
+        in3.addData(DocEv(1, ts("12:00"), "apple banana apple cherry"))
+        q3.processAllAvailable()
+        val restartScore = spark.table("bm25_gate_restart").head().getDouble(3)
+        val deletedBatch = TextIndex.searchBm25(spark, dir, Seq("apple", "cherry"), 3)
+          .where(col("doc_id") === 1).head().getDouble(1)
+        assert(restartScore === deletedBatch,
+          s"restarted gate score $restartScore != post-delete searchBm25 $deletedBatch")
+        assert(restartScore !== batchScore,
+          "the delete must actually move the snapshot stats (N/avgdl/df shrink)")
+      } finally q3.stop()
     } finally q2.stop()
   }
 
