@@ -546,6 +546,40 @@ object TextOps {
       graft.sources.TextIndex.searchPrefixBm25(s, dir, "s", 10)
     }),
 
+    // FUZZY term search from the persisted index (r20; the r19
+    // verdict's #4, the face the term dictionary unlocked next after
+    // prefix): the probe term expands to every vocabulary term within
+    // maxDist edits (full dictionary scan — vocab-sized, an edit
+    // distance has no pushable range), then scores exactly as the
+    // multi-term BM25 face, postings read pruned to the matched terms'
+    // buckets. Fixture 'part'~2 expands to {fast, part, sort, spark}
+    // (4 terms, stable across SFs — the closed 31-token vocabulary);
+    // oracle = the corpus scan with a levenshtein predicate, so a
+    // dictionary drift or expansion bug hash-fails loudly.
+    "q_text_search_fuzzy" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchFuzzyBm25(s, dir, "part", 10, maxDist = 2)
+    }),
+
+    // FILTERED + NEGATED phrase retrieval (r20; the r19 verdict's #5):
+    // the q_text_search_phrase_indexed query restricted to a metadata-
+    // filtered candidate set (doc_id % 3 = 0 — allowedIds as one
+    // broadcast semi-join on the pruned postings) minus docs containing
+    // the must-not term 'slow' (one more pruned bucket read, doc ids
+    // only, anti-joined pre-fold). Top-k is k post-filter survivors;
+    // the oracle mirrors both restrictions on the substring scan.
+    "q_text_search_phrase_filtered" -> ((s, d) => {
+      val dir = graft.plans.Scale.scratch(s, "phraseidx", d) + "/idx"
+      if (!graft.sources.TextIndex.exists(s, dir))
+        graft.sources.TextIndex.build(s, dir, Tables.documents(s, d))
+      graft.sources.TextIndex.searchPhrase(s, dir, Seq("join", "order"), 15,
+        allowedIds = Some(Tables.documents(s, d)
+          .where(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")),
+        mustNot = Seq("slow"))
+    }),
+
     // The r18 DELTA path under the driver hash gate (r18 verdict,
     // next-round #2): the index is built from HALF the corpus and the
     // other half arrives as a TextIndex.append delta segment — then the
@@ -1117,6 +1151,40 @@ object TextOps {
         |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // Fuzzy-search oracle: the q_text_search_indexed arithmetic with
+    // the term set replaced by a levenshtein predicate — what the
+    // dictionary expansion must reproduce exactly (expansion over the
+    // dictionary == expansion over the corpus' distinct tokens, since
+    // the dictionary IS that set per segment).
+    "q_text_search_fuzzy" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  unnest(string_split(text, ' ')) AS term FROM documents),
+        |q AS (SELECT doc_id, dl, term FROM tok WHERE levenshtein(term, 'part') <= 2),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM q
+        |       GROUP BY doc_id, dl, term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM q GROUP BY term),
+        |stats AS (SELECT count(*) AS n,
+        |  avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents)
+        |SELECT tf.doc_id,
+        |  round(sum(ln((CAST(stats.n AS DOUBLE) - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))), 4) AS score,
+        |  count(*) AS matched
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id ASC LIMIT 10""".stripMargin,
+
+    // Filtered/negated phrase oracle: the substring-count scan with the
+    // allowed-set modulus and the must-not exclusion mirrored in SQL.
+    "q_text_search_phrase_filtered" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id,
+        |  CAST((len(text) - len(replace(text, 'join order', ''))) / len('join order') AS BIGINT) AS hits
+        |FROM documents
+        |WHERE len(replace(text, 'join order', '')) < len(text)
+        |  AND doc_id % 3 = 0
+        |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow')
+        |ORDER BY hits DESC, doc_id ASC LIMIT 15""".stripMargin,
 
     // The DELTA path shares the one-shot indexed oracle verbatim: base +
     // appended segment must answer exactly as the scan over the whole

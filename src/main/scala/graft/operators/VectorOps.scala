@@ -358,6 +358,13 @@ object VectorOps {
     GraftFunctions.register(e.sparkSession)
     val (cb, postings) = ivfIndex(e, cells, iters)
     val s = e.sparkSession
+    // drop any crashed retrain's stage + manifest BEFORE raising the
+    // marker (the TextIndex.build lesson): a build that crashes after
+    // beginRebuild must read as "crashed build — loud error", never let
+    // a STALE retrain manifest heal an outdated staged index over this
+    // build's intent
+    hfs(s, dir).delete(new org.apache.hadoop.fs.Path(retrainStagePath(dir)), true)
+    hfs(s, dir).delete(new org.apache.hadoop.fs.Path(retrainManifestPath(dir)), false)
     // rebuild fence (GenStamp): a crash between the overwrites would
     // leave a new codebook against old postings — silent recall loss
     graft.sources.GenStamp.beginRebuild(s, dir)
@@ -429,29 +436,35 @@ object VectorOps {
     }
   }
 
-  /** Retrain a persisted IVF index IN PLACE from its own live postings —
-    * the drift-triggered retrain EXECUTOR (r18 verdict, next-round #3):
+  /** Retrain a persisted IVF index from its own live postings — the
+    * drift-triggered retrain EXECUTOR (r18 verdict, next-round #3):
     * [[ivfDriftStats]] only FLAGS recall decay; this acts on it without
     * needing the original corpus. The live rows (base + every
     * frozen-codebook append, tombstones applied) are materialized first
-    * (eager localCheckpoint — the retrain reads the tables it is about
-    * to overwrite, so the input must be pinned before the fence rises),
-    * Lloyd's re-runs at the CURRENT cell count (or `cells`), every
-    * vector is re-assigned, and the three tables (codebook,
-    * cell-partitioned postings, buildstats drift snapshot) swap under
-    * the existing rebuild fence + WriterLock. Tombstones are folded by
-    * construction (victims are absent from the retrained postings) and
-    * cleared before the fence lifts.
+    * (eager localCheckpoint — one pass pins the input Lloyd's will
+    * iterate over), Lloyd's re-runs at the CURRENT cell count (or
+    * `cells`), every vector is re-assigned, and the three tables
+    * (codebook, cell-partitioned postings, buildstats drift snapshot)
+    * land STAGED under `_retrain_stage` + a completion manifest, then
+    * swap atomically under the rebuild fence + WriterLock — the
+    * compactTextIndex shape (r19 verdict, next-round #1): a retrain an
+    * unattended `retrainOnDrift` loop runs MUST never brick the index.
+    * Tombstones are folded by construction (victims are absent from
+    * the retrained postings) and cleared before the fence lifts.
     *
-    * Crash posture, honestly: identical to [[writeIvfIndex]] — a crash
-    * inside the overwrite window leaves the marker up and every reader
-    * fails loudly; the recovery is a rebuild from source (or, within
-    * the same session, re-running this retrain is NOT possible since
-    * the torn postings are unreadable). Returns the retrained cell
-    * count. */
+    * Crash posture: a crash BEFORE the marker rises (stage incomplete
+    * or complete) leaves the serving index untouched — readers are
+    * unaffected and the next mutator's heal discards the debris; a
+    * crash AFTER it leaves readers failing loudly on the fence until
+    * the next mutator ([[retrainIvfIndex]], [[appendToIvfIndex]],
+    * [[deleteFromIvfIndex]], or the ingest loop's drift consult) heals
+    * the swap forward from the complete stage — the index is never
+    * lost, and recovery needs no source corpus. Returns the retrained
+    * cell count. */
   def retrainIvfIndex(s: SparkSession, dir: String, cells: Option[Int] = None,
       iters: Int = 2): Int = graft.sources.WriterLock.withLock(dir) {
     GraftFunctions.register(s)
+    healIvfRetrain(s, dir)
     val (cbOld, postings) = readIvfIndex(s, dir)
     val k = cells.getOrElse(cbOld.count().toInt)
     val corpus = postings.select("vec_id", "label", "embedding")
@@ -461,19 +474,108 @@ object VectorOps {
         "tombstoned) — a zero-row rewrite would leave an unreadable husk; " +
         "rebuild with writeIvfIndex over a source corpus instead")
     val (cb, reassigned) = ivfIndex(corpus, k, iters)
-    graft.sources.GenStamp.beginRebuild(s, dir)
-    cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+    val stage = retrainStagePath(dir)
+    cb.write.mode("overwrite").parquet(s"$stage/codebook")
+    reassigned.write.mode("overwrite").partitionBy("cell").parquet(s"$stage/postings")
+    // the drift snapshot is computed from the STAGED tables (they are
+    // exactly what the swap publishes), so the monitor's baseline
+    // describes what readers will see
     distortionStats(assignmentDistortion(
-        readCellPartitioned(s, s"$dir/postings"),
-        s.read.parquet(s"$dir/codebook")))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/buildstats")
+        readCellPartitioned(s, s"$stage/postings"),
+        s.read.parquet(s"$stage/codebook")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/buildstats")
+    writeRetrainManifest(s, dir)
+    maybeFailRetrain(1)
+    graft.sources.GenStamp.beginRebuild(s, dir)
+    maybeFailRetrain(2)
+    finishIvfRetrain(s, dir)
+    k
+  }
+
+  /** TEST-ONLY fault injection for [[retrainIvfIndex]]'s crash windows:
+    * 1 = stage + manifest committed, marker still down (heal = discard
+    * debris, the serving index never stopped serving); 2 = marker up,
+    * swap not started (heal = finish forward from the complete stage).
+    * Cleared on trip. Production never sets it. */
+  @volatile private[graft] var failDuringRetrain: Int = 0
+  private def maybeFailRetrain(at: Int): Unit =
+    if (failDuringRetrain == at) {
+      failDuringRetrain = 0
+      throw new IllegalStateException(
+        s"graft test fault injection: retrainIvfIndex crash window $at")
+    }
+
+  private def retrainStagePath(dir: String) = s"$dir/_retrain_stage"
+  private def retrainManifestPath(dir: String) = s"$dir/_retrain_manifest"
+
+  private def hfs(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Atomic (tmp-then-rename) stage-complete marker: written only after
+    * all three staged tables committed, so manifest-present means the
+    * stage is publishable as-is. Content is irrelevant. */
+  private def writeRetrainManifest(s: SparkSession, dir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fsys = hfs(s, dir)
+    val qdir = fsys.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val tmp = new org.apache.hadoop.fs.Path(qdir,
+      s"_retrain_manifest.tmp.${ProcessHandle.current.pid}")
+    val out = fsys.create(tmp, true)
+    try out.write('1') finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(qdir.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(qdir, "_retrain_manifest"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Idempotent tail of a staged retrain: swap each staged table into
+    * place (skip tables the stage no longer holds — already moved),
+    * drop the stage, clear the folded tombstones, lift the fence, and
+    * delete the manifest LAST (the TextIndex finishCompact lesson: any
+    * earlier delete opens a marker-up-without-manifest window that
+    * reads as an unhealable crashed build). Every step is a no-op when
+    * already done, so a crash anywhere re-runs cleanly. */
+  private def finishIvfRetrain(s: SparkSession, dir: String): Unit = {
+    val fsys = hfs(s, dir)
+    val stage = retrainStagePath(dir)
+    Seq("codebook", "postings", "buildstats").foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(s"$stage/$t")
+      if (fsys.exists(src)) {
+        fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/$t"), true)
+        require(fsys.rename(src, new org.apache.hadoop.fs.Path(s"$dir/$t")),
+          s"retrainIvfIndex: could not publish $src")
+      }
+    }
+    fsys.delete(new org.apache.hadoop.fs.Path(stage), true)
     // folded by the rewrite; cleared before the fence lifts so the
-    // anti-join can never re-hide retrained rows
+    // anti-join can never re-hide retrained rows (no tombstone can
+    // postdate the stage: every tombstone append on this root heals a
+    // crashed retrain first, under the same WriterLock)
     graft.sources.Tombstones.clear(s, dir)
     graft.sources.GenStamp.completeRebuild(s, dir,
       Seq(s"$dir/codebook", s"$dir/postings", s"$dir/buildstats"))
-    k
+    fsys.delete(new org.apache.hadoop.fs.Path(retrainManifestPath(dir)), false)
+    ()
+  }
+
+  /** Finish a crashed staged retrain if one is pending; a no-op
+    * otherwise. Marker up + manifest present means the stage was
+    * complete — finish the swap; marker down means nothing was
+    * published — discard debris. A marker WITHOUT a manifest is a
+    * crashed [[writeIvfIndex]]: not healable from a stage, left for
+    * the fence's loud error. Called at the head of every mutator on
+    * the root (the TextIndex.healCompact convention). */
+  private def healIvfRetrain(s: SparkSession, dir: String): Unit = {
+    val fsys = hfs(s, dir)
+    val markerUp = fsys.exists(new org.apache.hadoop.fs.Path(dir,
+      graft.sources.GenStamp.RebuildMarker))
+    val manifest = fsys.exists(new org.apache.hadoop.fs.Path(retrainManifestPath(dir)))
+    if (markerUp && manifest) finishIvfRetrain(s, dir)
+    else if (!markerUp) {
+      fsys.delete(new org.apache.hadoop.fs.Path(retrainStagePath(dir)), true)
+      fsys.delete(new org.apache.hadoop.fs.Path(retrainManifestPath(dir)), false)
+      ()
+    }
   }
 
   /** Consult the drift monitor and retrain when it recommends — the
@@ -484,9 +586,15 @@ object VectorOps {
     * enable monitoring). */
   def retrainIvfIndexIfDrifted(s: SparkSession, dir: String,
       tol: Double = 0.10, iters: Int = 2): Boolean =
-    ivfDriftStats(s, dir, tol).exists(_.retrainRecommended) && {
-      retrainIvfIndex(s, dir, iters = iters)
-      true
+    graft.sources.WriterLock.withLock(dir) {
+      // heal a crashed staged retrain BEFORE the drift consult: the
+      // monitor reads through the rebuild fence, and an unattended loop
+      // must converge past its own previous crash, not wedge on it
+      healIvfRetrain(s, dir)
+      ivfDriftStats(s, dir, tol).exists(_.retrainRecommended) && {
+        retrainIvfIndex(s, dir, iters = iters)
+        true
+      }
     }
 
   /** Load a persisted IVF index: (codebook, postings). The `cell`
@@ -892,6 +1000,10 @@ object VectorOps {
     * appendToMinhashIndex's scaladoc and BuildPipelineSpec). */
   def appendToIvfIndex(s: SparkSession, batch: DataFrame,
       dir: String): Unit = graft.sources.WriterLock.withLock(dir) {
+    // finish a crashed staged retrain first (idempotent): an unattended
+    // ingest loop's next window must not wedge on a marker the heal
+    // could have cleared (the TextIndex.append convention)
+    healIvfRetrain(s, dir)
     graft.sources.GenStamp.requireRebuildComplete(s, dir, "IVF",
       "VectorOps.writeIvfIndex", Seq(s"$dir/codebook", s"$dir/postings"))
     val cb = s.read.parquet(s"$dir/codebook")
@@ -968,9 +1080,16 @@ object VectorOps {
     * tombstones (broadcast anti-join), so every search over the store
     * excludes the ids immediately; `compactIvfIndex` later folds them
     * into the files. Re-adding a deleted id requires compaction first
-    * (see Tombstones). */
+    * (see Tombstones). Heals a crashed staged retrain first, under the
+    * same (reentrant) WriterLock: a tombstone appended OVER a complete
+    * stage would be cleared unfolded by the heal's swap — a silent
+    * resurrection; healing first means every tombstone predates any
+    * stage that will fold it. */
   def deleteFromIvfIndex(s: SparkSession, ids: DataFrame, dir: String): Unit =
-    graft.sources.Tombstones.append(s, ids, dir)
+    graft.sources.WriterLock.withLock(dir) {
+      healIvfRetrain(s, dir)
+      graft.sources.Tombstones.append(s, ids, dir)
+    }
 
   /** Delete vectors from a persisted PQ index (tombstone append; see
     * `deleteFromIvfIndex`). */
@@ -1015,9 +1134,11 @@ object VectorOps {
   }
 
   /** Compact a persisted IVF index after deletions (affected cell
-    * partitions only). */
+    * partitions only). Heals a crashed staged retrain first — the
+    * mutator-head convention on this root. */
   def compactIvfIndex(s: SparkSession, dir: String): Unit =
     graft.sources.WriterLock.withLock(dir) {
+      healIvfRetrain(s, dir)
       compactCellPartitioned(s, s"$dir/postings", dir)
     }
 

@@ -432,7 +432,15 @@ object AssetIngest {
   // compaction have settled.
   // --------------------------------------------------------------------
 
-  final case class TakedownReport(removed: Long, takedownId: String)
+  /** `textIndexSkipped` (r19 advice): true when `textIndexDir` named an
+    * index that does not exist yet (takedown issued before the first
+    * text window landed, or over a crashed build the heal could not
+    * finish) — the retrieval-tier delete was SKIPPED, not silently
+    * attempted-and-crashed. Re-issue the takedown once the index is
+    * built (the whole call is idempotent), or rely on the fact that an
+    * index built AFTER the payload delete never indexes the victims. */
+  final case class TakedownReport(removed: Long, takedownId: String,
+    textIndexSkipped: Boolean = false)
 
   /** TEST-ONLY fault injection for [[takedown]]'s composition windows:
     * 1 = after the annotation intent, before the index tombstones;
@@ -520,9 +528,22 @@ object AssetIngest {
     // the payload delete finds the postings either still live (crash
     // before this stage: normal delete) or already tombstoned
     // (deduped) or already compacted away (no postings -> no-op).
-    textIndexDir.foreach(tdir => TextIndex.deleteFrom(s, tdir, ids))
+    // guarded like the sketch annotation above (r19 advice): a takedown
+    // issued before the first text window lands (or over a crashed
+    // build) must not crash on deleteFrom's rebuild fence — heal what
+    // is healable, then skip-and-report when no completed index exists,
+    // keeping the documented 'idempotent and re-issuable after any
+    // crash' posture. An index built later never indexes the victims
+    // (the payload delete below removes them from the source), and a
+    // re-issued takedown after a late build tombstones any stragglers.
+    val tiSkipped = textIndexDir.exists { tdir =>
+      TextIndex.heal(s, tdir)
+      if (TextIndex.exists(s, tdir)) { TextIndex.deleteFrom(s, tdir, ids); false }
+      else true
+    }
     maybeFailComposed(2)
-    TakedownReport(deleteFromLanding(s, landedPath, ids, idCol), tid)
+    TakedownReport(deleteFromLanding(s, landedPath, ids, idCol), tid,
+      textIndexSkipped = tiSkipped)
   }
 
   /** Net per-key adjustments recorded by [[takedown]]: retries collapse

@@ -392,19 +392,22 @@ object StreamingOps {
     *
     * Statistics are a PLANNING-TIME snapshot (the family convention):
     * appends/deletes land in a running gate at its next restart.
-    * `maxTerms` bounds the broadcast literal — watched sets are
-    * alert-rule-sized, not corpora. */
+    * `maxWatchedPairs` bounds the broadcast literal — it counts distinct
+    * (qid, term) PAIRS, which is what actually sizes the literal row (a
+    * term watched by many queries occupies one slot per query); watched
+    * sets are alert-rule-sized, not corpora. */
   def bm25ScoreStream(docs: DataFrame, textIndexDir: String,
-      watched: DataFrame, maxTerms: Int = 4096): DataFrame = {
+      watched: DataFrame, maxWatchedPairs: Int = 4096): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val pairs = watched.select(col("qid").cast("long"), col("term"))
-      .distinct().limit(maxTerms + 1).collect()
+      .distinct().limit(maxWatchedPairs + 1).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     require(pairs.nonEmpty, "bm25ScoreStream: watched query set is empty")
-    require(pairs.length <= maxTerms,
-      s"bm25ScoreStream watched set exceeds maxTerms=$maxTerms; " +
-        "score in batch via TextIndex.searchBatchBm25 instead")
+    require(pairs.length <= maxWatchedPairs,
+      s"bm25ScoreStream watched set exceeds maxWatchedPairs=$maxWatchedPairs " +
+        "distinct (qid, term) pairs; score in batch via " +
+        "TextIndex.searchBatchBm25 instead")
     val st = graft.sources.TextIndex.corpusStats(s, textIndexDir).head()
     require(st.getLong(0) > 0,
       s"bm25ScoreStream: the TextIndex at $textIndexDir holds no live docs")

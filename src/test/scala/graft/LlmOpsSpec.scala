@@ -1159,6 +1159,101 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!VectorOps.retrainIvfIndexIfDrifted(spark, dir))
   }
 
+  // Staged retrain crash windows (r19 verdict, next-round #1): an
+  // unattended retrainOnDrift loop must never brick the index. Window 1
+  // (stage + manifest committed, marker down) leaves the SERVING index
+  // untouched; window 2 (marker up, swap not run) heals forward from
+  // the complete stage at the next mutator's head.
+  test("staged retrain: pre-marker crash leaves the index serving, debris discarded; post-marker heals forward") {
+    import graft.operators.VectorOps
+    import spark.implicits._
+    val dim = 8
+    def vec(id: Long): (Long, String, Array[Float]) = {
+      val v = new Array[Float](dim)
+      v((id % 4).toInt) = 1.0f
+      v(4 + ((id / 4) % 4).toInt) = 0.2f * (1 + (id % 3)).toFloat / 3f
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (id, s"g${id % 4}", v.map(_ / n))
+    }
+    val rows = (0L until 96L).map(vec).toDF("vec_id", "label", "embedding")
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+
+    // ---- window 1: marker never rose ----
+    val d1 = java.nio.file.Files.createTempDirectory("ivfretrain_w1").toString
+    VectorOps.writeIvfIndex(rows, cells = 4, dir = d1)
+    VectorOps.deleteFromIvfIndex(spark, Seq(5L).toDF("vec_id"), d1)
+    val served = VectorOps.readIvfIndex(spark, d1)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    VectorOps.failDuringRetrain = 1
+    intercept[IllegalStateException](VectorOps.retrainIvfIndex(spark, d1))
+    // the serving index never stopped serving: same live rows, victim
+    // still tombstone-hidden, monitor still readable
+    assert(VectorOps.readIvfIndex(spark, d1)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet === served,
+      "window-1 crash must not affect the serving index")
+    assert(VectorOps.ivfDriftStats(spark, d1).isDefined)
+    assert(fs.exists(p(s"$d1/_retrain_stage")) && fs.exists(p(s"$d1/_retrain_manifest")),
+      "window-1 fixture must actually leave stage debris")
+    // the next mutator's head-heal discards the debris (marker down)
+    VectorOps.deleteFromIvfIndex(spark, Seq(6L).toDF("vec_id"), d1)
+    assert(!fs.exists(p(s"$d1/_retrain_stage")) && !fs.exists(p(s"$d1/_retrain_manifest")),
+      "window-1 debris must be discarded, not published")
+    // and a re-run retrain completes normally, folding BOTH tombstones
+    VectorOps.retrainIvfIndex(spark, d1)
+    val live1 = VectorOps.readIvfIndex(spark, d1)._2
+    assert(live1.where(col("vec_id").isin(5L, 6L)).count() === 0L)
+    assert(live1.count() === 94L)
+    assert(!graft.sources.Tombstones.exists(spark, d1))
+
+    // ---- window 2: marker up, swap not started ----
+    val d2 = java.nio.file.Files.createTempDirectory("ivfretrain_w2").toString
+    VectorOps.writeIvfIndex(rows, cells = 4, dir = d2)
+    VectorOps.deleteFromIvfIndex(spark, Seq(7L).toDF("vec_id"), d2)
+    VectorOps.failDuringRetrain = 2
+    intercept[IllegalStateException](VectorOps.retrainIvfIndex(spark, d2))
+    // readers fail LOUDLY (never a silent wrong answer)...
+    val e = intercept[IllegalArgumentException](VectorOps.readIvfIndex(spark, d2))
+    assert(e.getMessage.contains("writeIvfIndex"))
+    // ...and the unattended loop's next drift consult heals forward
+    // instead of wedging (false: freshly retrained, nothing drifted)
+    assert(!VectorOps.retrainIvfIndexIfDrifted(spark, d2))
+    val (cb2, live2) = VectorOps.readIvfIndex(spark, d2)
+    assert(live2.where(col("vec_id") === 7L).count() === 0L,
+      "healed swap must publish the stage with the tombstone folded")
+    assert(live2.count() === 95L)
+    assert(!graft.sources.Tombstones.exists(spark, d2),
+      "healed swap must clear the folded tombstones")
+    assert(!fs.exists(p(s"$d2/_retrain_stage")) && !fs.exists(p(s"$d2/_retrain_manifest")))
+    // drift snapshot consistent with what readers see
+    val bs2 = spark.read.parquet(s"$d2/buildstats").head()
+    assert(bs2.getLong(0) === 95L,
+      s"buildstats must describe the published postings, got ${bs2.getLong(0)}")
+    // Lloyd's may drop an empty cell, so the retrained codebook is
+    // bounded by, not equal to, the requested count — what the heal
+    // must preserve is a READABLE codebook matching the postings
+    val cells2 = cb2.select("cell").collect().map(_.getString(0)).toSet
+    val postCells2 = live2.select("cell").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cells2.nonEmpty && postCells2.subsetOf(cells2),
+      s"healed postings reference cells missing from the codebook: " +
+        s"${postCells2 -- cells2}")
+
+    // resurrection race closed: a tombstone issued OVER a window-2 crash
+    // must survive the heal (deleteFromIvfIndex heals first, so the
+    // stage's fold can never clear an unfolded tombstone)
+    val d3 = java.nio.file.Files.createTempDirectory("ivfretrain_w3").toString
+    VectorOps.writeIvfIndex(rows, cells = 4, dir = d3)
+    VectorOps.failDuringRetrain = 2
+    intercept[IllegalStateException](VectorOps.retrainIvfIndex(spark, d3))
+    VectorOps.deleteFromIvfIndex(spark, Seq(9L).toDF("vec_id"), d3)
+    val live3 = VectorOps.readIvfIndex(spark, d3)._2
+    assert(live3.where(col("vec_id") === 9L).count() === 0L,
+      "a delete issued over a crashed retrain must not be resurrected by the heal")
+    assert(live3.count() === 95L)
+  }
+
   // ------------------------------------------------------------------
   // Filtered INDEXED retrieval (r19): the predicate lands inside the
   // probed cells BEFORE top-k — k results are k post-filter survivors.

@@ -291,6 +291,41 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.exists(spark, w2))
     assert(postingsRows(w2) === postingsRows(oneshot))
     assertSearchesEqual(w2, oneshot, "window-2 heal")
+    // window 3 (r19 advice): tables swapped + tombstones cleared, fence
+    // NOT yet lifted. Before the fix the manifest died before the fence
+    // lifted, so this state read as an unhealable crashed BUILD; now the
+    // manifest outlives the fence and the heal re-runs the tail.
+    val w3 = freshDir("ccw3")
+    TextIndex.build(spark, w3, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, w3, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.failDuringCompact = 3
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, w3))
+    val e3 = intercept[IllegalArgumentException](
+      TextIndex.searchBm25(spark, w3, Seq("query"), 5).collect())
+    assert(e3.getMessage.contains("TextIndex.build"), "window-3 reads fail loudly")
+    TextIndex.heal(spark, w3)
+    assert(TextIndex.exists(spark, w3), "window-3 heal must finish the tail")
+    assert(postingsRows(w3) === postingsRows(oneshot))
+    assertSearchesEqual(w3, oneshot, "window-3 heal")
+    // window 4: fence lifted, manifest not yet deleted — the index is
+    // ALREADY fully serviceable (no heal needed to read), and the next
+    // mutator discards the leftover manifest as debris instead of
+    // re-folding anything
+    val w4 = freshDir("ccw4")
+    TextIndex.build(spark, w4, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, w4, docs.where(col("doc_id") % 2 === 1))
+    TextIndex.failDuringCompact = 4
+    intercept[IllegalStateException](TextIndex.compactTextIndex(spark, w4))
+    assert(TextIndex.exists(spark, w4), "window-4 leaves a healthy index")
+    assertSearchesEqual(w4, oneshot, "window-4 index serves correctly as-is")
+    val fs4 = new org.apache.hadoop.fs.Path(w4)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs4.exists(new org.apache.hadoop.fs.Path(s"$w4/_compact_manifest")))
+    // any mutator's head-heal clears the debris; a fresh append works
+    TextIndex.heal(spark, w4)
+    assert(!fs4.exists(new org.apache.hadoop.fs.Path(s"$w4/_compact_manifest")),
+      "window-4 leftover manifest must be discarded as debris")
+    assertSearchesEqual(w4, oneshot, "window-4 after debris GC")
   }
 
   test("append requires a completed base and refuses a mid-rebuild index") {
@@ -614,6 +649,124 @@ class TextIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pre-r19") && e2.getMessage.contains("TextIndex.build"))
   }
 
+  test("fuzzy search: dictionary expansion == corpus levenshtein neighborhood, scored as multi-term BM25") {
+    import spark.implicits._
+    val dir = freshDir("fuzzy")
+    // split build + delta so the expansion unions SEGMENT dictionaries
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((term, dist) <- Seq(("part", 2), ("scan", 1), ("fast", 2), ("agg", 1))) {
+      val expanded = TextIndex.expandFuzzy(spark, dir, term, dist)
+      assert(expanded === vocab.filter(v => lev(v, term) <= dist).sorted,
+        s"dictionary expansion diverged from the corpus neighborhood for '$term'~$dist")
+      assert(TextIndex.searchFuzzyBm25(spark, dir, term, 15, maxDist = dist).collect().toSeq ===
+        TextIndex.searchBm25(spark, dir, expanded, 15).collect().toSeq)
+    }
+    // maxDist=0 degenerates to the exact term; an OOV probe still
+    // expands to its neighbors (the typo-tolerant lookup)
+    assert(TextIndex.expandFuzzy(spark, dir, "spark", 0) === Seq("spark"))
+    assert(TextIndex.expandFuzzy(spark, dir, "scna", 2).contains("scan"))
+    // nothing within distance -> empty result, not an error
+    assert(TextIndex.searchFuzzyBm25(spark, dir, "zzzzzzzz", 5).count() === 0)
+    // the expansion cap fails loudly, not by silent truncation
+    val e = intercept[IllegalArgumentException](
+      TextIndex.expandFuzzy(spark, dir, "part", 2, max = 2))
+    assert(e.getMessage.contains("more than 2"))
+    // deletes flow through the delegated multi-term search
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    val twin = freshDir("fuzzytwin")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 3 =!= 0))
+    assert(TextIndex.searchFuzzyBm25(spark, dir, "part", 15, maxDist = 2).collect().toSeq ===
+      TextIndex.searchFuzzyBm25(spark, twin, "part", 15, maxDist = 2).collect().toSeq,
+      "fuzzy search over a deleted index diverged from rebuild-without-victims")
+  }
+
+  test("filtered/negated phrase faces: allowedIds == unfiltered ranking restricted and re-cut; mustNot excludes; tombstones compose") {
+    import spark.implicits._
+    val dir = freshDir("phrasefil")
+    TextIndex.build(spark, dir, docs)
+    val phrase = Seq("join", "order")
+    val allowed = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    // law: filtered top-k == unfiltered ranking restricted to allowed, re-cut at k
+    val unfiltered = TextIndex.searchPhrase(spark, dir, phrase, 1000)
+      .collect().filter(r => allowedSet(r.getLong(0))).take(15)
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val filtered = TextIndex.searchPhrase(spark, dir, phrase, 15,
+        allowedIds = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(filtered === unfiltered, "allowedIds law broke")
+    assert(filtered.nonEmpty, "fixture matched nothing — weak law")
+    // mustNot: ranking minus docs containing the excluded term
+    val hasSlow = docs.where(col("text").contains("slow"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val negated = TextIndex.searchPhrase(spark, dir, phrase, 15, mustNot = Seq("slow"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val handNeg = TextIndex.searchPhrase(spark, dir, phrase, 1000)
+      .collect().filterNot(r => hasSlow(r.getLong(0))).take(15)
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(negated === handNeg, "mustNot law broke")
+    // batch face parity: one qid batch with the same restrictions
+    // equals the single-phrase call row-for-row
+    val q = Seq((1L, 0, "join"), (1L, 1, "order")).toDF("qid", "pos", "term")
+    val batch = TextIndex.searchPhraseBatch(spark, dir, q, 15,
+        allowedIds = Some(allowed), mustNot = Seq("slow"))
+      .select("doc_id", "hits").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = TextIndex.searchPhrase(spark, dir, phrase, 15,
+        allowedIds = Some(allowed), mustNot = Seq("slow"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch === single, "batch/single filtered-phrase parity broke")
+    // tombstones compose: delete some docs, filtered results equal the
+    // rebuild-without-victims twin under the same restrictions
+    TextIndex.deleteFrom(spark, dir, docs.where(col("doc_id") % 5 === 0).select("doc_id"))
+    val twin = freshDir("phrasefiltwin")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 5 =!= 0))
+    assert(TextIndex.searchPhrase(spark, dir, phrase, 15,
+        allowedIds = Some(allowed), mustNot = Seq("slow")).collect().toSeq ===
+      TextIndex.searchPhrase(spark, twin, phrase, 15,
+        allowedIds = Some(allowed), mustNot = Seq("slow")).collect().toSeq,
+      "filtered phrase over a deleted index diverged from rebuild-without-victims")
+  }
+
+  test("deleteFrom reads the doclens sidecar, not postings; falls back when a segment lacks it") {
+    import spark.implicits._
+    val dir = freshDir("doclens")
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    val ids = Seq(4L, 7L, 10L).toDF("doc_id")
+    // plan pin: the victim pass scans doclens directories only
+    val plan = TextIndex.victimLens(spark, dir, ids)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("doclens"), s"victim pass must read the sidecar:\n$plan")
+    assert(!plan.contains("postings"), s"victim pass must not touch postings:\n$plan")
+    // the sidecar-driven delete equals a rebuild without the victims
+    TextIndex.deleteFrom(spark, dir, ids)
+    val twin = freshDir("doclenstwin")
+    TextIndex.build(spark, twin, docs.where(!col("doc_id").isin(4L, 7L, 10L)))
+    assertSearchesEqual(dir, twin, "sidecar delete")
+    // a segment without the sidecar (pre-r20) falls back to the
+    // column-pruned postings pass — same rows, same delete semantics
+    val dir2 = freshDir("doclensfb")
+    TextIndex.build(spark, dir2, docs)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir2/doclens"), true)
+    val plan2 = TextIndex.victimLens(spark, dir2, ids)
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("postings"), "fallback must read postings")
+    TextIndex.deleteFrom(spark, dir2, ids)
+    assertSearchesEqual(dir2, twin, "fallback delete")
+  }
+
   test("boolean BM25 faces: mustNot == full ranking minus excluded docs; matchAll == matched filter") {
     import spark.implicits._
     val dir = freshDir("boolean")
@@ -741,6 +894,58 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.searchBm25(spark, tidx, Seq("spark"), 15).collect().toSeq ===
       TextIndex.searchBm25(spark, twin, Seq("spark"), 15).collect().toSeq,
       "a re-issued takedown double-shrunk the retrieval stats")
+  }
+
+  test("append refuses a batch that re-uses tombstoned doc ids (loud, not silent hiding)") {
+    import spark.implicits._
+    val dir = freshDir("appts")
+    TextIndex.build(spark, dir, docs.where(col("doc_id") < 100))
+    TextIndex.deleteFrom(spark, dir, Seq(3L, 7L).toDF("doc_id"))
+    // a clash anywhere in the batch fails loudly with compact guidance —
+    // before the guard the doc was hidden by the anti-join while the new
+    // segment's stats still counted it live
+    val e = intercept[IllegalArgumentException](
+      TextIndex.append(spark, dir,
+        docs.where(col("doc_id").isin(7L, 200L, 201L))))
+    assert(e.getMessage.contains("tombstoned doc ids"))
+    assert(e.getMessage.contains("compactTextIndex"))
+    // disjoint batches still append; after compaction the id is free again
+    TextIndex.append(spark, dir, docs.where(col("doc_id").isin(300L, 301L)))
+    TextIndex.compactTextIndex(spark, dir)
+    TextIndex.append(spark, dir, docs.where(col("doc_id") === 7L))
+    val twin = freshDir("apptstwin")
+    TextIndex.build(spark, twin, docs.where(
+      (col("doc_id") < 100 && !col("doc_id").isin(3L, 7L)) ||
+        col("doc_id").isin(300L, 301L, 7L)))
+    assertSearchesEqual(dir, twin, "re-append after compaction")
+  }
+
+  test("takedown(textIndexDir) before the index exists skips-and-reports instead of crashing") {
+    import graft.sources.AssetIngest
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("takedown_noidx").toString
+    val (idx, data, tidx) = (s"$base/idx", s"$base/data", s"$base/tidx")
+    // takedown issued BEFORE any text window landed: the retrieval half
+    // must skip (reported), not throw on the rebuild fence
+    val r0 = AssetIngest.takedown(spark, s"$data/docs", idx,
+      Seq(3L).toDF("doc_id"), "doc_id", textIndexDir = Some(tidx))
+    assert(r0.textIndexSkipped, "missing index must be reported as skipped")
+    assert(r0.removed === 0L)
+    // after the first window lands, a re-issued takedown reaches the index
+    val d = docs.select("doc_id", "source", "text")
+    AssetIngest.ingestTextBatch(spark, d.where(col("doc_id") < 50), idx, data,
+      batchId = Some("w0"), textIndexDir = Some(tidx))
+    val r1 = AssetIngest.takedown(spark, s"$data/docs", idx,
+      Seq(3L).toDF("doc_id"), "doc_id", textIndexDir = Some(tidx))
+    assert(!r1.textIndexSkipped)
+    // twin over the SURVIVING LANDED docs (the ingest loop indexes its
+    // admitted set, not the raw window — the composed-takedown law's
+    // convention): the late-built index minus the re-issued victim must
+    // equal a rebuild over what actually survived
+    val survivors = spark.read.parquet(s"$data/docs").select("doc_id", "text")
+    val twin = freshDir("noidxtwin")
+    TextIndex.build(spark, twin, survivors)
+    assertSearchesEqual(tidx, twin, "takedown after late build")
   }
 
   test("declared q_text_search_indexed runs and carries its oracle") {
