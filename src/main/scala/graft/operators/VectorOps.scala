@@ -1316,7 +1316,7 @@ object VectorOps {
     * [[hybridSearchBatch]] — the two retrieval paths agree on the
     * fusion arithmetic BY CONSTRUCTION, the same discipline as the
     * TextIndex scoring twins. */
-  private def rrfCol: Column = round(
+  private[graft] def rrfCol: Column = round(
     coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0)), 6)
 

@@ -134,6 +134,13 @@ object TextIndex {
     * the Lucene term-dictionary expansion tier that gives prefix search
     * back the bucket pruning a hashed layout alone cannot offer
     * (vocab-sized: reads cost nothing next to postings). */
+  /** Width of a block-max doc range: block_id = floor(doc_id / 512).
+    * Blocks are DOC-ID ranges (not list positions), so the same block id
+    * means the same doc population across terms AND segments — the
+    * property that lets per-block bounds sum into a per-block score
+    * ceiling without reading any postings. */
+  val BlockWidth = 512L
+
   private def writeSegment(postings: DataFrame, stats: DataFrame, segRoot: String): Unit = {
     val terms = postings.select("term").distinct()
     // doclens sidecar (r20, r19 verdict next-round #2): one (doc_id, dl)
@@ -143,6 +150,18 @@ object TextIndex {
     // postings table is ~tokens-sized while doclens is docs-sized AND
     // bucket-pruned. dl is constant per doc, so min() is exact.
     val doclens = postings.groupBy("doc_id").agg(min(col("dl")).as("dl"))
+    // blockmax sidecar (r20, r19 verdict next-round #3): per (term,
+    // doc-range block) the quantities that bound any member doc's BM25
+    // contribution from above — max tf (the term is increasing in tf),
+    // min dl (decreasing in dl) — plus the member count, whose per-term
+    // sum IS the segment's df. Lucene's block-max metadata re-expressed
+    // for a columnar doc-range layout; df/512-sized, term-bucketed like
+    // the postings it describes.
+    val blockmax = postings
+      .withColumn("block_id", floor(col("doc_id") / lit(BlockWidth)).cast("long"))
+      .groupBy(col(Col), col("term"), col("block_id"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("cnt"))
     if (postings.limit(1).count() == 0) {
       // a zero-row PARTITIONED write leaves no part files — a
       // schema-less husk every later read would crash on (the
@@ -153,6 +172,7 @@ object TextIndex {
       terms.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/terms")
       doclens.withColumn(IdBuckets.Col, IdBuckets.bucketOf(col("doc_id")))
         .coalesce(1).write.mode("overwrite").parquet(s"$segRoot/doclens")
+      blockmax.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/blockmax")
     } else {
       postings.repartitionByRange(col(Col), col("term"), col("doc_id"))
         .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
@@ -160,6 +180,9 @@ object TextIndex {
       terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(s"$segRoot/terms")
       IdBuckets.write(doclens, "doc_id", s"$segRoot/doclens", "overwrite")
+      blockmax.repartitionByRange(col(Col), col("term"), col("block_id"))
+        .sortWithinPartitions(col(Col), col("term"), col("block_id"))
+        .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/blockmax")
     }
     stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
   }
@@ -496,9 +519,9 @@ object TextIndex {
   private def finishCompact(s: SparkSession, dir: String): Unit = {
     val fsys = hfs(s, dir)
     val stage = s"$dir/_compact_stage"
-    // `terms` absent from a pre-r19 stage (and `doclens` from a pre-r20
-    // one) is skipped by the exists guard
-    Seq("postings", "stats", "terms", "doclens").foreach { t =>
+    // `terms` absent from a pre-r19 stage (and `doclens`/`blockmax`
+    // from a pre-r20 one) is skipped by the exists guard
+    Seq("postings", "stats", "terms", "doclens", "blockmax").foreach { t =>
       val src = new Path(s"$stage/$t")
       if (fsys.exists(src)) {
         fsys.delete(new Path(s"$dir/$t"), true)
@@ -654,6 +677,17 @@ object TextIndex {
       k: Int, mustNot: Seq[String] = Nil, matchAll: Boolean = false): DataFrame = {
     GenStamp.requireRebuildComplete(s, dir, "text", "TextIndex.build",
       Seq(postingsPath(dir), statsPath(dir)))
+    // block-max pruned top-k (r20) for the plain disjunctive face: when
+    // the bound arithmetic can be made EXACT (no tombstones — the
+    // sidecar's per-term cnt sums then ARE the live df; no boolean
+    // restriction — the threshold would otherwise come from the wrong
+    // ranking), score only the doc-range blocks whose summed per-term
+    // ceilings can still reach the k-th score. Bit-for-bit equal to the
+    // unpruned plan (TextIndexSpec law + every indexed oracle row).
+    if (mustNot.isEmpty && !matchAll) blockMaxTopK(s, dir, terms, k) match {
+      case Some(pruned) => return pruned
+      case None => ()
+    }
     val posts0 = postingsFor(s, dir, terms)
     val dft = posts0.groupBy("term").agg(count(lit(1)).as("dfc"))
     val posts =
@@ -677,6 +711,126 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Cap on the (term, block) rows [[blockMaxTopK]] collects: past it
+    * (a stopword-ish query touching most of the corpus) pruning cannot
+    * win anyway, so the search falls back to the one-pass plan. */
+  val MaxPruneBlocks = 4096
+
+  /** Block-max pruned BM25 top-k (r20, r19 verdict next-round #3) —
+    * EXACT, never approximate. The per-(term, block) sidecar bounds any
+    * member doc's contribution from above (the BM25 term is increasing
+    * in tf and decreasing in dl, so ub = idf · g(max_tf, min_dl)), and
+    * doc-range blocks share ids across terms/segments, so a block's
+    * score ceiling is the plain SUM of its terms' bounds — computed
+    * driver-side from a df/512-sized read, no postings touched. Phase 1
+    * scores just enough best-ceiling blocks to cover k docs and learns
+    * the k-th exact score θ; the returned plan scores only blocks whose
+    * ceiling reaches θ − 1e-4 (one 4dp rounding step of guard, so a
+    * true score that rounds up to tie θ can never be lost). Excluded
+    * docs satisfy score ≤ ceiling < θ − 1e-4, hence rank strictly below
+    * the k-th after rounding — no tiebreak can resurrect them; the
+    * result is bit-for-bit the unpruned plan's (TextIndexSpec law; every
+    * indexed-search oracle row replays it in DuckDB at three SFs).
+    *
+    * Applies only when exact: returns None (caller falls back) when any
+    * segment predates the sidecar, when tombstones are live (the
+    * sidecar's per-term Σcnt would overcount df), past
+    * [[MaxPruneBlocks]], or when no query term is indexed. */
+  private def blockMaxTopK(s: SparkSession, dir: String, terms: Seq[String],
+      k: Int): Option[DataFrame] = {
+    lastPruneStats = None
+    if (terms.isEmpty || k <= 0) return None
+    val roots = segmentRoots(s, dir)
+    val fsys = hfs(s, dir)
+    if (!roots.forall(r => fsys.exists(new Path(s"$r/blockmax")))) return None
+    if (tombstoneRows(s, dir).isDefined) return None
+    val dterms = terms.distinct
+    val bs = dterms.map(bucketOfTerm).distinct
+    val bmRows = roots.map { r =>
+        s.read.parquet(s"$r/blockmax")
+          .where(col(Col).isin(bs.map(Integer.valueOf): _*))
+          .where(col("term").isin(dterms: _*))
+          .drop(Col)
+      }.reduce(_ unionByName _)
+      // a doc-range block can span segments: bounds merge by max/min,
+      // counts add (segments are doc-disjoint)
+      .groupBy("term", "block_id")
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+        sum(col("cnt")).as("cnt"))
+      .limit(MaxPruneBlocks + 1).collect()
+    if (bmRows.isEmpty || bmRows.length > MaxPruneBlocks) return None
+    val st = combinedStats(s, dir).head()
+    val n = st.getLong(0)
+    val avgdl = st.getDouble(1)
+    // tombstone-free ⇒ Σcnt over a term's blocks IS its exact live df
+    val dfMap: Map[String, Long] = bmRows.groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(4)).sum }
+    def idf(df: Long): Double =
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    def ub(term: String, maxTf: Double, minDl: Double): Double =
+      idf(dfMap(term)) * (maxTf * 2.2) /
+        (maxTf + 1.2 * (0.25 + 0.75 * minDl / avgdl))
+    // per-block ceiling S(b) = Σ_t idf·g(max_tf, min_dl); cover(b) = a
+    // lower bound on the distinct scorable docs in b (max over terms'
+    // cnt — every doc a term counts WILL receive a score)
+    val perBlock: Seq[(Long, Double, Long)] = bmRows
+      .groupBy(_.getLong(1))
+      .map { case (b, rs) =>
+        (b,
+          rs.map(r => ub(r.getString(0), r.getLong(2).toDouble,
+            r.getInt(3).toDouble)).sum,
+          rs.map(_.getLong(4)).max)
+      }.toSeq.sortBy { case (b, ceil, _) => (-ceil, b) }
+    // phase 1: just enough best-ceiling blocks to cover k docs
+    val covered = perBlock.scanLeft(0L)(_ + _._3).tail
+    val p1Count = (covered.indexWhere(_ >= k) match {
+      case -1 => perBlock.length
+      case i  => i + 1
+    })
+    val p1Blocks = perBlock.take(p1Count).map(_._1)
+    def scoreBlocks(blocks: Seq[Long]): DataFrame = {
+      // coalesce adjacent blocks into doc-id ranges; the postings are
+      // range-clustered by (bucket, term, doc_id), so these BETWEENs
+      // skip row groups on parquet min/max stats
+      val srt = blocks.sorted
+      val ranges = srt.foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: rest, b) if b == hi => (lo, b + 1) :: rest
+        case (acc, b)                          => (b, b + 1) :: acc
+      }.reverse
+      val pred = ranges.map { case (lo, hi) =>
+        col("doc_id") >= lo * BlockWidth && col("doc_id") < hi * BlockWidth
+      }.reduce(_ || _)
+      val dfLit = typedLit(dfMap)
+      postingsFor(s, dir, dterms).where(pred)
+        .withColumn("dfc", element_at(dfLit, col("term")))
+        .withColumn("w",
+          log((lit(n).cast("double") - col("dfc") + 0.5) / (col("dfc") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(round(sum("w"), 4).as("score"), count(lit(1)).as("matched"))
+    }
+    val p1 = scoreBlocks(p1Blocks)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k).collect()
+    val theta =
+      if (p1.length < k) Double.NegativeInfinity else p1.last.getDouble(1)
+    // competitive set: every block whose ceiling can still reach θ,
+    // with one 4dp rounding step of guard (θ is a rounded score; a true
+    // score in (θ − 1e-4, θ] rounds up to tie it)
+    val competitive = perBlock
+      .filter { case (_, ceil, _) => ceil >= theta - 1e-4 }.map(_._1)
+    val finalBlocks = (p1Blocks ++ competitive).distinct
+    lastPruneStats = Some((finalBlocks.length, perBlock.length))
+    Some(scoreBlocks(finalBlocks)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k))
+  }
+
+  /** TEST/MEASUREMENT observability: (scored blocks, candidate blocks)
+    * of the most recent [[blockMaxTopK]] that engaged. None when the
+    * last searchBm25 fell back. Read by the spec's skip law and the
+    * ScaleSmoke measurement; carries no production semantics. */
+  @volatile private[graft] var lastPruneStats: Option[(Int, Int)] = None
 
   /** tf·idf top-k over the index — the q_text_search scoring from the
     * same pruned read (idf = ln(N / df), 6dp round, same association

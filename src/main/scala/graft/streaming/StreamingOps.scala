@@ -15,6 +15,11 @@ case class UserAgg(user_id: Long, n: Long, total: Double)
 /** Document-ingest event for the streaming content-dedup operator. */
 case class DocEv(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+/** An arriving multimodal document for the hybrid gate: text for the
+  * lexical leg, embedding for the dense leg. */
+case class HybridDocEv(doc_id: Long, ts: java.sql.Timestamp, text: String,
+  embedding: Seq[Float])
+
 /** Query-vector event for the streaming kNN scorer. */
 case class QVec(qid: Long, ts: java.sql.Timestamp, qv: Seq[Float])
 
@@ -30,6 +35,11 @@ case class WatchedTerm(term: String, idf: Double)
 
 /** One watched query's term list (bm25ScoreStream static side). */
 case class WatchedQuery(qid: Long, terms: Seq[WatchedTerm])
+
+/** One watched HYBRID query: the lexical terms (empty for a dense-only
+  * query) plus the dense query vector (empty for a lex-only query) —
+  * hybridScoreStream's static side. */
+case class WatchedHybrid(qid: Long, terms: Seq[WatchedTerm], qv: Seq[Float])
 
 /** Open-session state for the event-time-timeout sessionizer: epoch-ms
   * bounds plus the running event count. */
@@ -452,6 +462,136 @@ object StreamingOps {
       .where(col("sr.m") > 0)
       .select(col("doc_id"), col("ts"), col("q.qid").as("qid"),
         round(col("sr.w"), 4).as("score"), col("sr.m").as("matched"))
+  }
+
+  /** Streaming HYBRID gate — the two-leg twin of [[bm25ScoreStream]]
+    * (r20, closing the r19 verdict's #6): score each ARRIVING document
+    * (text + embedding) against a watched query set on BOTH retrieval
+    * legs. `watchedLex` is (qid, term) and `watchedDense` (qid,
+    * embedding) — the two representations of the same qid, exactly the
+    * hybridSearchBatch convention; a qid may carry either leg or both.
+    * Emits one row per (doc, qid) where at least one leg fires:
+    * (doc_id, ts, qid, bm25, matched, sim) — bm25/matched null for a
+    * doc matching none of the qid's terms (or a dense-only qid), sim
+    * null for a lex-only qid.
+    *
+    * Setup follows the probe-family discipline: the lexical statistics
+    * (per-term idf from the index's pruned read, N/avgdl from its 1-row
+    * stats) AND the dense query vectors fold into ONE literal broadcast
+    * row at stream construction — the streaming plan is Aggregate-free
+    * with no per-trigger index scan (ProbeStreamPlanSpec pins it).
+    * Scoring is per-row: the bm25 fold is [[bm25ScoreStream]]'s
+    * byte-for-byte, sim is `round(graft_dot(embedding, qv), 6)` — the
+    * batch dense leg's exact arithmetic.
+    *
+    * RANK-based fusion (RRF) needs a per-trigger candidate set, and
+    * window functions cannot ride a streaming plan — so fusion is the
+    * CONSUMER's one-liner: call [[fuseHybridTrigger]] on each
+    * micro-batch (foreachBatch), which ranks the trigger's rows per leg
+    * and delegates to the shared rrfFuseBatch arithmetic. The
+    * StreamingSpec law pins gate + fuse == the batch q_hybrid_rrf
+    * arithmetic on the same rows. */
+  def hybridScoreStream(docs: DataFrame, textIndexDir: String,
+      watchedLex: DataFrame, watchedDense: DataFrame,
+      maxWatchedPairs: Int = 4096): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val pairs = watchedLex.select(col("qid").cast("long"), col("term"))
+      .distinct().limit(maxWatchedPairs + 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(pairs.length <= maxWatchedPairs,
+      s"hybridScoreStream watched set exceeds maxWatchedPairs=$maxWatchedPairs " +
+        "distinct (qid, term) pairs; retrieve in batch via hybridSearchBatch")
+    val vecs: Map[Long, Seq[Float]] = watchedDense
+      .select(col("qid").cast("long"), col("embedding"))
+      .limit(maxWatchedPairs + 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    require(vecs.size <= maxWatchedPairs,
+      s"hybridScoreStream watched dense set exceeds $maxWatchedPairs queries")
+    require(pairs.nonEmpty || vecs.nonEmpty,
+      "hybridScoreStream: watched query set is empty")
+    val st = graft.sources.TextIndex.corpusStats(s, textIndexDir).head()
+    require(st.getLong(0) > 0,
+      s"hybridScoreStream: the TextIndex at $textIndexDir holds no live docs")
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    val terms = pairs.map(_._2).distinct
+    val dfc = graft.sources.TextIndex.postingsFor(s, textIndexDir, terms)
+      .groupBy("term").agg(count(lit(1)).as("dfc")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idf(t: String): Double = {
+      val d = dfc.getOrElse(t, 0L).toDouble
+      math.log((n.toDouble - d + 0.5) / (d + 0.5) + 1.0)
+    }
+    val lexByQid = pairs.groupBy(_._1)
+    val qs: Seq[WatchedHybrid] = (lexByQid.keySet ++ vecs.keySet).toSeq.sorted
+      .map { qid =>
+        WatchedHybrid(qid,
+          lexByQid.getOrElse(qid, Nil).map(_._2).sorted
+            .map(t => WatchedTerm(t, idf(t))),
+          vecs.getOrElse(qid, Nil))
+      }
+    val staticRow = Seq((qs, avgdl)).toDF("qs", "avgdl")
+      .withColumn("one", lit(1))
+    docs.withColumn("one", lit(1))
+      .join(broadcast(staticRow), "one") // stream-static; static side is 1 row
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("ts"), col("toks"), col("dl"), col("avgdl"),
+        col("embedding"), explode(col("qs")).as("q"))
+      .withColumn("sr", expr(
+        "aggregate(" +
+          "transform(q.terms, t -> named_struct(" +
+          "'tf', CAST(size(filter(toks, x -> x = t.term)) AS DOUBLE), 'idf', t.idf)), " +
+          "named_struct('w', CAST(0.0 AS DOUBLE), 'm', CAST(0 AS BIGINT)), " +
+          "(acc, p) -> named_struct(" +
+          "'w', acc.w + (CASE WHEN p.tf > 0 THEN (p.idf * (p.tf * 2.2)) / " +
+          "(p.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE CAST(0.0 AS DOUBLE) END), " +
+          "'m', acc.m + (CASE WHEN p.tf > 0 THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)))"))
+      .withColumn("sim", expr(
+        "CASE WHEN size(q.qv) > 0 THEN round(graft_dot(embedding, q.qv), 6) END"))
+      .where(col("sr.m") > 0 || col("sim").isNotNull)
+      .select(col("doc_id"), col("ts"), col("q.qid").as("qid"),
+        when(col("sr.m") > 0, round(col("sr.w"), 4)).as("bm25"),
+        when(col("sr.m") > 0, col("sr.m")).as("matched"),
+        col("sim"))
+  }
+
+  /** Rank-fuse ONE micro-batch of [[hybridScoreStream]] output — the
+    * foreachBatch consumer's fusion step (batch-land, so the per-qid
+    * rank windows are legal). Per qid: the trigger's docs rank by sim
+    * (dense leg) and by bm25 (lexical leg), each leg cut at `perLeg`,
+    * then the shared rrfFuseBatch arithmetic blends them — so the fused
+    * result on a trigger's rows IS the batch q_hybrid_rrf composition
+    * restricted to those rows (StreamingSpec law). Returns (qid, id,
+    * vrank, lrank, rrf), top-k per qid. */
+  def fuseHybridTrigger(trigger: DataFrame, k: Int, perLeg: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the gate emits exactly ONE row per (doc, qid) carrying BOTH leg
+    // scores, so fusion needs no self-join at all (which would trip
+    // conflicting-reference resolution): each leg's rank is a window
+    // over the same rows — nulls sort last, so the non-null leg rows
+    // take ranks 1..m and the null rows are masked out; the blend is
+    // the ONE shared rrfCol arithmetic (rrfFuseBatch's, by reference)
+    val dw = Window.partitionBy("qid")
+      .orderBy(col("sim").desc_nulls_last, col("doc_id").asc)
+    val lw = Window.partitionBy("qid")
+      .orderBy(col("bm25").desc_nulls_last, col("doc_id").asc)
+    val fw = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id").asc)
+    trigger
+      .withColumn("vrank",
+        when(col("sim").isNotNull, row_number().over(dw)))
+      .withColumn("lrank",
+        when(col("bm25").isNotNull, row_number().over(lw)))
+      .withColumn("vrank", when(col("vrank") <= perLeg, col("vrank")))
+      .withColumn("lrank", when(col("lrank") <= perLeg, col("lrank")))
+      .where(col("vrank").isNotNull || col("lrank").isNotNull)
+      .withColumn("id", col("doc_id"))
+      .withColumn("rrf", graft.operators.VectorOps.rrfCol)
+      .withColumn("rn", row_number().over(fw)).where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("vrank"), col("lrank"), col("rrf"))
+      .orderBy(col("qid").asc, col("rrf").desc, col("id").asc)
   }
 
   /** STREAM-STREAM attribution join — the streaming twin of

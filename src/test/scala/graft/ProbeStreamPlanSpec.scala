@@ -268,6 +268,30 @@ class ProbeStreamPlanSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) === 1L && rows.head.getLong(4) === 2L)
   }
 
+  test("hybridScoreStream: watched stats + query vectors are a setup-time literal — no Aggregate, no index scan per trigger") {
+    import graft.sources.TextIndex
+    import spark.implicits._
+    val corpus = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date"), (3L, "apple date date fig"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("plan_hybrid").toString + "/idx"
+    TextIndex.build(spark, dir, corpus)
+    val wLex = Seq((1L, "apple"), (1L, "cherry")).toDF("qid", "term")
+    val wDense = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "embedding")
+    val in = Seq((100L, ts(1000L), "apple apple cherry kiwi", Seq(0.6f, 0.8f)))
+      .toDF("doc_id", "ts", "text", "embedding")
+    val out = graft.streaming.StreamingOps.hybridScoreStream(in, dir, wLex, wDense)
+    assertNoAggregate(out, "hybrid score stream", Seq.empty)
+    val physical = out.queryExecution.executedPlan.toString
+    assert(!physical.contains("postings") && !physical.contains("/stats"),
+      s"hybrid gate plan still reads the index per trigger:\n${physical.take(3000)}")
+    // both legs answer: qid 1 has bm25 + sim, dense-only qid 2 sim alone
+    val rows = out.collect()
+      .map(r => r.getLong(2) -> (r.isNullAt(3), r.isNullAt(5))).toMap
+    assert(rows === Map(1L -> (false, false), 2L -> (true, false)))
+  }
+
   test("image imageDedupProbeStream: no Aggregate anywhere (the family's reference shape)") {
     import graft.sources.ImageCodec
     import spark.implicits._

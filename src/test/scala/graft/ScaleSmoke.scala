@@ -707,6 +707,49 @@ object ScaleSmoke {
           f"search_merged=$mergedSecs%.3f compact=$compactSecs%.2f " +
           f"search_compacted=$compactedSecs%.3f full_rebuild=$rebuildSecs%.2f " +
           s"folded=${folded.size}")
+      case "blockmax" =>
+        // blockmax <sfDir> <factor> [k] [searches] — the r20 block-max
+        // top-k economics, measured on a SKEWED corpus (the workload the
+        // prune exists for: a minority of blocks is competitive; a
+        // uniform corpus honestly skips little because every block's
+        // ceiling ties). factor scales the block count: 2*factor hot
+        // blocks (tf=10 short docs) + 18*factor cold blocks (tf=1 long
+        // docs), 8 docs each. Reports scored/total candidate blocks
+        // (fixture rows are uniform per block, so the block ratio IS
+        // the postings-rows-read ratio) and steady per-query secs
+        // pruned vs the sidecar-less unpruned twin.
+        import s.implicits._
+        val factor = args(2).toInt
+        val k = if (args.length > 3) args(3).toInt else 10
+        val nRuns = if (args.length > 4) args(4).toInt else 5
+        val hot = 2 * factor
+        val cold = 18 * factor
+        val W = graft.sources.TextIndex.BlockWidth
+        val skew = ((0 until hot).flatMap(b => (0L until 8L).map(i =>
+            (b * W + i, ("rare " * 10).trim + " pad"))) ++
+          (hot until hot + cold).flatMap(b => (0L until 8L).map(i =>
+            (b * W + i, "rare " + ("pad " * 200).trim)))).toDF("doc_id", "text")
+        val idx = java.nio.file.Files.createTempDirectory("blockmax_idx").toString + "/idx"
+        val twin = java.nio.file.Files.createTempDirectory("blockmax_twin").toString + "/idx"
+        val (_, buildSecs) = timed(graft.sources.TextIndex.build(s, idx, skew))
+        graft.sources.TextIndex.build(s, twin, skew)
+        val tfs = new org.apache.hadoop.fs.Path(twin)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        tfs.delete(new org.apache.hadoop.fs.Path(s"$twin/blockmax"), true)
+        def once(d: String): Long =
+          graft.sources.TextIndex.searchBm25(s, d, Seq("rare"), k).count()
+        def steady(body: => Long): Double = {
+          body
+          val ts = (1 to nRuns).map { _ => val (_, sec) = timed(body); sec }.sorted
+          ts(ts.length / 2)
+        }
+        val prunedSecs = steady(once(idx))
+        val (scored, total) = graft.sources.TextIndex.lastPruneStats
+          .getOrElse((-1, -1))
+        val unprunedSecs = steady(once(twin))
+        println(f"BLOCKMAX factor=$factor blocks=${hot + cold} k=$k " +
+          f"build=$buildSecs%.2f pruned_steady=$prunedSecs%.3f " +
+          f"unpruned_steady=$unprunedSecs%.3f blocks_scored=$scored/$total")
       case "calibrate" =>
         // calibrate <sfDir> <factor> [triggers] [batchDocs] [targetIndexDir]
         // — measure the scan-vs-pruned probe economics ON THIS BOX (the

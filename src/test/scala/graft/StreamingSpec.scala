@@ -351,6 +351,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming hybrid gate: both leg scores exact per doc; trigger fuse == batch RRF arithmetic on the same rows") {
+    import spark.implicits._
+    import graft.sources.TextIndex
+    import graft.streaming.HybridDocEv
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date"), (3L, "apple date date fig"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("hybrid_gate").toString + "/idx"
+    TextIndex.build(spark, dir, corpus)
+    // qid 1: both legs; qid 2: dense-only; qid 3: lex-only
+    val wLex = Seq((1L, "apple"), (1L, "cherry"), (3L, "date"))
+      .toDF("qid", "term")
+    val wDense = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "embedding")
+    def v(a: Float, b: Float, c: Float): Seq[Float] = Seq(a, b, c)
+    val docs = Seq(
+      HybridDocEv(100L, ts("10:00"), "apple apple cherry kiwi", v(0.9f, 0.1f, 0f)),
+      HybridDocEv(101L, ts("10:01"), "date date fig", v(0.2f, 0.8f, 0f)),
+      HybridDocEv(102L, ts("10:02"), "kiwi mango", v(0.5f, 0.5f, 0f)))
+    val in = MemoryStream[HybridDocEv](31, spark, None)
+    val q = StreamingOps.hybridScoreStream(in.toDF(), dir, wLex, wDense)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hybrid_gate_out").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("hybrid_gate_out")
+      // dense leg exact: sim == round(dot, 6) for every (doc, dense qid)
+      val wants = for (d <- docs; (qid, qv) <- Seq(
+          1L -> v(1f, 0f, 0f), 2L -> v(0f, 1f, 0f))) yield {
+        val dot = d.embedding.zip(qv).map { case (x, y) =>
+          x.toDouble * y.toDouble }.sum
+        (d.doc_id, qid) ->
+          BigDecimal(dot).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val simGot = got.where(col("sim").isNotNull)
+        .select("doc_id", "qid", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(simGot === wants.toMap, "dense-leg sims diverged from round(dot, 6)")
+      // lexical leg: doc 100 matches qid 1's terms; doc 101 matches qid 3
+      assert(got.where(col("bm25").isNotNull)
+        .select("doc_id", "qid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet === Set((100L, 1L), (101L, 3L)))
+      // a lex-only qid never emits sims; a dense-only qid never emits bm25
+      assert(got.where(col("qid") === 3L && col("sim").isNotNull).count() === 0)
+      assert(got.where(col("qid") === 2L && col("bm25").isNotNull).count() === 0)
+      // fusion law: fuseHybridTrigger on the trigger's rows == the batch
+      // RRF arithmetic (rrfFuseBatch) over per-leg rankings derived
+      // independently from the same rows
+      val trig = got.select("doc_id", "qid", "bm25", "sim")
+      val fused = StreamingOps.fuseHybridTrigger(trig, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+      // hand legs as LITERAL frames (collected Scala ranks), so the
+      // reference fuse is rrfFuseBatch on lineage-independent inputs —
+      // an entirely separate code path from fuseHybridTrigger's
+      // join-free window form
+      val rows = trig.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val handDense = rows.filter(_._4.isDefined)
+        .groupBy(_._2).toSeq.flatMap { case (qid, rs) =>
+          rs.sortBy(r => (-r._4.get, r._1)).zipWithIndex
+            .map { case (r, i) => (qid, r._1, i + 1) }
+        }.toDF("qid", "id", "vrank")
+      val handLex = rows.filter(_._3.isDefined)
+        .groupBy(_._2).toSeq.flatMap { case (qid, rs) =>
+          rs.sortBy(r => (-r._3.get, r._1)).zipWithIndex
+            .map { case (r, i) => (qid, r._1, i + 1) }
+        }.toDF("qid", "id", "lrank")
+      val want = graft.operators.VectorOps.rrfFuseBatch(handDense, handLex, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+      assert(fused === want, "trigger fuse diverged from the batch RRF arithmetic")
+      assert(fused.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate: one row per doc, exact leaked counts, stateless") {
     import spark.implicits._
     val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")

@@ -767,6 +767,61 @@ class TextIndexSpec extends AnyFunSuite {
     assertSearchesEqual(dir2, twin, "fallback delete")
   }
 
+  test("block-max pruned BM25 == unpruned bit-for-bit; skewed fixture actually skips blocks; gates fall back") {
+    import spark.implicits._
+    // equality on the REAL corpus (base + delta segments): twin index
+    // with the sidecar removed takes the unpruned one-pass plan
+    val dir = freshDir("bmx")
+    TextIndex.build(spark, dir, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, dir, docs.where(col("doc_id") % 2 === 1))
+    val twin = freshDir("bmxtwin")
+    TextIndex.build(spark, twin, docs.where(col("doc_id") % 2 === 0))
+    TextIndex.append(spark, twin, docs.where(col("doc_id") % 2 === 1))
+    val fs = new org.apache.hadoop.fs.Path(twin)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$twin/blockmax"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$twin/deltas/1/blockmax"), true)
+    for (terms <- Seq(Seq("query", "join", "table"), Seq("spark"),
+        Seq("data", "vector", "stream", "spark"), Seq("zzz_not_a_token"));
+        k <- Seq(1, 10, 25)) {
+      val pruned = TextIndex.searchBm25(spark, dir, terms, k).collect().toSeq
+      val engaged = TextIndex.lastPruneStats
+      val unpruned = TextIndex.searchBm25(spark, twin, terms, k).collect().toSeq
+      assert(TextIndex.lastPruneStats.isEmpty,
+        "sidecar-less twin must fall back to the unpruned plan")
+      assert(pruned === unpruned, s"block-max diverged for $terms k=$k")
+      if (terms != Seq("zzz_not_a_token"))
+        assert(engaged.isDefined, s"pruned path must engage for $terms")
+    }
+    // skewed fixture: block 0 holds high-tf short docs, 19 other blocks
+    // hold low-tf long docs — with k=5 the θ learned from block 0 must
+    // exclude every filler block's ceiling
+    val skew = ((0L until 8L).map(i => (i, ("rare " * 10).trim + " pad")) ++
+      (1L to 19L).flatMap(b => (0L until 8L).map(i =>
+        (b * 512L + i, "rare " + ("pad " * 200).trim)))).toDF("doc_id", "text")
+    val sdir = freshDir("bmxskew")
+    TextIndex.build(spark, sdir, skew)
+    val sTwin = freshDir("bmxskewtwin")
+    TextIndex.build(spark, sTwin, skew)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sTwin/blockmax"), true)
+    val top = TextIndex.searchBm25(spark, sdir, Seq("rare"), 5).collect().toSeq
+    val Some((scored, total)) = TextIndex.lastPruneStats
+    assert(total === 20, s"fixture must span 20 blocks, saw $total")
+    assert(scored < total,
+      s"skewed fixture must skip non-competitive blocks ($scored/$total scored)")
+    assert(top === TextIndex.searchBm25(spark, sTwin, Seq("rare"), 5).collect().toSeq,
+      "skewed pruned top-k diverged from unpruned")
+    // tombstones force the fallback (df exactness needs the postings
+    // anti-join), and results stay correct
+    TextIndex.deleteFrom(spark, sdir, Seq(0L).toDF("doc_id"))
+    TextIndex.deleteFrom(spark, sTwin, Seq(0L).toDF("doc_id"))
+    val afterDel = TextIndex.searchBm25(spark, sdir, Seq("rare"), 5).collect().toSeq
+    assert(TextIndex.lastPruneStats.isEmpty,
+      "live tombstones must force the unpruned fallback")
+    assert(afterDel ===
+      TextIndex.searchBm25(spark, sTwin, Seq("rare"), 5).collect().toSeq)
+  }
+
   test("boolean BM25 faces: mustNot == full ranking minus excluded docs; matchAll == matched filter") {
     import spark.implicits._
     val dir = freshDir("boolean")
