@@ -594,6 +594,47 @@ object StreamingOps {
       .orderBy(col("qid").asc, col("rrf").desc, col("id").asc)
   }
 
+  /** Land ONE trigger's fused hybrid hits under its own partition —
+    * the landIdempotent discipline applied to gate output: the
+    * streaming batch id is the partition value, the write is a dynamic
+    * partition OVERWRITE, so a replayed trigger replaces exactly its
+    * own rows and at-least-once delivery becomes exactly-once landing.
+    * Public so the idempotence law is testable without driving a
+    * stream; [[hybridGateSink]] is the streaming composition. */
+  def landFusedTrigger(trigger: DataFrame, outDir: String, triggerId: Long,
+      k: Int, perLeg: Int = 20): Unit =
+    fuseHybridTrigger(trigger, k, perLeg)
+      .withColumn("trigger_id", lit(triggerId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("trigger_id")
+      .parquet(outDir)
+
+  /** Continuous hybrid-retrieval alerting sink (r20): the full streaming
+    * composition of [[hybridScoreStream]] (both leg scores per arriving
+    * doc, one literal static row, Aggregate-free) with per-trigger RRF
+    * fusion ([[fuseHybridTrigger]], batch-land inside foreachBatch) and
+    * idempotent landing ([[landFusedTrigger]]). Each trigger's fused
+    * top-k per watched query lands under `outDir/trigger_id=<id>`;
+    * `onTrigger` surfaces the fused frame per trigger for alert routing
+    * (driver-side). The caller supplies the checkpointLocation and
+    * .start()s the returned writer — the ingest-sink family contract. */
+  def hybridGateSink(docs: DataFrame, textIndexDir: String,
+      watchedLex: DataFrame, watchedDense: DataFrame, outDir: String,
+      checkpointDir: String, k: Int = 10, perLeg: Int = 20,
+      maxWatchedPairs: Int = 4096,
+      onTrigger: (Long, DataFrame) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hybridScoreStream(docs, textIndexDir, watchedLex, watchedDense, maxWatchedPairs)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        landFusedTrigger(b.toDF(), outDir, id, k, perLeg)
+        // recomputed on the (tiny, deterministic) micro-batch rather
+        // than read back, so a zero-hit first trigger needs no
+        // landed-table existence dance
+        onTrigger(id, fuseHybridTrigger(b.toDF(), k, perLeg))
+      }
+
   /** STREAM-STREAM attribution join — the streaming twin of
     * q_evt_funnel: each purchase matches the same user's clicks at most
     * `horizon` older. Both sides are watermarked and the join condition

@@ -429,6 +429,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hybridGateSink: per-trigger fused hits land exactly-once under their trigger partition") {
+    import spark.implicits._
+    import graft.sources.TextIndex
+    import graft.streaming.HybridDocEv
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq((1L, "apple banana apple cherry"),
+      (2L, "banana cherry date"), (3L, "apple date date fig"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("hybrid_sink").toString
+    val dir = s"$base/idx"
+    TextIndex.build(spark, dir, corpus)
+    val wLex = Seq((1L, "apple"), (1L, "cherry")).toDF("qid", "term")
+    val wDense = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "embedding")
+    val in = MemoryStream[HybridDocEv](32, spark, None)
+    var reports = List.empty[(Long, Long)]
+    val q = StreamingOps.hybridGateSink(in.toDF(), dir, wLex, wDense,
+        s"$base/out", s"$base/ckpt", k = 3,
+        onTrigger = (id, f) => reports ::= (id, f.count()))
+      .start()
+    try {
+      in.addData(
+        HybridDocEv(100L, ts("10:00"), "apple apple cherry", Seq(0.9f, 0.1f)),
+        HybridDocEv(101L, ts("10:01"), "kiwi", Seq(0.2f, 0.8f)))
+      q.processAllAvailable()
+      in.addData(HybridDocEv(102L, ts("10:05"), "apple", Seq(0.7f, 0.3f)))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$base/out")
+      // two trigger partitions, each holding ITS docs' fused hits
+      assert(landed.select("trigger_id").distinct().count() === 2)
+      val t0 = landed.where(col("trigger_id") === 0)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // trigger 0: qid 1 fuses docs 100 (both legs) + 101 (dense only);
+      // qid 2 (dense-only) fuses both docs
+      assert(t0 === Set((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L)))
+      assert(landed.where(col("trigger_id") === 1)
+        .select("id").collect().map(_.getLong(0)).toSet === Set(102L))
+      assert(reports.map(_._1).sorted === List(0L, 1L))
+      // replay-idempotence: re-landing trigger 0's rows (the foreachBatch
+      // at-least-once case) overwrites its own partition — no duplicates,
+      // trigger 1 untouched
+      val trig0 = StreamingOps.hybridScoreStream(
+        Seq((100L, ts("10:00"), "apple apple cherry", Seq(0.9f, 0.1f)),
+          (101L, ts("10:01"), "kiwi", Seq(0.2f, 0.8f)))
+          .toDF("doc_id", "ts", "text", "embedding"), dir, wLex, wDense)
+      val before = spark.read.parquet(s"$base/out").orderBy("trigger_id", "qid", "id")
+        .collect().toSeq
+      StreamingOps.landFusedTrigger(trig0, s"$base/out", 0L, k = 3)
+      val after = spark.read.parquet(s"$base/out").orderBy("trigger_id", "qid", "id")
+        .collect().toSeq
+      assert(after === before, "a replayed trigger must replace, not append")
+    } finally q.stop()
+  }
+
   test("streaming decontamination gate: one row per doc, exact leaked counts, stateless") {
     import spark.implicits._
     val mk = (i: Int) => (1 to 12).map(t => s"w${i}_$t").mkString(" ")
