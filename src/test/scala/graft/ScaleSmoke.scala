@@ -707,6 +707,51 @@ object ScaleSmoke {
           f"search_merged=$mergedSecs%.3f compact=$compactSecs%.2f " +
           f"search_compacted=$compactedSecs%.3f full_rebuild=$rebuildSecs%.2f " +
           s"folded=${folded.size}")
+      case "doclens" =>
+        // doclens <sfDir> <factor> [nIds] — the r20 delete-pass
+        // economics: victim (id, dl) capture from the doc-bucketed
+        // doclens sidecar (O(ids) bucket directories of a docs-sized
+        // table) vs the pre-r20 fallback (column-pruned pass over the
+        // tokens-sized postings), at growing corpus multiples. Twin
+        // indexes over the same corpus; the fallback twin has its
+        // sidecar removed.
+        import s.implicits._
+        val src = args(1)
+        val factor = args(2).toInt
+        val nIds = if (args.length > 3) args(3).toInt else 3
+        val dataDir =
+          if (factor <= 1) src
+          else {
+            val blown = java.nio.file.Files.createTempDirectory("doclens_corpus").toString
+            val (_, upSecs) = timed(graft.plans.Scale.upsampleCorpus(s, src, blown, factor))
+            println(f"DOCLENS upsample factor=$factor secs=$upSecs%.1f")
+            blown
+          }
+        val docs = Tables.documents(s, dataDir)
+        val nDocs = docs.count()
+        val idx = java.nio.file.Files.createTempDirectory("doclens_idx").toString + "/idx"
+        val twin = java.nio.file.Files.createTempDirectory("doclens_twin").toString + "/idx"
+        graft.sources.TextIndex.build(s, idx, docs)
+        graft.sources.TextIndex.build(s, twin, docs)
+        val tfs = new org.apache.hadoop.fs.Path(twin)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        tfs.delete(new org.apache.hadoop.fs.Path(s"$twin/doclens"), true)
+        val ids = (0 until nIds).map(i => i * 7L + 1L).toDF("doc_id")
+        // steady victim-capture cost: count() the capture frame (the
+        // delete's read) without committing tombstones, so repeated
+        // runs measure the same state
+        def steady(d: String): Double = {
+          graft.sources.TextIndex.victimLens(s, d, ids).count() // warm-up
+          val ts = (1 to 5).map { _ =>
+            val (_, sec) = timed(graft.sources.TextIndex.victimLens(s, d, ids).count())
+            sec
+          }.sorted
+          ts(ts.length / 2)
+        }
+        val sidecarSecs = steady(idx)
+        val fallbackSecs = steady(twin)
+        println(f"DOCLENS factor=$factor docs=$nDocs ids=$nIds " +
+          f"sidecar_steady=$sidecarSecs%.3f postings_fallback_steady=$fallbackSecs%.3f")
       case "blockmax" =>
         // blockmax <sfDir> <factor> [k] [searches] — the r20 block-max
         // top-k economics, measured on a SKEWED corpus (the workload the
