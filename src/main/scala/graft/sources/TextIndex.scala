@@ -142,14 +142,30 @@ object TextIndex {
   val BlockWidth = 512L
 
   private def writeSegment(postings: DataFrame, stats: DataFrame, segRoot: String): Unit = {
-    val terms = postings.select("term").distinct()
+    // Land the postings ONCE before the fan-out (r21, guide §1.2/§2.4):
+    // this one frame feeds FIVE separate actions below (the emptiness
+    // probe, the postings write, terms, doclens, blockmax), and writes
+    // are independent jobs, so without a barrier each action re-derives
+    // it from scratch — for a build/append that is 5 tokenize+posexplode+
+    // groupBy corpus passes where one suffices (exchange reuse only
+    // shares WITHIN a job, never across actions). localCheckpoint is the
+    // local stand-in for what a 100 TB build does anyway — materialize
+    // the postings table once, then derive the docs-sized / df-sized
+    // sidecars from the materialized rows (block-manager storage spills
+    // to disk; this is not a fits-in-memory assumption). LAZY: audit /
+    // explain paths construct without executing (the r4 discipline).
+    // Measured at sf0.1 (5k docs, local[32], ScaleSmoke textidxbuild,
+    // interleaved 5-rep medians): build 10.3-11.2 s -> 5.5-6.6 s, ~1.9x;
+    // same rows, same file layout.
+    val posts = postings.localCheckpoint(false)
+    val terms = posts.select("term").distinct()
     // doclens sidecar (r20, r19 verdict next-round #2): one (doc_id, dl)
     // row per doc, doc-hash-bucketed (the IdBuckets layout), so
     // [[deleteFrom]] captures its victims' lengths from O(ids) bucket
     // directories instead of a full postings pass — at 100 TB the
     // postings table is ~tokens-sized while doclens is docs-sized AND
     // bucket-pruned. dl is constant per doc, so min() is exact.
-    val doclens = postings.groupBy("doc_id").agg(min(col("dl")).as("dl"))
+    val doclens = posts.groupBy("doc_id").agg(min(col("dl")).as("dl"))
     // blockmax sidecar (r20, r19 verdict next-round #3): per (term,
     // doc-range block) the quantities that bound any member doc's BM25
     // contribution from above — max tf (the term is increasing in tf),
@@ -157,24 +173,32 @@ object TextIndex {
     // sum IS the segment's df. Lucene's block-max metadata re-expressed
     // for a columnar doc-range layout; df/512-sized, term-bucketed like
     // the postings it describes.
-    val blockmax = postings
-      .withColumn("block_id", floor(col("doc_id") / lit(BlockWidth)).cast("long"))
+    // block_id in pure BIGINT arithmetic (r20 advice): floor(doc_id/512)
+    // via double division rounds for doc_id above 2^53, silently moving a
+    // doc's bounds into the neighboring block while scoreBlocks' range
+    // predicate stays exact-long — an understated ceiling could then drop
+    // a true top-k doc for snowflake-scale external ids. doc_id − pmod is
+    // an exact multiple of BlockWidth, so the integral `div` equals the
+    // mathematical floor for EVERY long, negative ids included.
+    val blockmax = posts
+      .withColumn("block_id",
+        expr(s"(doc_id - pmod(doc_id, ${BlockWidth}L)) div ${BlockWidth}L"))
       .groupBy(col(Col), col("term"), col("block_id"))
       .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
         count(lit(1)).as("cnt"))
-    if (postings.limit(1).count() == 0) {
+    if (posts.limit(1).count() == 0) {
       // a zero-row PARTITIONED write leaves no part files — a
       // schema-less husk every later read would crash on (the
       // IdBuckets empty-table lesson). Write the empty frame FLAT
       // instead: schema-bearing, bucket column present as data, so
       // searches return cleanly empty over an empty corpus.
-      postings.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
+      posts.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
       terms.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/terms")
       doclens.withColumn(IdBuckets.Col, IdBuckets.bucketOf(col("doc_id")))
         .coalesce(1).write.mode("overwrite").parquet(s"$segRoot/doclens")
       blockmax.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/blockmax")
     } else {
-      postings.repartitionByRange(col(Col), col("term"), col("doc_id"))
+      posts.repartitionByRange(col(Col), col("term"), col("doc_id"))
         .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")
       terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))

@@ -503,8 +503,15 @@ object StreamingOps {
     require(pairs.length <= maxWatchedPairs,
       s"hybridScoreStream watched set exceeds maxWatchedPairs=$maxWatchedPairs " +
         "distinct (qid, term) pairs; retrieve in batch via hybridSearchBatch")
+    // dropDuplicates BEFORE the limit (r20 advice, the watchedLex
+    // .distinct() discipline): with duplicate qid rows present, the
+    // limit could drop a distinct qid's ONLY row while the size check
+    // still passes — a watched query silently unwatched — and two
+    // conflicting embeddings for one qid would collapse
+    // nondeterministically in toMap (last row wins).
     val vecs: Map[Long, Seq[Float]] = watchedDense
       .select(col("qid").cast("long"), col("embedding"))
+      .dropDuplicates("qid")
       .limit(maxWatchedPairs + 1).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
     require(vecs.size <= maxWatchedPairs,

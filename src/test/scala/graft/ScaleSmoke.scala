@@ -658,6 +658,27 @@ object ScaleSmoke {
         println(f"TEXTIDX factor=$factor docs=$nDocs build=$buildSecs%.2f " +
           f"scan_steady=$scanSecs%.3f indexed_steady=$idxSecs%.3f " +
           s"files_kept=$kept/$total")
+      case "textidxbuild" =>
+        // textidxbuild <sfDir> [reps] — repeated full index builds into
+        // fresh scratch dirs, per-rep seconds + median: the r21 A/B
+        // harness for the writeSegment fan-out barrier (one warm-up
+        // build absorbs JIT/codegen, so the medians compare steady
+        // build cost, not JVM warm-up).
+        val src = args(1)
+        val reps = if (args.length > 2) args(2).toInt else 5
+        val docs = Tables.documents(s, src)
+        def buildOnce(): Double = {
+          val idx = java.nio.file.Files
+            .createTempDirectory("textidxbuild").toString + "/idx"
+          val (_, sec) = timed(graft.sources.TextIndex.build(s, idx, docs))
+          sec
+        }
+        buildOnce() // warm-up
+        val ts = (1 to reps).map(_ => buildOnce())
+        val med = ts.sorted.apply(ts.length / 2)
+        println(f"TEXTIDXBUILD reps=$reps median=$med%.3f " +
+          s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
+
       case "textidxseg" =>
         // textidxseg <sfDir> <factor> [nseg] [searches] — the SEGMENT
         // lifecycle economics (r18): per-ingest-window cost of the delta
