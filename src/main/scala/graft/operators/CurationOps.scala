@@ -347,7 +347,9 @@ object CurationOps {
         .withColumn("n_tok", size(col("toks")))
         .transform(withQualityScore)
         .select("doc_id", "n_tok", "score")
-      budgetCut(scored, budget = 5000L)
+      budgetCut(scored, budget = 5000L,
+        // scale-adaptive chunk count (r21) — see q_evt_concurrency
+        chunks = math.max(16, s.sparkContext.defaultParallelism))
         .select(col("doc_id"), col("n_tok").cast("bigint").as("n_tok"), col("cum_tok"))
         .orderBy(col("cum_tok").asc, col("doc_id").asc)
     }),

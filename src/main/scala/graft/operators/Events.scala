@@ -248,7 +248,13 @@ object Events {
     // its sum, not its running peak) shift each chunk to its global
     // level. No task ever scans the whole timeline.
     "q_evt_concurrency" -> ((s, d) => {
-      val chunks = 16
+      // scale-adaptive chunk count (r21): the per-chunk local window is
+      // the parallel stage of the two-level scan, so a constant caps it
+      // regardless of cluster width; the prefix arithmetic is exact for
+      // ANY chunking, so the result is chunk-count independent
+      // (oracle-gated). Floor of 16 keeps tiny-core runs off the
+      // degenerate 1-chunk path.
+      val chunks = math.max(16, s.sparkContext.defaultParallelism)
       val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
       val sess = Tables.events(s, d)
         .select("user_id", "event_id", "ts_us")

@@ -703,7 +703,11 @@ object TextOps {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast("bigint").as("n_tok")),
-        budget = 2048, chunks = 8)
+        budget = 2048,
+        // scale-adaptive (r21): chunk count is the local-window
+        // parallelism knob and the global offsets are chunking-
+        // independent (exact prefix arithmetic, oracle-gated)
+        chunks = math.max(8, s.sparkContext.defaultParallelism))
         .orderBy("source", "doc_id")
     }),
 

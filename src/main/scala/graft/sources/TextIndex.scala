@@ -198,15 +198,41 @@ object TextIndex {
         .coalesce(1).write.mode("overwrite").parquet(s"$segRoot/doclens")
       blockmax.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/blockmax")
     } else {
-      posts.repartitionByRange(col(Col), col("term"), col("doc_id"))
-        .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")
-      terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-        .write.mode("overwrite").parquet(s"$segRoot/terms")
-      IdBuckets.write(doclens, "doc_id", s"$segRoot/doclens", "overwrite")
-      blockmax.repartitionByRange(col(Col), col("term"), col("block_id"))
-        .sortWithinPartitions(col(Col), col("term"), col("block_id"))
-        .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/blockmax")
+      // Overlap the five independent output jobs (r21, guide §2.6):
+      // with `posts` landed they share no lineage work, and driver-side
+      // actions are only sequential because the caller invokes them
+      // sequentially — a small thread pool lets each job's tail
+      // (tiny-file commit, straggler task) back-fill with the next
+      // job's tasks instead of idling the scheduler. Block-level
+      // compute locking makes concurrent first-touch of the
+      // checkpointed RDD safe (one task computes a block, others
+      // wait), and the stage-level limit(1) probe above has already
+      // materialized the first partitions. Crash semantics unchanged:
+      // the caller's fence (rebuild marker / staged rename) only
+      // commits after ALL writes return, and a failure in any write
+      // still propagates (Await rethrows the first). Measured at sf0.1
+      // (ScaleSmoke textidxbuild, 5-rep medians, same session):
+      // 5.5-6.6 s sequential-with-barrier -> 3.3 s overlapped
+      // (10.3-11.2 s before the barrier: 3.2x total).
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val writes = Seq(
+          Future(posts.repartitionByRange(col(Col), col("term"), col("doc_id"))
+            .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
+            .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")),
+          Future(terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+            .write.mode("overwrite").parquet(s"$segRoot/terms")),
+          Future(IdBuckets.write(doclens, "doc_id", s"$segRoot/doclens", "overwrite")),
+          Future(blockmax.repartitionByRange(col(Col), col("term"), col("block_id"))
+            .sortWithinPartitions(col(Col), col("term"), col("block_id"))
+            .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/blockmax")),
+          Future(stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")))
+        Await.result(Future.sequence(writes), Duration.Inf)
+      } finally pool.shutdown()
+      return
     }
     stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
   }
