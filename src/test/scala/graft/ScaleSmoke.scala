@@ -679,6 +679,32 @@ object ScaleSmoke {
         println(f"TEXTIDXBUILD reps=$reps median=$med%.3f " +
           s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
 
+      case "hybridx" =>
+        // hybridx <sfDir> [reps] — phase split of q_hybrid_rrf_indexed:
+        // TextIndex.build vs writeIvfIndex vs the fused probe, each
+        // timed separately (fresh scratch per rep, one warm-up rep).
+        val src = args(1)
+        val reps = if (args.length > 2) args(2).toInt else 3
+        import org.apache.spark.sql.functions.lit
+        def once(): (Double, Double, Double) = {
+          val base = java.nio.file.Files.createTempDirectory("hybridx").toString
+          val (tdir, vdir) = (base + "/tidx", base + "/ivf")
+          val (_, t1) = timed(graft.sources.TextIndex.build(s, tdir, Tables.documents(s, src)))
+          val (_, t2) = timed(graft.operators.VectorOps.writeIvfIndex(
+            Tables.embeddings(s, src), cells = 4, dir = vdir))
+          val denseQ = Tables.embeddings(s, src).where(col("vec_id") === 0)
+            .select(lit(0L).as("qid"), col("embedding"))
+          import s.implicits._
+          val lexQ = Seq((0L, "query"), (0L, "join"), (0L, "table")).toDF("qid", "term")
+          val (_, t3) = timed(graft.operators.VectorOps.hybridSearchBatch(
+            s, tdir, vdir, denseQ, lexQ, k = 10, nprobe = 64).count())
+          (t1, t2, t3)
+        }
+        once() // warm-up
+        val rs = (1 to reps).map(_ => once())
+        rs.zipWithIndex.foreach { case ((t1, t2, t3), i) =>
+          println(f"HYBRIDX rep=${i + 1} tbuild=$t1%.2f ivfbuild=$t2%.2f probe=$t3%.2f") }
+
       case "textidxseg" =>
         // textidxseg <sfDir> <factor> [nseg] [searches] — the SEGMENT
         // lifecycle economics (r18): per-ingest-window cost of the delta
