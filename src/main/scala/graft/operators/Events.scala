@@ -270,10 +270,18 @@ object Events {
       // the shared TwoLevel.prefix engine with signed = true: sweep-line
       // deltas can peak above a chunk's end, so chunk totals re-aggregate
       // sum(d) from the base rather than harvesting the running max (G24)
+      // divide-first bucketing (r21 advice): `(t - __lo) * chunks` in
+      // Long wraps once chunks is cluster-sized and t spans years of
+      // microseconds (~10 y * 20k parallelism brushes Long.Max); the
+      // chunk-width divisor form is overflow-proof for every Long t,
+      // provably lands in [0, chunks-1], and stays monotone — and the
+      // scan is chunking-independent (exact prefix arithmetic), so the
+      // result is unchanged (oracle-gated). See packTwoLevel for the
+      // bounds proof.
       TwoLevel.prefix(deltas, boundCol = "t",
           chunkExpr =
             s"CAST(CASE WHEN __hi = __lo THEN 0 ELSE least($chunks - 1, " +
-              s"(t - __lo) * $chunks div (__hi - __lo + 1)) END AS INT)",
+              s"(t - __lo) div ((__hi - __lo) div $chunks + 1)) END AS INT)",
           groupCols = Seq.empty, orderCols = Seq(col("t").asc),
           valueCol = "d", signed = true)
         .withColumnRenamed("cum", "conc")

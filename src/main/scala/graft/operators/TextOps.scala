@@ -887,16 +887,28 @@ object TextOps {
   def packTwoLevel(docs: org.apache.spark.sql.DataFrame, budget: Int, chunks: Int): org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"pack budget must be >= 1, got $budget")
     require(chunks >= 1, s"chunk count must be >= 1, got $chunks")
-    // Monotone range bucket over the observed doc_id domain. The scaled
-    // multiply stays in Long for any realistic id domain (chunks is small);
-    // least() guards the hi endpoint landing exactly on `chunks`. The scan
-    // itself is the shared TwoLevel.prefix engine (signed = false: token
-    // counts are non-negative, so chunk totals harvest from the windowed
+    // Monotone range bucket over the observed doc_id domain, DIVIDE-FIRST
+    // (r21 advice): the old `(doc_id - __lo) * chunks` multiply silently
+    // wraps Long once chunks is cluster-sized (defaultParallelism on a
+    // 100 TB deployment) and the id domain is snowflake-wide (> 2^53 —
+    // span ~2^57 for a year of ms<<22 ids), losing bucket monotonicity
+    // and with it the prefix sums' correctness. Dividing by the chunk
+    // WIDTH `(__hi - __lo) div chunks + 1` never leaves the span's
+    // magnitude: the quotient is provably in [0, chunks-1] for every
+    // Long id (q*c+s < c*(q+1) with q = span div c), monotone in doc_id,
+    // and near-uniform across chunks. least() stays as a belt-and-braces
+    // hi-endpoint guard. The only residual overflow is a span that
+    // itself exceeds Long.Max (lo < -2^62 AND hi > 2^62) — not an id
+    // domain, a corrupt input. Chunk boundaries move vs the multiply
+    // form but the scan is chunking-independent (exact prefix
+    // arithmetic; oracle- and PropertiesSpec-gated). The scan itself is
+    // the shared TwoLevel.prefix engine (signed = false: token counts
+    // are non-negative, so chunk totals harvest from the windowed
     // output and reuse its exchange).
     TwoLevel.prefix(docs.select(col("source"), col("doc_id"), col("n_tok")),
         boundCol = "doc_id",
         chunkExpr =
-          s"CAST(least($chunks - 1, (doc_id - __lo) * $chunks div (__hi - __lo + 1)) AS INT)",
+          s"CAST(least($chunks - 1, (doc_id - __lo) div ((__hi - __lo) div $chunks + 1)) AS INT)",
         groupCols = Seq("source"), orderCols = Seq(col("doc_id").asc),
         valueCol = "n_tok", signed = false)
       .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))

@@ -142,99 +142,98 @@ object TextIndex {
   val BlockWidth = 512L
 
   private def writeSegment(postings: DataFrame, stats: DataFrame, segRoot: String): Unit = {
-    // Land the postings ONCE before the fan-out (r21, guide §1.2/§2.4):
-    // this one frame feeds FIVE separate actions below (the emptiness
-    // probe, the postings write, terms, doclens, blockmax), and writes
-    // are independent jobs, so without a barrier each action re-derives
-    // it from scratch — for a build/append that is 5 tokenize+posexplode+
-    // groupBy corpus passes where one suffices (exchange reuse only
-    // shares WITHIN a job, never across actions). localCheckpoint is the
-    // local stand-in for what a 100 TB build does anyway — materialize
-    // the postings table once, then derive the docs-sized / df-sized
-    // sidecars from the materialized rows (block-manager storage spills
-    // to disk; this is not a fits-in-memory assumption). LAZY: audit /
-    // explain paths construct without executing (the r4 discipline).
-    // Measured at sf0.1 (5k docs, local[32], ScaleSmoke textidxbuild,
-    // interleaved 5-rep medians): build 10.3-11.2 s -> 5.5-6.6 s, ~1.9x;
-    // same rows, same file layout.
-    val posts = postings.localCheckpoint(false)
-    val terms = posts.select("term").distinct()
-    // doclens sidecar (r20, r19 verdict next-round #2): one (doc_id, dl)
-    // row per doc, doc-hash-bucketed (the IdBuckets layout), so
-    // [[deleteFrom]] captures its victims' lengths from O(ids) bucket
-    // directories instead of a full postings pass — at 100 TB the
-    // postings table is ~tokens-sized while doclens is docs-sized AND
-    // bucket-pruned. dl is constant per doc, so min() is exact.
-    val doclens = posts.groupBy("doc_id").agg(min(col("dl")).as("dl"))
-    // blockmax sidecar (r20, r19 verdict next-round #3): per (term,
-    // doc-range block) the quantities that bound any member doc's BM25
-    // contribution from above — max tf (the term is increasing in tf),
-    // min dl (decreasing in dl) — plus the member count, whose per-term
-    // sum IS the segment's df. Lucene's block-max metadata re-expressed
-    // for a columnar doc-range layout; df/512-sized, term-bucketed like
-    // the postings it describes.
-    // block_id in pure BIGINT arithmetic (r20 advice): floor(doc_id/512)
-    // via double division rounds for doc_id above 2^53, silently moving a
-    // doc's bounds into the neighboring block while scoreBlocks' range
-    // predicate stays exact-long — an understated ceiling could then drop
-    // a true top-k doc for snowflake-scale external ids. doc_id − pmod is
-    // an exact multiple of BlockWidth, so the integral `div` equals the
-    // mathematical floor for EVERY long, negative ids included.
-    val blockmax = posts
-      .withColumn("block_id",
-        expr(s"(doc_id - pmod(doc_id, ${BlockWidth}L)) div ${BlockWidth}L"))
-      .groupBy(col(Col), col("term"), col("block_id"))
-      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
-        count(lit(1)).as("cnt"))
-    if (posts.limit(1).count() == 0) {
-      // a zero-row PARTITIONED write leaves no part files — a
-      // schema-less husk every later read would crash on (the
-      // IdBuckets empty-table lesson). Write the empty frame FLAT
-      // instead: schema-bearing, bucket column present as data, so
-      // searches return cleanly empty over an empty corpus.
-      posts.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
-      terms.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/terms")
-      doclens.withColumn(IdBuckets.Col, IdBuckets.bucketOf(col("doc_id")))
-        .coalesce(1).write.mode("overwrite").parquet(s"$segRoot/doclens")
-      blockmax.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/blockmax")
-    } else {
-      // Overlap the five independent output jobs (r21, guide §2.6):
-      // with `posts` landed they share no lineage work, and driver-side
-      // actions are only sequential because the caller invokes them
-      // sequentially — a small thread pool lets each job's tail
-      // (tiny-file commit, straggler task) back-fill with the next
-      // job's tasks instead of idling the scheduler. Block-level
-      // compute locking makes concurrent first-touch of the
-      // checkpointed RDD safe (one task computes a block, others
-      // wait), and the stage-level limit(1) probe above has already
-      // materialized the first partitions. Crash semantics unchanged:
-      // the caller's fence (rebuild marker / staged rename) only
-      // commits after ALL writes return, and a failure in any write
-      // still propagates (Await rethrows the first). Measured at sf0.1
-      // (ScaleSmoke textidxbuild, 5-rep medians, same session):
-      // 5.5-6.6 s sequential-with-barrier -> 3.3 s overlapped
-      // (10.3-11.2 s before the barrier: 3.2x total).
-      import scala.concurrent.{Await, Future, ExecutionContext}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      try {
-        val writes = Seq(
-          Future(posts.repartitionByRange(col(Col), col("term"), col("doc_id"))
-            .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
-            .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")),
-          Future(terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
-            .write.mode("overwrite").parquet(s"$segRoot/terms")),
-          Future(IdBuckets.write(doclens, "doc_id", s"$segRoot/doclens", "overwrite")),
-          Future(blockmax.repartitionByRange(col(Col), col("term"), col("block_id"))
-            .sortWithinPartitions(col(Col), col("term"), col("block_id"))
-            .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/blockmax")),
-          Future(stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")))
-        Await.result(Future.sequence(writes), Duration.Inf)
-      } finally pool.shutdown()
-      return
-    }
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
+    // Land the derived postings ONCE as a parquet table under the
+    // segment root, then derive every sidecar from a RE-READ of the
+    // landed files (r22, guide §1.2/§2.4; the r21 verdict's preferred
+    // fix). This one frame feeds FIVE separate actions (the postings
+    // layout write, terms, doclens, blockmax, and the emptiness probe),
+    // and writes are independent jobs, so without a barrier each action
+    // re-derives it from scratch — 5 tokenize+posexplode+groupBy corpus
+    // passes where one suffices (exchange reuse only shares WITHIN a
+    // job, never across actions). r21 used a lazy localCheckpoint plus
+    // a 5-thread concurrent write fan-out here; that intermittently
+    // killed the driver's sbt test run (a FileFormatWriter failure
+    // inside the pool — concurrent first-touch of lazily-materialized
+    // unreplicated checkpoint blocks), so r22 lands the rows as plain
+    // parquet and runs the derived writes sequentially over the
+    // immutable files: no checkpoint state to race, and on a real
+    // cluster the landed table is recomputable/retryable storage rather
+    // than unreplicated executor-local blocks (the r21 ADVICE
+    // fault-tolerance caveat). The landed dir name is NOT
+    // underscore-prefixed (Spark's hidden-path filter would warn on the
+    // re-read); it is invisible anyway — it only ever exists under the
+    // caller's fence (rebuild marker) or stage (_compact_stage /
+    // deltas/_tmp_*), nothing lists segment roots, and it is deleted
+    // before the fence commits. Measured at sf0.1 (5k docs, local[32], ScaleSmoke
+    // textidxbuild, 5-rep medians): 10.3-11.2 s unbarriered ->
+    // 5.5-6.6 s with the r21 barrier; the landed-parquet form keeps
+    // that win (re-measured this round, see OPTIMIZATION_r22.md) and
+    // trades the r21 overlap's last ~2 s for a suite that is green
+    // under the driver — the safe landing point the verdict named.
+    val s = postings.sparkSession
+    val fsys = hfs(s, segRoot)
+    val landed = s"$segRoot/landed_postings.tmp"
+    postings.write.mode("overwrite").parquet(landed)
+    try {
+      // a zero-row landing can leave no part files (schema-less husk) —
+      // probe by listing, then by a bounded read of the landed footers
+      val hasFiles = fsys.listStatus(new Path(landed)).exists(f =>
+        f.isFile && f.getPath.getName.startsWith("part-") && f.getLen > 0)
+      val posts =
+        if (hasFiles) s.read.parquet(landed)
+        else postings // empty corpus: re-deriving zero rows is free
+      val terms = posts.select("term").distinct()
+      // doclens sidecar (r20, r19 verdict next-round #2): one (doc_id, dl)
+      // row per doc, doc-hash-bucketed (the IdBuckets layout), so
+      // [[deleteFrom]] captures its victims' lengths from O(ids) bucket
+      // directories instead of a full postings pass — at 100 TB the
+      // postings table is ~tokens-sized while doclens is docs-sized AND
+      // bucket-pruned. dl is constant per doc, so min() is exact.
+      val doclens = posts.groupBy("doc_id").agg(min(col("dl")).as("dl"))
+      // blockmax sidecar (r20, r19 verdict next-round #3): per (term,
+      // doc-range block) the quantities that bound any member doc's BM25
+      // contribution from above — max tf (the term is increasing in tf),
+      // min dl (decreasing in dl) — plus the member count, whose per-term
+      // sum IS the segment's df. Lucene's block-max metadata re-expressed
+      // for a columnar doc-range layout; df/512-sized, term-bucketed like
+      // the postings it describes.
+      // block_id in pure BIGINT arithmetic (r20 advice): floor(doc_id/512)
+      // via double division rounds for doc_id above 2^53, silently moving a
+      // doc's bounds into the neighboring block while scoreBlocks' range
+      // predicate stays exact-long — an understated ceiling could then drop
+      // a true top-k doc for snowflake-scale external ids. doc_id − pmod is
+      // an exact multiple of BlockWidth, so the integral `div` equals the
+      // mathematical floor for EVERY long, negative ids included.
+      val blockmax = posts
+        .withColumn("block_id",
+          expr(s"(doc_id - pmod(doc_id, ${BlockWidth}L)) div ${BlockWidth}L"))
+        .groupBy(col(Col), col("term"), col("block_id"))
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+          count(lit(1)).as("cnt"))
+      if (!hasFiles || posts.limit(1).count() == 0) {
+        // a zero-row PARTITIONED write leaves no part files — a
+        // schema-less husk every later read would crash on (the
+        // IdBuckets empty-table lesson). Write the empty frame FLAT
+        // instead: schema-bearing, bucket column present as data, so
+        // searches return cleanly empty over an empty corpus.
+        posts.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/postings")
+        terms.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/terms")
+        doclens.withColumn(IdBuckets.Col, IdBuckets.bucketOf(col("doc_id")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$segRoot/doclens")
+        blockmax.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/blockmax")
+      } else {
+        posts.repartitionByRange(col(Col), col("term"), col("doc_id"))
+          .sortWithinPartitions(col(Col), col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/postings")
+        terms.repartitionByRange(col("term")).sortWithinPartitions(col("term"))
+          .write.mode("overwrite").parquet(s"$segRoot/terms")
+        IdBuckets.write(doclens, "doc_id", s"$segRoot/doclens", "overwrite")
+        blockmax.repartitionByRange(col(Col), col("term"), col("block_id"))
+          .sortWithinPartitions(col(Col), col("term"), col("block_id"))
+          .write.mode("overwrite").partitionBy(Col).parquet(s"$segRoot/blockmax")
+      }
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$segRoot/stats")
+    } finally fsys.delete(new Path(landed), true)
   }
 
   /** (Re)build the index from `docs` — one tokenize pass over the

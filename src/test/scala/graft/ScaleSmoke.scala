@@ -679,6 +679,48 @@ object ScaleSmoke {
         println(f"TEXTIDXBUILD reps=$reps median=$med%.3f " +
           s"all=${ts.map(t => f"$t%.3f").mkString(",")}")
 
+      case "query" =>
+        // query <sfDir> <name[,name,...]> [reps] — repeated timed runs
+        // of declared queries (count() materialization, the bench's
+        // semantics), one warm-up then per-rep seconds + median: the r22
+        // A/B harness for individual inventory queries (the bench times
+        // each once; medians over reps resist this box's bursty noise).
+        // A listener reports per-rep Spark jobs / tasks / summed task
+        // seconds — the pass-count evidence for barrier/land claims
+        // (structural metrics survive host noise; wall seconds do not).
+        val src = args(1)
+        val names = args(2).split(",").toSeq
+        val reps = if (args.length > 3) args(3).toInt else 3
+        val jobs = new java.util.concurrent.atomic.AtomicLong
+        val tasks = new java.util.concurrent.atomic.AtomicLong
+        val taskMs = new java.util.concurrent.atomic.AtomicLong
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            { jobs.incrementAndGet(); () }
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            { tasks.incrementAndGet(); taskMs.addAndGet(t.taskInfo.duration); () }
+        })
+        names.foreach { n =>
+          val q = SparkEntry.queries(n)
+          q(s, src).count() // warm-up
+          val stats = (1 to reps).map { _ =>
+            val (j0, t0, m0) = (jobs.get, tasks.get, taskMs.get)
+            val (_, sec) = timed(q(s, src).count())
+            // listener events drain asynchronously; settle before reading
+            Thread.sleep(300)
+            (sec, jobs.get - j0, tasks.get - t0, (taskMs.get - m0) / 1e3)
+          }
+          val ts = stats.map(_._1)
+          val med = ts.sorted.apply(ts.length / 2)
+          println(f"QUERY $n median=$med%.3f " +
+            s"all=${ts.map(t => f"$t%.3f").mkString(",")} " +
+            s"jobs=${stats.map(_._2).mkString(",")} " +
+            s"tasks=${stats.map(_._3).mkString(",")} " +
+            s"taskSec=${stats.map(x => f"${x._4}%.1f").mkString(",")}")
+        }
+
       case "hybridx" =>
         // hybridx <sfDir> [reps] — phase split of q_hybrid_rrf_indexed:
         // TextIndex.build vs writeIvfIndex vs the fused probe, each
